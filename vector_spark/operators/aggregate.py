@@ -1,0 +1,104 @@
+"""aggregate — windowed metric aggregation keyed by series.
+
+Reference: /root/reference/src/transforms/aggregate.rs:109-320 — modes
+Auto (sum incremental / last-write-wins absolute), Sum, Latest, Count, Diff
+(value minus previous window's), Max, Min, Mean, Stdev (population sigma),
+flushed every interval_ms (default 10s) — i.e. a tumbling processing-time
+window keyed by MetricSeries (name, namespace, tags).
+
+Spark-first: the reference flushes on wall-clock; for deterministic results
+we re-base onto EVENT-time tumbling windows (SURVEY.md §7.3 risk 4). One
+shuffle on (window, series); partial aggregation (map-side combine) is free
+from Catalyst for sum/count/min/max/avg. The window start is emitted as
+epoch seconds (bigint) so results are engine-portable.
+Diff = window agg then `value - lag(value)` over the series — a second,
+narrow shuffle on the (already reduced) series cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+MODES = ("auto", "sum", "latest", "count", "max", "min", "mean", "stdev")
+
+
+def tumbling_window(ts: Column, seconds: int) -> Column:
+    """Tumbling window bucket start, epoch seconds (engine-portable)."""
+    return (F.floor(F.unix_timestamp(ts) / seconds) * seconds).cast("long")
+
+
+def aggregate_metrics(
+    df: DataFrame,
+    mode: str,
+    window_secs: int = 10,
+    ts_col: str = "ts",
+    series_cols: list[str] | None = None,
+    value_col: str = "value",
+    kind_col: str | None = None,
+    order_col: str | None = None,
+) -> DataFrame:
+    """One row per (window, series). `latest`/`auto` need a deterministic
+    order within the window: `order_col` (falls back to ts_col)."""
+    series_cols = series_cols or ["name"]
+    order_col = order_col or ts_col
+    v, o = F.col(value_col), F.col(order_col)
+    ws = tumbling_window(F.col(ts_col), window_secs).alias("window_start")
+    g = df.groupBy(ws, *series_cols)
+
+    if mode == "sum":
+        agg = F.sum(v)
+    elif mode == "latest":
+        agg = F.max_by(v, o)
+    elif mode == "count":
+        agg = F.count(v).cast("double")
+    elif mode == "max":
+        agg = F.max(v)
+    elif mode == "min":
+        agg = F.min(v)
+    elif mode == "mean":
+        agg = F.avg(v)
+    elif mode == "stdev":
+        agg = F.stddev_pop(v)
+    elif mode == "auto":
+        if kind_col is None:
+            raise ValueError("auto mode needs kind_col (incremental|absolute)")
+        # sum deltas for incremental series, last-write-wins for absolute
+        agg = F.when(
+            F.first(F.col(kind_col) == "incremental", ignorenulls=True), F.sum(v)
+        ).otherwise(F.max_by(v, o))
+        # kind is constant per series in the reference model; aggregate both
+        # branches then pick — expressed as a single agg pass:
+        return g.agg(
+            F.sum(v).alias("_sum"),
+            F.max_by(v, o).alias("_latest"),
+            F.min(F.col(kind_col)).alias("_kind"),
+        ).select(
+            "window_start",
+            *series_cols,
+            F.when(F.col("_kind") == "incremental", F.col("_sum"))
+            .otherwise(F.col("_latest"))
+            .alias("agg_value"),
+        )
+    else:
+        raise ValueError(f"unknown aggregate mode {mode!r}; one of {MODES}")
+    return g.agg(agg.alias("agg_value"))
+
+
+def aggregate_diff(
+    df: DataFrame,
+    window_secs: int = 10,
+    ts_col: str = "ts",
+    series_cols: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Diff mode (aggregate.rs:45-73 `prev_map`): this window's value minus
+    the previous window's, per series; first window emits null."""
+    series_cols = series_cols or ["name"]
+    summed = aggregate_metrics(df, "sum", window_secs, ts_col, series_cols, value_col)
+    w = Window.partitionBy(*series_cols).orderBy("window_start")
+    return summed.select(
+        "window_start",
+        *series_cols,
+        (F.col("agg_value") - F.lag("agg_value").over(w)).alias("diff_value"),
+    )

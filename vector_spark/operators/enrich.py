@@ -1,0 +1,87 @@
+"""Enrichment-table lookups as broadcast joins.
+
+Reference: lib/enrichment/src/lib.rs:39-76 (Table trait) — `find_table_row`
+(error unless exactly one match), `find_table_rows` (0..N), conditions are
+AND-ed Equals (case sensitive/insensitive, lib.rs:20-35) and BetweenDates
+(inclusive, lib.rs:24-28); `src/enrichment_tables/file.rs:366-445` builds a
+hash index over the key columns — the exact analogue of a broadcast hash
+join build side.
+
+At scale the dim tables are small (geo/lang/domain lookups) so we force
+`broadcast()`: no shuffle of the 100 TB fact side, the join runs map-side
+inside the scan stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def enrich_equi(
+    df: DataFrame,
+    dim: DataFrame,
+    keys: list[tuple[str, str]],
+    case_insensitive: bool = False,
+    select: list[str] | None = None,
+) -> DataFrame:
+    """Left broadcast equi-join; keys = [(fact_col, dim_col), ...]."""
+    if select:
+        dim = dim.select(*{d for _, d in keys} | set(select))
+    cond = None
+    for fc, dc in keys:
+        left, right = F.col(f"f.{fc}"), F.col(f"d.{dc}")
+        if case_insensitive:
+            left, right = F.lower(left), F.lower(right)
+        c = left == right
+        cond = c if cond is None else (cond & c)
+    out = df.alias("f").join(broadcast(dim.alias("d")), cond, "left")
+    drop = [F.col(f"d.{dc}") for _, dc in keys]
+    for c in drop:
+        out = out.drop(c)
+    return out
+
+
+def enrich_between(
+    df: DataFrame,
+    dim: DataFrame,
+    key: tuple[str, str],
+    ts_col: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Equality on key AND from <= ts <= to (inclusive) — the BetweenDates
+    condition. Equality key keeps this a broadcast HASH join (range predicate
+    applied as a post-join filter by Spark), not a BNLJ."""
+    fc, dc = key
+    cond = (F.col(f"f.{fc}") == F.col(f"d.{dc}")) & F.col(f"f.{ts_col}").between(
+        F.col(f"d.{from_col}"), F.col(f"d.{to_col}")
+    )
+    return df.alias("f").join(broadcast(dim.alias("d")), cond, "left").drop(F.col(f"d.{dc}"))
+
+
+def find_table_row(
+    df: DataFrame,
+    dim: DataFrame,
+    keys: list[tuple[str, str]],
+    on_ambiguous: str = "error",
+    order_dim_by: str | None = None,
+) -> DataFrame:
+    """`find_table_row` strict semantics: exactly one dim match per fact row
+    or the lookup errors (lib/enrichment/src/lib.rs:43-51). Distributed
+    version: detect duplicate keys on the (small) dim side up front."""
+    dim_keys = [dc for _, dc in keys]
+    dup = dim.groupBy(*dim_keys).count().filter(F.col("count") > 1)
+    if on_ambiguous == "error":
+        n = dup.count()  # dim is broadcast-small; this is a cheap driver check
+        if n:
+            raise ValueError(f"find_table_row: {n} ambiguous key(s) in enrichment table")
+        one = dim
+    else:  # 'first': deterministic pick per key
+        w_cols = [F.col(c) for c in (order_dim_by.split(",") if order_dim_by else dim.columns)]
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*dim_keys).orderBy(*w_cols)
+        one = dim.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    return enrich_equi(df, one, keys)

@@ -1,0 +1,104 @@
+"""reduce — stateful multi-event collapse (transaction assembly).
+
+Reference: /root/reference/src/transforms/reduce/transform.rs:155-310 —
+group events by `group_by` fields; merge fields per strategy; flush when the
+inter-event gap exceeds expire_after_ms (default 30s — session semantics),
+max_events is reached, or a starts_when/ends_when condition fires.
+Merge strategies (reduce/merge_strategy.rs:17-62): Discard(first),
+Retain(last), Sum, Max, Min, Array, Concat(space), ConcatNewline, ConcatRaw,
+ShortestArray, LongestArray, FlatUnique, defaults (reduce/config.rs:77-84):
+strings->first, timestamps->first plus <f>_end=last, numbers->sum.
+
+Spark-first: sessionization = classic gaps-and-islands — lag + a running sum
+of "gap exceeded" flags over (group, order) — one shuffle; then one groupBy
+on (group, session). All merge strategies map to built-in aggregates, so the
+whole operator is two exchanges with full map-side partial aggregation and
+zero Python. (Streaming variant: session_window / applyInPandasWithState —
+streaming/ module.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# strategy name -> fn(value_col, order_col) -> agg Column
+MERGE_STRATEGIES = {
+    "discard": lambda v, o: F.min_by(v, o),
+    "retain": lambda v, o: F.max_by(v, o),
+    "sum": lambda v, o: F.sum(v),
+    "max": lambda v, o: F.max(v),
+    "min": lambda v, o: F.min(v),
+    "array": lambda v, o: F.array_sort(F.collect_list(F.struct(o.alias("o"), v.alias("v")))).getField("v"),
+    "concat": lambda v, o: F.array_join(
+        F.array_sort(F.collect_list(F.struct(o.alias("o"), v.alias("v")))).getField("v"), " "
+    ),
+    "concat_newline": lambda v, o: F.array_join(
+        F.array_sort(F.collect_list(F.struct(o.alias("o"), v.alias("v")))).getField("v"), "\n"
+    ),
+    "concat_raw": lambda v, o: F.array_join(
+        F.array_sort(F.collect_list(F.struct(o.alias("o"), v.alias("v")))).getField("v"), ""
+    ),
+    "shortest_array": lambda v, o: F.min_by(v, F.size(v)),
+    "longest_array": lambda v, o: F.max_by(v, F.size(v)),
+    "flat_unique": lambda v, o: F.array_distinct(F.flatten(F.collect_list(v))),
+    "count": lambda v, o: F.count(v),
+}
+
+
+def sessionize(
+    df: DataFrame,
+    group_by: list[str],
+    ts_col: str = "ts",
+    gap_secs: float = 30.0,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Add a `session_id` column: new session when the gap from the previous
+    event in the group exceeds gap_secs (expire_after_ms semantics)."""
+    order_col = order_col or ts_col
+    w = Window.partitionBy(*group_by).orderBy(order_col)
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.lag(ts_col).over(w))
+    new_sess = F.when(gap.isNull() | (gap > gap_secs), F.lit(1)).otherwise(F.lit(0))
+    return df.withColumn("session_id", F.sum(new_sess).over(w))
+
+
+def reduce_sessions(
+    df: DataFrame,
+    group_by: list[str],
+    merges: dict[str, tuple[str, str]],
+    ts_col: str = "ts",
+    gap_secs: float = 30.0,
+    order_col: str | None = None,
+    starts_when: Column | None = None,
+    ends_when: Column | None = None,
+) -> DataFrame:
+    """Collapse each session to one row.
+
+    merges: {out_col: (strategy, in_col)}. Always emits the default
+    timestamp pair (ts = first, ts_end = last, reduce/config.rs:77-84) and
+    an `events_merged` count.
+
+    starts_when / ends_when: boolean Columns that force a session boundary
+    before / after the matching event (reduce/transform.rs:241-262) —
+    combined with the gap rule via the same running-sum trick.
+    """
+    order_col = order_col or ts_col
+    w = Window.partitionBy(*group_by).orderBy(order_col)
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.lag(ts_col).over(w))
+    boundary = gap.isNull() | (gap > gap_secs)
+    if starts_when is not None:
+        boundary = boundary | starts_when
+    if ends_when is not None:
+        boundary = boundary | F.coalesce(F.lag(ends_when).over(w), F.lit(False))
+    sess = F.sum(F.when(boundary, 1).otherwise(0)).over(w)
+    df = df.withColumn("_session", sess)
+
+    o = F.col(order_col)
+    aggs = [
+        F.min(ts_col).alias(ts_col),
+        F.max(ts_col).alias(f"{ts_col}_end"),
+        F.count(F.lit(1)).alias("events_merged"),
+    ]
+    for out_col, (strategy, in_col) in merges.items():
+        aggs.append(MERGE_STRATEGIES[strategy](F.col(in_col), o).alias(out_col))
+    return df.groupBy(*group_by, "_session").agg(*aggs).drop("_session")

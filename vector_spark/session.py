@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for the pipeline.
+
+Defaults are sized for the sandbox (local[N], single JVM) but every knob is
+the one we would set on a 1000-executor cluster too: AQE on (runtime
+re-planning, skew-join splitting, partition coalescing), Arrow on (all our
+Python UDFs are pandas/Arrow-vectorized — no per-row Python anywhere),
+shuffle partitions sized to cores locally and to 2-3x total cores on a real
+cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "vector_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local mode: match cores; on a real cluster this should be
+        # 2-3x total executor cores (or left to AQE coalescing from a
+        # high initial number).
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
+        shuffle_partitions = cpus if n in ("*", "") else int(n)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # real-web HTML bytes contain invalid UTF-8; decode() must replace,
+        # not raise (runtime-settable; parse_pages also sets it defensively)
+        .config("spark.sql.legacy.codingErrorAction", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
