@@ -1,0 +1,119 @@
+"""Document deduplication for training-data pipelines.
+
+Four tiers, all engine-portable (md5 as the hash family so a SQL oracle can
+reproduce them bit-for-bit) and all shuffle-disciplined for 100 TB:
+
+  * exact_dedup       — hash-groupBy on md5(text): one shuffle on a 32-byte
+                        key, map-side partial agg.
+  * minhash_lsh_pairs — shingle -> k minhashes -> banded LSH buckets ->
+                        candidate pairs -> exact Jaccard verify. The only
+                        pairwise work happens inside LSH buckets, never
+                        all-pairs; bucket skew is bounded by banding.
+  * simhash           — 16-bit near-dup fingerprint from token hashes; a
+                        narrow map (no shuffle) producing a clusterable key.
+
+No Python in any of these: shingling/minhashing are higher-order column
+functions (transform/filter/aggregate), executed in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MOD = 1_000_000_007
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One representative (min id) per distinct text; exact, by content hash."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col).cast("binary")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def shingle_docs(df: DataFrame, text_col: str = "text", n: int = 3) -> Column:
+    """Distinct n-word shingles of the text (single-space tokenization)."""
+    words = F.split(F.col(text_col), " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    return F.array_distinct(shingles)
+
+
+def _minhash(shingles: Column, perm: int) -> Column:
+    """Min over shingles of md5(perm || '|' || shingle) — one 'permutation'
+    of the md5 hash family (lexicographic min over uniform hex strings)."""
+    return F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{perm}|"), s).cast("binary"))))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 6,
+    band_size: int = 2,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs (doc_a < doc_b, jaccard >= threshold).
+
+    Candidate generation: docs sharing any LSH band bucket; verification:
+    exact shingle-set Jaccard. Scale: the band-bucket self-join shuffles on
+    the bucket hash; AQE splits skewed buckets."""
+    assert num_hashes % band_size == 0
+    docs = df.select(F.col(id_col).alias("doc"), shingle_docs(df, text_col, shingle_n).alias("sh"))
+    mh = docs.select(
+        "doc", "sh", *[_minhash(F.col("sh"), i).alias(f"mh{i}") for i in range(num_hashes)]
+    )
+    bands = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]).cast("binary")).alias("band_key")
+        for b in range(num_hashes // band_size)
+    ]
+    buckets = mh.select(
+        "doc", F.explode(F.array_distinct(F.array(*bands))).alias("band_key")
+    )
+    # candidate pairs carry ids only through the shuffle; shingle arrays are
+    # joined back afterwards (cheaper exchange at scale)
+    left = buckets.select(F.col("doc").alias("doc_a"), "band_key")
+    right = buckets.select(F.col("doc").alias("doc_b"), "band_key")
+    cand = (
+        left.join(right, "band_key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    pairs = (
+        cand.join(docs.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(docs.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    jac = F.round(inter / union, 4)
+    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(F.col("jaccard") >= threshold)
+
+
+def _hexval(c: Column) -> Column:
+    """Hex digit char -> 0..15 via ascii arithmetic (portable to ANSI SQL)."""
+    a = F.ascii(c)
+    return F.when(a <= 57, a - 48).otherwise(a - 87)
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """16-bit SimHash over distinct tokens. Bit j of a token's signature is
+    the parity of hex digit j of md5(token); the fingerprint bit is the sign
+    of the summed +/-1 votes. Pure column expressions, no shuffle."""
+    tokens = F.array_distinct(F.split(F.col(text_col), " "))
+    hashes = F.transform(tokens, lambda t: F.md5(t.cast("binary")))
+
+    def vote_fn(j: int):
+        # closure factory: a default-arg lambda would change the lambda arity
+        return lambda acc, h: acc + (_hexval(F.substring(h, j + 1, 1)) % 2) * 2 - 1
+
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), vote_fn(j))
+        out = out + F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return df.select(F.col(id_col), out.alias("simhash"))

@@ -24,11 +24,18 @@ class MetricSpec:
     name: Column | str  # template-rendered name
     value: Column | None = None  # None for counter => increment by 1
     namespace: Column | str = ""
-    kind: str = "incremental"  # counter default; gauge/set are absolute
+    kind: str | None = None  # default: counter -> incremental, gauge/set -> absolute
+    when: Column | None = None  # emission gate (condition / missing-field skip)
 
 
-def log_to_metric(df: DataFrame, specs: list[MetricSpec]) -> DataFrame:
-    """Returns metric rows (name, namespace, kind, metric_type, value)."""
+def log_to_metric(
+    df: DataFrame,
+    specs: list[MetricSpec],
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """Returns metric rows (carry..., name, namespace, kind, metric_type,
+    value). Each spec may have a `when` boolean Column gating emission
+    (missing-field / condition skip semantics)."""
     structs = []
     for s in specs:
         name = F.lit(s.name) if isinstance(s.name, str) else s.name
@@ -42,6 +49,11 @@ def log_to_metric(df: DataFrame, specs: list[MetricSpec]) -> DataFrame:
             F.lit(s.metric_type).alias("metric_type"),
             value.alias("value"),
         )
-        # skip when the source value is null (missing field)
-        structs.append(F.when(value.isNotNull(), st))
-    return df.select(F.explode(F.array_compact(F.array(*structs))).alias("m")).select("m.*")
+        gate = value.isNotNull()
+        if getattr(s, "when", None) is not None:
+            gate = gate & s.when
+        structs.append(F.when(gate, st))
+    carry_cols = [F.col(c) for c in (carry or [])]
+    return df.select(
+        *carry_cols, F.explode(F.array_compact(F.array(*structs))).alias("m")
+    ).select(*(carry or []), "m.*")

@@ -46,19 +46,27 @@ MERGE_STRATEGIES = {
 }
 
 
+def _order_cols(order_by, ts_col: str) -> list:
+    if order_by is None:
+        return [ts_col]
+    return order_by if isinstance(order_by, list) else [order_by]
+
+
 def sessionize(
     df: DataFrame,
     group_by: list[str],
     ts_col: str = "ts",
     gap_secs: float = 30.0,
-    order_col: str | None = None,
+    order_col: str | list[str] | None = None,
 ) -> DataFrame:
     """Add a `session_id` column: new session when the gap from the previous
-    event in the group exceeds gap_secs (expire_after_ms semantics)."""
-    order_col = order_col or ts_col
-    w = Window.partitionBy(*group_by).orderBy(order_col)
-    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.lag(ts_col).over(w))
-    new_sess = F.when(gap.isNull() | (gap > gap_secs), F.lit(1)).otherwise(F.lit(0))
+    event in the group exceeds gap_secs (expire_after_ms semantics).
+    Gap arithmetic is in integer microseconds (unix_micros) — exact, no
+    seconds truncation."""
+    order = _order_cols(order_col, ts_col)
+    w = Window.partitionBy(*group_by).orderBy(*order)
+    gap = F.unix_micros(F.col(ts_col).cast('timestamp')) - F.unix_micros(F.lag(F.col(ts_col).cast('timestamp')).over(w))
+    new_sess = F.when(gap.isNull() | (gap > int(gap_secs * 1_000_000)), F.lit(1)).otherwise(F.lit(0))
     return df.withColumn("session_id", F.sum(new_sess).over(w))
 
 
@@ -68,7 +76,7 @@ def reduce_sessions(
     merges: dict[str, tuple[str, str]],
     ts_col: str = "ts",
     gap_secs: float = 30.0,
-    order_col: str | None = None,
+    order_col: str | list[str] | None = None,
     starts_when: Column | None = None,
     ends_when: Column | None = None,
 ) -> DataFrame:
@@ -82,10 +90,10 @@ def reduce_sessions(
     before / after the matching event (reduce/transform.rs:241-262) —
     combined with the gap rule via the same running-sum trick.
     """
-    order_col = order_col or ts_col
-    w = Window.partitionBy(*group_by).orderBy(order_col)
-    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.lag(ts_col).over(w))
-    boundary = gap.isNull() | (gap > gap_secs)
+    order = _order_cols(order_col, ts_col)
+    w = Window.partitionBy(*group_by).orderBy(*order)
+    gap = F.unix_micros(F.col(ts_col).cast('timestamp')) - F.unix_micros(F.lag(F.col(ts_col).cast('timestamp')).over(w))
+    boundary = gap.isNull() | (gap > int(gap_secs * 1_000_000))
     if starts_when is not None:
         boundary = boundary | starts_when
     if ends_when is not None:
@@ -93,7 +101,7 @@ def reduce_sessions(
     sess = F.sum(F.when(boundary, 1).otherwise(0)).over(w)
     df = df.withColumn("_session", sess)
 
-    o = F.col(order_col)
+    o = F.struct(*[F.col(c) for c in order])
     aggs = [
         F.min(ts_col).alias(ts_col),
         F.max(ts_col).alias(f"{ts_col}_end"),

@@ -17,6 +17,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _md5_bucket(col: Column) -> Column:
+    """0..255 from the first two hex digits of md5(value-as-string) — an
+    engine-portable deterministic hash (identical in ANSI SQL / DuckDB),
+    used when the sample membership itself must be oracle-checkable."""
+    h = F.md5(col.cast("string").cast("binary"))
+    def hexval(c: Column) -> Column:
+        a = F.ascii(c)
+        return F.when(a <= 57, a - 48).otherwise(a - 87)
+    return hexval(F.substring(h, 1, 1)) * 16 + hexval(F.substring(h, 2, 1))
+
+
 def sample(
     df: DataFrame,
     rate: int,
@@ -24,9 +35,15 @@ def sample(
     exclude: Column | None = None,
     seed: int = 42,
     stamp: bool = True,
+    method: str = "xxhash",
 ) -> DataFrame:
     if key_field is not None:
-        keep = F.pmod(F.xxhash64(F.col(key_field)), F.lit(rate)) == 0
+        if method == "md5":
+            if rate > 256 or 256 % rate:
+                raise ValueError("md5 method supports rates dividing 256")
+            keep = F.pmod(_md5_bucket(F.col(key_field)), F.lit(rate)) == 0
+        else:
+            keep = F.pmod(F.xxhash64(F.col(key_field)), F.lit(rate)) == 0
     else:
         keep = F.rand(seed) < (1.0 / rate)
     if exclude is not None:
