@@ -1,0 +1,80 @@
+"""aggregate mode semantics — mirrors the reference's exact-output mode
+tests (/root/reference/src/transforms/aggregate.rs:359-1139:
+sum/latest/count/min/max/mean/stdev/diff/auto)."""
+
+import math
+
+from vector_spark.operators import aggregate_metrics, aggregate_diff, tumbling_window
+
+from conftest import rows, ts
+
+
+def _metrics(spark):
+    # two series (cpu, mem) across two 10s windows
+    return spark.createDataFrame(
+        [
+            (1, "cpu", ts(0, 1), 1.0, "incremental"),
+            (2, "cpu", ts(0, 4), 2.0, "incremental"),
+            (3, "mem", ts(0, 2), 50.0, "absolute"),
+            (4, "mem", ts(0, 8), 70.0, "absolute"),
+            (5, "cpu", ts(0, 12), 8.0, "incremental"),
+        ],
+        "event_id long, name string, ts timestamp, value double, kind string",
+    )
+
+
+W0 = 1704067200  # 2024-01-01T00:00:00Z epoch; ts(0,1) falls in [W0, W0+10)
+
+
+def test_sum_mode(spark):
+    out = rows(aggregate_metrics(_metrics(spark), "sum", 10), "window_start", "name", "agg_value")
+    assert out == [(W0, "cpu", 3.0), (W0, "mem", 120.0), (W0 + 10, "cpu", 8.0)]
+
+
+def test_latest_mode_uses_order(spark):
+    out = rows(
+        aggregate_metrics(_metrics(spark), "latest", 10, order_col="event_id"),
+        "window_start", "name", "agg_value",
+    )
+    assert out == [(W0, "cpu", 2.0), (W0, "mem", 70.0), (W0 + 10, "cpu", 8.0)]
+
+
+def test_count_min_max_mean(spark):
+    m = _metrics(spark)
+    assert rows(aggregate_metrics(m, "count", 3600), "name", "agg_value") == [
+        ("cpu", 3.0), ("mem", 2.0)]
+    assert rows(aggregate_metrics(m, "max", 3600), "name", "agg_value") == [
+        ("cpu", 8.0), ("mem", 70.0)]
+    assert rows(aggregate_metrics(m, "min", 3600), "name", "agg_value") == [
+        ("cpu", 1.0), ("mem", 50.0)]
+    got = dict(rows(aggregate_metrics(m, "mean", 3600), "name", "agg_value"))
+    assert math.isclose(got["cpu"], 11.0 / 3) and got["mem"] == 60.0
+
+
+def test_stdev_population(spark):
+    got = dict(rows(aggregate_metrics(_metrics(spark), "stdev", 3600), "name", "agg_value"))
+    # population sigma of [1,2,8] = sqrt(var([1,2,8]))
+    mu = 11.0 / 3
+    var = sum((x - mu) ** 2 for x in (1, 2, 8)) / 3
+    assert math.isclose(got["cpu"], math.sqrt(var))
+    assert got["mem"] == 10.0
+
+
+def test_auto_mode_kind_dispatch(spark):
+    # incremental -> sum of deltas; absolute -> last write wins
+    out = rows(
+        aggregate_metrics(_metrics(spark), "auto", 3600, kind_col="kind", order_col="event_id"),
+        "name", "agg_value",
+    )
+    assert out == [("cpu", 11.0), ("mem", 70.0)]
+
+
+def test_diff_vs_previous_window(spark):
+    out = rows(aggregate_diff(_metrics(spark), 10), "window_start", "name", "diff_value")
+    assert out == [(W0, "cpu", None), (W0, "mem", None), (W0 + 10, "cpu", 5.0)]
+
+
+def test_tumbling_window_alignment(spark):
+    df = spark.createDataFrame([(ts(0, 0),), (ts(0, 9),), (ts(0, 10),)], "t timestamp")
+    got = [r[0] for r in df.select(tumbling_window(df.t, 10)).collect()]
+    assert got == [W0, W0, W0 + 10]

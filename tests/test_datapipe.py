@@ -1,0 +1,125 @@
+"""Training-data ops: dedup tiers, similarity search, text analysis,
+multimodal plumbing."""
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from vector_spark.datapipe import (
+    binary_meta,
+    cosine_topk,
+    doc_fingerprint,
+    exact_dedup,
+    langid,
+    lsh_ann_topk,
+    minhash_lsh_pairs,
+    simhash,
+    text_quality,
+    token_count,
+)
+
+from conftest import rows
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+            (2, "the quick brown fox jumps over the lazy cat today"),    # near dup
+            (3, "completely different content about spark pipelines"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark))
+    got = {r.keep_id: r.dup_count for r in out.collect()}
+    assert got[0] == 2  # docs 0 and 1 collapse, min id kept
+    assert got[2] == 1 and got[3] == 1
+
+
+def test_minhash_identical_docs_jaccard_one(spark):
+    out = rows(minhash_lsh_pairs(_docs(spark), threshold=0.5), "doc_a", "doc_b", "jaccard")
+    assert (0, 1, 1.0) in out
+    # near-dup pair 0-2 shares most shingles; disjoint doc 3 pairs with nothing
+    assert all(a != 3 and b != 3 for a, b, _ in out)
+
+
+def test_simhash_identical_equal_distinct_differs(spark):
+    got = {r.doc_id: r.simhash for r in simhash(_docs(spark)).collect()}
+    assert got[0] == got[1]
+    assert got[0] != got[3]
+    assert all(0 <= v < (1 << 16) for v in got.values())
+
+
+def test_text_quality_exact(spark):
+    df = spark.createDataFrame([(1, "the cat and the hat")], "doc_id long, text string")
+    r = text_quality(df).collect()[0]
+    assert r["n_chars"] == 19
+    assert r["n_words"] == 5
+    assert r["n_distinct_words"] == 4
+    assert r["stopword_ratio"] == round(3 / 5, 4)  # the, and, the
+    assert r["distinct_ratio"] == 0.8
+    assert r["avg_word_len"] == 3.0  # (19 - 4 spaces) / 5
+
+
+def test_token_count_exact(spark):
+    df = spark.createDataFrame([(1, "hello world, x12 done!")], "doc_id long, text string")
+    r = token_count(df).collect()[0]
+    assert r["ws_tokens"] == 4
+    # hello | world | , | x | 1 | 2 | done | ! = 8
+    assert r["bpe_tokens"] == 8
+
+
+def test_doc_fingerprint_md5_and_order_sensitivity(spark):
+    df = spark.createDataFrame(
+        [(1, "Alpha Beta"), (2, "beta alpha")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.content_md5, r.rolling_hash) for r in doc_fingerprint(df).collect()}
+    assert got[1][0] == hashlib.md5(b"alpha beta").hexdigest()
+    assert got[1][1] != got[2][1]  # rolling hash is order-sensitive
+
+
+def test_langid_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "the fast dog is a big animal"), (2, "hash batch stream window pipeline")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.predicted_lang for r in langid(df).collect()}
+    assert got[1] == "en" and got[2] == "de"
+
+
+def _vecs(spark):
+    rows_ = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # nearest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # farthest from 0
+    ]
+    return spark.createDataFrame(rows_, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_ordering_and_self_exclusion(spark):
+    out = cosine_topk(_vecs(spark), query_ids=[0], k=3)
+    got = [(r.neighbor_id, r.rank, r.cosine) for r in out.orderBy("rank").collect()]
+    assert [g[0] for g in got] == [1, 2, 3]
+    assert got[0][2] > 0.99
+    assert got[2][2] == -1.0
+    assert all(g[0] != 0 for g in got)
+
+
+def test_lsh_ann_subset_of_bruteforce_space(spark):
+    out = lsh_ann_topk(_vecs(spark), query_ids=[0], k=3, dims=3, planes=2)
+    for r in out.collect():
+        assert r.query_id == 0 and r.neighbor_id != 0
+
+
+def test_binary_meta_stub_plumbing(spark):
+    df = spark.createDataFrame([(1, b"\x89PNG1234")], "doc_id long, payload binary")
+    r = binary_meta(df).collect()[0]
+    assert r["n_bytes"] == 8
+    assert r["magic"] == b"\x89PNG".hex()
+    assert r["fake_width"] == 64 + 8 % 577

@@ -1,0 +1,84 @@
+"""North-rule pipeline invariants (BASELINE.json): byte-identical extracted
+text per url, routed-row set equality per sink, deterministic results at any
+parallelism, hot-domain rollup correctness."""
+
+from pyspark.sql import functions as F
+
+from vector_spark.plans import pages_pipeline
+from vector_spark.plans.pages import parse_pages, PAGE_ROUTES
+from vector_spark.sources import generate_pages, geo_dim, lang_dim
+from vector_spark.operators import route
+
+N = 3000
+
+
+def test_generator_partition_invariant(spark):
+    """Same rows at any partitioning — the resumability precondition."""
+    a = generate_pages(spark, 500, partitions=1)
+    b = generate_pages(spark, 500, partitions=7)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_text_byte_identical_passthrough(spark):
+    """Pipeline must never touch `text`: byte-identical per url."""
+    pages = generate_pages(spark, N, partitions=4)
+    out = pages_pipeline(pages, geo_dim(spark), lang_dim(spark))["routed"]
+    joined = (
+        out.select("url", F.col("text").alias("text_out"))
+        .dropDuplicates(["url"])
+        .join(pages.select("url", "text"), "url")
+    )
+    assert joined.filter(F.col("text_out") != F.col("text")).count() == 0
+    assert joined.count() == pages.select("url").distinct().count()
+
+
+def test_routed_row_equality_per_sink(spark):
+    """Routed rows == independently filtered rows, per sink (set equality —
+    the BASELINE.json verification invariant)."""
+    pages = generate_pages(spark, N, partitions=4)
+    parsed = parse_pages(pages)
+    routed = pages_pipeline(pages, geo_dim(spark), lang_dim(spark))["routed"]
+    for name, cond in PAGE_ROUTES.items():
+        expect = set(r.url for r in parsed.filter(cond).select("url").collect())
+        got = set(r.url for r in routed.filter(F.col("route") == name).select("url").collect())
+        assert got == expect, f"sink {name}: {len(got)} vs {len(expect)}"
+
+
+def test_sink_counts_match_routed(spark):
+    pages = generate_pages(spark, N, partitions=4)
+    out = pages_pipeline(pages, geo_dim(spark), lang_dim(spark))
+    agg_total = out["sink_counts"].agg(F.sum("events")).collect()[0][0]
+    assert agg_total == out["routed"].count()
+
+
+def test_domain_rollup_two_phase_equals_direct(spark):
+    """Salted two-phase aggregate must equal the direct groupBy."""
+    pages = generate_pages(spark, N, partitions=4)
+    out = pages_pipeline(pages, geo_dim(spark), lang_dim(spark))
+    direct = (
+        parse_pages(pages).groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("pages"), F.sum("html_bytes").alias("bytes"))
+    )
+    assert out["domain_rollup"].exceptAll(direct).count() == 0
+    assert direct.exceptAll(out["domain_rollup"]).count() == 0
+
+
+def test_parse_extracts_status_and_domain(spark):
+    pages = generate_pages(spark, 200, partitions=2)
+    parsed = parse_pages(pages)
+    assert parsed.filter(F.col("status").isNull()).count() == 0
+    assert parsed.filter(~F.col("status").isin(200, 301, 404, 500, 503)).count() == 0
+    assert parsed.filter(~F.col("domain").startswith("domain")).count() == 0
+    # title parse survives the 1% invalid-UTF8 tail rows (decode replaces)
+    assert parsed.filter(F.col("title") == "").count() == 0
+
+
+def test_pipeline_deterministic_across_parallelism(spark):
+    """Identical sink_counts at different partitioning — the local stand-in
+    for the N vs 4N cluster-equivalence requirement."""
+    a = pages_pipeline(generate_pages(spark, N, partitions=2), geo_dim(spark), lang_dim(spark))
+    b = pages_pipeline(generate_pages(spark, N, partitions=16), geo_dim(spark), lang_dim(spark))
+    key = lambda t: tuple(map(str, t))
+    ra = sorted(map(tuple, a["sink_counts"].collect()), key=key)
+    rb = sorted(map(tuple, b["sink_counts"].collect()), key=key)
+    assert ra == rb

@@ -1,0 +1,114 @@
+"""reduce semantics — session gap flush, merge strategies, starts_when /
+ends_when boundaries. Mirrors /root/reference/src/transforms/reduce
+(transform.rs:155-310, merge_strategy.rs:17-62 inline tests)."""
+
+from pyspark.sql import functions as F
+
+from vector_spark.operators import reduce_sessions
+from vector_spark.operators.reduce import sessionize, MERGE_STRATEGIES
+
+from conftest import rows, ts
+
+
+def _txn(spark):
+    # group "a": two sessions split by a >30s gap; group "b": one session
+    return spark.createDataFrame(
+        [
+            (1, "a", ts(0, 0), 1.0, "first msg"),
+            (2, "a", ts(0, 10), 2.0, "second"),
+            (3, "a", ts(0, 55), 4.0, "third"),     # 45s gap -> new session
+            (4, "b", ts(0, 5), 10.0, "only"),
+        ],
+        "event_id long, txn string, ts timestamp, dur double, message string",
+    )
+
+
+def test_session_gap_split(spark):
+    out = reduce_sessions(
+        _txn(spark), ["txn"], {"n": ("count", "event_id")},
+        ts_col="ts", gap_secs=30, order_col=["ts", "event_id"],
+    )
+    got = rows(out, "txn", "events_merged")
+    assert got == [("a", 1), ("a", 2), ("b", 1)]
+
+
+def test_default_timestamp_pair_and_sum(spark):
+    out = reduce_sessions(
+        _txn(spark), ["txn"],
+        {"dur_sum": ("sum", "dur"), "first_msg": ("discard", "message"),
+         "last_msg": ("retain", "message")},
+        ts_col="ts", gap_secs=3600, order_col=["ts", "event_id"],
+    )
+    a = out.filter("txn = 'a'").collect()[0]
+    assert a["ts"] == ts(0, 0) and a["ts_end"] == ts(0, 55)  # first + _end=last
+    assert a["dur_sum"] == 7.0
+    assert a["first_msg"] == "first msg" and a["last_msg"] == "third"
+
+
+def test_merge_strategies_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "g", "x", 2.0, ["a", "b"]), (2, "g", "y", 5.0, ["b", "c", "d"]),
+         (3, "g", "z", 1.0, ["e"])],
+        "event_id long, g string, s string, v double, arr array<string>",
+    )
+    out = reduce_sessions(
+        df, ["g"],
+        {
+            "first": ("discard", "s"), "last": ("retain", "s"),
+            "vsum": ("sum", "v"), "vmax": ("max", "v"), "vmin": ("min", "v"),
+            "all": ("array", "s"),
+            "joined": ("concat", "s"), "lines": ("concat_newline", "s"),
+            "raw": ("concat_raw", "s"),
+            "shortest": ("shortest_array", "arr"), "longest": ("longest_array", "arr"),
+            "uniq": ("flat_unique", "arr"),
+        },
+        ts_col="event_id", gap_secs=1e12, order_col="event_id",
+    )
+    r = out.collect()[0]
+    assert (r["first"], r["last"]) == ("x", "z")
+    assert (r["vsum"], r["vmax"], r["vmin"]) == (8.0, 5.0, 1.0)
+    assert r["all"] == ["x", "y", "z"]
+    assert r["joined"] == "x y z"
+    assert r["lines"] == "x\ny\nz"
+    assert r["raw"] == "xyz"
+    assert r["shortest"] == ["e"] and r["longest"] == ["b", "c", "d"]
+    assert sorted(r["uniq"]) == ["a", "b", "c", "d", "e"]
+
+
+def test_ends_when_boundary(spark):
+    df = spark.createDataFrame(
+        [(1, "t", ts(0, 0), "work"), (2, "t", ts(0, 1), "END"),
+         (3, "t", ts(0, 2), "work"), (4, "t", ts(0, 3), "work")],
+        "event_id long, txn string, ts timestamp, message string",
+    )
+    out = reduce_sessions(
+        df, ["txn"], {"n": ("count", "event_id")},
+        ts_col="ts", gap_secs=3600, order_col=["ts", "event_id"],
+        ends_when=F.col("message") == "END",
+    )
+    # END closes the session *after* the matching event: [1,2] then [3,4]
+    assert rows(out, "events_merged") == [(2,), (2,)]
+
+
+def test_starts_when_boundary(spark):
+    df = spark.createDataFrame(
+        [(1, "t", ts(0, 0), "work"), (2, "t", ts(0, 1), "BEGIN"),
+         (3, "t", ts(0, 2), "work")],
+        "event_id long, txn string, ts timestamp, message string",
+    )
+    out = reduce_sessions(
+        df, ["txn"], {"n": ("count", "event_id")},
+        ts_col="ts", gap_secs=3600, order_col=["ts", "event_id"],
+        starts_when=F.col("message") == "BEGIN",
+    )
+    # BEGIN opens a new session *at* the matching event: [1] then [2,3]
+    assert rows(out, "events_merged") == [(1,), (2,)]
+
+
+def test_sessionize_partition_invariant(spark):
+    df = _txn(spark)
+    a = rows(sessionize(df, ["txn"], gap_secs=30, order_col=["ts", "event_id"]),
+             "event_id", "session_id")
+    b = rows(sessionize(df.repartition(4), ["txn"], gap_secs=30,
+                        order_col=["ts", "event_id"]), "event_id", "session_id")
+    assert a == b

@@ -1,0 +1,56 @@
+"""VRL-subset function surface (vector_spark.functions.vrl) — parse_regex
+named groups, templates with strftime, key_value, url parts. Mirrors the
+reference stdlib docs (website/cue/reference/remap/functions/)."""
+
+from pyspark.sql import functions as F
+
+from vector_spark.functions.vrl import (
+    parse_json_field,
+    parse_key_value,
+    parse_regex,
+    parse_url_parts,
+    render_template,
+)
+
+from conftest import rows, ts
+
+
+def test_parse_regex_named_groups(spark):
+    df = spark.createDataFrame([("GET /idx 200",)], "line string")
+    cols = parse_regex(F.col("line"), r"(?P<method>\w+) (?P<path>\S+) (?P<status>\d+)")
+    out = df.select(*[c.alias(n) for n, c in cols.items()]).collect()[0]
+    assert (out["method"], out["path"], out["status"]) == ("GET", "/idx", "200")
+
+
+def test_parse_json_field_with_cast(spark):
+    df = spark.createDataFrame([('{"k": 7, "s": "x"}',)], "props string")
+    out = df.select(
+        parse_json_field(F.col("props"), "k", "int").alias("k"),
+        parse_json_field(F.col("props"), "s").alias("s"),
+        parse_json_field(F.col("props"), "missing").alias("m"),
+    ).collect()[0]
+    assert (out["k"], out["s"], out["m"]) == (7, "x", None)
+
+
+def test_parse_key_value(spark):
+    df = spark.createDataFrame([("a=1 b=two",)], "line string")
+    out = df.select(parse_key_value(F.col("line")).alias("m")).collect()[0]["m"]
+    assert out == {"a": "1", "b": "two"}
+
+
+def test_parse_url_parts(spark):
+    df = spark.createDataFrame([("https://example.com/p/1?q=2",)], "url string")
+    parts = parse_url_parts(F.col("url"))
+    out = df.select(*[c.alias(n) for n, c in parts.items()]).collect()[0]
+    assert out["scheme"] == "https"
+    assert out["host"] == "example.com"
+    assert out["path"] == "/p/1"
+    assert out["query"] == "q=2"
+
+
+def test_render_template_fields_and_strftime(spark):
+    df = spark.createDataFrame(
+        [("svc-a", ts(0, 0, hour=5, day=9))], "service string, ts timestamp"
+    )
+    col = render_template("logs/{{ service }}/year=%Y/month=%m/day=%d", ts_col="ts")
+    assert df.select(col.alias("k")).collect()[0]["k"] == "logs/svc-a/year=2024/month=01/day=09"
