@@ -42,6 +42,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local-mode scan parallelism: testdata/bench parquet is a few hundred
+        # MB, which the 128m default packs into ~3 splits, idling the other
+        # cores. 16m keeps all of local[32] busy. On a real cluster at 100 TB
+        # leave this at the 128m default (set SPARK_GRAFT_MAX_PARTITION_BYTES).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
         # real-web HTML bytes contain invalid UTF-8; decode() must replace,
         # not raise (runtime-settable; parse_pages also sets it defensively)
         .config("spark.sql.legacy.codingErrorAction", "true")

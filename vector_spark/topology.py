@@ -1,0 +1,305 @@
+"""Topology compiler: declarative config (dict / YAML) -> DataFrame DAG.
+
+The reference is config-driven: TOML/YAML defines sources -> transforms ->
+sinks with named inputs; `config::compiler::compile`
+(/root/reference/src/config/compiler.rs:9-117) validates names, builds the
+graph, typechecks edges, rejects cycles; the topology builder then wires
+components (/root/reference/src/topology/builder.rs:113,774). This module
+is the same lifecycle re-expressed for Spark: compile(spec) validates and
+topologically orders the graph, build(spark) resolves each component to a
+DataFrame — after which Catalyst is the physical planner (SURVEY.md §3.1).
+
+Component model:
+  * sources: parquet path / registered DataFrame / inline rows
+  * transforms: one entry per operator family (remap, filter, route,
+    exclusive_route, enrich, dedupe, sample, reduce, aggregate, throttle,
+    log_to_metric, metric_to_log, tag_cardinality_limit, hash_replace)
+  * multiple `inputs` merge by unionByName — Vector's many-inputs-one-
+    component stream merge (src/config/graph.rs:88+)
+  * route exposes named ports referenced as "component.port"
+    (route.rs multi-match semantics; `_unmatched` included)
+  * sinks: parquet/noop/memory writers with optional partition_by —
+    Vector's templated partitioned batching (SURVEY.md §2.5)
+
+Per-event expressions are SQL strings compiled by Catalyst (`F.expr`) —
+the VRL-subset surface (vector_spark.functions.vrl helps build them).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import (
+    dedupe,
+    enrich_between,
+    enrich_equi,
+    exclusive_route,
+    filter_events,
+    hash_replace,
+    log_to_metric,
+    metric_to_log,
+    reduce_sessions,
+    sample,
+    tag_cardinality_limit,
+    throttle,
+)
+from .operators.aggregate import aggregate_metrics
+from .operators.log_to_metric import MetricSpec
+from .operators.route import route as route_op
+
+
+class TopologyError(ValueError):
+    """Config-time error (unknown input, cycle, bad type) — the analogue of
+    the reference's compile-phase errors (compiler.rs:9-117)."""
+
+
+@dataclass
+class Topology:
+    spec: dict[str, Any]
+    order: list[str]
+
+    def build(
+        self,
+        spark: SparkSession,
+        tables: dict[str, DataFrame] | None = None,
+    ) -> "BuiltTopology":
+        """Resolve every component to a DataFrame, in dependency order."""
+        nodes: dict[str, DataFrame] = {}
+        tables = tables or {}
+
+        def resolve(ref: str) -> DataFrame:
+            if ref in nodes:
+                return nodes[ref]
+            raise TopologyError(f"unresolved input {ref!r}")
+
+        def merged(cfg: dict) -> DataFrame:
+            dfs = [resolve(i) for i in cfg["inputs"]]
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d, allowMissingColumns=True)
+            return out
+
+        sources = self.spec.get("sources", {})
+        transforms = self.spec.get("transforms", {})
+        for name in self.order:
+            if name in sources:
+                nodes[name] = _build_source(spark, sources[name], tables)
+            elif name in transforms:
+                cfg = transforms[name]
+                built = _build_transform(cfg, merged(cfg), resolve, tables, spark)
+                if isinstance(built, dict):  # multi-port (route)
+                    for port, df in built.items():
+                        nodes[f"{name}.{port}"] = df
+                    # bare name = union of named ports (rarely used; explicit
+                    # port refs are the norm)
+                    nodes[name] = built[next(iter(built))]
+                else:
+                    nodes[name] = built
+        return BuiltTopology(self.spec, nodes)
+
+
+@dataclass
+class BuiltTopology:
+    spec: dict[str, Any]
+    nodes: dict[str, DataFrame]
+
+    def __getitem__(self, ref: str) -> DataFrame:
+        return self.nodes[ref]
+
+    def sink_frames(self) -> dict[str, DataFrame]:
+        out = {}
+        for name, cfg in self.spec.get("sinks", {}).items():
+            dfs = [self.nodes[i] for i in cfg["inputs"]]
+            df = dfs[0]
+            for d in dfs[1:]:
+                df = df.unionByName(d, allowMissingColumns=True)
+            out[name] = df
+        return out
+
+    def run(self) -> dict[str, Any]:
+        """Execute every sink. parquet sinks write (partitioned if asked);
+        noop sinks just materialize; memory sinks collect (tests only)."""
+        results: dict[str, Any] = {}
+        for name, df in self.sink_frames().items():
+            cfg = self.spec["sinks"][name]
+            kind = cfg.get("type", "noop")
+            if kind == "parquet":
+                w = df.write.mode(cfg.get("mode", "overwrite"))
+                if cfg.get("partition_by"):
+                    w = w.partitionBy(*cfg["partition_by"])
+                w.parquet(cfg["path"])
+                results[name] = cfg["path"]
+            elif kind == "noop":
+                df.write.format("noop").mode("overwrite").save()
+                results[name] = None
+            elif kind == "memory":
+                results[name] = df.collect()
+            else:
+                raise TopologyError(f"unknown sink type {kind!r}")
+        return results
+
+
+def compile_topology(spec: dict[str, Any]) -> Topology:
+    """Validate names/inputs, reject cycles, topologically order components."""
+    sources = spec.get("sources", {})
+    transforms = spec.get("transforms", {})
+    sinks = spec.get("sinks", {})
+    if not sources:
+        raise TopologyError("topology needs at least one source")
+    dup = set(sources) & set(transforms)
+    if dup:
+        raise TopologyError(f"names used as both source and transform: {sorted(dup)}")
+
+    def base(ref: str) -> str:
+        return ref.split(".", 1)[0]
+
+    known = set(sources) | set(transforms)
+    deps: dict[str, set[str]] = {name: set() for name in known}
+    for name, cfg in transforms.items():
+        ins = cfg.get("inputs")
+        if not ins:
+            raise TopologyError(f"transform {name!r} has no inputs")
+        for ref in ins:
+            if base(ref) not in known:
+                raise TopologyError(f"transform {name!r}: unknown input {ref!r}")
+            deps[name].add(base(ref))
+        for tref in ("table",):
+            pass
+    for name, cfg in sinks.items():
+        for ref in cfg.get("inputs", []):
+            if base(ref) not in known:
+                raise TopologyError(f"sink {name!r}: unknown input {ref!r}")
+
+    # Kahn topo-sort; leftover nodes => cycle (graph.rs:244 analogue)
+    order: list[str] = []
+    ready = sorted(n for n in known if not deps[n])
+    pending = {n: set(d) for n, d in deps.items() if d}
+    while ready:
+        n = ready.pop()
+        order.append(n)
+        for m in sorted(pending):
+            pending[m].discard(n)
+            if not pending[m]:
+                del pending[m]
+                ready.append(m)
+    if pending:
+        raise TopologyError(f"cycle detected involving {sorted(pending)}")
+    return Topology(spec, order)
+
+
+def load_yaml(path_or_text: str) -> dict[str, Any]:
+    import yaml
+
+    if "\n" in path_or_text:
+        return yaml.safe_load(path_or_text)
+    with open(path_or_text) as f:
+        return yaml.safe_load(f)
+
+
+# -- component builders ------------------------------------------------------
+
+def _build_source(spark: SparkSession, cfg: dict, tables: dict[str, DataFrame]) -> DataFrame:
+    kind = cfg.get("type", "parquet")
+    if kind == "parquet":
+        return spark.read.parquet(cfg["path"])
+    if kind == "table":
+        if cfg["name"] not in tables:
+            raise TopologyError(f"table source {cfg['name']!r} not provided")
+        return tables[cfg["name"]]
+    if kind == "inline":
+        return spark.createDataFrame(cfg["rows"], cfg["schema"])
+    raise TopologyError(f"unknown source type {kind!r}")
+
+
+def _as_specs(raw: list[dict]) -> list[MetricSpec]:
+    out = []
+    for s in raw:
+        out.append(
+            MetricSpec(
+                s["metric_type"],
+                s["name"],
+                value=F.expr(s["value"]) if "value" in s else None,
+                namespace=s.get("namespace", ""),
+                kind=s.get("kind"),
+                when=F.expr(s["when"]) if "when" in s else None,
+            )
+        )
+    return out
+
+
+def _build_transform(cfg, df, resolve, tables, spark):
+    kind = cfg["type"]
+    if kind == "remap":
+        for col in cfg.get("drop", []):
+            df = df.drop(col)
+        for col, expr in cfg.get("set", {}).items():
+            df = df.withColumn(col, F.expr(expr))
+        return df
+    if kind == "filter":
+        return filter_events(df, cfg["condition"])
+    if kind == "route":
+        return route_op(df, cfg["routes"], unmatched=cfg.get("unmatched", True))
+    if kind == "exclusive_route":
+        return exclusive_route(df, cfg["routes"])
+    if kind == "enrich":
+        dim = tables.get(cfg["table"]) or resolve(cfg["table"])
+        keys = [tuple(k) for k in cfg["keys"]]
+        if cfg.get("between"):
+            b = cfg["between"]
+            return enrich_between(df, dim, keys[0], ts_col=b["ts"],
+                                  from_col=b.get("from", "valid_from"),
+                                  to_col=b.get("to", "valid_to"))
+        return enrich_equi(df, dim, keys,
+                           case_insensitive=cfg.get("case_insensitive", False))
+    if kind == "dedupe":
+        return dedupe(df, match=cfg.get("match"), ignore=cfg.get("ignore"),
+                      order_by=cfg.get("order_by", "event_id"),
+                      keep=cfg.get("keep", "first"),
+                      lru_window=cfg.get("lru_window", 0))
+    if kind == "sample":
+        return sample(df, cfg["rate"], key_field=cfg.get("key_field"),
+                      exclude=F.expr(cfg["exclude"]) if cfg.get("exclude") else None,
+                      method=cfg.get("method", "xxhash"))
+    if kind == "reduce":
+        merges = {k: tuple(v) for k, v in cfg.get("merge", {}).items()}
+        return reduce_sessions(
+            df, cfg["group_by"], merges,
+            ts_col=cfg.get("ts_col", "ts"),
+            gap_secs=cfg.get("gap_secs", 30.0),
+            order_col=cfg.get("order_by"),
+            starts_when=F.expr(cfg["starts_when"]) if cfg.get("starts_when") else None,
+            ends_when=F.expr(cfg["ends_when"]) if cfg.get("ends_when") else None,
+        )
+    if kind == "aggregate":
+        return aggregate_metrics(
+            df, cfg.get("mode", "sum"),
+            window_secs=cfg.get("window_secs", 10),
+            ts_col=cfg.get("ts_col", "ts"),
+            series_cols=cfg.get("series"),
+            value_col=cfg.get("value_col", "value"),
+            kind_col=cfg.get("kind_col"),
+            order_col=cfg.get("order_by"),
+        )
+    if kind == "throttle":
+        return throttle(
+            df, cfg["threshold"], cfg["window_secs"], cfg["key_cols"],
+            ts_col=cfg.get("ts_col", "ts"), order_col=cfg.get("order_by"),
+            exclude=F.expr(cfg["exclude"]) if cfg.get("exclude") else None,
+        )
+    if kind == "log_to_metric":
+        return log_to_metric(df, _as_specs(cfg["metrics"]), carry=cfg.get("carry"))
+    if kind == "metric_to_log":
+        return metric_to_log(df)
+    if kind == "tag_cardinality_limit":
+        return tag_cardinality_limit(
+            df, cfg["tags"], value_limit=cfg.get("value_limit", 500),
+            order_col=cfg.get("order_by", "event_id"),
+            action=cfg.get("action", "drop_tag"),
+        )
+    if kind == "hash_replace":
+        return hash_replace(df, cfg["keys"], order_col=cfg.get("order_by", "event_id"))
+    raise TopologyError(f"unknown transform type {kind!r}")
