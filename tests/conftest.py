@@ -29,4 +29,4 @@ def ts(minute: int, second: int = 0, hour: int = 0, day: int = 1) -> dt.datetime
 def rows(df, *cols):
     """Collect to a sorted list of tuples for exact-output assertions."""
     data = df.select(*cols).collect() if cols else df.collect()
-    return sorted(tuple(r) for r in data)
+    return sorted((tuple(r) for r in data), key=lambda t: tuple(map(str, t)))

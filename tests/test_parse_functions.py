@@ -1,0 +1,171 @@
+"""Wide VRL function surface: grok, syslog, common-log, duration, int
+bases, user-agent, case conversions, encode/decode, ip, redact/sieve."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.functions import (
+    camelcase,
+    decode_base64,
+    encode_base16,
+    encode_base64,
+    encode_logfmt,
+    grok_to_regex,
+    ip_aton,
+    ip_cidr_contains,
+    ip_ntoa,
+    ip_subnet,
+    kebabcase,
+    parse_common_log,
+    parse_duration,
+    parse_grok,
+    parse_int,
+    parse_query_string,
+    parse_syslog,
+    parse_user_agent,
+    pascalcase,
+    redact,
+    screamingsnakecase,
+    sieve,
+    snakecase,
+    truncate,
+)
+
+
+def one(spark, schema_and_row, cols: dict):
+    df = spark.createDataFrame([schema_and_row[1]], schema_and_row[0])
+    return df.select(*[c.alias(n) for n, c in cols.items()]).collect()[0]
+
+
+def test_grok_expansion_and_parse(spark):
+    pat = "%{IP:client} %{WORD:method} %{URIPATH:path} %{NUMBER:millis}"
+    assert "(?P<client>" in grok_to_regex(pat)
+    r = one(spark, ("line string", ("10.1.2.3 GET /api/v1 12.5",)),
+            parse_grok(F.col("line"), pat))
+    assert (r["client"], r["method"], r["path"], r["millis"]) == ("10.1.2.3", "GET", "/api/v1", "12.5")
+
+
+def test_grok_unknown_pattern(spark):
+    with pytest.raises(ValueError, match="unknown grok"):
+        grok_to_regex("%{NOPE:x}")
+
+
+def test_parse_common_log(spark):
+    line = '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /apache_pb.gif HTTP/1.0" 200 2326'
+    r = one(spark, ("line string", (line,)), parse_common_log(F.col("line")))
+    assert r["host"] == "127.0.0.1"
+    assert r["user"] == "frank"
+    assert r["method"] == "GET"
+    assert r["path"] == "/apache_pb.gif"
+    assert r["status"] == 200
+    assert r["size"] == 2326
+
+
+def test_parse_syslog_3164(spark):
+    line = "<34>Oct 11 22:14:15 mymachine su[230]: 'su root' failed"
+    r = one(spark, ("line string", (line,)), parse_syslog(F.col("line")))
+    assert r["hostname"] == "mymachine"
+    assert r["appname"] == "su"
+    assert r["procid"] == "230"
+    assert r["facility"] == 4 and r["severity"] == 2  # 34 = 4*8 + 2
+    assert r["message"] == "'su root' failed"
+
+
+def test_parse_syslog_5424(spark):
+    line = "<165>1 2003-10-11T22:14:15.003Z host.example app 1234 ID47 - An application event"
+    r = one(spark, ("line string", (line,)), parse_syslog(F.col("line"), rfc="5424"))
+    assert r["version"] == "1"
+    assert r["appname"] == "app"
+    assert r["message"] == "An application event"
+    assert r["facility"] == 20 and r["severity"] == 5
+
+
+def test_parse_duration(spark):
+    r = one(spark, ("d string", ("2.5s",)), {
+        "ms": parse_duration(F.col("d")),
+        "s": parse_duration(F.col("d"), "s"),
+    })
+    assert r["ms"] == 2500.0 and r["s"] == 2.5
+    r = one(spark, ("d string", ("120ms",)), {"m": parse_duration(F.col("d"), "m")})
+    assert abs(r["m"] - 0.002) < 1e-9
+
+
+def test_parse_int_bases(spark):
+    r = one(spark, ("s string", ("0x1f",)), {"v": parse_int(F.col("s"))})
+    assert r["v"] == 31
+    r = one(spark, ("s string", ("0b101",)), {"v": parse_int(F.col("s"))})
+    assert r["v"] == 5
+    r = one(spark, ("s string", ("42",)), {"v": parse_int(F.col("s"))})
+    assert r["v"] == 42
+
+
+def test_parse_query_string(spark):
+    r = one(spark, ("q string", ("a=1&b=two",)), {"m": parse_query_string(F.col("q"))})
+    assert r["m"] == {"a": "1", "b": "two"}
+
+
+def test_parse_user_agent(spark):
+    ua = "Mozilla/5.0 (Linux; Android 10) Chrome/91.0.4472.77 Mobile Safari/537.36"
+    r = one(spark, ("ua string", (ua,)), parse_user_agent(F.col("ua")))
+    assert r["browser_family"] == "Chrome"
+    assert r["browser_major"] == "91"
+    assert r["device"] == "mobile"
+
+
+def test_case_conversions(spark):
+    r = one(spark, ("s string", ("inputString With-mixed_case",)), {
+        "snake": snakecase(F.col("s")),
+        "kebab": kebabcase(F.col("s")),
+        "scream": screamingsnakecase(F.col("s")),
+        "camel": camelcase(F.col("s")),
+        "pascal": pascalcase(F.col("s")),
+    })
+    assert r["snake"] == "input_string_with_mixed_case"
+    assert r["kebab"] == "input-string-with-mixed-case"
+    assert r["scream"] == "INPUT_STRING_WITH_MIXED_CASE"
+    assert r["camel"] == "inputStringWithMixedCase"
+    assert r["pascal"] == "InputStringWithMixedCase"
+
+
+def test_truncate_redact_sieve(spark):
+    r = one(spark, ("s string", ("hello world",)), {
+        "t": truncate(F.col("s"), 5, "..."),
+        "short": truncate(F.col("s"), 50, "..."),
+    })
+    assert r["t"] == "hello..." and r["short"] == "hello world"
+    r = one(spark, ("s string", ("card 4111-1111-1111-1111 used",)), {
+        "red": redact(F.col("s"), [r"\d{4}-\d{4}-\d{4}-\d{4}"]),
+    })
+    assert r["red"] == "card [REDACTED] used"
+    r = one(spark, ("s string", ("abc§§§def",)), {"sv": sieve(F.col("s"), "[a-z]")})
+    assert r["sv"] == "abcdef"
+
+
+def test_encode_decode(spark):
+    r = one(spark, ("s string", ("hello",)), {
+        "b64": encode_base64(F.col("s")),
+        "hex": encode_base16(F.col("s")),
+        "rt": decode_base64(encode_base64(F.col("s"))).cast("string"),
+    })
+    assert r["b64"] == "aGVsbG8=" and r["hex"] == "68656c6c6f" and r["rt"] == "hello"
+
+
+def test_encode_logfmt(spark):
+    r = one(spark, ("a string, b int", ("x", 7)), {
+        "lf": encode_logfmt({"msg": F.col("a"), "count": F.col("b")}),
+    })
+    assert r["lf"] == "count=7 msg=x"
+
+
+def test_ip_functions(spark):
+    r = one(spark, ("ip string", ("192.168.1.77",)), {
+        "n": ip_aton(F.col("ip")),
+        "rt": ip_ntoa(ip_aton(F.col("ip"))),
+        "in24": ip_cidr_contains("192.168.1.0/24", F.col("ip")),
+        "in16off": ip_cidr_contains("10.0.0.0/8", F.col("ip")),
+        "net": ip_subnet(F.col("ip"), 24),
+    })
+    assert r["n"] == (192 << 24) + (168 << 16) + (1 << 8) + 77
+    assert r["rt"] == "192.168.1.77"
+    assert r["in24"] is True and r["in16off"] is False
+    assert r["net"] == "192.168.1.0"

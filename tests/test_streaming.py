@@ -1,0 +1,115 @@
+"""Streaming ops — each streaming variant, run with availableNow over a
+bounded file source, must equal its batch twin (batch is the correctness
+anchor; the reference has no watermarks, SURVEY.md §2.9)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.operators import aggregate_metrics, dedupe, reduce_sessions, throttle
+from vector_spark.plans import pages_pipeline
+from vector_spark.sources import generate_pages, geo_dim, lang_dim
+from vector_spark.streaming import (
+    stream_aggregate,
+    stream_dedupe,
+    stream_pages_pipeline,
+    stream_reduce_sessions,
+    stream_throttle,
+)
+
+from conftest import rows, ts
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    df = spark.createDataFrame(
+        [
+            (1, "cpu", "h1", ts(0, 1), 1.0),
+            (2, "cpu", "h1", ts(0, 4), 2.0),
+            (3, "mem", "h2", ts(0, 2), 50.0),
+            (4, "mem", "h2", ts(0, 8), 70.0),
+            (5, "cpu", "h1", ts(30, 0), 8.0),
+            (6, "cpu", "h1", ts(0, 1), 99.0),  # dup key (name,host,ts) of 1
+        ],
+        "event_id long, name string, host string, ts timestamp, value double",
+    )
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run_stream(spark, sdf, tmp_path, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if name in ("dedupe", "throttle") else "complete")
+        .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}")
+
+
+def _read_stream(spark, path):
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+def test_stream_aggregate_equals_batch(spark, events_dir, tmp_path):
+    sdf = stream_aggregate(
+        _read_stream(spark, events_dir), "sum", 600, series_cols=["name"]
+    )
+    got = _run_stream(spark, sdf, tmp_path, "agg")
+    batch = aggregate_metrics(
+        spark.read.parquet(events_dir), "sum", 600, series_cols=["name"]
+    ).withColumnRenamed("agg_value", "agg_value")
+    assert rows(got) == rows(batch)
+
+
+def test_stream_dedupe_equals_batch_any(spark, events_dir, tmp_path):
+    sdf = stream_dedupe(_read_stream(spark, events_dir), ["name", "host", "ts"])
+    got = _run_stream(spark, sdf, tmp_path, "dedupe")
+    batch = dedupe(spark.read.parquet(events_dir), match=["name", "host", "ts"], keep="any")
+    assert got.count() == batch.count() == 5
+    assert rows(got, "name", "host", "ts") == rows(batch, "name", "host", "ts")
+
+
+def test_stream_reduce_sessions_equals_batch(spark, events_dir, tmp_path):
+    sdf = stream_reduce_sessions(
+        _read_stream(spark, events_dir), ["name"], gap_secs=900
+    )
+    got = _run_stream(spark, sdf, tmp_path, "sess")
+    batch = reduce_sessions(
+        spark.read.parquet(events_dir), ["name"], {"value_sum": ("sum", "value")},
+        ts_col="ts", gap_secs=900, order_col=["ts", "event_id"],
+    ).select(
+        F.unix_micros(F.col("ts")).alias("session_start_us"),
+        "name", "events_merged", "value_sum",
+    )
+    assert rows(got) == rows(batch)
+
+
+def test_stream_throttle_threshold(spark, events_dir, tmp_path):
+    sdf = stream_throttle(
+        _read_stream(spark, events_dir), threshold=2, window_secs=600, key_cols=["name"]
+    )
+    got = _run_stream(spark, sdf, tmp_path, "throttle")
+    batch = throttle(
+        spark.read.parquet(events_dir), threshold=2, window_secs=600,
+        key_cols=["name"], ts_col="ts", order_col="ts",
+    )
+    assert got.count() == batch.count()
+    assert rows(got, "name", "ts") == rows(batch, "name", "ts")
+
+
+def test_stream_pages_pipeline_equals_batch(spark, tmp_path):
+    pages_path = str(tmp_path / "pages")
+    generate_pages(spark, 2000, partitions=4).write.parquet(pages_path)
+    sdf = stream_pages_pipeline(
+        _read_stream(spark, pages_path), geo_dim(spark), lang_dim(spark)
+    )
+    got = _run_stream(spark, sdf, tmp_path, "pipeline")
+    batch = (
+        pages_pipeline(spark.read.parquet(pages_path), geo_dim(spark), lang_dim(spark))["sink_counts"]
+        .select("window_start", "route", "geo_region", "events", "bytes")
+    )
+    assert rows(got) == rows(batch)

@@ -1,0 +1,175 @@
+"""VRL parse-family functions as Column builders — the wide-parse surface.
+
+Reference registry: /root/reference/website/cue/reference/remap/functions/
+(186 .cue files; the parse_* family is the largest). Each function here is
+pure JVM-side Column expressions (regexp_extract / str_to_map / from_json /
+split) so the whole parse stage stays inside whole-stage codegen — the
+"vectorized, no per-row Python" rule of the north-rule input hint.
+
+Grok: the reference's parse_grok expands grok pattern names into one regex
+before matching (vrl stdlib). `grok_to_regex` does the same expansion for
+the common core patterns, so `parse_grok(col, pat)` = expansion + the same
+named-group extraction as parse_regex.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- grok ------------------------------------------------------------------
+
+# the common grok core patterns (public pattern set; subset sufficient for
+# apache/syslog-style lines)
+GROK_PATTERNS: dict[str, str] = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "POSINT": r"\d+",
+    "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "IPORHOST": r"[\w.\-]+",
+    "HOSTNAME": r"[\w.\-]+",
+    "USER": r"[\w.\-]+",
+    "USERNAME": r"[\w.\-]+",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+    "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
+    "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|WARN|WARNING|ERROR|FATAL|CRITICAL)",
+    "SYSLOGTIMESTAMP": r"\w{3} +\d{1,2} \d{2}:\d{2}:\d{2}",
+    "QS": r"\"[^\"]*\"",
+    "URIPATH": r"/[^\s?]*",
+    "URIPARAM": r"\?\S*",
+}
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?\}")
+
+
+def grok_to_regex(pattern: str) -> str:
+    """Expand %{NAME:field} / %{NAME} references into a single regex with
+    named capture groups (the reference compiles grok the same way)."""
+
+    def sub(m: re.Match) -> str:
+        name, field = m.group(1), m.group(2)
+        if name not in GROK_PATTERNS:
+            raise ValueError(f"unknown grok pattern %{{{name}}}")
+        body = GROK_PATTERNS[name]
+        return f"(?P<{field}>{body})" if field else f"(?:{body})"
+
+    return _GROK_REF.sub(sub, pattern)
+
+
+def parse_grok(col: Column, pattern: str) -> dict[str, Column]:
+    """VRL parse_grok: grok pattern -> {field: Column}."""
+    from .vrl import java_regex
+
+    regex = grok_to_regex(pattern)
+    compiled = re.compile(regex)
+    jp = java_regex(regex)
+    return {
+        name: F.regexp_extract(col, jp, idx)
+        for name, idx in compiled.groupindex.items()
+    }
+
+
+# --- well-known log formats ------------------------------------------------
+
+APACHE_COMMON = (
+    r'^(?P<host>\S+) (?P<identity>\S+) (?P<user>\S+) \[(?P<timestamp>[^\]]+)\] '
+    r'"(?P<method>\S+) (?P<path>\S+)[^"]*" (?P<status>\d+) (?P<size>\d+|-)'
+)
+
+SYSLOG_3164 = (
+    r"^<(?P<priority>\d+)>(?P<timestamp>\w{3} +\d{1,2} \d{2}:\d{2}:\d{2}) "
+    r"(?P<hostname>\S+) (?P<appname>[^\s:\[]+)(?:\[(?P<procid>\d+)\])?: "
+    r"(?P<message>.*)$"
+)
+
+SYSLOG_5424 = (
+    r"^<(?P<priority>\d+)>(?P<version>\d+) (?P<timestamp>\S+) (?P<hostname>\S+) "
+    r"(?P<appname>\S+) (?P<procid>\S+) (?P<msgid>\S+) (?P<sd>-|\[.*\]) ?(?P<message>.*)$"
+)
+
+
+def _extract_all(col: Column, pattern: str) -> dict[str, Column]:
+    from .vrl import java_regex
+
+    compiled = re.compile(pattern)
+    jp = java_regex(pattern)
+    return {
+        name: F.regexp_extract(col, jp, idx)
+        for name, idx in compiled.groupindex.items()
+    }
+
+
+def parse_common_log(col: Column) -> dict[str, Column]:
+    """VRL parse_common_log / parse_apache_log (common format)."""
+    out = _extract_all(col, APACHE_COMMON)
+    out["status"] = out["status"].cast("int")
+    out["size"] = F.nullif(out["size"], F.lit("-")).cast("long")
+    return out
+
+
+def parse_syslog(col: Column, rfc: str = "3164") -> dict[str, Column]:
+    """VRL parse_syslog: RFC3164 or RFC5424 line -> fields + derived
+    facility/severity (priority = facility*8 + severity)."""
+    out = _extract_all(col, SYSLOG_3164 if rfc == "3164" else SYSLOG_5424)
+    pri = out["priority"].cast("int")
+    out["facility"] = F.floor(pri / 8).cast("int")
+    out["severity"] = F.pmod(pri, F.lit(8)).cast("int")
+    return out
+
+
+def parse_duration(col: Column, unit: str = "ms") -> Column:
+    """VRL parse_duration: '120ms' / '2.5s' / '3m' / '1h' -> number in
+    `unit` (ns/us/ms/s/m/h supported, fractional values allowed)."""
+    scale_ms = {
+        "ns": 1e-6, "us": 1e-3, "ms": 1.0, "s": 1e3, "m": 60e3, "h": 3600e3,
+    }
+    if unit not in scale_ms:
+        raise ValueError(f"unknown unit {unit!r}")
+    num = F.regexp_extract(col, r"^([0-9.]+)", 1).cast("double")
+    u = F.regexp_extract(col, r"([a-z]+)$", 1)
+    in_ms = num * (
+        F.when(u == "ns", F.lit(1e-6))
+        .when(u == "us", F.lit(1e-3))
+        .when(u == "ms", F.lit(1.0))
+        .when(u == "s", F.lit(1e3))
+        .when(u == "m", F.lit(60e3))
+        .when(u == "h", F.lit(3600e3))
+    )
+    return in_ms / scale_ms[unit]
+
+
+def parse_int(col: Column, base: int | None = None) -> Column:
+    """VRL parse_int: auto-detect 0x/0o/0b prefixes, or fixed base."""
+    if base is not None:
+        return F.try_to_number(col, F.lit("999999999999")) if base == 10 else F.conv(col, base, 10).cast("long")
+    s = F.trim(col)
+    return (
+        F.when(s.startswith("0x"), F.conv(F.substring(s, 3, 32), 16, 10).cast("long"))
+        .when(s.startswith("0o"), F.conv(F.substring(s, 3, 32), 8, 10).cast("long"))
+        .when(s.startswith("0b"), F.conv(F.substring(s, 3, 64), 2, 10).cast("long"))
+        .otherwise(s.cast("long"))
+    )
+
+
+def parse_query_string(col: Column) -> Column:
+    """VRL parse_query_string: 'a=1&b=2' -> map<string,string>."""
+    return F.str_to_map(col, F.lit("&"), F.lit("="))
+
+
+def parse_user_agent(col: Column) -> dict[str, Column]:
+    """VRL parse_user_agent (level: fast) — browser family + major version
+    from the trailing product token; device heuristic from platform hints."""
+    fam = F.regexp_extract(col, r"(Firefox|Chrome|Safari|Edge|MSIE|Opera)[/ ](\d+)", 1)
+    major = F.regexp_extract(col, r"(Firefox|Chrome|Safari|Edge|MSIE|Opera)[/ ](\d+)", 2)
+    device = (
+        F.when(col.rlike("Mobile|Android|iPhone"), F.lit("mobile"))
+        .when(col.rlike("iPad|Tablet"), F.lit("tablet"))
+        .otherwise(F.lit("desktop"))
+    )
+    return {"browser_family": fam, "browser_major": major, "device": device}

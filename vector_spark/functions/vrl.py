@@ -22,16 +22,23 @@ def parse_json_field(col: Column, path: str, cast: str | None = None) -> Column:
     return out.cast(cast) if cast else out
 
 
+def java_regex(pattern: str) -> str:
+    """Python named-group syntax -> Java: `(?P<n>` becomes `(?<n>` (JVM-side
+    regexp_* functions use java.util.regex, which rejects the P form)."""
+    return pattern.replace("(?P<", "(?<")
+
+
 def parse_regex(col: Column, pattern: str) -> dict[str, Column]:
     """VRL parse_regex: named capture groups -> {name: Column}.
 
-    Compiles the pattern once at plan-build time to discover group names,
-    then emits one regexp_extract per group (Catalyst folds these into a
-    single codegen stage).
+    Compiles the pattern once at plan-build time (Python re) to discover
+    group names, then emits one JVM-side regexp_extract per group (Catalyst
+    folds these into a single codegen stage).
     """
     compiled = re.compile(pattern)
+    jp = java_regex(pattern)
     return {
-        name: F.regexp_extract(col, pattern, idx)
+        name: F.regexp_extract(col, jp, idx)
         for name, idx in compiled.groupindex.items()
     }
 
@@ -73,15 +80,24 @@ def render_template(template: str, ts_col: str | None = None) -> Column:
 
 _STRFTIME_MAP = {
     "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH", "%M": "mm", "%S": "ss",
+    "%j": "DDD", "%F": "yyyy-MM-dd",
 }
+
+_STRFTIME_TOKEN = re.compile("|".join(re.escape(k) for k in _STRFTIME_MAP))
 
 
 def _strftime_lit(text: str, ts_col: str | None) -> Column:
-    if ts_col and "%" in text:
-        fmt = text
-        for k, v in _STRFTIME_MAP.items():
-            fmt = fmt.replace(k, v)
-        # escape literal chars for date_format? keep simple: only expand when
-        # the whole segment is strftime-ish, else treat as literal
-        return F.date_format(F.col(ts_col), fmt)
-    return F.lit(text)
+    if not (ts_col and _STRFTIME_TOKEN.search(text)):
+        return F.lit(text)
+    # build a datetime pattern where literal runs are single-quoted (pattern
+    # letters like the y/M/d in "year=" must not be interpreted)
+    parts: list[str] = []
+    pos = 0
+    for m in _STRFTIME_TOKEN.finditer(text):
+        if m.start() > pos:
+            parts.append("'" + text[pos : m.start()].replace("'", "''") + "'")
+        parts.append(_STRFTIME_MAP[m.group(0)])
+        pos = m.end()
+    if pos < len(text):
+        parts.append("'" + text[pos:].replace("'", "''") + "'")
+    return F.date_format(F.col(ts_col), "".join(parts))

@@ -1,0 +1,170 @@
+"""Structured Streaming variants of the stateful operators.
+
+The reference is a continuous-stream engine; its stateful transforms flush
+on wall-clock (aggregate interval_ms, reduce expire_after_ms, throttle
+window) — processing-time semantics with no watermarks (SURVEY.md §2.9).
+Our batch operators re-base those onto event time for determinism; this
+module provides the continuous counterparts on readStream:
+
+  * stream_aggregate    — tumbling event-time window + watermark
+                          (transforms/aggregate.rs:109-320 re-based)
+  * stream_dedupe       — dropDuplicatesWithinWatermark on the match keys
+                          (transforms/dedupe/transform.rs bounded cache;
+                          the watermark horizon plays the LRU role)
+  * stream_reduce_sessions — session_window(gap) grouping
+                          (transforms/reduce expire_after_ms semantics)
+  * stream_throttle     — applyInPandasWithState token-count per
+                          (key, window) (transforms/throttle.rs GCRA),
+                          Arrow-batched state updates, no per-row Python
+                          at the Spark level
+  * stream_pages_pipeline — the full north-rule topology as a streaming
+                          query (parse/enrich are stateless and reuse the
+                          batch column logic verbatim)
+
+Batch is the correctness anchor: each of these, run with
+trigger(availableNow=True) over a bounded source, must equal its batch
+twin — that equivalence is what tests/test_streaming.py asserts and what
+lets the DuckDB oracle check streaming results too.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_aggregate(
+    df: DataFrame,
+    mode: str,
+    window_secs: int,
+    ts_col: str = "ts",
+    series_cols: list[str] | None = None,
+    value_col: str = "value",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling event-time aggregate with late-data watermark."""
+    series_cols = series_cols or ["name"]
+    agg = {
+        "sum": F.sum(value_col),
+        "count": F.count(value_col).cast("double"),
+        "max": F.max(value_col),
+        "min": F.min(value_col),
+        "mean": F.avg(value_col),
+        "stdev": F.stddev_pop(value_col),
+    }[mode]
+    out = (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, f"{window_secs} seconds"), *series_cols)
+        .agg(agg.alias("agg_value"))
+    )
+    return out.select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start"),
+        *series_cols,
+        "agg_value",
+    )
+
+
+def stream_dedupe(
+    df: DataFrame,
+    match: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Keep the first event per match-key within the watermark horizon.
+    The horizon bounds state exactly like the reference's LRU cache bounds
+    its memory (dedupe/mod.rs:24-28) — a time bound instead of a count."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(match)
+
+
+def stream_reduce_sessions(
+    df: DataFrame,
+    group_by: list[str],
+    gap_secs: float,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session-gap collapse via session_window — the streaming twin of
+    reduce_sessions (sum/count merges; first/last need the batch path)."""
+    out = (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, f"{int(gap_secs)} seconds"), *group_by)
+        .agg(
+            F.count(F.lit(1)).alias("events_merged"),
+            F.sum(value_col).alias("value_sum"),
+        )
+    )
+    return out.select(
+        F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+        *group_by,
+        "events_merged",
+        "value_sum",
+    )
+
+
+def stream_throttle(
+    df: DataFrame,
+    threshold: int,
+    window_secs: int,
+    key_cols: list[str],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Token-count rate limiter with explicit state: at most `threshold`
+    events pass per (key, tumbling window). State = events admitted in the
+    current window; Arrow-batched via applyInPandasWithState."""
+    import pandas as pd
+
+    key_schema = ", ".join(f"{k} string" for k in key_cols)
+    out_schema = f"{key_schema}, ts timestamp, admitted int"
+    state_schema = "win long, used int"
+
+    def fn(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        win, used = state.get if state.exists else (-1, 0)
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts in pdf[ts_col]:
+                w = int(ts.timestamp()) // window_secs
+                if w != win:
+                    win, used = w, 0
+                if used < threshold:
+                    used += 1
+                    rows.append((*key, ts, used))
+        state.update((win, used))
+        yield pd.DataFrame(rows, columns=[*key_cols, ts_col, "admitted"])
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def stream_pages_pipeline(
+    pages: DataFrame,
+    geo: DataFrame,
+    lang: DataFrame,
+    window_secs: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming parse -> enrich -> route -> windowed aggregate; the
+    stateless stages reuse the exact batch logic (same Column exprs)."""
+    from ..plans.pages import parse_pages, PAGE_ROUTES
+    from ..operators.route import routed_union
+
+    parsed = parse_pages(pages)
+    enriched = parsed.join(broadcast(geo), "tld", "left").join(
+        broadcast(lang), "lang", "left"
+    )
+    routed = routed_union(enriched, PAGE_ROUTES)
+    out = (
+        routed.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", f"{window_secs} seconds"), "route", "geo_region")
+        .agg(F.count(F.lit(1)).alias("events"), F.sum("html_bytes").alias("bytes"))
+    )
+    return out.select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start"),
+        "route", "geo_region", "events", "bytes",
+    )
