@@ -386,6 +386,226 @@ def q_pages_pipeline(spark, sf_dir):
     return out["sink_counts"]
 
 
+# ---- VRL function surface -------------------------------------------------
+
+def q_vrl_parse_syslog(spark, sf_dir):
+    """Round-trip: build RFC3164 lines from event columns, parse them back.
+    The oracle computes the expected fields directly from the columns, so a
+    parse bug cannot cancel out."""
+    from vector_spark.functions import parse_syslog
+
+    e = _t(spark, sf_dir, "events")
+    line = F.format_string(
+        "<%d>Oct 11 22:14:15 host%d app%d[%d]: event %s",
+        (F.col("event_id") % 192).cast("int"),
+        F.col("user_id"),
+        (F.col("user_id") % 7).cast("int"),
+        F.col("event_id"),
+        F.col("event_type"),
+    )
+    parsed = parse_syslog(line)
+    return e.select(
+        "event_id",
+        parsed["facility"].alias("facility"),
+        parsed["severity"].alias("severity"),
+        parsed["hostname"].alias("hostname"),
+        parsed["appname"].alias("appname"),
+        parsed["procid"].cast("long").alias("procid"),
+        parsed["message"].alias("message"),
+    )
+
+
+def q_vrl_parse_grok(spark, sf_dir):
+    """Grok parse of synthesized access-log lines (%{IP} %{WORD} %{URIPATH}
+    %{NUMBER}); oracle constructs expected fields directly."""
+    from vector_spark.functions import parse_grok
+
+    e = _t(spark, sf_dir, "events")
+    line = F.format_string(
+        "10.0.%d.%d GET_%s /api/u%d %d.5 trailing",
+        (F.col("user_id") % 256).cast("int"),
+        (F.col("event_id") % 256).cast("int"),
+        F.col("event_type"),
+        F.col("user_id"),
+        F.col("event_id"),
+    )
+    p = parse_grok(line, "%{IP:client} %{WORD:method} %{URIPATH:path} %{NUMBER:millis}")
+    return e.select(
+        "event_id",
+        p["client"].alias("client"),
+        p["method"].alias("method"),
+        p["path"].alias("path"),
+        p["millis"].cast("double").alias("millis"),
+    )
+
+
+def q_vrl_case_strings(spark, sf_dir):
+    from vector_spark.functions import kebabcase, pascalcase, snakecase, truncate
+
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        snakecase(F.col("c_name")).alias("snake"),
+        kebabcase(F.col("c_name")).alias("kebab"),
+        pascalcase(F.col("c_mktsegment")).alias("pascal_seg"),
+        truncate(F.col("c_name"), 12, "...").alias("short_name"),
+    )
+
+
+def q_vrl_ip_functions(spark, sf_dir):
+    from vector_spark.functions import ip_aton, ip_cidr_contains, ip_ntoa, ip_subnet
+
+    e = _t(spark, sf_dir, "events")
+    ip = F.format_string(
+        "10.%d.%d.%d",
+        (F.col("user_id") % 128).cast("int"),
+        (F.col("event_id") % 256).cast("int"),
+        ((F.col("event_id") * 7) % 256).cast("int"),
+    )
+    return e.select(
+        "event_id",
+        ip.alias("ip"),
+        ip_aton(ip).alias("ip_num"),
+        ip_ntoa(ip_aton(ip)).alias("ip_roundtrip"),
+        ip_cidr_contains("10.0.0.0/10", ip).alias("in_lower_half"),
+        ip_subnet(ip, 16).alias("subnet16"),
+    )
+
+
+def q_vrl_encode(spark, sf_dir):
+    from vector_spark.functions import encode_base16, encode_base64, redact
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        encode_base64(F.substring("text", 1, 24)).alias("head_b64"),
+        encode_base16(F.substring("text", 1, 8)).alias("head_hex"),
+        redact(F.col("text"), [r"[0-9]+"], "#").alias("redacted"),
+    )
+
+
+def q_reduce_merge_full(spark, sf_dir):
+    """Session reduce exercising the list-shaped merge strategies (array /
+    concat / concat_newline) plus min/max."""
+    e = _t(spark, sf_dir, "events")
+    out = reduce_sessions(
+        e,
+        ["user_id"],
+        {
+            "types_arr": ("array", "event_type"),
+            "types_cat": ("concat", "event_type"),
+            "types_lines": ("concat_newline", "event_type"),
+            "v_min": ("min", "value"),
+            "v_max": ("max", "value"),
+        },
+        ts_col="ts",
+        gap_secs=7200,
+        order_col=["ts", "event_id"],
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("session_start_us"),
+        "events_merged",
+        F.array_join("types_arr", "|").alias("types_arr_joined"),
+        "types_cat",
+        "types_lines",
+        F.round("v_min", 3).alias("v_min"),
+        F.round("v_max", 3).alias("v_max"),
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Character-trigram Jaccard near-dup pairs (brute-force verify at this
+    scale; the LSH-banded variant is dedup_minhash_lsh)."""
+    d = _t(spark, sf_dir, "documents")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1))),
+            lambda i: F.col("text").substr(i, F.lit(3)),
+        )
+    )
+    docs = d.select(F.col("doc_id").alias("doc"), grams.alias("g"))
+    a = docs.select(F.col("doc").alias("doc_a"), F.col("g").alias("g_a"))
+    b = docs.select(F.col("doc").alias("doc_b"), F.col("g").alias("g_b"))
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
+    union = (F.size("g_a") + F.size("g_b")).cast("double") - inter
+    jac = F.round(inter / union, 4)
+    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.6
+    )
+
+
+def q_topology_events(spark, sf_dir):
+    """The events pipeline expressed as a declarative topology spec and run
+    through the config compiler (vector_spark.topology) — the `vector
+    --config` analogue (SURVEY.md §3.1)."""
+    from vector_spark.topology import compile_topology
+
+    spec = {
+        "sources": {"events": {"type": "parquet", "path": f"{sf_dir}/events.parquet"}},
+        "transforms": {
+            "tagged": {
+                "type": "remap",
+                "inputs": ["events"],
+                "set": {"k": "CAST(get_json_object(props, '$.k') AS INT)"},
+            },
+            "labeled": {
+                "type": "exclusive_route",
+                "inputs": ["tagged"],
+                "routes": {
+                    "errors": "event_type = 'error'",
+                    "purchases": "event_type = 'purchase'",
+                    "high_k": "k >= 90",
+                },
+            },
+        },
+    }
+    built = compile_topology(spec).build(spark)
+    return (
+        built["labeled"]
+        .groupBy("route")
+        .agg(F.count(F.lit(1)).alias("events"), _dsum(F.col("value"), "value_sum"))
+    )
+
+
+def q_streaming_aggregate(spark, sf_dir):
+    """Streaming tumbling aggregate (availableNow over the bounded events
+    table) — must match the batch oracle exactly (watermark semantics with
+    no late data == batch)."""
+    import tempfile
+
+    from vector_spark.streaming import stream_aggregate
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # watermarks need TIMESTAMP (parquet holds NTZ; session tz is UTC so the
+    # cast is a no-op on the epoch); exact decimal sum so the unordered
+    # streaming partials match the oracle's sequential sum bit-for-bit
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    src = src.withColumn("value", F.col("value").cast("decimal(25,6)"))
+    out = stream_aggregate(src, "sum", 86400, ts_col="ts", series_cols=["event_type"])
+    with tempfile.TemporaryDirectory() as ck:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("stream_agg_contract")
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.sql(
+        "select window_start, event_type, "
+        "cast(agg_value as double) as value_sum "
+        "from stream_agg_contract"
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -430,6 +650,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "multimodal_meta": q_multimodal_meta,
         "pages_pipeline": q_pages_pipeline,
+        "vrl_parse_syslog": q_vrl_parse_syslog,
+        "vrl_parse_grok": q_vrl_parse_grok,
+        "vrl_case_strings": q_vrl_case_strings,
+        "vrl_ip_functions": q_vrl_ip_functions,
+        "vrl_encode": q_vrl_encode,
+        "reduce_merge_full": q_reduce_merge_full,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "topology_events": q_topology_events,
+        "streaming_aggregate": q_streaming_aggregate,
     }
 
 
@@ -854,6 +1083,132 @@ SELECT doc_id,
        CAST(64 + octet_length(CAST(text AS BLOB)) % 353 AS INTEGER) AS fake_height,
        CAST(octet_length(CAST(text AS BLOB)) % 90000 AS INTEGER) AS fake_duration_ms
 FROM documents
+"""
+
+    sql["vrl_parse_syslog"] = """
+SELECT event_id,
+       CAST((event_id % 192) // 8 AS INTEGER) AS facility,
+       CAST((event_id % 192) % 8 AS INTEGER) AS severity,
+       'host' || CAST(user_id AS VARCHAR) AS hostname,
+       'app' || CAST(user_id % 7 AS VARCHAR) AS appname,
+       event_id AS procid,
+       'event ' || event_type AS message
+FROM events
+"""
+
+    sql["vrl_parse_grok"] = """
+SELECT event_id,
+       printf('10.0.%d.%d', user_id % 256, event_id % 256) AS client,
+       'GET_' || event_type AS method,
+       '/api/u' || CAST(user_id AS VARCHAR) AS path,
+       CAST(event_id AS DOUBLE) + 0.5 AS millis
+FROM events
+"""
+
+    # c_name is 'Customer#000000042'; c_mktsegment a single upper word
+    sql["vrl_case_strings"] = """
+SELECT c_custkey,
+       lower(replace(c_name, '#', '_')) AS snake,
+       lower(replace(c_name, '#', '-')) AS kebab,
+       upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2)) AS pascal_seg,
+       CASE WHEN length(c_name) > 12 THEN substr(c_name, 1, 12) || '...'
+            ELSE c_name END AS short_name
+FROM customer
+"""
+
+    sql["vrl_ip_functions"] = """
+WITH t AS (
+  SELECT event_id,
+         user_id % 128 AS o2, event_id % 256 AS o3, (event_id * 7) % 256 AS o4
+  FROM events
+)
+SELECT event_id,
+       printf('10.%d.%d.%d', o2, o3, o4) AS ip,
+       10 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS ip_num,
+       printf('10.%d.%d.%d', o2, o3, o4) AS ip_roundtrip,
+       o2 < 64 AS in_lower_half,
+       printf('10.%d.0.0', o2) AS subnet16
+FROM t
+"""
+
+    sql["vrl_encode"] = """
+SELECT doc_id,
+       base64(encode(substr(text, 1, 24))) AS head_b64,
+       lower(hex(encode(substr(text, 1, 8)))) AS head_hex,
+       regexp_replace(text, '[0-9]+', '#', 'g') AS redacted
+FROM documents
+"""
+
+    sql["reduce_merge_full"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tus, value, event_type, event_id FROM events
+),
+m AS (
+  SELECT *,
+         CASE WHEN lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w > 7200000000
+              THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS sess
+  FROM m
+)
+SELECT user_id,
+       min(tus) AS session_start_us,
+       CAST(count(*) AS BIGINT) AS events_merged,
+       string_agg(event_type, '|' ORDER BY tus, event_id) AS types_arr_joined,
+       string_agg(event_type, ' ' ORDER BY tus, event_id) AS types_cat,
+       string_agg(event_type, chr(10) ORDER BY tus, event_id) AS types_lines,
+       round(min(value), 3) AS v_min,
+       round(max(value), 3) AS v_max
+FROM s GROUP BY user_id, sess
+"""
+
+    sql["dedup_ngram_jaccard"] = """
+WITH docs AS (
+  SELECT doc_id AS doc,
+         list_distinct(list_transform(
+           generate_series(1, greatest(length(text) - 2, 1)),
+           i -> substr(text, i, 3)
+         )) AS g
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, a.g AS g_a, b.g AS g_b
+  FROM docs a JOIN docs b ON a.doc < b.doc
+),
+j AS (
+  SELECT doc_a, doc_b,
+         round(CAST(len(list_filter(g_a, x -> list_contains(g_b, x))) AS DOUBLE)
+               / (len(g_a) + len(g_b) - len(list_filter(g_a, x -> list_contains(g_b, x)))),
+               4) AS jaccard
+  FROM pairs
+)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.6
+"""
+
+    sql["topology_events"] = f"""
+WITH tagged AS (
+  SELECT *, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events
+),
+labeled AS (
+  SELECT *,
+         CASE WHEN event_type = 'error' THEN 'errors'
+              WHEN event_type = 'purchase' THEN 'purchases'
+              WHEN k >= 90 THEN 'high_k'
+              ELSE '_unmatched' END AS route
+  FROM tagged
+)
+SELECT route, count(*) AS events,
+       {DSUM_SQL.format(col='value', alias='value_sum')}
+FROM labeled GROUP BY route
+"""
+
+    sql["streaming_aggregate"] = f"""
+SELECT (epoch_us(ts) // 86400000000) * 86400 AS window_start,
+       event_type,
+       {DSUM_SQL.format(col='value', alias='value_sum')}
+FROM events GROUP BY 1, 2
 """
 
     # ann_lsh, pages_pipeline: intentionally no oracle (xxhash64-based
