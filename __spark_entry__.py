@@ -606,6 +606,107 @@ def q_streaming_aggregate(spark, sf_dir):
     )
 
 
+# ---- metric value types / sampling modes / similarity tiers ---------------
+
+def q_aggregate_set(spark, sf_dir):
+    """MetricValue::Set per window/series: sorted distinct members."""
+    from vector_spark.operators import aggregate_set
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "member", F.pmod(F.col("user_id"), F.lit(10)).cast("string")
+    )
+    out = aggregate_set(e, 86400, ts_col="ts", series_cols=["event_type"], value_col="member")
+    return out.select(
+        "window_start", "event_type",
+        F.array_join("members", ",").alias("members_csv"), "set_size",
+    )
+
+
+def q_aggregate_histogram(spark, sf_dir):
+    from vector_spark.operators import aggregate_histogram
+
+    e = _t(spark, sf_dir, "events")
+    return aggregate_histogram(
+        e, buckets=[50.0, 100.0, 200.0], window_secs=86400 * 7,
+        ts_col="ts", series_cols=["event_type"],
+    )
+
+
+def q_aggregate_summary(spark, sf_dir):
+    from vector_spark.operators import aggregate_summary
+
+    e = _t(spark, sf_dir, "events")
+    return aggregate_summary(
+        e, quantiles=[0.5, 0.9], window_secs=86400 * 7,
+        ts_col="ts", series_cols=["event_type"],
+    )
+
+
+def q_sample_group_modulo(spark, sf_dir):
+    from vector_spark.operators import sample_group_modulo
+
+    e = _t(spark, sf_dir, "events")
+    return sample_group_modulo(e, 20, ["user_id"], "event_id").select(
+        "event_id", "user_id", "sample_rate"
+    )
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    from vector_spark.datapipe import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+def q_ann_ivf(spark, sf_dir):
+    from vector_spark.datapipe import ivf_ann_topk
+
+    return ivf_ann_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=[100, 101, 102],
+        k=5, n_centroids=16, n_probe=4,
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_demo_logs_roundtrip(spark, sf_dir):
+    """demo_logs generator -> parse_syslog round-trip (rows-only: generated
+    input, not an sf table). Nonzero parse rate is asserted structurally."""
+    from vector_spark.functions import parse_syslog
+    from vector_spark.sources import demo_logs
+
+    logs = demo_logs(spark, 5000, fmt="bsd_syslog", partitions=8)
+    p = parse_syslog(F.col("line"))
+    return logs.select(
+        "id",
+        p["hostname"].alias("hostname"),
+        p["appname"].alias("appname"),
+        p["severity"].alias("severity"),
+        p["message"].alias("message"),
+    ).filter(F.col("hostname") != "")
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Media feature-extraction plumbing (stubbed codec, real Arrow path) ->
+    embedding column consumable by the ANN operators; rows-only."""
+    from vector_spark.datapipe import extract_features
+
+    d = _t(spark, sf_dir, "documents").withColumn("payload", F.encode("text", "UTF-8"))
+    feats = extract_features(d, dims=16)
+    return feats.select(
+        "doc_id",
+        F.size("embedding").alias("dims"),
+        F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x), 4).alias("feat_sum"),
+    )
+
+
+def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing (1->N Arrow expansion); rows-only."""
+    from vector_spark.datapipe import frame_sample
+
+    d = _t(spark, sf_dir, "documents").withColumn("payload", F.encode("text", "UTF-8"))
+    return frame_sample(d, every_ms=1000).select(
+        "doc_id", "frame_idx", "offset_ms", "frame_sha"
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -659,6 +760,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "topology_events": q_topology_events,
         "streaming_aggregate": q_streaming_aggregate,
+        "aggregate_set": q_aggregate_set,
+        "aggregate_histogram": q_aggregate_histogram,
+        "aggregate_summary": q_aggregate_summary,
+        "sample_group_modulo": q_sample_group_modulo,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_ivf": q_ann_ivf,
+        "demo_logs_roundtrip": q_demo_logs_roundtrip,
+        "multimodal_features": q_multimodal_features,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -1211,6 +1321,94 @@ SELECT (epoch_us(ts) // 86400000000) * 86400 AS window_start,
 FROM events GROUP BY 1, 2
 """
 
-    # ann_lsh, pages_pipeline: intentionally no oracle (xxhash64-based
-    # LSH planes / generated input) -> driver records rows-only checks
+    sql["aggregate_set"] = """
+SELECT (epoch_us(ts) // 86400000000) * 86400 AS window_start,
+       event_type,
+       array_to_string(list_sort(list_distinct(list(CAST(user_id % 10 AS VARCHAR)))), ',') AS members_csv,
+       CAST(len(list_distinct(list(CAST(user_id % 10 AS VARCHAR)))) AS INTEGER) AS set_size
+FROM events GROUP BY 1, 2
+"""
+
+    sql["aggregate_histogram"] = """
+SELECT (epoch_us(ts) // 604800000000) * 604800 AS window_start,
+       event_type,
+       count(*) FILTER (value <= 50.0) AS le_50_0,
+       count(*) FILTER (value <= 100.0) AS le_100_0,
+       count(*) FILTER (value <= 200.0) AS le_200_0,
+       count(value) AS count,
+       CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum
+FROM events GROUP BY 1, 2
+"""
+
+    sql["aggregate_summary"] = """
+SELECT (epoch_us(ts) // 604800000000) * 604800 AS window_start,
+       event_type,
+       round(quantile_cont(value, 0.5), 4) AS q0_5,
+       round(quantile_cont(value, 0.9), 4) AS q0_9,
+       count(value) AS count,
+       CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum
+FROM events GROUP BY 1, 2
+"""
+
+    sql["sample_group_modulo"] = """
+SELECT event_id, user_id, 20 AS sample_rate FROM (
+  SELECT event_id, user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+) WHERE (rn - 1) % 20 = 0
+"""
+
+    sql["embedding_near_dup"] = """
+WITH n AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nm
+  FROM embeddings
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(list_dot_product(a.v, b.v) / (a.nm * b.nm), 6) AS cosine
+FROM n a JOIN n b ON a.id < b.id
+WHERE round(list_dot_product(a.v, b.v) / (a.nm * b.nm), 6) >= 0.35
+"""
+
+    # IVF-flat oracle: same deterministic centroids (vec_id < 16), same
+    # argmax-cosine cell assignment (tie -> lowest centroid id), same
+    # 4-probe search, same (cosine desc, id) top-5
+    sql["ann_ivf"] = """
+WITH n AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nm
+  FROM embeddings
+),
+cents AS (SELECT id AS cid, v AS cv, nm AS cn FROM n WHERE id < 16),
+sims AS (
+  SELECT n.id, n.v, n.nm, c.cid,
+         round(list_dot_product(n.v, c.cv) / (n.nm * c.cn), 6) AS cs,
+         row_number() OVER (PARTITION BY n.id ORDER BY round(list_dot_product(n.v, c.cv) / (n.nm * c.cn), 6) DESC, c.cid ASC) AS r
+  FROM n CROSS JOIN cents c
+),
+cells AS (SELECT id, v, nm, cid AS cell FROM sims WHERE r = 1),
+probes AS (
+  SELECT id AS query_id, cid AS cell FROM sims
+  WHERE r <= 4 AND id IN (100, 101, 102)
+),
+q AS (SELECT id AS query_id, v AS qv, nm AS qn FROM cells WHERE id IN (100, 101, 102)),
+cand AS (
+  SELECT DISTINCT p.query_id, c.id, c.v, c.nm
+  FROM cells c JOIN probes p ON c.cell = p.cell
+  WHERE c.id <> p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.id AS neighbor_id,
+         round(list_dot_product(q.qv, cand.v) / (q.qn * cand.nm), 6) AS cosine
+  FROM cand JOIN q ON cand.query_id = q.query_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+    # ann_lsh, pages_pipeline, demo_logs_roundtrip, multimodal_features,
+    # frame_sample: intentionally no oracle (xxhash64 LSH planes / generated
+    # input / md5-float + sha1 stubs) -> driver records rows-only checks
     return sql

@@ -30,9 +30,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 PAGES_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1000000"))
 # the scaling run needs enough work that per-job fixed costs (broadcast
-# build, stage scheduling, codegen) are amortized at the high core count —
-# runtime at local[32] should be >=20s for a clean ratio
-SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "12000000"))
+# build, stage scheduling, codegen) are amortized — the single-executor
+# level should run >=20s
+SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "8000000"))
+# cores per simulated executor in the N vs 4N executor-model run
+EXEC_CORES = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "2"))
 
 HEADLINE = [
     "pipeline_events_e2e",
@@ -120,49 +122,85 @@ def single_level(sf_dir: str) -> dict:
     }
 
 
-def pages_only(n_rows: int) -> None:
-    """Subprocess entry for the scaling run: prints seconds on stdout."""
+def exec_probe(shard: int, nshards: int, n_rows: int, cores: int) -> None:
+    """Subprocess entry: one simulated executor (local[cores]) processing
+    its file-shard of the pages table. Prints the median seconds of 3
+    timed runs after a warm-up."""
+    import glob
+    import statistics
+
     from vector_spark.session import get_spark
+    from vector_spark.plans import pages_pipeline
+    from vector_spark.sources import geo_dim, lang_dim
 
-    spark = get_spark("bench-scaling")
+    spark = get_spark(
+        f"exec{shard}", master=f"local[{cores}]",
+        extra_conf={"spark.sql.files.maxPartitionBytes": "4m"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
-    secs, _ = run_pages(spark, n_rows, samples=2, rollup=False)
-    print(json.dumps({"seconds": secs, "rows": n_rows,
-                      "cores": spark.sparkContext.defaultParallelism}))
+    files = sorted(glob.glob(f"{_pages_table(spark, n_rows)}/part-*.parquet"))
+    pages = spark.read.parquet(*files[shard::nshards])
+    sink = pages_pipeline(pages, geo_dim(spark), lang_dim(spark))["sink_counts"]
+    sink.write.format("noop").mode("overwrite").save()
+    ts = []
+    for _ in range(5):
+        t0 = time.time()
+        sink.write.format("noop").mode("overwrite").save()
+        ts.append(time.time() - t0)
+    # min = the least noisy-neighbor interference (shared sandbox host shows
+    # 2-5x CPU-time swings for identical work); both levels use the same
+    # estimator so the ratio is fair
+    print(json.dumps({"shard": shard, "best_s": min(ts), "runs": [round(t, 2) for t in ts],
+                      "median_s": statistics.median(ts)}))
 
 
-def scaling(sf_dir: str, n_small: int = 8) -> dict:
-    """Run the pages pipeline at local[N] and local[4N] in separate
-    subprocesses (one JVM each) on identical input; efficiency =
-    (throughput@4N) / (4 * throughput@N). Evidences the north rule's
-    two-cluster-size criterion in-sandbox (see BASELINE.md)."""
+def _spawn_probe(shard: int, nshards: int, cores: int):
+    env = dict(os.environ, SPARK_DRIVER_MEMORY="6g")
+    return subprocess.Popen(
+        [sys.executable, __file__, "--exec-probe",
+         f"{shard}:{nshards}:{SCALING_ROWS}:{cores}"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env,
+    )
+
+
+def scaling(sf_dir: str) -> dict:
+    """North-rule two-cluster-size evidence, executor model: the same job
+    on the same input at N=1 executor vs 4N=4 executors of identical size
+    (local[EXEC_CORES] each, disjoint file shards — the partition-
+    assignment a real cluster would make). System time at 4N = slowest
+    executor (the job finishes when the last executor does). Efficiency =
+    throughput@4N / (4 * throughput@N). See BASELINE.md for the full
+    matrix including single-JVM thread-scaling pairs."""
     out = single_level(sf_dir)
-    # pre-materialize the scaling table with the full-width session so the
-    # local[N] subprocess doesn't pay generation at low parallelism
+    # pre-materialize the scaling table at full width, then release the
+    # wide session so the probe JVMs have the machine to themselves
+    from pyspark.sql import SparkSession
+
     from vector_spark.session import get_spark
 
     _pages_table(get_spark("bench"), SCALING_ROWS)
-    levels = {}
-    for cores in (n_small, n_small * 4):
-        env = dict(
-            os.environ,
-            SPARK_GRAFT_CPUS=str(cores),
-            SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
-            # scan splits small enough that both levels see >=4 tasks/core
-            SPARK_GRAFT_MAX_PARTITION_BYTES="4m",
-        )
-        res = subprocess.run(
-            [sys.executable, __file__, "--pages-only", str(SCALING_ROWS)],
-            capture_output=True, text=True, env=env, check=True,
-        )
-        line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
-        r = json.loads(line)
-        levels[cores] = r["rows"] / r["seconds"]
-    eff = levels[n_small * 4] / (4 * levels[n_small])
+    SparkSession.getActiveSession().stop()
+
+    # alternate the two levels over 2 rounds and keep each level's best —
+    # guards the ratio against bursty interference hitting one level only
+    best1, best4 = float("inf"), float("inf")
+    for _ in range(2):
+        p = _spawn_probe(0, 1, EXEC_CORES)
+        one = json.loads([l for l in p.communicate()[0].splitlines() if l.startswith("{")][-1])
+        best1 = min(best1, one["best_s"])
+        procs = [_spawn_probe(i, 4, EXEC_CORES) for i in range(4)]
+        slowest = 0.0
+        for p in procs:
+            r = json.loads([l for l in p.communicate()[0].splitlines() if l.startswith("{")][-1])
+            slowest = max(slowest, r["best_s"])
+        best4 = min(best4, slowest)
+    tp1 = SCALING_ROWS / best1
+    tp4 = SCALING_ROWS / best4
     out["scaling"] = {
-        f"events_per_sec_local[{n_small}]": round(levels[n_small], 1),
-        f"events_per_sec_local[{n_small * 4}]": round(levels[n_small * 4], 1),
-        "efficiency_N_to_4N": round(eff, 3),
+        "model": f"1 vs 4 executors of local[{EXEC_CORES}], disjoint file shards, {SCALING_ROWS} rows",
+        "events_per_sec_1_executor": round(tp1, 1),
+        "events_per_sec_4_executors": round(tp4, 1),
+        "efficiency_N_to_4N": round(tp4 / (4 * tp1), 3),
     }
     return out
 
@@ -170,11 +208,11 @@ def scaling(sf_dir: str, n_small: int = 8) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
-    ap.add_argument("--pages-only", type=int, default=None)
+    ap.add_argument("--exec-probe", default=None, metavar="SHARD:NSHARDS:ROWS:CORES")
     args = ap.parse_args()
 
-    if args.pages_only:
-        pages_only(args.pages_only)
+    if args.exec_probe:
+        exec_probe(*(int(x) for x in args.exec_probe.split(":")))
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,124 @@
+"""Coverage extras: metric value-type aggregates (Set/Histogram/Summary),
+group-modulo sampling, embedding near-dup + IVF ANN, demo_logs formats
+round-trip, multimodal feature/frame stubs."""
+
+from pyspark.sql import functions as F
+
+from vector_spark.datapipe import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    extract_features,
+    frame_sample,
+    ivf_ann_topk,
+)
+from vector_spark.functions import parse_common_log, parse_syslog
+from vector_spark.operators import (
+    aggregate_histogram,
+    aggregate_set,
+    aggregate_summary,
+    sample_group_modulo,
+)
+from vector_spark.sources import demo_logs
+
+from conftest import rows, ts
+
+
+def _metrics(spark):
+    return spark.createDataFrame(
+        [(1, "cpu", ts(0, 1), 1.0), (2, "cpu", ts(0, 2), 5.0),
+         (3, "cpu", ts(0, 3), 5.0), (4, "cpu", ts(0, 4), 9.0)],
+        "event_id long, name string, ts timestamp, value double",
+    )
+
+
+def test_aggregate_set(spark):
+    r = aggregate_set(_metrics(spark), 3600).collect()[0]
+    assert r["members"] == ["1.0", "5.0", "9.0"]
+    assert r["set_size"] == 3
+
+
+def test_aggregate_histogram(spark):
+    r = aggregate_histogram(_metrics(spark), buckets=[1.0, 5.0, 10.0], window_secs=3600).collect()[0]
+    assert (r["le_1_0"], r["le_5_0"], r["le_10_0"]) == (1, 3, 4)  # cumulative
+    assert r["count"] == 4 and r["sum"] == 20.0
+
+
+def test_aggregate_summary(spark):
+    r = aggregate_summary(_metrics(spark), quantiles=[0.5, 1.0], window_secs=3600).collect()[0]
+    assert r["q0_5"] == 5.0 and r["q1_0"] == 9.0
+    assert r["count"] == 4 and r["sum"] == 20.0
+
+
+def test_sample_group_modulo(spark):
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(7)] + [(i, "b") for i in range(3)],
+        "event_id long, g string",
+    )
+    out = sample_group_modulo(df, 3, ["g"], "event_id")
+    assert rows(out, "g", "event_id") == [("a", 0), ("a", 3), ("a", 6), ("b", 0)]
+    assert out.columns[-1] == "sample_rate"
+
+
+def _vecs(spark):
+    # ids 0 and 1 double as the IVF centroid seeds -> they must span the
+    # two real clusters (x-direction and y-direction)
+    data = [
+        (0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.99, 0.05, 0.0]),
+        (3, [0.0, 0.98, 0.1]), (4, [-1.0, 0.0, 0.0]), (5, [0.7, 0.7, 0.0]),
+    ]
+    return spark.createDataFrame(data, "vec_id long, embedding array<float>")
+
+
+def test_embedding_near_dup_pairs(spark):
+    out = rows(embedding_near_dup_pairs(_vecs(spark), threshold=0.95), "id_a", "id_b")
+    assert (0, 2) in out and (1, 3) in out
+    assert all(p not in out for p in [(0, 4), (0, 1)])
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    """With centroids spanning the clusters, IVF at n_probe=1 must find the
+    same top-1 as brute force for in-cluster queries."""
+    ivf = ivf_ann_topk(_vecs(spark), query_ids=[0, 1], k=1, n_centroids=2, n_probe=1)
+    bf = cosine_topk(_vecs(spark), query_ids=[0, 1], k=1)
+    assert rows(ivf, "query_id", "neighbor_id") == rows(bf, "query_id", "neighbor_id")
+
+
+def test_demo_logs_roundtrip_syslog(spark):
+    logs = demo_logs(spark, 50, fmt="bsd_syslog", partitions=2)
+    p = parse_syslog(F.col("line"))
+    parsed = logs.select("id", *[c.alias(n) for n, c in p.items()])
+    assert parsed.filter(F.col("hostname") == "").count() == 0
+    assert parsed.filter(~F.col("severity").between(0, 7)).count() == 0
+
+
+def test_demo_logs_roundtrip_apache(spark):
+    logs = demo_logs(spark, 50, fmt="apache_common", partitions=2)
+    p = parse_common_log(F.col("line"))
+    parsed = logs.select("id", *[c.alias(n) for n, c in p.items()])
+    assert parsed.filter(F.col("status").isNull()).count() == 0
+    assert parsed.filter(F.col("host") == "").count() == 0
+
+
+def test_demo_logs_json_and_determinism(spark):
+    a = demo_logs(spark, 30, fmt="json", partitions=1)
+    b = demo_logs(spark, 30, fmt="json", partitions=5)
+    assert rows(a, "line") == rows(b, "line")
+    parsed = a.select(F.get_json_object("line", "$.status").cast("int").alias("s"))
+    assert parsed.filter(F.col("s").isNull()).count() == 0
+
+
+def test_extract_features_deterministic_dims(spark):
+    df = spark.createDataFrame([(1, b"img-one"), (2, b"img-two")], "doc_id long, payload binary")
+    out = {r.doc_id: r.embedding for r in extract_features(df, dims=16).collect()}
+    assert len(out[1]) == 16
+    assert out[1] != out[2]
+    again = {r.doc_id: r.embedding for r in extract_features(df, dims=16).collect()}
+    assert out == again
+
+
+def test_frame_sample_expansion(spark):
+    payload = bytes(range(100)) * 35  # 3500 bytes -> duration 3500ms
+    df = spark.createDataFrame([(7, payload)], "doc_id long, payload binary")
+    out = frame_sample(df, every_ms=1000).collect()
+    assert [r.offset_ms for r in sorted(out, key=lambda r: r.frame_idx)] == [0, 1000, 2000, 3000]
+    assert len({r.frame_sha for r in out}) == 4

@@ -1,11 +1,16 @@
 from .dedup import exact_dedup, shingle_docs, minhash_lsh_pairs, simhash
-from .similarity import cosine_topk, lsh_ann_topk
+from .similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    ivf_ann_topk,
+    lsh_ann_topk,
+)
 from .text import text_quality, token_count, doc_fingerprint, langid
-from .multimodal import binary_meta
+from .multimodal import binary_meta, extract_features, frame_sample
 
 __all__ = [
     "exact_dedup", "shingle_docs", "minhash_lsh_pairs", "simhash",
-    "cosine_topk", "lsh_ann_topk",
+    "cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "embedding_near_dup_pairs",
     "text_quality", "token_count", "doc_fingerprint", "langid",
-    "binary_meta",
+    "binary_meta", "extract_features", "frame_sample",
 ]

@@ -59,3 +59,67 @@ def binary_meta(df: DataFrame, binary_col: str = "payload", id_col: str = "doc_i
             )
 
     return df.select(id_col, binary_col).mapInPandas(extract, schema=out_schema)
+
+
+def _feature_stub(payload: bytes, dims: int) -> list[float]:
+    """Deterministic fake feature vector from the payload bytes (md5-seeded
+    values in [-1, 1]); a real build swaps in a vision/audio encoder."""
+    import hashlib
+
+    out = []
+    h = b""
+    while len(out) < dims:
+        h = hashlib.md5(h + payload[:64]).digest()
+        out.extend(b / 127.5 - 1.0 for b in h)
+    return out[:dims]
+
+
+def extract_features(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "doc_id",
+    dims: int = 32,
+) -> DataFrame:
+    """Media -> embedding column (array<float>), Arrow-batched. The output
+    feeds the similarity/ANN operators (datapipe.similarity) unchanged —
+    the multimodal dedup path is extract_features |> embedding_near_dup."""
+    out_schema = f"{id_col} long, embedding array<float>"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "embedding": [_feature_stub(bytes(b), dims) for b in pdf[binary_col]],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(extract, schema=out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "doc_id",
+    every_ms: int = 1000,
+) -> DataFrame:
+    """Video -> sampled frames (1->N): one row per pseudo-frame with
+    (frame_idx, offset_ms, frame_sha) — the decode is the stub; the 1->N
+    Arrow-batched row expansion, schema, and downstream partitioning are
+    the real plumbing."""
+    import hashlib
+
+    out_schema = f"{id_col} long, frame_idx int, offset_ms int, frame_sha string"
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                b = bytes(payload)
+                duration_ms = len(b) % 90_000  # matches _decode_stub
+                for i, off in enumerate(range(0, max(duration_ms, 1), every_ms)):
+                    sha = hashlib.sha1(b[:32] + off.to_bytes(4, "big")).hexdigest()
+                    rows.append((doc_id, i, off, sha))
+            yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "offset_ms", "frame_sha"])
+
+    return df.select(id_col, binary_col).mapInPandas(sample_frames, schema=out_schema)

@@ -69,6 +69,80 @@ def cosine_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
+    threshold) — the embedding tier of the dedup ladder (exact -> minhash ->
+    simhash -> embedding).
+
+    Brute-force all-pairs is the verification baseline; the scale path
+    bucketizes with lsh_signature first (same trade as minhash banding).
+    """
+    base = df.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+    base = base.withColumn("_n", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+    a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6)
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN: deterministic centroid seeds (the first `n_centroids`
+    vectors by id — no trained model, fully reproducible), every vector
+    assigned to its nearest centroid (one broadcast pass), queries probe
+    their `n_probe` nearest cells. Recall < 1; candidate set shrinks
+    ~n_probe/n_centroids. All cell assignment is JVM-side exprs; at 100 TB
+    the assignment pass is scan-speed and the probe join is a broadcast of
+    (query x probed-cell) pairs."""
+    base = df.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+    base = base.withColumn("_n", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+    cents = base.filter(F.col("_id") < n_centroids).select(
+        F.col("_id").alias("_cid"), F.col("_v").alias("_cv"), F.col("_n").alias("_cn")
+    )
+    # nearest centroid per vector: max cosine, tie-break lowest centroid id
+    sims = base.join(broadcast(cents), how="cross").select(
+        "_id", "_v", "_n", "_cid",
+        F.round(_dot(F.col("_v"), F.col("_cv")) / (F.col("_n") * F.col("_cn")), 6).alias("_cs"),
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("_cs").desc(), F.col("_cid").asc())
+    assigned = sims.withColumn("_r", F.row_number().over(w))
+    cells = assigned.filter(F.col("_r") == 1).select("_id", "_v", "_n", F.col("_cid").alias("_cell"))
+    probes = (
+        assigned.filter((F.col("_r") <= n_probe) & F.col("_id").isin(query_ids))
+        .select(F.col("_id").alias("query_id"), F.col("_cid").alias("_cell"))
+    )
+    q = cells.filter(F.col("_id").isin(query_ids)).select(
+        F.col("_id").alias("query_id"), F.col("_v").alias("_qv"), F.col("_n").alias("_qn")
+    )
+    cand = cells.join(broadcast(probes), ["_cell"]).filter(F.col("_id") != F.col("query_id"))
+    scored = cand.join(broadcast(q), ["query_id"]).select(
+        "query_id",
+        F.col("_id").alias("neighbor_id"),
+        F.round(_dot(F.col("_qv"), F.col("_v")) / (F.col("_qn") * F.col("_n")), 6).alias("cosine"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    wk = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def lsh_signature(vec: Column, dims: int, planes: int = 8, seed: int = 7) -> Column:
     """Random-hyperplane signature without a stored model: plane p's
     component d is a deterministic +/-1 from xxhash64(seed, p, d). The sign

@@ -1,9 +1,16 @@
 from .filter import filter_events
 from .route import route, exclusive_route, UNMATCHED
 from .dedupe import dedupe
-from .sample import sample
+from .sample import sample, sample_group_modulo
 from .enrich import enrich_equi, enrich_between, find_table_row
-from .aggregate import aggregate_metrics, aggregate_diff, tumbling_window
+from .aggregate import (
+    aggregate_metrics,
+    aggregate_diff,
+    aggregate_histogram,
+    aggregate_set,
+    aggregate_summary,
+    tumbling_window,
+)
 from .reduce import reduce_sessions, MERGE_STRATEGIES
 from .throttle import throttle
 from .log_to_metric import log_to_metric
@@ -13,8 +20,9 @@ from .hash_replace import hash_replace
 
 __all__ = [
     "filter_events", "route", "exclusive_route", "UNMATCHED", "dedupe",
-    "sample", "enrich_equi", "enrich_between", "find_table_row",
-    "aggregate_metrics", "aggregate_diff", "tumbling_window",
-    "reduce_sessions", "MERGE_STRATEGIES", "throttle", "log_to_metric",
-    "metric_to_log", "tag_cardinality_limit", "hash_replace",
+    "sample", "sample_group_modulo", "enrich_equi", "enrich_between",
+    "find_table_row", "aggregate_metrics", "aggregate_diff",
+    "aggregate_histogram", "aggregate_set", "aggregate_summary",
+    "tumbling_window", "reduce_sessions", "MERGE_STRATEGIES", "throttle",
+    "log_to_metric", "metric_to_log", "tag_cardinality_limit", "hash_replace",
 ]

@@ -85,6 +85,74 @@ def aggregate_metrics(
     return g.agg(agg.alias("agg_value"))
 
 
+def aggregate_set(
+    df: DataFrame,
+    window_secs: int = 10,
+    ts_col: str = "ts",
+    series_cols: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """MetricValue::Set semantics (metric/value.rs:22-88 — BTreeSet of
+    strings per series): sorted distinct members + their count per window.
+    One shuffle; collect_set is map-side partial like any hash agg."""
+    series_cols = series_cols or ["name"]
+    ws = tumbling_window(F.col(ts_col), window_secs).alias("window_start")
+    return df.groupBy(ws, *series_cols).agg(
+        F.array_sort(F.collect_set(F.col(value_col).cast("string"))).alias("members"),
+        F.size(F.collect_set(F.col(value_col).cast("string"))).cast("long").alias("set_size"),
+    )
+
+
+def aggregate_histogram(
+    df: DataFrame,
+    buckets: list[float],
+    window_secs: int = 10,
+    ts_col: str = "ts",
+    series_cols: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """MetricValue::AggregatedHistogram (metric/value.rs): cumulative bucket
+    counts for fixed upper bounds + total count + sum. Pure conditional
+    counts — a single hash-agg pass, no per-row Python."""
+    series_cols = series_cols or ["name"]
+    ws = tumbling_window(F.col(ts_col), window_secs).alias("window_start")
+    v = F.col(value_col)
+    aggs = [
+        F.count(F.when(v <= b, 1)).alias(f"le_{str(b).replace('.', '_')}")
+        for b in buckets
+    ]
+    aggs += [
+        F.count(v).alias("count"),
+        F.sum(v.cast("decimal(25,6)")).cast("double").alias("sum"),
+    ]
+    return df.groupBy(ws, *series_cols).agg(*aggs)
+
+
+def aggregate_summary(
+    df: DataFrame,
+    quantiles: list[float],
+    window_secs: int = 10,
+    ts_col: str = "ts",
+    series_cols: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """MetricValue::AggregatedSummary: exact quantiles + count + sum per
+    window/series. Exact `percentile` (linear interpolation) — at 100 TB
+    swap for approx_percentile/DDSketch, the reference's Sketch variant."""
+    series_cols = series_cols or ["name"]
+    ws = tumbling_window(F.col(ts_col), window_secs).alias("window_start")
+    v = F.col(value_col)
+    aggs = [
+        F.round(F.percentile(v, F.lit(q)), 4).alias(f"q{str(q).replace('.', '_')}")
+        for q in quantiles
+    ]
+    aggs += [
+        F.count(v).alias("count"),
+        F.sum(v.cast("decimal(25,6)")).cast("double").alias("sum"),
+    ]
+    return df.groupBy(ws, *series_cols).agg(*aggs)
+
+
 def aggregate_diff(
     df: DataFrame,
     window_secs: int = 10,

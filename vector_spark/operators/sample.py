@@ -28,6 +28,28 @@ def _md5_bucket(col: Column) -> Column:
     return hexval(F.substring(h, 1, 1)) * 16 + hexval(F.substring(h, 2, 1))
 
 
+def sample_group_modulo(
+    df: DataFrame,
+    rate: int,
+    group_by: list[str],
+    order_col: str,
+    stamp: bool = True,
+) -> DataFrame:
+    """Per-group modulo counter mode (sample/transform.rs:54-164 when
+    `group_by` is configured): keep the 1st, (rate+1)th, (2*rate+1)th ...
+    event of each group in `order_col` order — deterministic given the
+    explicit order (Spark has no stream order)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_by).orderBy(order_col)
+    out = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.pmod(F.col("_rn") - 1, F.lit(rate)) == 0)
+        .drop("_rn")
+    )
+    return out.withColumn("sample_rate", F.lit(rate)) if stamp else out
+
+
 def sample(
     df: DataFrame,
     rate: int,
