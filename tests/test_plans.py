@@ -1,0 +1,99 @@
+"""Physical-plan assertions — the properties that make the pipeline hold at
+100 TB, locked in as tests so a refactor can't silently regress them:
+
+  * predicate pushdown reaches the parquet scan (PushedFilters),
+  * column pruning drops unused columns from ReadSchema (a sink_counts
+    aggregate must NOT read the `text` column),
+  * small dims join as BroadcastHashJoin, never SortMergeJoin,
+  * the salted two-phase aggregate equals the direct aggregate.
+"""
+
+from pyspark.sql import functions as F
+
+from vector_spark.operators.skew import salted_agg
+from vector_spark.plans import pages_pipeline
+from vector_spark.sources import generate_pages, geo_dim, lang_dim
+
+import pytest
+
+from conftest import rows
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "pages")
+    generate_pages(spark, 2000, partitions=2).write.parquet(path)
+    return path
+
+
+def test_filter_pushdown_reaches_scan(spark, pages_parquet):
+    df = spark.read.parquet(pages_parquet).filter(
+        (F.col("lang") == "en") & F.col("url").startswith("https://domain1.")
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(lang,en)" in plan
+    assert "StringStartsWith(url,https://domain1.)" in plan
+
+
+def test_column_pruning_sink_counts_never_reads_text(spark, pages_parquet):
+    """The north-rule aggregate needs url/warc_ts/html/lang — the (large)
+    `text` column must be pruned out of the parquet scan."""
+    pages = spark.read.parquet(pages_parquet)
+    out = pages_pipeline(pages, geo_dim(spark), lang_dim(spark))["sink_counts"]
+    plan = plan_of(out)
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines, "no scan in plan?"
+    for line in scan_lines:
+        assert "text" not in line, f"text column not pruned: {line}"
+        assert "html" in line  # still needed (status parse + byte counts)
+
+
+def test_enrich_joins_are_broadcast_not_sortmerge(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet)
+    out = pages_pipeline(pages, geo_dim(spark), lang_dim(spark))["routed"]
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_projection_pruning_two_columns(spark, pages_parquet):
+    df = spark.read.parquet(pages_parquet).select("url", "lang")
+    line = next(l for l in plan_of(df).splitlines() if "ReadSchema" in l)
+    assert "html" not in line and "text" not in line and "warc_ts" not in line
+
+
+def test_whole_stage_codegen_covers_parse(spark, pages_parquet):
+    from vector_spark.plans.pages import parse_pages
+
+    plan = plan_of(parse_pages(spark.read.parquet(pages_parquet)))
+    # "*(n)" prefixes mark whole-stage-codegen stages in the plan string
+    assert "*(1)" in plan
+
+
+def test_salted_agg_equals_direct(spark):
+    df = generate_pages(spark, 3000, partitions=4).select(
+        F.substring_index(F.parse_url("url", F.lit("HOST")), ".", 1).alias("domain"),
+        F.length("html").alias("b"),
+    )
+    salted = salted_agg(
+        df, ["domain"],
+        {"n": ("count", "b"), "bytes": ("sum", "b"),
+         "lo": ("min", "b"), "hi": ("max", "b")},
+        salt_buckets=8,
+    )
+    direct = df.groupBy("domain").agg(
+        F.count("b").alias("n"), F.sum("b").alias("bytes"),
+        F.min("b").alias("lo"), F.max("b").alias("hi"),
+    )
+    assert rows(salted) == rows(direct)
+
+
+def test_salted_agg_rejects_holistic(spark):
+    df = generate_pages(spark, 10, partitions=1)
+    with pytest.raises(ValueError, match="not algebraic"):
+        salted_agg(df, ["lang"], {"m": ("median", "html")})

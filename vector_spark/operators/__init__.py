@@ -17,6 +17,7 @@ from .log_to_metric import log_to_metric
 from .metric_to_log import metric_to_log
 from .tag_cardinality_limit import tag_cardinality_limit
 from .hash_replace import hash_replace
+from .skew import salted_agg
 
 __all__ = [
     "filter_events", "route", "exclusive_route", "UNMATCHED", "dedupe",
@@ -25,4 +26,5 @@ __all__ = [
     "aggregate_histogram", "aggregate_set", "aggregate_summary",
     "tumbling_window", "reduce_sessions", "MERGE_STRATEGIES", "throttle",
     "log_to_metric", "metric_to_log", "tag_cardinality_limit", "hash_replace",
+    "salted_agg",
 ]
