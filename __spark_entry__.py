@@ -707,6 +707,39 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+def q_codec_csv(spark, sf_dir):
+    """Csv deserializer round-trip: encode columns as a csv line, decode
+    with from_csv; oracle reconstructs the expected struct fields directly."""
+    from vector_spark.functions import parse_csv_line
+
+    e = _t(spark, sf_dir, "events")
+    line = F.concat_ws(
+        ",", F.col("event_id").cast("string"), F.col("event_type"),
+        F.format_string("%.2f", F.col("value")),
+    )
+    parsed = parse_csv_line(line, "id BIGINT, etype STRING, v DOUBLE")
+    return e.select(
+        "event_id",
+        parsed.getField("id").alias("id"),
+        parsed.getField("etype").alias("etype"),
+        parsed.getField("v").alias("v"),
+    )
+
+
+def q_codec_json(spark, sf_dir):
+    """Json deserializer with declared schema (lib/codecs decoding::Json)."""
+    from vector_spark.functions import parse_json_doc
+
+    e = _t(spark, sf_dir, "events")
+    doc = F.to_json(F.struct(F.col("user_id").alias("u"), F.col("event_type").alias("t")))
+    parsed = parse_json_doc(doc, "u BIGINT, t STRING")
+    return e.select(
+        "event_id",
+        parsed.getField("u").alias("u"),
+        parsed.getField("t").alias("t"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -769,6 +802,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "demo_logs_roundtrip": q_demo_logs_roundtrip,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
+        "codec_csv": q_codec_csv,
+        "codec_json": q_codec_json,
     }
 
 
@@ -1406,6 +1441,16 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
   FROM scored
 ) WHERE rank <= 5
+"""
+
+    sql["codec_csv"] = """
+SELECT event_id, event_id AS id, event_type AS etype,
+       CAST(printf('%.2f', value) AS DOUBLE) AS v
+FROM events
+"""
+
+    sql["codec_json"] = """
+SELECT event_id, user_id AS u, event_type AS t FROM events
 """
 
     # ann_lsh, pages_pipeline, demo_logs_roundtrip, multimodal_features,

@@ -157,6 +157,39 @@ def parse_int(col: Column, base: int | None = None) -> Column:
     )
 
 
+_STRPTIME_MAP = {
+    "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH", "%M": "mm", "%S": "ss",
+    "%b": "MMM", "%z": "Z", "%f": "SSSSSS", "%j": "DDD",
+}
+
+
+def parse_timestamp(col: Column, fmt: str) -> Column:
+    """VRL parse_timestamp: strptime-style format -> timestamp (translated
+    to a Spark datetime pattern; literal runs single-quoted)."""
+    token = re.compile("|".join(re.escape(k) for k in _STRPTIME_MAP))
+    parts: list[str] = []
+    pos = 0
+    for m in token.finditer(fmt):
+        if m.start() > pos:
+            parts.append("'" + fmt[pos : m.start()].replace("'", "''") + "'")
+        parts.append(_STRPTIME_MAP[m.group(0)])
+        pos = m.end()
+    if pos < len(fmt):
+        parts.append("'" + fmt[pos:].replace("'", "''") + "'")
+    return F.to_timestamp(col, "".join(parts))
+
+
+def parse_csv_line(col: Column, schema: str, sep: str = ",") -> Column:
+    """Csv deserializer (lib/codecs decoding::Csv) -> struct column."""
+    return F.from_csv(col, F.lit(schema), {"sep": sep})
+
+
+def parse_json_doc(col: Column, schema: str) -> Column:
+    """Json deserializer with a declared schema -> struct column (for the
+    schemaless path use functions.vrl.parse_json_field)."""
+    return F.from_json(col, schema)
+
+
 def parse_query_string(col: Column) -> Column:
     """VRL parse_query_string: 'a=1&b=2' -> map<string,string>."""
     return F.str_to_map(col, F.lit("&"), F.lit("="))
