@@ -107,3 +107,28 @@ def test_filter(spark):
     df = spark.createDataFrame([(1, 10), (2, 99)], "event_id long, v int")
     assert rows(filter_events(df, "v > 50"), "event_id") == [(2,)]
     assert rows(filter_events(df, F.col("v") > 50), "event_id") == [(2,)]
+
+
+def test_remap_with_errors_dropped_port(spark):
+    from vector_spark.operators import remap_with_errors
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 5}'), (2, "not json"), (3, '{"other": 1}')],
+        "event_id long, props string",
+    )
+    ports = remap_with_errors(
+        df,
+        {"k": "CAST(get_json_object(props, '$.k') AS INT)"},
+        component_id="parse_k",
+    )
+    assert [r.event_id for r in ports["ok"].collect()] == [1]
+    dropped = {r.event_id: r.dropped for r in ports["dropped"].collect()}
+    assert set(dropped) == {2, 3}
+    assert dropped[2]["component_id"] == "parse_k"
+    assert "'k'" in dropped[2]["reason"]
+    # drop_on_error mode discards instead of rerouting
+    only_ok = remap_with_errors(
+        df, {"k": "CAST(get_json_object(props, '$.k') AS INT)"},
+        reroute_dropped=False,
+    )
+    assert list(only_ok) == ["ok"]

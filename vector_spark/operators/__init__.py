@@ -18,6 +18,7 @@ from .metric_to_log import metric_to_log
 from .tag_cardinality_limit import tag_cardinality_limit
 from .hash_replace import hash_replace
 from .skew import salted_agg
+from .remap import remap_with_errors
 
 __all__ = [
     "filter_events", "route", "exclusive_route", "UNMATCHED", "dedupe",
@@ -26,5 +27,5 @@ __all__ = [
     "aggregate_histogram", "aggregate_set", "aggregate_summary",
     "tumbling_window", "reduce_sessions", "MERGE_STRATEGIES", "throttle",
     "log_to_metric", "metric_to_log", "tag_cardinality_limit", "hash_replace",
-    "salted_agg",
+    "salted_agg", "remap_with_errors",
 ]
