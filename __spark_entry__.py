@@ -271,7 +271,9 @@ def q_enrich_between(spark, sf_dir):
 def q_pipeline_events_e2e(spark, sf_dir):
     """Flagship: parse -> enrich -> route -> aggregate on the events table
     (the testdata analogue of the pages topology)."""
-    e = _t(spark, sf_dir, "events").withColumn(
+    from vector_spark.session import ensure_parallelism
+
+    e = ensure_parallelism(_t(spark, sf_dir, "events")).withColumn(
         "k", F.get_json_object("props", "$.k").cast("int")
     )
     c = _t(spark, sf_dir, "customer")

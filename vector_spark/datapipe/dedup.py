@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import ensure_parallelism
+
 MOD = 1_000_000_007
 
 
@@ -64,6 +66,7 @@ def minhash_lsh_pairs(
     exact shingle-set Jaccard. Scale: the band-bucket self-join shuffles on
     the bucket hash; AQE splits skewed buckets."""
     assert num_hashes % band_size == 0
+    df = ensure_parallelism(df)  # minhashing is per-row expensive
     docs = df.select(F.col(id_col).alias("doc"), shingle_docs(df, text_col, shingle_n).alias("sh"))
     mh = docs.select(
         "doc", "sh", *[_minhash(F.col("sh"), i).alias(f"mh{i}") for i in range(num_hashes)]
@@ -105,6 +108,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     """16-bit SimHash over distinct tokens. Bit j of a token's signature is
     the parity of hex digit j of md5(token); the fingerprint bit is the sign
     of the summed +/-1 votes. Pure column expressions, no shuffle."""
+    df = ensure_parallelism(df)  # 16 md5-vote folds per row
     tokens = F.array_distinct(F.split(F.col(text_col), " "))
     hashes = F.transform(tokens, lambda t: F.md5(t.cast("binary")))
 

@@ -17,6 +17,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from ..session import ensure_parallelism
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Sequential-order fold — bit-reproducible across engines."""
@@ -42,7 +44,7 @@ def cosine_topk(
 
     Deterministic: rank orders by rounded cosine desc then neighbor id —
     rounding makes the ordering stable across engines/float paths."""
-    base = df.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+    base = ensure_parallelism(df).select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
     norm = F.sqrt(_dot(F.col("_v"), F.col("_v")))
     base = base.withColumn("_n", norm)
     if isinstance(query_ids, list):

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import ensure_parallelism
+
 MOD = 1_000_000_007
 
 STOPWORDS = ["the", "a", "and", "of", "to"]

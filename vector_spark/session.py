@@ -58,3 +58,17 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def ensure_parallelism(df, min_parts: int | None = None):
+    """Repartition an under-partitioned DataFrame so compute-heavy stages
+    use the whole cluster. A single small parquet file (one row group)
+    yields ONE scan split no matter what maxPartitionBytes says — any
+    per-row-expensive stage downstream (minhash, regex, hashing) then runs
+    single-threaded. One cheap round-robin shuffle fixes it. No-op when the
+    input is already parallel (the 100 TB case: thousands of splits)."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target)
