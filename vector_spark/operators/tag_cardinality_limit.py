@@ -15,7 +15,7 @@ which keys need a pass at all.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -29,10 +29,14 @@ def tag_cardinality_limit(
 ) -> DataFrame:
     out = df
     for col in tag_cols:
+        # first `value_limit` distinct values by first occurrence. orderBy+
+        # limit compiles to TakeOrderedAndProject (per-partition top-N, then
+        # a driver merge of N-row partials) — no global sort, no single-
+        # partition window, so a billion distinct values still works.
         first_seen = (
             df.groupBy(col).agg(F.min(order_col).alias("_first"))
-            .withColumn("_rank", F.row_number().over(Window.orderBy("_first")))
-            .filter(F.col("_rank") <= value_limit)
+            .orderBy("_first")
+            .limit(value_limit)
             .select(F.col(col).alias("_allowed"))
         )
         joined = out.join(broadcast(first_seen), out[col] == F.col("_allowed"), "left")
