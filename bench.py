@@ -91,6 +91,52 @@ def run_pages(spark, n_rows: int, samples: int = 3, rollup: bool = True) -> tupl
     return statistics.median(times), n_rows
 
 
+def run_syslog(spark, n_rows: int = 2_000_000) -> dict:
+    """The reference's headline regression case re-created: syslog lines ->
+    regex parse -> log_to_metric-style aggregate (regression/cases/
+    syslog_regex_logs2metric_ddmetrics: 500 Mb/s TCP syslog on 7 CPU,
+    VECTOR_THREADS=4 — see BASELINE.md). We materialize RFC3164 lines once,
+    then measure parse+aggregate bytes/sec executor-side."""
+    import os.path
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from vector_spark.functions import parse_syslog
+    from vector_spark.sources import demo_logs
+
+    path = f"/tmp/vector_spark_bench_syslog_{n_rows}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        demo_logs(spark, n_rows, fmt="bsd_syslog", partitions=64).write.mode(
+            "overwrite"
+        ).parquet(path)
+    lines = spark.read.parquet(path)
+    total_bytes = lines.agg(F.sum(F.length("line"))).collect()[0][0]
+    p = parse_syslog(F.col("line"))
+    metrics = (
+        lines.select(
+            p["hostname"].alias("hostname"),
+            p["appname"].alias("appname"),
+            p["severity"].alias("severity"),
+        )
+        .groupBy("hostname", "appname", "severity")
+        .count()
+    )
+    metrics.write.format("noop").mode("overwrite").save()  # warm
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        metrics.write.format("noop").mode("overwrite").save()
+        ts.append(time.time() - t0)
+    med = statistics.median(ts)
+    return {
+        "seconds": round(med, 3),
+        "lines_per_sec": round(n_rows / med, 1),
+        "mb_per_sec": round(total_bytes / med / 1e6, 1),
+        "megabit_per_sec": round(total_bytes * 8 / med / 1e6, 1),
+    }
+
+
 def single_level(sf_dir: str) -> dict:
     from vector_spark.session import get_spark
     import __spark_entry__ as entrymod
@@ -109,6 +155,8 @@ def single_level(sf_dir: str) -> dict:
     pipe_s, pipe_rows = run_pages(spark, PAGES_ROWS)
     timings["pages_pipeline_1m"] = round(pipe_s, 3)
     events_per_sec = pipe_rows / pipe_s
+    syslog = run_syslog(spark)
+    timings["syslog_parse_2m"] = syslog["seconds"]
 
     return {
         "metric": "end-to-end events/sec (parse->enrich->route->aggregate), 1M pages",
@@ -118,6 +166,7 @@ def single_level(sf_dir: str) -> dict:
         "sf": sf_dir,
         "events_per_sec": round(events_per_sec, 1),
         "pages_rows": pipe_rows,
+        "syslog": syslog,
         "cores": spark.sparkContext.defaultParallelism,
     }
 
