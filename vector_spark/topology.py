@@ -236,6 +236,17 @@ def _build_transform(cfg, df, resolve, tables, spark):
     if kind == "remap":
         for col in cfg.get("drop", []):
             df = df.drop(col)
+        if cfg.get("required"):
+            # error handling: rows with null required outputs reroute to the
+            # `dropped` port (remap.rs:339-359 semantics); ports are
+            # <name>.ok / <name>.dropped
+            from .operators.remap import remap_with_errors
+
+            return remap_with_errors(
+                df, cfg.get("set", {}), required=cfg["required"],
+                component_id=cfg.get("component_id", "remap"),
+                reroute_dropped=cfg.get("reroute_dropped", True),
+            )
         for col, expr in cfg.get("set", {}).items():
             df = df.withColumn(col, F.expr(expr))
         return df
