@@ -51,6 +51,10 @@ HEADLINE = [
     "text_quality",
     "token_count",
     "cosine_topk",
+    "vrl_parse_syslog",
+    "topology_events",
+    "aggregate_summary",
+    "ann_ivf",
 ]
 
 
