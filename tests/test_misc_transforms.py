@@ -132,3 +132,14 @@ def test_remap_with_errors_dropped_port(spark):
         reroute_dropped=False,
     )
     assert list(only_ok) == ["ok"]
+
+
+def test_throttle_excluded_rows_consume_no_tokens(spark):
+    # vip event arrives first; it must NOT use up the key's budget
+    df = spark.createDataFrame(
+        [(0, "k", ts(0, 0), True), (1, "k", ts(0, 1), False), (2, "k", ts(0, 2), False)],
+        "event_id long, key string, ts timestamp, vip boolean",
+    )
+    out = throttle(df, 1, 60, ["key"], ts_col="ts", order_col="event_id",
+                   exclude=F.col("vip"))
+    assert rows(out, "event_id") == [(0,), (1,)]

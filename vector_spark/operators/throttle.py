@@ -27,8 +27,16 @@ def throttle(
 ) -> DataFrame:
     order_col = order_col or ts_col
     bucket = tumbling_window(F.col(ts_col), window_secs)
-    w = Window.partitionBy(*key_cols, bucket).orderBy(order_col)
-    ranked = df.withColumn("_rank", F.row_number().over(w))
+    w = (
+        Window.partitionBy(*key_cols, bucket)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # excluded events bypass the limiter AND consume no tokens
+    # (throttle.rs config :40-69): rank only the non-excluded events via a
+    # running conditional count
+    inc = F.lit(1) if exclude is None else F.when(exclude, 0).otherwise(1)
+    ranked = df.withColumn("_rank", F.sum(inc).over(w))
     keep = F.col("_rank") <= threshold
     if exclude is not None:
         keep = keep | exclude

@@ -167,8 +167,11 @@ def compile_topology(spec: dict[str, Any]) -> Topology:
             if base(ref) not in known:
                 raise TopologyError(f"transform {name!r}: unknown input {ref!r}")
             deps[name].add(base(ref))
-        for tref in ("table",):
-            pass
+        # an enrich `table` naming another component is a dependency too
+        # (externally-provided tables are resolved at build time instead)
+        tref = cfg.get("table")
+        if tref and base(tref) in known:
+            deps[name].add(base(tref))
     for name, cfg in sinks.items():
         for ref in cfg.get("inputs", []):
             if base(ref) not in known:
