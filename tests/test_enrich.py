@@ -53,3 +53,14 @@ def test_find_table_row_first_pick_is_deterministic(spark):
     out = find_table_row(df, dim, [("key", "key")], on_ambiguous="first",
                          order_dim_by="v")
     assert rows(out, "v") == [(1,)]
+
+
+def test_enrich_constant(spark):
+    from pyspark.sql import functions as F
+
+    from vector_spark.operators import enrich_constant
+
+    df = spark.createDataFrame([(1,)], "id long")
+    out = enrich_constant(df, {"region": "us-east-1", "az_num": 2,
+                                "derived": F.col("id") + 1}).collect()[0]
+    assert (out["region"], out["az_num"], out["derived"]) == ("us-east-1", 2, 2)

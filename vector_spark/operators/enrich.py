@@ -85,3 +85,15 @@ def find_table_row(
         w = Window.partitionBy(*dim_keys).orderBy(*w_cols)
         one = dim.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
     return enrich_equi(df, one, keys)
+
+
+def enrich_constant(df: DataFrame, fields: dict[str, object]) -> DataFrame:
+    """Constant metadata enrichment — the aws_ec2_metadata analogue
+    (/root/reference/src/transforms/aws_ec2_metadata.rs:95-230: every event
+    gets the cached instance metadata fields). The values are resolved on
+    the driver (env/instance introspection) and stamped as literal columns
+    — zero per-row cost, folded by Catalyst."""
+    out = df
+    for name, value in fields.items():
+        out = out.withColumn(name, value if isinstance(value, Column) else F.lit(value))
+    return out
