@@ -237,6 +237,11 @@ def _as_specs(raw: list[dict]) -> list[MetricSpec]:
 def _build_transform(cfg, df, resolve, tables, spark):
     kind = cfg["type"]
     if kind == "remap":
+        if cfg.get("emit"):
+            # 1->N emit: `. = [...]` in VRL (vrl_target.rs:137-173) — an
+            # array<struct> expression whose elements become the new events
+            # (reference behavior case remap_emit_multiple)
+            return df.select(*cfg.get("keep", []), F.inline(F.expr(cfg["emit"])))
         for col in cfg.get("drop", []):
             df = df.drop(col)
         if cfg.get("required"):
