@@ -113,3 +113,41 @@ def test_stream_pages_pipeline_equals_batch(spark, tmp_path):
         .select("window_start", "route", "geo_region", "events", "bytes")
     )
     assert rows(got) == rows(batch)
+
+
+def test_stream_route_to_sinks_and_resume(spark, tmp_path):
+    """Streaming multi-sink fan-out: routed parquet sinks must equal the
+    batch routed_union; restarting over the same source is a no-op (file-
+    source checkpoint resume); new files are picked up incrementally."""
+    from vector_spark.operators.route import routed_union
+    from vector_spark.streaming import stream_route_to_sinks
+
+    src_dir, sink_dir, ck = str(tmp_path / "src"), str(tmp_path / "sink"), str(tmp_path / "ck")
+    pages1 = generate_pages(spark, 1000, partitions=2)
+    pages1.write.mode("append").parquet(src_dir)
+
+    conds = {"errors": "lang = 'de'", "english": "lang = 'en'"}
+    schema = spark.read.parquet(src_dir).schema
+
+    def run_drain():
+        q = stream_route_to_sinks(
+            spark.readStream.schema(schema).parquet(src_dir), conds, sink_dir, ck
+        )
+        q.awaitTermination(120)
+
+    run_drain()
+    got = spark.read.parquet(sink_dir)
+    expect = routed_union(spark.read.parquet(src_dir), conds)
+    assert got.count() == expect.count()
+    assert got.filter("route = 'errors'").count() == \
+        spark.read.parquet(src_dir).filter("lang = 'de'").count()
+
+    # restart with no new data -> nothing re-written (exactly-once resume)
+    run_drain()
+    assert spark.read.parquet(sink_dir).count() == expect.count()
+
+    # new files arrive -> only the delta is processed
+    generate_pages(spark, 500, partitions=1, seed=43).write.mode("append").parquet(src_dir)
+    run_drain()
+    total_expect = routed_union(spark.read.parquet(src_dir), conds).count()
+    assert spark.read.parquet(sink_dir).count() == total_expect

@@ -1,4 +1,5 @@
 from .ops import (
+    stream_route_to_sinks,
     stream_aggregate,
     stream_dedupe,
     stream_pages_pipeline,
@@ -10,6 +11,7 @@ __all__ = [
     "stream_aggregate",
     "stream_dedupe",
     "stream_pages_pipeline",
+    "stream_route_to_sinks",
     "stream_reduce_sessions",
     "stream_throttle",
 ]

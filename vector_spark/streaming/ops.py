@@ -142,6 +142,43 @@ def stream_throttle(
     )
 
 
+def stream_route_to_sinks(
+    df: DataFrame,
+    conditions: dict,
+    sink_dir: str,
+    checkpoint_dir: str,
+    partition_cols: list[str] | None = None,
+    available_now: bool = True,
+):
+    """Streaming multi-sink fan-out — the reference's core topology shape
+    (sources -> route -> N sinks, splunk_hec_route_s3 regression case):
+    each micro-batch is routed (multi-match copy semantics) and written in
+    ONE pass partitioned by route (+ optional template-style partition
+    cols), so adding sinks costs nothing extra.
+
+    Exactly-once: foreachBatch + the streaming checkpoint gives restart
+    resume (processed source files are never re-read); the parquet write
+    per batch is append-only into route partitions. Returns the started
+    StreamingQuery (availableNow by default: drain-and-stop, the testable
+    mode; pass available_now=False for continuous).
+    """
+    part_cols = ["route", *(partition_cols or [])]
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.route import routed_union
+
+        routed = routed_union(batch_df, conditions)
+        routed.write.mode("append").partitionBy(*part_cols).parquet(sink_dir)
+
+    writer = (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_pages_pipeline(
     pages: DataFrame,
     geo: DataFrame,
