@@ -88,8 +88,13 @@ class CheckpointedRun:
         dynamic overwrite, then commit per-bucket counter rows. Returns the
         number of buckets committed. Crash-safe: a bucket either commits
         (present in the checkpoint table) or will be redone idempotently."""
+        # co-locate each bucket in one task before the partitioned write:
+        # without this every task writes a file into every bucket dir
+        # (tasks x buckets small files — at 10^12 rows a compaction
+        # nightmare); with it, one file per bucket per pass
         (
-            out.write.mode("overwrite")
+            out.repartition(self.n_buckets, F.col(BUCKET_COL))
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(BUCKET_COL)
             .parquet(sink_dir)
