@@ -301,7 +301,9 @@ def q_pipeline_events_e2e(spark, sf_dir):
 
 
 def q_tpch_q1(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    from vector_spark.session import ensure_parallelism
+
+    li = ensure_parallelism(_t(spark, sf_dir, "lineitem"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -319,9 +321,11 @@ def q_tpch_q1(spark, sf_dir):
 
 
 def q_tpch_q3(spark, sf_dir):
+    from vector_spark.session import ensure_parallelism
+
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
+    li = ensure_parallelism(_t(spark, sf_dir, "lineitem"))
     revenue = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(broadcast(c), o.o_custkey == c.c_custkey)
