@@ -372,8 +372,8 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    # rows-only check: LSH bucketing uses xxhash64 pseudo-hyperplanes
-    # (no SQL equivalent)
+    # oracle-checked: hyperplanes are plan-time md5 +/-1 literals shared
+    # verbatim with the SQL oracle (see _ann_lsh_sql)
     return lsh_ann_topk(
         _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5
     ).withColumn("rank", F.col("rank").cast("long"))
@@ -925,6 +925,42 @@ SELECT doc_id, {', '.join('score_' + l for l in langs)}, {case_sql} AS predicted
 """
 
 
+def _ann_lsh_sql(dims: int = 64, planes: int = 6, k: int = 5) -> str:
+    """DuckDB twin of lsh_ann_topk: identical +/-1 plane literals (generated
+    by the same make_planes), same rounded sign test, same bucket-restricted
+    top-k ordering."""
+    from vector_spark.datapipe.similarity import make_planes
+
+    plane_vecs = make_planes(dims, planes)
+    sig_terms = []
+    for p, plane in enumerate(plane_vecs):
+        arr = "[" + ", ".join(f"{float(x):.1f}" for x in plane) + "]"
+        sig_terms.append(
+            f"CASE WHEN round(list_dot_product(v, {arr}), 6) > 0 THEN {1 << p} ELSE 0 END"
+        )
+    sig = " + ".join(sig_terms)
+    return f"""
+WITH n AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nm
+  FROM embeddings
+),
+b AS (
+  SELECT id, v, nm, ({sig}) AS bucket FROM n
+),
+q AS (SELECT id AS query_id, v AS qv, nm AS qn, bucket FROM b WHERE id IN (0, 1, 2, 3, 4)),
+sims AS (
+  SELECT q.query_id, b.id AS neighbor_id,
+         round(list_dot_product(q.qv, b.v) / (q.qn * b.nm), 6) AS cosine
+  FROM b JOIN q ON b.bucket = q.bucket AND b.id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM sims
+) WHERE rank <= {k}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
 
@@ -1459,7 +1495,9 @@ FROM events
 SELECT event_id, user_id AS u, event_type AS t FROM events
 """
 
-    # ann_lsh, pages_pipeline, demo_logs_roundtrip, multimodal_features,
-    # frame_sample: intentionally no oracle (xxhash64 LSH planes / generated
-    # input / md5-float + sha1 stubs) -> driver records rows-only checks
+    sql["ann_lsh"] = _ann_lsh_sql()
+
+    # pages_pipeline, demo_logs_roundtrip, multimodal_features, frame_sample:
+    # intentionally no oracle (generated input / md5-float + sha1 stubs) ->
+    # driver records rows-only checks
     return sql

@@ -145,6 +145,40 @@ def ivf_ann_topk(
     )
 
 
+def make_planes(dims: int, n_planes: int, seed: int = 7) -> list[list[int]]:
+    """Deterministic +/-1 hyperplanes from md5(seed|plane|dim) parity —
+    computed at PLAN time in Python, so the identical constants can be
+    embedded in a SQL oracle (engine-portable, no runtime hash calls)."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{seed}|{p}|{d}".encode()).digest()[0] % 2 else -1
+            for d in range(dims)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_signature_from_planes(vec: Column, planes: list[list[int]]) -> Column:
+    """Sign-bit signature against precomputed +/-1 planes: bit p = sign of
+    <v, plane_p>. The weighted sum is a zip_with against a literal array —
+    whole-stage codegen, no hash calls per row."""
+    sig = F.lit(0)
+    for p, plane in enumerate(planes):
+        lits = F.array(*[F.lit(float(x)) for x in plane])
+        comp = F.round(
+            F.aggregate(
+                F.zip_with(vec, lits, lambda x, w: x * w),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,  # engine-portable sign test (summation-order float noise)
+        )
+        sig = sig + F.when(comp > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return sig
+
+
 def lsh_signature(vec: Column, dims: int, planes: int = 8, seed: int = 7) -> Column:
     """Random-hyperplane signature without a stored model: plane p's
     component d is a deterministic +/-1 from xxhash64(seed, p, d). The sign
@@ -175,10 +209,11 @@ def lsh_ann_topk(
     planes: int = 6,
 ) -> DataFrame:
     """ANN top-k searching only the query's LSH bucket (recall < 1)."""
+    plane_vecs = make_planes(dims, planes)
     base = df.select(
         F.col(id_col).alias("_id"),
         _as_double(F.col(vec_col)).alias("_v"),
-        lsh_signature(_as_double(F.col(vec_col)), dims, planes).alias("_bucket"),
+        lsh_signature_from_planes(_as_double(F.col(vec_col)), plane_vecs).alias("_bucket"),
     ).withColumn("_n", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
     q = base.filter(F.col("_id").isin(query_ids)).select(
         F.col("_id").alias("query_id"), F.col("_v").alias("_qv"), F.col("_n").alias("_qn"), "_bucket"
