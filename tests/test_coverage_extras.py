@@ -122,3 +122,13 @@ def test_frame_sample_expansion(spark):
     out = frame_sample(df, every_ms=1000).collect()
     assert [r.offset_ms for r in sorted(out, key=lambda r: r.frame_idx)] == [0, 1000, 2000, 3000]
     assert len({r.frame_sha for r in out}) == 4
+
+
+def test_resize_image_stub_plumbing(spark):
+    from vector_spark.datapipe import resize_image
+
+    df = spark.createDataFrame([(1, b"\x89PNGdata")], "doc_id long, payload binary")
+    r = resize_image(df, width=8, height=8).collect()[0]
+    assert r["n_bytes"] == 8 * 8 * 3
+    assert len(bytes(r["resized"])) == 8 * 8 * 3
+    assert (r["width"], r["height"]) == (8, 8)

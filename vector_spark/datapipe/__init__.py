@@ -6,11 +6,11 @@ from .similarity import (
     lsh_ann_topk,
 )
 from .text import text_quality, token_count, doc_fingerprint, langid
-from .multimodal import binary_meta, extract_features, frame_sample
+from .multimodal import binary_meta, extract_features, frame_sample, resize_image
 
 __all__ = [
     "exact_dedup", "shingle_docs", "minhash_lsh_pairs", "simhash",
     "cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "embedding_near_dup_pairs",
     "text_quality", "token_count", "doc_fingerprint", "langid",
-    "binary_meta", "extract_features", "frame_sample",
+    "binary_meta", "extract_features", "frame_sample", "resize_image",
 ]

@@ -97,6 +97,41 @@ def extract_features(
     return df.select(id_col, binary_col).mapInPandas(extract, schema=out_schema)
 
 
+def resize_image(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "doc_id",
+    width: int = 224,
+    height: int = 224,
+) -> DataFrame:
+    """Image resize plumbing: payload -> (resized binary, new dims). The
+    pixel work is STUBBED (deterministic truncate-or-pad of the bytes to
+    width*height*3 — a real build calls PIL.Image.resize here); the Arrow
+    batch path, binary-in/binary-out schema and size accounting are real.
+    """
+    out_schema = f"{id_col} long, resized binary, width int, height int, n_bytes long"
+    target = width * height * 3
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf[binary_col]:
+                raw = bytes(b)
+                resized = (raw * (target // max(len(raw), 1) + 1))[:target]
+                out.append(resized)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "resized": out,
+                    "width": width,
+                    "height": height,
+                    "n_bytes": [len(x) for x in out],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(resize, schema=out_schema)
+
+
 def frame_sample(
     df: DataFrame,
     binary_col: str = "payload",
