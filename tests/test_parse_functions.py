@@ -210,3 +210,44 @@ def test_topology_remap_dropped_port(spark):
     assert [r.event_id for r in out["good"]] == [1]
     assert [r.event_id for r in out["dead_letter"]] == [2]
     assert out["dead_letter"][0]["dropped"]["component_id"] == "parsed"
+
+
+def test_parse_nginx_error(spark):
+    from vector_spark.functions import parse_nginx_error
+
+    line = ('2024/03/05 10:11:12 [error] 1234#0: *77 open() failed'
+            ', client: 10.0.0.5, server: example.com, request: "GET /x HTTP/1.1"')
+    r = one(spark, ("line string", (line,)), parse_nginx_error(F.col("line")))
+    assert r["severity"] == "error" and r["pid"] == "1234"
+    assert r["cid"] == "77" and r["client"] == "10.0.0.5"
+    assert r["server"] == "example.com" and r["request"] == "GET /x HTTP/1.1"
+
+
+def test_parse_apache_error_roundtrip(spark):
+    from vector_spark.functions import parse_apache_error
+    from vector_spark.sources import demo_logs
+
+    logs = demo_logs(spark, 40, fmt="apache_error", partitions=2)
+    p = parse_apache_error(F.col("line"))
+    parsed = logs.select(*[c.alias(n) for n, c in p.items()])
+    assert parsed.filter(F.col("severity") != "error").count() == 0
+    assert parsed.filter(F.col("client") == "").count() == 0
+
+
+def test_parse_cef(spark):
+    from vector_spark.functions import parse_cef
+
+    line = "CEF:0|Acme|Firewall|1.2|100|blocked a thing|5|src=10.0.0.1 dst=10.0.0.2 act=block"
+    r = one(spark, ("line string", (line,)), parse_cef(F.col("line")))
+    assert (r["vendor"], r["product"], r["severity"]) == ("Acme", "Firewall", "5")
+    assert r["extensions"] == {"src": "10.0.0.1", "dst": "10.0.0.2", "act": "block"}
+
+
+def test_ensure_parallelism(spark):
+    from vector_spark.session import ensure_parallelism
+
+    one_part = spark.range(100).coalesce(1)
+    out = ensure_parallelism(one_part)
+    assert out.rdd.getNumPartitions() >= 2
+    wide = spark.range(100, numPartitions=64)
+    assert ensure_parallelism(wide) is wide  # no-op when already parallel

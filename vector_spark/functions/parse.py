@@ -195,6 +195,45 @@ def parse_query_string(col: Column) -> Column:
     return F.str_to_map(col, F.lit("&"), F.lit("="))
 
 
+NGINX_ERROR = (
+    r"^(?P<timestamp>\d{4}/\d{2}/\d{2} \d{2}:\d{2}:\d{2}) "
+    r"\[(?P<severity>\w+)\] (?P<pid>\d+)#(?P<tid>\d+): "
+    r"(?:\*(?P<cid>\d+) )?(?P<message>.*?)"
+    r"(?:, client: (?P<client>[\d.]+))?(?:, server: (?P<server>\S+?))?"
+    r"(?:, request: \"(?P<request>[^\"]*)\")?$"
+)
+
+APACHE_ERROR = (
+    r"^\[(?P<timestamp>[^\]]+)\] \[(?P<severity>\w+)\] "
+    r"(?:\[client (?P<client>[\d.]+)\] )?(?P<message>.*)$"
+)
+
+
+def parse_nginx_error(col: Column) -> dict[str, Column]:
+    """VRL parse_nginx_log(format: error)."""
+    return _extract_all(col, NGINX_ERROR)
+
+
+def parse_apache_error(col: Column) -> dict[str, Column]:
+    """VRL parse_apache_log(format: error) — also the demo_logs
+    apache_error round-trip target."""
+    return _extract_all(col, APACHE_ERROR)
+
+
+CEF = (
+    r"^CEF:(?P<version>\d+)\|(?P<vendor>[^|]*)\|(?P<product>[^|]*)\|"
+    r"(?P<device_version>[^|]*)\|(?P<event_class>[^|]*)\|(?P<name>[^|]*)\|"
+    r"(?P<severity>[^|]*)\|(?P<extensions>.*)$"
+)
+
+
+def parse_cef(col: Column) -> dict[str, Column]:
+    """VRL parse_cef: header fields + extensions as map<string,string>."""
+    out = _extract_all(col, CEF)
+    out["extensions"] = F.str_to_map(out["extensions"], F.lit(" "), F.lit("="))
+    return out
+
+
 # public-suffix subset sufficient for the fixtures; swap for the full PSL
 # snapshot on a real deployment (same expression shape)
 _MULTI_LABEL_SUFFIXES = [

@@ -22,10 +22,15 @@ def parse_json_field(col: Column, path: str, cast: str | None = None) -> Column:
     return out.cast(cast) if cast else out
 
 
+_NAMED_GROUP = re.compile(r"\(\?P<[^>]+>")
+
+
 def java_regex(pattern: str) -> str:
-    """Python named-group syntax -> Java: `(?P<n>` becomes `(?<n>` (JVM-side
-    regexp_* functions use java.util.regex, which rejects the P form)."""
-    return pattern.replace("(?P<", "(?<")
+    """Python named-group syntax -> JVM-safe: named groups become plain
+    capturing groups (java.util.regex rejects `(?P<` outright and forbids
+    underscores in group names; we address groups by index anyway, and
+    indexes are unchanged by dropping the names)."""
+    return _NAMED_GROUP.sub("(", pattern)
 
 
 def parse_regex(col: Column, pattern: str) -> dict[str, Column]:
