@@ -144,3 +144,53 @@ def test_parquet_sink_partitioned(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 3
     assert sorted(r.route for r in back.select("route").distinct().collect()) == ["_unmatched", "errors"]
+
+
+def test_streaming_topology_end_to_end(spark, tmp_path):
+    """parquet_stream source -> remap/filter/route -> parquet + memory
+    sinks; must equal the batch topology on the same data, and rerunning
+    resumes (no duplicates in the parquet sink)."""
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "error", 10.0), (2, "signup", 200.0), (3, "click", 50.0)],
+        "event_id long, event_type string, value double",
+    ).write.parquet(src)
+
+    spec = {
+        "sources": {"events": {"type": "parquet_stream", "path": src}},
+        "transforms": {
+            "tagged": {"type": "remap", "inputs": ["events"],
+                        "set": {"big": "value > 100"}},
+            "routed": {"type": "exclusive_route", "inputs": ["tagged"],
+                        "routes": {"errors": "event_type = 'error'",
+                                   "big_vals": "big"}},
+        },
+        "sinks": {
+            "mem": {"type": "memory", "inputs": ["routed"]},
+            "pq": {"type": "parquet", "inputs": ["routed"],
+                    "path": str(tmp_path / "out"), "partition_by": ["route"],
+                    "checkpoint": str(tmp_path / "ck_pq")},
+        },
+    }
+    topo = compile_topology(spec)
+    out = topo.build(spark).run()
+    got = {r.event_id: r.route for r in out["mem"]}
+    assert got == {1: "errors", 2: "big_vals", 3: "_unmatched"}
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == 3
+
+    # rerun: streaming checkpoints make it a no-op (no duplicate rows)
+    topo.build(spark).run()
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 3
+
+
+def test_streaming_sink_requires_checkpoint(spark, tmp_path):
+    src = str(tmp_path / "s2")
+    spark.range(3).write.parquet(src)
+    spec = {
+        "sources": {"a": {"type": "parquet_stream", "path": src}},
+        "sinks": {"m": {"type": "parquet", "inputs": ["a"],
+                         "path": str(tmp_path / "o2")}},
+    }
+    with pytest.raises(TopologyError, match="checkpoint"):
+        compile_topology(spec).build(spark).run()

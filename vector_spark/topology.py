@@ -120,13 +120,48 @@ class BuiltTopology:
             out[name] = df
         return out
 
-    def run(self) -> dict[str, Any]:
+    def run(self, timeout_secs: int = 300) -> dict[str, Any]:
         """Execute every sink. parquet sinks write (partitioned if asked);
-        noop sinks just materialize; memory sinks collect (tests only)."""
+        noop sinks just materialize; memory sinks collect (tests only).
+
+        Streaming inputs (parquet_stream sources) run each sink as a
+        writeStream with availableNow (drain-and-stop) and a per-sink
+        checkpoint (cfg['checkpoint']) — restartable like any Structured
+        Streaming query. Stateless transforms (remap/filter/route/enrich/
+        log_to_metric/...) compose onto streams unchanged; stateful batch
+        operators (window-rank based) need their streaming twins
+        (vector_spark.streaming)."""
         results: dict[str, Any] = {}
         for name, df in self.sink_frames().items():
             cfg = self.spec["sinks"][name]
             kind = cfg.get("type", "noop")
+            if df.isStreaming:
+                ck = cfg.get("checkpoint")
+                if kind == "parquet":
+                    if not ck:
+                        raise TopologyError(f"streaming sink {name!r} needs a 'checkpoint' dir")
+                    w = df.writeStream.format("parquet").option("path", cfg["path"])
+                    if cfg.get("partition_by"):
+                        w = w.partitionBy(*cfg["partition_by"])
+                    results[name] = cfg["path"]
+                elif kind == "memory":
+                    # memory sink is test-only and cannot recover from a
+                    # checkpoint — always use a fresh ephemeral one
+                    import tempfile
+
+                    ck = tempfile.mkdtemp(prefix="vs_memsink_ck_")
+                    w = df.writeStream.format("memory").queryName(name)
+                else:
+                    raise TopologyError(f"streaming sink type {kind!r} unsupported")
+                q = (
+                    w.option("checkpointLocation", ck)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(timeout_secs)
+                if kind == "memory":
+                    results[name] = df.sparkSession.sql(f"select * from {name}").collect()
+                continue
             if kind == "parquet":
                 w = df.write.mode(cfg.get("mode", "overwrite"))
                 if cfg.get("partition_by"):
@@ -209,6 +244,15 @@ def _build_source(spark: SparkSession, cfg: dict, tables: dict[str, DataFrame]) 
     kind = cfg.get("type", "parquet")
     if kind == "parquet":
         return spark.read.parquet(cfg["path"])
+    if kind == "parquet_stream":
+        # continuous-mode source: the file-source checkpoint (managed by the
+        # sink's checkpointLocation) makes the topology resumable, the
+        # reference's source-checkpointing role (SURVEY §2.4 file source)
+        schema = cfg.get("schema") or spark.read.parquet(cfg["path"]).schema
+        reader = spark.readStream.schema(schema)
+        if cfg.get("glob"):
+            reader = reader.option("pathGlobFilter", cfg["glob"])
+        return reader.parquet(cfg["path"])
     if kind == "table":
         if cfg["name"] not in tables:
             raise TopologyError(f"table source {cfg['name']!r} not provided")
