@@ -32,7 +32,7 @@ PAGES_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1000000"))
 # the scaling run needs enough work that per-job fixed costs (broadcast
 # build, stage scheduling, codegen) are amortized — the single-executor
 # level should run >=20s
-SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "8000000"))
+SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "16000000"))
 # cores per simulated executor in the N vs 4N executor-model run
 EXEC_CORES = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "2"))
 
