@@ -713,6 +713,18 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+def q_datadog_search(spark, sf_dir):
+    """Condition::DatadogSearch subset: the translated query must match a
+    hand-written SQL WHERE (src/conditions/mod.rs:23-37)."""
+    from vector_spark.functions import datadog_search
+
+    e = _t(spark, sf_dir, "events")
+    cond = datadog_search(
+        "event_type:(error OR signup) AND value:>50 -user_id:7", default_field="props"
+    )
+    return e.filter(cond).select("event_id", "event_type", "value", "user_id")
+
+
 def q_codec_csv(spark, sf_dir):
     """Csv deserializer round-trip: encode columns as a csv line, decode
     with from_csv; oracle reconstructs the expected struct fields directly."""
@@ -809,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
         "codec_csv": q_codec_csv,
+        "datadog_search": q_datadog_search,
         "codec_json": q_codec_json,
     }
 
@@ -1483,6 +1496,11 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
   FROM scored
 ) WHERE rank <= 5
+"""
+
+    sql["datadog_search"] = """
+SELECT event_id, event_type, value, user_id FROM events
+WHERE event_type IN ('error', 'signup') AND value > 50 AND NOT user_id = 7
 """
 
     sql["codec_csv"] = """
