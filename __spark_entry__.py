@@ -59,6 +59,11 @@ from vector_spark.plans import pages_pipeline
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver may run these on its own session: pin the tz-sensitive
+    # confs (unix_timestamp over NTZ values, decode of raw bytes) so
+    # results match the tz-agnostic DuckDB oracles regardless of host tz
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.codingErrorAction", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
