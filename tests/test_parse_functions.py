@@ -251,3 +251,27 @@ def test_ensure_parallelism(spark):
     assert out.rdd.getNumPartitions() >= 2
     wide = spark.range(100, numPartitions=64)
     assert ensure_parallelism(wide) is wide  # no-op when already parallel
+
+
+def test_compression_roundtrip(spark):
+    import gzip, zlib
+
+    from vector_spark.functions import (
+        decode_gzip, decode_zlib, encode_gzip, encode_zlib,
+    )
+
+    df = spark.createDataFrame([(1, b"payload " * 50), (2, None)], "id long, raw binary")
+    r = df.select(
+        "id",
+        decode_zlib(encode_zlib("raw")).alias("z_rt"),
+        decode_gzip(encode_gzip("raw")).alias("g_rt"),
+        encode_zlib("raw").alias("z"),
+        encode_gzip("raw").alias("g"),
+    ).orderBy("id").collect()
+    assert bytes(r[0]["z_rt"]) == b"payload " * 50
+    assert bytes(r[0]["g_rt"]) == b"payload " * 50
+    assert len(bytes(r[0]["z"])) < 400  # actually compressed
+    # interoperable with stdlib (not a private format)
+    assert zlib.decompress(bytes(r[0]["z"])) == b"payload " * 50
+    assert gzip.decompress(bytes(r[0]["g"])) == b"payload " * 50
+    assert r[1]["z_rt"] is None and r[1]["g_rt"] is None
