@@ -275,3 +275,24 @@ def test_compression_roundtrip(spark):
     assert zlib.decompress(bytes(r[0]["z"])) == b"payload " * 50
     assert gzip.decompress(bytes(r[0]["g"])) == b"payload " * 50
     assert r[1]["z_rt"] is None and r[1]["g_rt"] is None
+
+
+def test_parse_gelf(spark):
+    from vector_spark.functions import parse_gelf
+
+    doc = '{"version":"1.1","host":"web-01","short_message":"boom","timestamp":1700000000.5,"level":3}'
+    r = one(spark, ("line string", (doc,)), {"g": parse_gelf(F.col("line"))})["g"]
+    assert r["host"] == "web-01" and r["short_message"] == "boom"
+    assert r["level"] == 3 and r["timestamp"] == 1700000000.5
+
+
+def test_encode_cef_roundtrips_through_parse(spark):
+    from vector_spark.functions import encode_cef, parse_cef
+
+    df = spark.createDataFrame([("blocked", 7, "10.0.0.9")], "evt string, sev int, src string")
+    line = encode_cef("Acme", "FW", "1.0", F.col("evt"), F.lit("thing"), F.col("sev"),
+                      extensions={"src": F.col("src"), "act": F.lit("deny")})
+    p = parse_cef(line)
+    r = df.select(line.alias("raw"), *[c.alias(n) for n, c in p.items()]).collect()[0]
+    assert r["raw"].startswith("CEF:0|Acme|FW|1.0|blocked|thing|7|")
+    assert r["extensions"] == {"src": "10.0.0.9", "act": "deny"}

@@ -268,3 +268,41 @@ def parse_user_agent(col: Column) -> dict[str, Column]:
         .otherwise(F.lit("desktop"))
     )
     return {"browser_family": fam, "browser_major": major, "device": device}
+
+
+GELF_SCHEMA = (
+    "version string, host string, short_message string, full_message string, "
+    "timestamp double, level int, facility string"
+)
+
+
+def parse_gelf(col: Column) -> Column:
+    """Gelf deserializer (lib/codecs decoding::Gelf): GELF is JSON with
+    well-known fields -> typed struct (additional _fields stay accessible
+    via get_json_object on the raw column)."""
+    return F.from_json(col, GELF_SCHEMA)
+
+
+def encode_cef(
+    vendor: str,
+    product: str,
+    version: str,
+    event_class: Column | str,
+    name: Column | str,
+    severity: Column | str,
+    extensions: dict[str, Column] | None = None,
+) -> Column:
+    """CEF serializer (lib/codecs encoding Cef): header pipes + sorted
+    key=value extensions."""
+    def as_col(x):
+        return F.lit(x) if isinstance(x, str) else x.cast("string")
+
+    ext_parts = []
+    for k in sorted(extensions or {}):
+        ext_parts.append(F.concat(F.lit(f"{k}="), extensions[k].cast("string")))
+    ext = F.concat_ws(" ", *ext_parts) if ext_parts else F.lit("")
+    return F.concat_ws(
+        "|",
+        F.lit("CEF:0"), F.lit(vendor), F.lit(product), F.lit(version),
+        as_col(event_class), as_col(name), as_col(severity), ext,
+    )
