@@ -296,3 +296,21 @@ def test_encode_cef_roundtrips_through_parse(spark):
     r = df.select(line.alias("raw"), *[c.alias(n) for n, c in p.items()]).collect()[0]
     assert r["raw"].startswith("CEF:0|Acme|FW|1.0|blocked|thing|7|")
     assert r["extensions"] == {"src": "10.0.0.9", "act": "deny"}
+
+
+def test_parse_glog(spark):
+    from vector_spark.functions import parse_glog
+
+    line = "W0315 10:11:12.345678  1234 server.cc:42] cache miss on shard 7"
+    r = one(spark, ("line string", (line,)), parse_glog(F.col("line")))
+    assert r["level"] == "warning"
+    assert (r["month"], r["day"]) == ("03", "15")
+    assert r["file"] == "server.cc" and r["line"] == 42
+    assert r["message"] == "cache miss on shard 7"
+
+
+def test_chunks(spark):
+    from vector_spark.functions import chunks
+
+    r = one(spark, ("s string", ("abcdefgh",)), {"c": chunks(F.col("s"), 3)})
+    assert r["c"] == ["abc", "def", "gh"]

@@ -306,3 +306,30 @@ def encode_cef(
         F.lit("CEF:0"), F.lit(vendor), F.lit(product), F.lit(version),
         as_col(event_class), as_col(name), as_col(severity), ext,
     )
+
+
+GLOG = (
+    r"^(?P<level>[IWEF])(?P<month>\d{2})(?P<day>\d{2}) "
+    r"(?P<time>\d{2}:\d{2}:\d{2}\.\d+)\s+(?P<tid>\d+) "
+    r"(?P<file>[^:]+):(?P<line>\d+)\] (?P<message>.*)$"
+)
+
+KLOG_LEVELS = {"I": "info", "W": "warning", "E": "error", "F": "fatal"}
+
+
+def parse_glog(col: Column) -> dict[str, Column]:
+    """VRL parse_glog / parse_klog: google/kubernetes log lines
+    ('I0315 10:11:12.345678 1234 file.cc:123] msg') with the single-letter
+    level expanded to its name."""
+    out = _extract_all(col, GLOG)
+    lvl = out["level"]
+    expanded = None
+    for k, v in KLOG_LEVELS.items():
+        expanded = (
+            F.when(lvl == k, F.lit(v)) if expanded is None
+            else expanded.when(lvl == k, F.lit(v))
+        )
+    out["level"] = expanded
+    out["line"] = out["line"].cast("int")
+    out["tid"] = out["tid"].cast("int")
+    return out

@@ -167,3 +167,8 @@ def community_id_v1(
     b = F.concat_ws(":", dst_ip, dst_port.cast("string"))
     lo, hi = F.least(a, b), F.greatest(a, b)
     return F.base64(F.sha1(F.concat_ws("|", F.lit(str(proto)), lo, hi).cast("binary")).cast("binary"))
+
+
+def chunks(col: Column, chunk_size: int) -> Column:
+    """VRL chunks: split a string into an array of <=chunk_size pieces."""
+    return F.regexp_extract_all(col, F.lit(f"(.{{1,{chunk_size}}})"), 1)
