@@ -151,3 +151,66 @@ def test_stream_route_to_sinks_and_resume(spark, tmp_path):
     run_drain()
     total_expect = routed_union(spark.read.parquet(src_dir), conds).count()
     assert spark.read.parquet(sink_dir).count() == total_expect
+
+
+def test_stream_hash_replace_state_across_batches(spark, tmp_path):
+    """Seen-state persists across micro-batches: a value first seen in
+    batch 1 is replaced by its hash when it reappears in batch 2."""
+    from vector_spark.streaming import stream_hash_replace
+
+    src, out_dir = str(tmp_path / "hr_src"), str(tmp_path / "hr_out")
+    spark.createDataFrame(
+        [("k", ts(0, 0), "payload-a"), ("k", ts(0, 1), "payload-b")],
+        "key string, ts timestamp, body string",
+    ).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        # parquet sink: recoverable, so the operator state survives restarts
+        q = (
+            stream_hash_replace(
+                spark.readStream.schema(schema).parquet(src), "body", ["key"]
+            )
+            .writeStream.format("parquet").option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "hr_ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir)
+
+    out1 = drain()
+    assert out1.filter("body is not null").count() == 2
+
+    # batch 2: repeat of payload-a -> hash only (state recovered)
+    spark.createDataFrame(
+        [("k", ts(0, 5), "payload-a"), ("k", ts(0, 6), "payload-c")],
+        "key string, ts timestamp, body string",
+    ).write.mode("append").parquet(src)
+    got = {(r.ts, r.body) for r in drain().collect()}
+    assert (ts(0, 5), None) in got       # repeat: raw removed
+    assert (ts(0, 6), "payload-c") in got  # new value kept
+
+
+def test_stream_tag_cardinality_limit_state(spark, tmp_path):
+    from vector_spark.streaming import stream_tag_cardinality_limit
+
+    src = str(tmp_path / "tc_src")
+    spark.createDataFrame(
+        [("k", ts(0, 0), "a"), ("k", ts(0, 1), "b"), ("k", ts(0, 2), "c"),
+         ("k", ts(0, 3), "a")],
+        "key string, ts timestamp, tag string",
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    q = (
+        stream_tag_cardinality_limit(
+            spark.readStream.schema(schema).parquet(src), "tag", 2, ["key"]
+        )
+        .writeStream.format("memory").queryName("tcl").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "tc_ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r.ts, r.tag) for r in spark.sql("select * from tcl").collect()}
+    assert (ts(0, 0), "a") in got and (ts(0, 1), "b") in got
+    assert (ts(0, 2), None) in got   # third distinct value -> tag dropped
+    assert (ts(0, 3), "a") in got    # allowed value stays allowed

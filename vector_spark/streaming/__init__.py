@@ -1,5 +1,7 @@
 from .ops import (
     stream_route_to_sinks,
+    stream_hash_replace,
+    stream_tag_cardinality_limit,
     stream_aggregate,
     stream_dedupe,
     stream_pages_pipeline,
@@ -12,6 +14,8 @@ __all__ = [
     "stream_dedupe",
     "stream_pages_pipeline",
     "stream_route_to_sinks",
+    "stream_hash_replace",
+    "stream_tag_cardinality_limit",
     "stream_reduce_sessions",
     "stream_throttle",
 ]

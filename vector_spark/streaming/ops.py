@@ -142,6 +142,83 @@ def stream_throttle(
     )
 
 
+def stream_hash_replace(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming hash_replace (transforms/hash_replace/mod.rs:161-236):
+    first occurrence of a value per key keeps the raw payload, repeats keep
+    only the md5. State = the set of seen value-hashes per key (the Cuckoo-
+    filter role), carried across micro-batches via applyInPandasWithState."""
+    import hashlib
+
+    import pandas as pd
+
+    key_schema = ", ".join(f"{k} string" for k in key_cols)
+    out_schema = f"{key_schema}, {ts_col} timestamp, {value_col} string, {value_col}_hash string"
+    state_schema = "seen array<string>"
+
+    def fn(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, val in zip(pdf[ts_col], pdf[value_col]):
+                h = hashlib.md5(str(val).encode()).hexdigest()
+                rows.append((*key, ts, None if h in seen else val, h))
+                seen.add(h)
+        state.update((list(seen),))
+        yield pd.DataFrame(rows, columns=[*key_cols, ts_col, value_col, f"{value_col}_hash"])
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def stream_tag_cardinality_limit(
+    df: DataFrame,
+    tag_col: str,
+    value_limit: int,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    action: str = "drop_tag",
+) -> DataFrame:
+    """Streaming tag_cardinality_limit (tag_cardinality_limit/config.rs:
+    18-100): per group, accept only the first `value_limit` distinct tag
+    values ever seen (across micro-batches); on exceed either null the tag
+    (drop_tag) or drop the event (drop_event)."""
+    import pandas as pd
+
+    key_schema = ", ".join(f"{k} string" for k in key_cols)
+    out_schema = f"{key_schema}, {ts_col} timestamp, {tag_col} string"
+    state_schema = "allowed array<string>"
+
+    def fn(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        allowed = list(state.get[0]) if state.exists else []
+        allow_set = set(allowed)
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, tag in zip(pdf[ts_col], pdf[tag_col]):
+                if tag in allow_set:
+                    rows.append((*key, ts, tag))
+                elif len(allowed) < value_limit:
+                    allowed.append(tag)
+                    allow_set.add(tag)
+                    rows.append((*key, ts, tag))
+                elif action == "drop_tag":
+                    rows.append((*key, ts, None))
+                # drop_event: emit nothing
+        state.update((allowed,))
+        yield pd.DataFrame(rows, columns=[*key_cols, ts_col, tag_col])
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_route_to_sinks(
     df: DataFrame,
     conditions: dict,
