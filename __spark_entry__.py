@@ -730,6 +730,28 @@ def q_datadog_search(spark, sf_dir):
     return e.filter(cond).select("event_id", "event_type", "value", "user_id")
 
 
+def q_reduce_ends_when(spark, sf_dir):
+    """reduce with an ends_when condition: a purchase event closes its
+    session (transaction-assembly semantics, reduce/transform.rs:241-262);
+    the gap rule is disabled (huge gap) so only the marker splits."""
+    e = _t(spark, sf_dir, "events")
+    out = reduce_sessions(
+        e,
+        ["user_id"],
+        {"n_events": ("count", "event_id"), "last_type": ("retain", "event_type")},
+        ts_col="ts",
+        gap_secs=10 * 365 * 86400,
+        order_col=["ts", "event_id"],
+        ends_when=F.col("event_type") == "purchase",
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("session_start_us"),
+        "n_events",
+        "last_type",
+    )
+
+
 def q_codec_csv(spark, sf_dir):
     """Csv deserializer round-trip: encode columns as a csv line, decode
     with from_csv; oracle reconstructs the expected struct fields directly."""
@@ -826,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
         "codec_csv": q_codec_csv,
+        "reduce_ends_when": q_reduce_ends_when,
         "datadog_search": q_datadog_search,
         "codec_json": q_codec_json,
     }
@@ -1506,6 +1529,29 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
     sql["datadog_search"] = """
 SELECT event_id, event_type, value, user_id FROM events
 WHERE event_type IN ('error', 'signup') AND value > 50 AND NOT user_id = 7
+"""
+
+    sql["reduce_ends_when"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_type, event_id FROM events
+),
+m AS (
+  SELECT *,
+         CASE WHEN lag(tus) OVER w IS NULL
+                OR lag(event_type) OVER w = 'purchase'
+              THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS sess,
+         row_number() OVER (PARTITION BY user_id ORDER BY tus, event_id) AS pos
+  FROM m
+)
+SELECT user_id,
+       min(tus) AS session_start_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max_by(event_type, pos) AS last_type
+FROM s GROUP BY user_id, sess
 """
 
     sql["codec_csv"] = """

@@ -63,12 +63,9 @@ def aggregate_metrics(
     elif mode == "auto":
         if kind_col is None:
             raise ValueError("auto mode needs kind_col (incremental|absolute)")
-        # sum deltas for incremental series, last-write-wins for absolute
-        agg = F.when(
-            F.first(F.col(kind_col) == "incremental", ignorenulls=True), F.sum(v)
-        ).otherwise(F.max_by(v, o))
-        # kind is constant per series in the reference model; aggregate both
-        # branches then pick — expressed as a single agg pass:
+        # sum deltas for incremental series, last-write-wins for absolute;
+        # kind is constant per series in the reference model, so aggregate
+        # both branches in one pass and pick by the series' kind:
         return g.agg(
             F.sum(v).alias("_sum"),
             F.max_by(v, o).alias("_latest"),
