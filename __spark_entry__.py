@@ -273,6 +273,28 @@ def q_enrich_between(spark, sf_dir):
     return out.select("l_orderkey", "l_linenumber", "o_orderpriority")
 
 
+def q_enrich_geoip(spark, sf_dir):
+    """GeoIP-style IP-range enrichment (src/enrichment_tables/geoip.rs
+    analogue): derive a deterministic IPv4 per event, range-join against the
+    broadcast geoip dim via the block-exploded broadcast HASH join
+    (operators.enrich.enrich_ip_range) — never a nested-loop join."""
+    from vector_spark.operators import enrich_ip_range
+    from vector_spark.sources import geoip_dim
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ip",
+        F.format_string(
+            "10.%d.%d.%d",
+            (F.col("user_id") % 128).cast("int"),
+            (F.col("event_id") % 256).cast("int"),
+            ((F.col("event_id") * 7) % 256).cast("int"),
+        ),
+    )
+    dim = geoip_dim(spark).select("ip_start", "ip_end", "country", "region")
+    out = enrich_ip_range(e, dim, "ip", prefix_bits=16)
+    return out.select("event_id", "ip", "country", "region")
+
+
 def q_pipeline_events_e2e(spark, sf_dir):
     """Flagship: parse -> enrich -> route -> aggregate on the events table
     (the testdata analogue of the pages topology)."""
@@ -815,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_replace": q_hash_replace,
         "enrich_customer": q_enrich_customer,
         "enrich_between": q_enrich_between,
+        "enrich_geoip": q_enrich_geoip,
         "pipeline_events_e2e": q_pipeline_events_e2e,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -1186,6 +1209,28 @@ FROM lineitem l
 LEFT JOIN orders o
   ON l.l_orderkey = o.o_orderkey
  AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 90 DAY
+"""
+
+    from vector_spark.sources import geoip_ranges
+
+    geoip_values = ",\n  ".join(
+        f"({lo}, {hi}, '{c}', '{r}')" for _, _, lo, hi, c, r in geoip_ranges()
+    )
+    sql["enrich_geoip"] = f"""
+WITH t AS (
+  SELECT event_id,
+         user_id % 128 AS o2, event_id % 256 AS o3, (event_id * 7) % 256 AS o4
+  FROM events
+),
+g(net_start, net_end, country, region) AS (VALUES
+  {geoip_values}
+)
+SELECT t.event_id,
+       printf('10.%d.%d.%d', o2, o3, o4) AS ip,
+       g.country, g.region
+FROM t
+LEFT JOIN g
+  ON 10 * 16777216 + o2 * 65536 + o3 * 256 + o4 BETWEEN g.net_start AND g.net_end
 """
 
     sql["pipeline_events_e2e"] = f"""

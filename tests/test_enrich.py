@@ -64,3 +64,79 @@ def test_enrich_constant(spark):
     out = enrich_constant(df, {"region": "us-east-1", "az_num": 2,
                                 "derived": F.col("id") + 1}).collect()[0]
     assert (out["region"], out["az_num"], out["derived"]) == ("us-east-1", 2, 2)
+
+
+def test_enrich_ip_range_lookup(spark):
+    """GeoIP-style range join: in-range IPs get the range's attributes,
+    out-of-range IPs null out; boundary IPs are inclusive both ends."""
+    from vector_spark.operators import enrich_ip_range
+    from vector_spark.sources import geoip_dim
+
+    df = spark.createDataFrame(
+        [
+            (1, "10.0.0.0"),        # first range, lower bound
+            (2, "10.11.255.255"),   # first range, upper bound
+            (3, "10.12.0.1"),       # second range
+            (4, "10.119.255.255"),  # last covered address
+            (5, "10.120.0.0"),      # uncovered -> nulls
+            (6, "11.0.0.1"),        # outside 10/8 entirely
+        ],
+        "id long, ip string",
+    )
+    dim = geoip_dim(spark).select("ip_start", "ip_end", "country", "region")
+    out = enrich_ip_range(df, dim, "ip")
+    got = rows(out, "id", "country", "region")
+    assert got == [
+        (1, "C00", "R0"), (2, "C00", "R0"), (3, "C01", "R1"),
+        (4, "C09", "R4"), (5, None, None), (6, None, None),
+    ]
+
+
+def test_enrich_ip_range_numeric_and_plan(spark):
+    """numeric=True path; the physical plan must be a broadcast HASH join
+    (block equi-key), never BroadcastNestedLoopJoin — the 100 TB guarantee."""
+    from vector_spark.operators import enrich_ip_range
+    from vector_spark.sources import geoip_dim
+
+    df = spark.createDataFrame(
+        [(1, (10 << 24) + (5 << 16) + 7)], "id long, ip long"
+    )
+    dim = geoip_dim(spark).select(
+        "net_start", "net_end", "country", "region"
+    )
+    out = enrich_ip_range(
+        df, dim, "ip", start_col="net_start", end_col="net_end", numeric=True
+    )
+    assert rows(out, "id", "country") == [(1, "C00")]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_enrich_ip_range_in_topology(spark):
+    from vector_spark.sources import geoip_dim
+    from vector_spark.topology import compile_topology
+
+    spec = {
+        "sources": {
+            "ev": {
+                "type": "inline",
+                "rows": [(1, "10.3.2.1"), (2, "10.125.0.1")],
+                "schema": "id long, client_ip string",
+            }
+        },
+        "transforms": {
+            "geo": {
+                "type": "enrich",
+                "inputs": ["ev"],
+                "table": "geoip",
+                "ip_range": {"ip": "client_ip"},
+            }
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["geo"]}},
+    }
+    dim = geoip_dim(spark).select("ip_start", "ip_end", "country", "region")
+    res = compile_topology(spec).build(spark, tables={"geoip": dim}).run()
+    got = {r.id: r.country for r in res["out"]}
+    assert got == {1: "C00", 2: None}

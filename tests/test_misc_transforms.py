@@ -132,6 +132,12 @@ def test_remap_with_errors_dropped_port(spark):
         reroute_dropped=False,
     )
     assert list(only_ok) == ["ok"]
+    # empty `required` -> no row can error; single ok port, no crash
+    none_required = remap_with_errors(
+        df, {"k": "CAST(get_json_object(props, '$.k') AS INT)"}, required=[]
+    )
+    assert list(none_required) == ["ok"]
+    assert none_required["ok"].count() == 3
 
 
 def test_throttle_excluded_rows_consume_no_tokens(spark):

@@ -100,6 +100,58 @@ def test_checkpoint_redo_is_idempotent(spark, tmp_path):
     assert out.select("url").distinct().count() == 300
 
 
+def test_checkpoint_commit_never_rescans_committed_buckets(spark, tmp_path):
+    """The commit job must read ONLY this pass's bucket partitions. Proof:
+    corrupt every data file of the first pass's committed buckets — a full
+    sink rescan (the old O(all-data-ever-written) behavior) would crash on
+    the corrupt parquet; the resume pass must succeed untouched."""
+    pages = generate_pages(spark, 400, partitions=4)
+    ck = CheckpointedRun(spark, str(tmp_path / "ckpt"), "run1", n_buckets=8)
+    sink = str(tmp_path / "sink")
+
+    partial = ck.pending(pages).filter(F.col(BUCKET_COL) < 4)
+    ck.write_and_commit(_transform(partial), sink)
+    assert ck.committed() == {0, 1, 2, 3}
+
+    import pathlib
+
+    for f in pathlib.Path(sink).glob(f"{BUCKET_COL}=[0-3]/*.parquet"):
+        f.write_bytes(b"not parquet at all")
+
+    n = ck.run(pages, _transform, sink)  # must not touch buckets 0-3
+    assert n == 4
+    assert ck.committed() == set(range(8))
+
+
+def test_checkpoint_zero_row_bucket_commits(spark, tmp_path):
+    """A pending bucket whose transform emits zero rows commits explicitly
+    with events_sent=0 (instead of being re-processed forever), and stale
+    files for such a bucket from a crashed earlier pass are cleared."""
+    pages = generate_pages(spark, 300, partitions=4)
+    ck = CheckpointedRun(spark, str(tmp_path / "ckpt"), "run1", n_buckets=4)
+    sink = str(tmp_path / "sink")
+
+    # crashed earlier pass left stale rows in (uncommitted) bucket 2
+    stale = _transform(ck.bucket(pages).filter(F.col(BUCKET_COL) == 2))
+    stale.write.mode("append").partitionBy(BUCKET_COL).parquet(sink)
+    assert spark.read.parquet(sink).count() > 0
+
+    def drop_bucket2(df):  # this pass's transform emits nothing for bucket 2
+        return _transform(df).filter(F.col(BUCKET_COL) != 2)
+
+    n = ck.run(pages, drop_bucket2, sink)
+    assert n == 4  # all four buckets committed, incl. the empty one
+    assert ck.committed() == {0, 1, 2, 3}
+    out = spark.read.parquet(sink)
+    assert out.filter(F.col(BUCKET_COL) == 2).count() == 0  # stale cleared
+    assert ck.pending(pages).count() == 0  # nothing re-processed on resume
+    per_bucket = {
+        r["bucket"]: r["events_sent"]
+        for r in spark.read.parquet(f"{tmp_path}/ckpt/run=run1").collect()
+    }
+    assert per_bucket[2] == 0
+
+
 def test_checkpoint_runs_isolated_by_run_id(spark, tmp_path):
     pages = generate_pages(spark, 100, partitions=2)
     ck1 = CheckpointedRun(spark, str(tmp_path / "ckpt"), "run1", n_buckets=4)

@@ -152,6 +152,19 @@ def test_stream_route_to_sinks_and_resume(spark, tmp_path):
     total_expect = routed_union(spark.read.parquet(src_dir), conds).count()
     assert spark.read.parquet(sink_dir).count() == total_expect
 
+    # crash between batch write and checkpoint commit: drop the newest
+    # commit marker so the restart REPLAYS the last batch — the batch_id-
+    # keyed dynamic overwrite must make the redo idempotent (no dupes)
+    import pathlib
+
+    commits = sorted(pathlib.Path(ck, "commits").glob("[0-9]*"), key=lambda p: int(p.name))
+    crc = commits[-1].with_name(f".{commits[-1].name}.crc")
+    commits[-1].unlink()
+    if crc.exists():  # local-fs checksum sidecar would block the re-commit rename
+        crc.unlink()
+    run_drain()
+    assert spark.read.parquet(sink_dir).count() == total_expect
+
 
 def test_stream_hash_replace_state_across_batches(spark, tmp_path):
     """Seen-state persists across micro-batches: a value first seen in

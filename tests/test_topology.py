@@ -52,6 +52,39 @@ def test_end_to_end_topology(spark, tmp_path):
     assert out["err_sink"][0]["vbucket"] == 0
 
 
+def test_bare_multi_port_reference_rejected(spark):
+    """Referencing a multi-port transform (route) by bare name is a config
+    error — route exposes only named outputs (src/transforms/route.rs), so
+    a silent single-port binding would drop every other port's rows."""
+    spec = {
+        "sources": {"events": EVENTS_SRC},
+        "transforms": {
+            "routed": {
+                "type": "route",
+                "inputs": ["events"],
+                "routes": {"errors": "event_type = 'error'"},
+            },
+            "after": {"type": "filter", "inputs": ["routed"], "condition": "1=1"},
+        },
+    }
+    with pytest.raises(TopologyError, match="multi-port"):
+        compile_topology(spec).build(spark)
+    # sinks hitting the bare name fail the same way
+    spec2 = {
+        "sources": {"events": EVENTS_SRC},
+        "transforms": {
+            "routed": {
+                "type": "route",
+                "inputs": ["events"],
+                "routes": {"errors": "event_type = 'error'"},
+            },
+        },
+        "sinks": {"s": {"type": "memory", "inputs": ["routed"]}},
+    }
+    with pytest.raises(TopologyError, match="multi-port"):
+        compile_topology(spec2).build(spark).run()
+
+
 def test_unknown_input_rejected():
     spec = {
         "sources": {"a": EVENTS_SRC},

@@ -2,7 +2,7 @@ from .filter import filter_events
 from .route import route, exclusive_route, UNMATCHED
 from .dedupe import dedupe
 from .sample import sample, sample_group_modulo
-from .enrich import enrich_equi, enrich_between, enrich_constant, find_table_row
+from .enrich import enrich_equi, enrich_between, enrich_constant, enrich_ip_range, find_table_row
 from .aggregate import (
     aggregate_metrics,
     aggregate_diff,
@@ -22,7 +22,7 @@ from .remap import remap_with_errors
 
 __all__ = [
     "filter_events", "route", "exclusive_route", "UNMATCHED", "dedupe",
-    "sample", "sample_group_modulo", "enrich_equi", "enrich_between", "enrich_constant",
+    "sample", "sample_group_modulo", "enrich_equi", "enrich_between", "enrich_constant", "enrich_ip_range",
     "find_table_row", "aggregate_metrics", "aggregate_diff",
     "aggregate_histogram", "aggregate_set", "aggregate_summary",
     "tumbling_window", "reduce_sessions", "MERGE_STRATEGIES", "throttle",

@@ -18,6 +18,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from ..functions.strings import ip_aton
+
 
 def enrich_equi(
     df: DataFrame,
@@ -85,6 +87,57 @@ def find_table_row(
         w = Window.partitionBy(*dim_keys).orderBy(*w_cols)
         one = dim.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
     return enrich_equi(df, one, keys)
+
+
+def enrich_ip_range(
+    df: DataFrame,
+    dim: DataFrame,
+    ip_col: str,
+    start_col: str = "ip_start",
+    end_col: str = "ip_end",
+    prefix_bits: int = 16,
+    numeric: bool = False,
+    select: list[str] | None = None,
+) -> DataFrame:
+    """GeoIP-style IP-range lookup — the broadcast analogue of the
+    reference's geoip/mmdb enrichment tables
+    (src/enrichment_tables/geoip.rs:1-509, mmdb.rs:1-274: a maxminddb
+    longest-prefix lookup per event). The dim carries [start, end] IPv4
+    ranges (dotted strings, or uint32 longs with numeric=True) plus the
+    attribute columns (country/region/...); every fact row gets the
+    attributes of the range containing its IP (left join — no match ⇒
+    nulls). Ranges are assumed disjoint (as geoip tables are); overlapping
+    ranges emit one row per match (find_table_rows semantics).
+
+    Scale: the naive formulation — broadcast dim + BETWEEN predicate — is a
+    BroadcastNestedLoopJoin: O(ranges) comparisons per fact row. Instead we
+    explode the (small) dim into the /prefix_bits blocks each range covers
+    and equi-join on the fact IP's block: a broadcast HASH join with the
+    BETWEEN as a residual, so the probe is O(1) per row and the whole lookup
+    runs map-side inside the scan stage at 100 TB. Dim blow-up is
+    ranges x blocks-per-range — pick prefix_bits so typical ranges span few
+    blocks (/16 suits registry-style allocations).
+    """
+    shift = 32 - prefix_bits
+    d = dim.alias("d")
+    s_int = F.col(f"d.{start_col}").cast("long") if numeric else ip_aton(F.col(f"d.{start_col}"))
+    e_int = F.col(f"d.{end_col}").cast("long") if numeric else ip_aton(F.col(f"d.{end_col}"))
+    keep = select or [c for c in dim.columns if c not in (start_col, end_col)]
+    exploded = d.select(
+        s_int.alias("_s"),
+        e_int.alias("_e"),
+        *[F.col(f"d.{c}") for c in keep],
+    ).withColumn(
+        "_blk", F.explode(F.sequence(F.shiftright("_s", shift), F.shiftright("_e", shift)))
+    )
+    f = df.alias("f")
+    ip_int = (
+        F.col(f"f.{ip_col}").cast("long") if numeric else ip_aton(F.col(f"f.{ip_col}"))
+    )
+    cond = (F.shiftright(ip_int, shift) == F.col("_blk")) & ip_int.between(
+        F.col("_s"), F.col("_e")
+    )
+    return f.join(broadcast(exploded), cond, "left").drop("_s", "_e", "_blk")
 
 
 def enrich_constant(df: DataFrame, fields: dict[str, object]) -> DataFrame:

@@ -36,7 +36,11 @@ def remap_with_errors(
     out = df
     for name, expr in exprs.items():
         out = out.withColumn(name, F.expr(expr) if isinstance(expr, str) else expr)
-    required = required or list(exprs)
+    required = required if required is not None else list(exprs)
+    if not required:
+        # no required outputs -> no row can error; the dropped port is
+        # structurally empty, so just return the remapped frame as `ok`
+        return {"ok": out}
     err_field = None
     for name in required:
         reason = F.when(

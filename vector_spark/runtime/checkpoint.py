@@ -10,9 +10,10 @@ Spark-first protocol (SURVEY.md §7.3):
   * The unit of work is a deterministic url-hash BUCKET
     (pmod(xxhash64(url), n_buckets)) — stable across restarts and
     cluster sizes, unlike physical partition ids.
-  * Output is written with dynamic partition overwrite into
-    sink_dir/_bucket=<b>/ — re-processing a bucket atomically replaces its
-    files, so a crash between write and commit is safe (idempotent redo).
+  * Output lands in sink_dir/_bucket=<b>/ — each pass clears its pending
+    buckets' dirs (uncommitted ⇒ anything there is garbage from a crashed
+    pass) and rewrites them, so a crash between write and commit is safe
+    (idempotent redo), including buckets whose transform emits zero rows.
   * After the write action succeeds, one commit row per bucket — with
     event/byte counters (the "ack") — is appended to the checkpoint table
     checkpoint_dir/run=<run_id>/. A bucket present there is never
@@ -78,49 +79,96 @@ class CheckpointedRun:
             return out
         return out.filter(~F.col(BUCKET_COL).isin(*done))
 
+    def _hadoop_fs(self, path: str):
+        jvm = self.spark.sparkContext._jvm
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        return hpath.getFileSystem(conf), jvm.org.apache.hadoop.fs.Path
+
     def write_and_commit(
         self,
         out: DataFrame,
         sink_dir: str,
         bytes_col: str | None = None,
+        buckets: set[int] | None = None,
     ) -> int:
-        """Write `out` (must carry _bucket) partitioned by bucket with
-        dynamic overwrite, then commit per-bucket counter rows. Returns the
-        number of buckets committed. Crash-safe: a bucket either commits
-        (present in the checkpoint table) or will be redone idempotently."""
+        """Write `out` (must carry _bucket) into per-bucket partition dirs,
+        then commit per-bucket counter rows — including explicit
+        events_sent=0 rows for pending buckets whose transform emitted
+        nothing (so they are never re-processed on resume). Returns the
+        number of buckets committed.
+
+        `buckets` is the set of bucket ids this pass is responsible for
+        (run() passes the pending set — no extra job); if omitted it is
+        derived from `out` with one tiny distinct job.
+
+        Crash-safety: the pending buckets' partition dirs are DELETED up
+        front (they are uncommitted, so any files there are garbage from a
+        crashed earlier pass — dynamic overwrite alone would leave stale
+        files for buckets that now emit zero rows), then written fresh. The
+        commit counters are read back from ONLY this pass's bucket dirs
+        (source of truth = what the sink holds, the ack semantics) — a
+        resume pass never rescans previously committed output, so commit
+        cost is O(this pass's data), not O(all data ever written)."""
+        if buckets is None:
+            buckets = {
+                r[0] for r in out.select(BUCKET_COL).distinct().collect()
+            }
+        todo = sorted(set(buckets) - self.committed())
+        if not todo:
+            return 0
+        fs, HPath = self._hadoop_fs(sink_dir)
+        for b in todo:
+            p = HPath(f"{sink_dir}/{BUCKET_COL}={b}")
+            if fs.exists(p):
+                fs.delete(p, True)
         # co-locate each bucket in one task before the partitioned write:
         # without this every task writes a file into every bucket dir
         # (tasks x buckets small files — at 10^12 rows a compaction
         # nightmare); with it, one file per bucket per pass
         (
-            out.repartition(self.n_buckets, F.col(BUCKET_COL))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
+            out.filter(F.col(BUCKET_COL).isin(*todo))
+            .repartition(len(todo), F.col(BUCKET_COL))
+            .write.mode("append")
             .partitionBy(BUCKET_COL)
             .parquet(sink_dir)
         )
-        # counters come from the just-written files (source of truth = what
-        # the sink actually holds, the ack semantics), one tiny agg job
-        written = self.spark.read.parquet(sink_dir)
+        written_dirs = [
+            b for b in todo if fs.exists(HPath(f"{sink_dir}/{BUCKET_COL}={b}"))
+        ]
         byte_expr = (
             F.sum(F.col(bytes_col)).cast("long") if bytes_col
             else F.lit(None).cast("long")
         )
         now_us = int(time.time() * 1_000_000)
-        stats = (
-            written.groupBy(F.col(BUCKET_COL).cast("int").alias("bucket"))
-            .agg(
-                F.count(F.lit(1)).alias("events_sent"),
-                byte_expr.alias("bytes_sent"),
+        rows = []
+        if written_dirs:
+            written = self.spark.read.option("basePath", sink_dir).parquet(
+                *[f"{sink_dir}/{BUCKET_COL}={b}" for b in written_dirs]
             )
-            .withColumn("committed_at_us", F.lit(now_us))
+            rows = (
+                written.groupBy(F.col(BUCKET_COL).cast("int").alias("bucket"))
+                .agg(
+                    F.count(F.lit(1)).alias("events_sent"),
+                    byte_expr.alias("bytes_sent"),
+                )
+                .collect()  # <= n_buckets rows — the checkpoint table is tiny by design
+            )
+        seen = {r["bucket"] for r in rows}
+        stats = [
+            (r["bucket"], r["events_sent"], r["bytes_sent"], now_us) for r in rows
+        ] + [
+            (b, 0, 0 if bytes_col else None, now_us)
+            for b in todo
+            if b not in seen  # zero-row buckets commit explicitly
+        ]
+        (
+            self.spark.createDataFrame(stats, _CKPT_SCHEMA)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(self._ckpt_path)
         )
-        already = self.committed()
-        if already:
-            stats = stats.filter(~F.col("bucket").isin(*already))
-        new = stats.count()
-        stats.coalesce(1).write.mode("append").parquet(self._ckpt_path)
-        return new
+        return len(stats)
 
     def run(
         self,
@@ -136,7 +184,10 @@ class CheckpointedRun:
         out = transform(pend)
         if BUCKET_COL not in out.columns:
             raise ValueError(f"transform must preserve {BUCKET_COL}")
-        return self.write_and_commit(out, sink_dir, bytes_col=bytes_col)
+        pending_buckets = set(range(self.n_buckets)) - self.committed()
+        return self.write_and_commit(
+            out, sink_dir, bytes_col=bytes_col, buckets=pending_buckets
+        )
 
     def metrics(self) -> dict[str, int]:
         """Aggregated counters across committed buckets — the

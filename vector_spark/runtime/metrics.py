@@ -70,6 +70,12 @@ class PipelineMetrics:
         return df.observe(obs, *aggs)
 
     def collect(self) -> dict[str, dict[str, int]]:
-        """Counter map for every instrumented component whose plan has been
-        executed by an action. Blocks until the observation values exist."""
-        return {name: dict(obs.get) for name, obs in self._observations.items()}
+        """Counter map for every instrumented component. Non-blocking: a
+        component whose plan no action has executed yet (e.g. a resume pass
+        with zero pending work never runs the instrumented scan) reports
+        {} instead of waiting forever on Observation.get."""
+        out: dict[str, dict[str, int]] = {}
+        for name, obs in self._observations.items():
+            jopt = obs._jo.getRowOrEmpty()  # Option[Row]: never blocks
+            out[name] = dict(obs.get) if jopt.isDefined() else {}
+        return out

@@ -117,6 +117,34 @@ def geo_dim(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, "tld string, geo_region string, country string")
 
 
+def geoip_ranges() -> list[tuple[str, str, int, int, str, str]]:
+    """Deterministic GeoIP-style range table rows:
+    (ip_start, ip_end, net_start, net_end, country, region) — dotted strings
+    plus the uint32 bounds, like a GeoLite2-style CSV export. Ten ranges of
+    twelve /16s each over 10.0.0.0–10.119.255.255; 10.120+ deliberately
+    uncovered (left-join null path)."""
+    rows = []
+    for i in range(10):
+        lo_o2, hi_o2 = i * 12, i * 12 + 11
+        lo = (10 << 24) | (lo_o2 << 16)
+        hi = (10 << 24) | (hi_o2 << 16) | 0xFFFF
+        rows.append(
+            (f"10.{lo_o2}.0.0", f"10.{hi_o2}.255.255", lo, hi, f"C{i:02d}", f"R{i % 5}")
+        )
+    return rows
+
+
+def geoip_dim(spark: SparkSession) -> DataFrame:
+    """IP-range -> (country, region) enrichment dim — the geoip/mmdb table
+    analogue (src/enrichment_tables/geoip.rs:1-509). Pair with
+    operators.enrich.enrich_ip_range."""
+    return spark.createDataFrame(
+        geoip_ranges(),
+        "ip_start string, ip_end string, net_start long, net_end long, "
+        "country string, region string",
+    )
+
+
 def lang_dim(spark: SparkSession) -> DataFrame:
     rows = [
         ("en", "germanic", False), ("de", "germanic", False), ("fr", "romance", False),

@@ -233,19 +233,30 @@ def stream_route_to_sinks(
     ONE pass partitioned by route (+ optional template-style partition
     cols), so adding sinks costs nothing extra.
 
-    Exactly-once: foreachBatch + the streaming checkpoint gives restart
-    resume (processed source files are never re-read); the parquet write
-    per batch is append-only into route partitions. Returns the started
-    StreamingQuery (availableNow by default: drain-and-stop, the testable
-    mode; pass available_now=False for continuous).
+    Exactly-once: foreachBatch alone is at-least-once (a crash between the
+    batch write and the streaming-checkpoint commit replays the batch on
+    restart). We make the replay idempotent by keying every write on the
+    deterministic `batch_id` Structured Streaming hands foreachBatch: each
+    batch lands in its own `_batch=<id>` partition via DYNAMIC overwrite, so
+    a replayed batch atomically replaces its previous (possibly partial)
+    output instead of appending duplicates — write-idempotence + checkpoint
+    resume = end-to-end exactly-once, the same redo-into-own-partition
+    protocol as runtime/checkpoint.py. Returns the started StreamingQuery
+    (availableNow by default: drain-and-stop, the testable mode; pass
+    available_now=False for continuous).
     """
-    part_cols = ["route", *(partition_cols or [])]
+    part_cols = ["_batch", "route", *(partition_cols or [])]
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.route import routed_union
 
-        routed = routed_union(batch_df, conditions)
-        routed.write.mode("append").partitionBy(*part_cols).parquet(sink_dir)
+        routed = routed_union(batch_df, conditions).withColumn("_batch", F.lit(batch_id))
+        (
+            routed.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*part_cols)
+            .parquet(sink_dir)
+        )
 
     writer = (
         df.writeStream.foreachBatch(write_batch)

@@ -71,9 +71,16 @@ class Topology:
         nodes: dict[str, DataFrame] = {}
         tables = tables or {}
 
+        multi_ports: dict[str, list[str]] = {}
+
         def resolve(ref: str) -> DataFrame:
             if ref in nodes:
                 return nodes[ref]
+            if ref in multi_ports:
+                raise TopologyError(
+                    f"{ref!r} is a multi-port transform; reference a port "
+                    f"explicitly: {', '.join(f'{ref}.{p}' for p in multi_ports[ref])}"
+                )
             raise TopologyError(f"unresolved input {ref!r}")
 
         def merged(cfg: dict) -> DataFrame:
@@ -94,26 +101,36 @@ class Topology:
                 if isinstance(built, dict):  # multi-port (route)
                     for port, df in built.items():
                         nodes[f"{name}.{port}"] = df
-                    # bare name = union of named ports (rarely used; explicit
-                    # port refs are the norm)
-                    nodes[name] = built[next(iter(built))]
+                    # bare-name reference to a multi-port transform is a
+                    # config error, matching the reference: route exposes
+                    # ONLY named outputs (src/transforms/route.rs — the
+                    # transform registers one output per route key, no
+                    # default output), so `inputs: [routed]` is rejected at
+                    # compile time there and resolve() raises here.
+                    multi_ports[name] = list(built)
                 else:
                     nodes[name] = built
-        return BuiltTopology(self.spec, nodes)
+        return BuiltTopology(self.spec, nodes, multi_ports)
 
 
 @dataclass
 class BuiltTopology:
     spec: dict[str, Any]
     nodes: dict[str, DataFrame]
+    multi_ports: dict[str, list[str]] = field(default_factory=dict)
 
     def __getitem__(self, ref: str) -> DataFrame:
+        if ref not in self.nodes and ref in self.multi_ports:
+            raise TopologyError(
+                f"{ref!r} is a multi-port transform; reference a port "
+                f"explicitly: {', '.join(f'{ref}.{p}' for p in self.multi_ports[ref])}"
+            )
         return self.nodes[ref]
 
     def sink_frames(self) -> dict[str, DataFrame]:
         out = {}
         for name, cfg in self.spec.get("sinks", {}).items():
-            dfs = [self.nodes[i] for i in cfg["inputs"]]
+            dfs = [self[i] for i in cfg["inputs"]]
             df = dfs[0]
             for d in dfs[1:]:
                 df = df.unionByName(d, allowMissingColumns=True)
@@ -310,6 +327,17 @@ def _build_transform(cfg, df, resolve, tables, spark):
         return exclusive_route(df, cfg["routes"])
     if kind == "enrich":
         dim = tables.get(cfg["table"]) or resolve(cfg["table"])
+        if cfg.get("ip_range"):
+            from .operators import enrich_ip_range
+
+            r = cfg["ip_range"]
+            return enrich_ip_range(
+                df, dim, r["ip"],
+                start_col=r.get("start", "ip_start"),
+                end_col=r.get("end", "ip_end"),
+                prefix_bits=r.get("prefix_bits", 16),
+                numeric=r.get("numeric", False),
+            )
         keys = [tuple(k) for k in cfg["keys"]]
         if cfg.get("between"):
             b = cfg["between"]
