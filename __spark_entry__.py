@@ -244,9 +244,12 @@ def q_tag_cardinality_limit(spark, sf_dir):
 
 
 def q_hash_replace(spark, sf_dir):
+    """Two configured keys exercise the narrow-projection rank path (keep
+    flags computed over (event_id, props, event_type) only; the wide rows
+    shuffle once, on the unique event id)."""
     e = _t(spark, sf_dir, "events")
-    return hash_replace(e, ["props"], order_col="event_id").select(
-        "event_id", "props", "props_hash"
+    return hash_replace(e, ["props", "event_type"], order_col="event_id").select(
+        "event_id", "props", "props_hash", "event_type", "event_type_hash"
     )
 
 
@@ -675,6 +678,21 @@ def q_aggregate_summary(spark, sf_dir):
     )
 
 
+def q_aggregate_summary_approx(spark, sf_dir):
+    """Sketch-quantile summary (AgentDDSketch analogue, metric/value.rs
+    Sketch): approx_percentile with accuracy 10k — mergeable bounded state,
+    the 100 TB path. Rows-only driver check (sketch values are
+    engine-specific); tests/test_aggregate.py bounds |approx - exact| by
+    the rank-error tolerance."""
+    from vector_spark.operators import aggregate_summary
+
+    e = _t(spark, sf_dir, "events")
+    return aggregate_summary(
+        e, quantiles=[0.5, 0.9], window_secs=86400 * 7,
+        ts_col="ts", series_cols=["event_type"], approx=True,
+    )
+
+
 def q_sample_group_modulo(spark, sf_dir):
     from vector_spark.operators import sample_group_modulo
 
@@ -685,6 +703,9 @@ def q_sample_group_modulo(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
+    """Banded-LSH candidate generation (ids-only shuffle) + cosine verify —
+    the default, scale-safe path; the oracle replays the identical literal
+    hyperplanes so the (recall<1) candidate set matches exactly."""
     from vector_spark.datapipe import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
@@ -771,6 +792,44 @@ def q_reduce_ends_when(spark, sf_dir):
         F.unix_micros(F.col("ts").cast("timestamp")).alias("session_start_us"),
         "n_events",
         "last_type",
+    )
+
+
+def q_reduce_max_events(spark, sf_dir):
+    """reduce with the max_events flush condition: sessions (2h gap) that
+    accumulate 5 events flush early, splitting long runs into
+    ceil(n/5)-sized chunks (reduce/config.rs:30-60)."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(25,6)")  # engine-exact sum
+    )
+    out = reduce_sessions(
+        e, ["user_id"], {"v_sum": ("sum", "value_dec")},
+        ts_col="ts", gap_secs=7200, order_col=["ts", "event_id"],
+        max_events=5,
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("session_start_us"),
+        F.col("events_merged").alias("n_events"),
+        F.col("v_sum").cast("double").alias("v_sum"),
+    )
+
+
+def q_reduce_flush_period(spark, sf_dir):
+    """reduce with the cyclic end_every_period flush: the gap rule is
+    disabled (huge gap) so each user's whole history is one session, which
+    flushes every 24h measured from the session's first event
+    (reduce/config.rs end_every_period_ms)."""
+    e = _t(spark, sf_dir, "events")
+    out = reduce_sessions(
+        e, ["user_id"], {"n_types": ("count", "event_type")},
+        ts_col="ts", gap_secs=10 * 365 * 86400, order_col=["ts", "event_id"],
+        end_every_secs=86400,
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("chunk_start_us"),
+        F.col("events_merged").alias("n_events"),
     )
 
 
@@ -864,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggregate_set": q_aggregate_set,
         "aggregate_histogram": q_aggregate_histogram,
         "aggregate_summary": q_aggregate_summary,
+        "aggregate_summary_approx": q_aggregate_summary_approx,
         "sample_group_modulo": q_sample_group_modulo,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
@@ -872,6 +932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "codec_csv": q_codec_csv,
         "reduce_ends_when": q_reduce_ends_when,
+        "reduce_max_events": q_reduce_max_events,
+        "reduce_flush_period": q_reduce_flush_period,
         "datadog_search": q_datadog_search,
         "codec_json": q_codec_json,
     }
@@ -953,15 +1015,19 @@ WHERE round(CAST(len(list_filter(sh_a, x -> list_contains(sh_b, x))) AS DOUBLE)
 
 
 def _langid_sql() -> str:
-    from vector_spark.datapipe.text import LANG_PROFILES
+    """DuckDB twin of the char-trigram langid: identical 24-trigram literal
+    profiles, same lowercase/substr extraction, same round-4 ratio and
+    lexicographic tie-break."""
+    from vector_spark.datapipe.text import LANG_TRIGRAMS
 
-    langs = sorted(LANG_PROFILES)
+    langs = sorted(LANG_TRIGRAMS)
     score_exprs = []
     for lang in langs:
-        markers = ", ".join(f"'{m}'" for m in LANG_PROFILES[lang])
+        markers = ", ".join("'" + m.replace("'", "''") + "'" for m in LANG_TRIGRAMS[lang])
         score_exprs.append(
-            f"round(CAST(len(list_filter(ws, w -> list_contains([{markers}], w))) AS DOUBLE)"
-            f" / len(ws), 4) AS score_{lang}"
+            f"CASE WHEN len(tris) > 0 THEN "
+            f"round(CAST(len(list_filter(tris, g -> list_contains([{markers}], g))) AS DOUBLE)"
+            f" / len(tris), 4) ELSE 0.0 END AS score_{lang}"
         )
     # first (sorted) lang wins ties: strictly greater than earlier langs,
     # greater-or-equal to later ones
@@ -978,7 +1044,12 @@ def _langid_sql() -> str:
     scores = ",\n         ".join(score_exprs)
     return f"""
 WITH t AS (
-  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  SELECT doc_id,
+         CASE WHEN len(lower(text)) >= 3
+              THEN list_transform(generate_series(1, len(lower(text)) - 2),
+                                  i -> substr(lower(text), CAST(i AS INTEGER), 3))
+              ELSE [] END AS tris
+  FROM documents
 ),
 s AS (
   SELECT doc_id,
@@ -1022,6 +1093,45 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
   FROM sims
 ) WHERE rank <= {k}
+"""
+
+
+def _near_dup_sql(
+    threshold: float, dims: int = 64, bands: int = 4, band_planes: int = 4, seed: int = 7
+) -> str:
+    """DuckDB twin of the banded-LSH embedding_near_dup_pairs default path:
+    identical literal hyperplanes per band (same make_planes seeds), same
+    rounded sign test, candidates = agree on ANY band signature, then the
+    same rounded-cosine verification."""
+    from vector_spark.datapipe.similarity import make_planes
+
+    band_exprs = []
+    for b in range(bands):
+        terms = []
+        for p, plane in enumerate(make_planes(dims, band_planes, seed=seed + 101 * b)):
+            arr = "[" + ", ".join(f"{float(x):.1f}" for x in plane) + "]"
+            terms.append(
+                f"CASE WHEN round(list_dot_product(v, {arr}), 6) > 0 THEN {1 << p} ELSE 0 END"
+            )
+        band_exprs.append("(" + " + ".join(terms) + f") AS s{b}")
+    any_band = " OR ".join(f"a.s{b} = b.s{b}" for b in range(bands))
+    return f"""
+WITH n AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nm
+  FROM embeddings
+),
+s AS (
+  SELECT id, v, nm, {", ".join(band_exprs)} FROM n
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM s a JOIN s b ON a.id < b.id AND ({any_band})
+)
+SELECT c.id_a, c.id_b,
+       round(list_dot_product(x.v, y.v) / (x.nm * y.nm), 6) AS cosine
+FROM cand c JOIN n x ON x.id = c.id_a JOIN n y ON y.id = c.id_b
+WHERE round(list_dot_product(x.v, y.v) / (x.nm * y.nm), 6) >= {threshold}
 """
 
 
@@ -1191,7 +1301,10 @@ FROM events e LEFT JOIN allowed a USING (event_type)
 SELECT event_id,
        CASE WHEN row_number() OVER (PARTITION BY props ORDER BY event_id) = 1
             THEN props END AS props,
-       md5(props) AS props_hash
+       md5(props) AS props_hash,
+       CASE WHEN row_number() OVER (PARTITION BY event_type ORDER BY event_id) = 1
+            THEN event_type END AS event_type,
+       md5(event_type) AS event_type_hash
 FROM events
 """
 
@@ -1521,17 +1634,7 @@ SELECT event_id, user_id, 20 AS sample_rate FROM (
 ) WHERE (rn - 1) % 20 = 0
 """
 
-    sql["embedding_near_dup"] = """
-WITH n AS (
-  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
-         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nm
-  FROM embeddings
-)
-SELECT a.id AS id_a, b.id AS id_b,
-       round(list_dot_product(a.v, b.v) / (a.nm * b.nm), 6) AS cosine
-FROM n a JOIN n b ON a.id < b.id
-WHERE round(list_dot_product(a.v, b.v) / (a.nm * b.nm), 6) >= 0.35
-"""
+    sql["embedding_near_dup"] = _near_dup_sql(threshold=0.35)
 
     # IVF-flat oracle: same deterministic centroids (vec_id < 16), same
     # argmax-cosine cell assignment (tie -> lowest centroid id), same
@@ -1597,6 +1700,54 @@ SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events,
        max_by(event_type, pos) AS last_type
 FROM s GROUP BY user_id, sess
+"""
+
+    sql["reduce_max_events"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tus, value, event_id FROM events
+),
+m AS (
+  SELECT *,
+         CASE WHEN lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w > 7200000000
+              THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+s AS (
+  SELECT *, sum(brk) OVER w AS sess, row_number() OVER w AS rn
+  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+t AS (
+  SELECT *, last_value(CASE WHEN brk = 1 THEN rn END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY tus, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sub_start
+  FROM s
+)
+SELECT user_id,
+       min(tus) AS session_start_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS v_sum
+FROM t GROUP BY user_id, sess, (rn - sub_start) // 5
+"""
+
+    sql["reduce_flush_period"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_type, event_id FROM events
+),
+m AS (
+  SELECT *, CASE WHEN lag(tus) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+s AS (
+  SELECT *, sum(brk) OVER w AS sess,
+         last_value(CASE WHEN brk = 1 THEN tus END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY tus, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_start
+  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+)
+SELECT user_id,
+       min(tus) AS chunk_start_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sess, (tus - sess_start) // 86400000000
 """
 
     sql["codec_csv"] = """

@@ -78,3 +78,29 @@ def test_tumbling_window_alignment(spark):
     df = spark.createDataFrame([(ts(0, 0),), (ts(0, 9),), (ts(0, 10),)], "t timestamp")
     got = [r[0] for r in df.select(tumbling_window(df.t, 10)).collect()]
     assert got == [W0, W0, W0 + 10]
+
+
+def test_summary_approx_within_rank_tolerance(spark):
+    """approx=True (the sketch/100 TB path) returns a data value whose rank
+    is within n/accuracy of the exact quantile — with accuracy >> n the
+    approximation must land within one data-point gap of exact."""
+    import random
+
+    from vector_spark.operators.aggregate import aggregate_summary
+
+    rng = random.Random(7)
+    vals = [round(rng.uniform(0, 100), 2) for _ in range(2000)]
+    df = spark.createDataFrame(
+        [(ts(0, 0), "s", v) for v in vals], "ts timestamp, name string, value double"
+    )
+    exact = aggregate_summary(df, [0.5, 0.9], window_secs=3600).collect()[0]
+    approx = aggregate_summary(df, [0.5, 0.9], window_secs=3600, approx=True).collect()[0]
+    assert approx["count"] == exact["count"] == 2000
+    assert approx["sum"] == exact["sum"]
+    s = sorted(vals)
+    for q, col in [(0.5, "q0_5"), (0.9, "q0_9")]:
+        # rank tolerance: accuracy=10000, n=2000 -> within +-1 rank
+        lo = s[max(0, int(q * 2000) - 2)]
+        hi = s[min(1999, int(q * 2000) + 2)]
+        assert lo <= approx[col] <= hi, (col, approx[col], lo, hi)
+        assert abs(approx[col] - exact[col]) <= (hi - lo) + 0.01

@@ -83,13 +83,24 @@ def test_doc_fingerprint_md5_and_order_sensitivity(spark):
     assert got[1][1] != got[2][1]  # rolling hash is order-sensitive
 
 
-def test_langid_markers(spark):
+def test_langid_trigram_profiles(spark):
+    """Real-language sentences classify correctly via the char-trigram
+    profiles; a too-short text scores 0.0 everywhere (lexicographic
+    fallback)."""
     df = spark.createDataFrame(
-        [(1, "the fast dog is a big animal"), (2, "hash batch stream window pipeline")],
+        [
+            (1, "The quick brown fox is running to the end of the land"),
+            (2, "Die Kinder sprechen und singen durch den schoenen Garten"),
+            (3, "Le chat est une petite creature que nous aimons par la fenetre"),
+            (4, "xq"),
+        ],
         "doc_id long, text string",
     )
-    got = {r.doc_id: r.predicted_lang for r in langid(df).collect()}
-    assert got[1] == "en" and got[2] == "de"
+    out = {r.doc_id: r for r in langid(df).collect()}
+    assert out[1]["predicted_lang"] == "en"
+    assert out[2]["predicted_lang"] == "de"
+    assert out[3]["predicted_lang"] == "fr"
+    assert out[4]["score_en"] == 0.0 and out[4]["predicted_lang"] == "de"
 
 
 def _vecs(spark):
@@ -123,3 +134,40 @@ def test_binary_meta_stub_plumbing(spark):
     assert r["n_bytes"] == 8
     assert r["magic"] == b"\x89PNG".hex()
     assert r["fake_width"] == 64 + 8 % 577
+
+
+def test_embedding_near_dup_banded_matches_bruteforce_on_found(spark):
+    """Banded-LSH candidates are a subset of all-pairs; every emitted pair's
+    cosine equals the brute-force value; identical vectors (cosine 1.0) are
+    always found (they agree on every band)."""
+    from vector_spark.datapipe import embedding_near_dup_pairs
+
+    dims = 8
+    rows_in = [
+        (0, [1.0] * dims),
+        (1, [1.0] * dims),                      # exact dup of 0
+        (2, [1.0] * (dims - 1) + [0.9]),        # near dup
+        (3, [(-1.0) ** i for i in range(dims)]),  # far away
+    ]
+    df = spark.createDataFrame(rows_in, "vec_id long, embedding array<double>")
+    banded = embedding_near_dup_pairs(df, threshold=0.9, dims=dims)
+    brute = embedding_near_dup_pairs(df, threshold=0.9, dims=dims, brute_force=True)
+    got_b = {(r.id_a, r.id_b): r.cosine for r in banded.collect()}
+    got_f = {(r.id_a, r.id_b): r.cosine for r in brute.collect()}
+    assert set(got_b) <= set(got_f)
+    assert (0, 1) in got_b and got_b[(0, 1)] == 1.0
+    for k, v in got_b.items():
+        assert got_f[k] == v
+
+
+def test_embedding_near_dup_default_plan_has_no_nested_loop(spark):
+    """The 100 TB guarantee: the default path is hash joins only."""
+    from vector_spark.datapipe import embedding_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)], "vec_id long, embedding array<double>"
+    )
+    out = embedding_near_dup_pairs(df, threshold=0.9, dims=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

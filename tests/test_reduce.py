@@ -112,3 +112,66 @@ def test_sessionize_partition_invariant(spark):
     b = rows(sessionize(df.repartition(4), ["txn"], gap_secs=30,
                         order_col=["ts", "event_id"]), "event_id", "session_id")
     assert a == b
+
+
+def test_max_events_splits_long_session(spark):
+    """A 7-event run with max_events=3 flushes as 3+3+1
+    (reduce/config.rs:30-60 max_events)."""
+    df = spark.createDataFrame(
+        [(i, "a", ts(0, i), float(i)) for i in range(7)],
+        "event_id long, txn string, ts timestamp, v double",
+    )
+    out = reduce_sessions(
+        df, ["txn"], {"v_sum": ("sum", "v")},
+        ts_col="ts", gap_secs=3600, order_col=["ts", "event_id"],
+        max_events=3,
+    )
+    got = sorted(rows(out, "events_merged", "v_sum"))
+    assert got == [(1, 6.0), (3, 3.0), (3, 12.0)]
+
+
+def test_max_events_resets_on_gap_boundary(spark):
+    """The event count restarts at every session boundary: 2 events, gap,
+    4 events with max_events=3 -> sessions of 2, 3, 1."""
+    times = [0, 10, 100, 110, 120, 130]
+    df = spark.createDataFrame(
+        [(i, "a", ts(t // 60, t % 60), 1.0) for i, t in enumerate(times)],
+        "event_id long, txn string, ts timestamp, v double",
+    )
+    out = reduce_sessions(
+        df, ["txn"], {"n": ("count", "event_id")},
+        ts_col="ts", gap_secs=30, order_col=["ts", "event_id"],
+        max_events=3,
+    )
+    assert sorted(r.events_merged for r in out.collect()) == [1, 2, 3]
+
+
+def test_end_every_period_cyclic_flush(spark):
+    """end_every_secs=60: a 150s-long session (events every 20s) flushes at
+    60s and 120s from the session start -> chunks of 3, 3, 2 events."""
+    df = spark.createDataFrame(
+        [(i, "a", ts((i * 20) // 60, (i * 20) % 60), 1.0) for i in range(8)],
+        "event_id long, txn string, ts timestamp, v double",
+    )
+    out = reduce_sessions(
+        df, ["txn"], {"n": ("count", "event_id")},
+        ts_col="ts", gap_secs=3600, order_col=["ts", "event_id"],
+        end_every_secs=60,
+    )
+    got = rows(out, "events_merged")
+    assert sorted(r[0] for r in got) == [2, 3, 3]
+
+
+def test_max_events_and_period_compose(spark):
+    """Both conditions: period chunks of 3/3/2, then max_events=2 splits
+    each -> 2+1, 2+1, 2."""
+    df = spark.createDataFrame(
+        [(i, "a", ts((i * 20) // 60, (i * 20) % 60), 1.0) for i in range(8)],
+        "event_id long, txn string, ts timestamp, v double",
+    )
+    out = reduce_sessions(
+        df, ["txn"], {"n": ("count", "event_id")},
+        ts_col="ts", gap_secs=3600, order_col=["ts", "event_id"],
+        end_every_secs=60, max_events=2,
+    )
+    assert sorted(r.events_merged for r in out.collect()) == [1, 1, 2, 2, 2]

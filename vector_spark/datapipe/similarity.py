@@ -76,21 +76,69 @@ def embedding_near_dup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    brute_force: bool = False,
+    dims: int = 64,
+    bands: int = 4,
+    band_planes: int = 4,
+    seed: int = 7,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
     threshold) — the embedding tier of the dedup ladder (exact -> minhash ->
     simhash -> embedding).
 
-    Brute-force all-pairs is the verification baseline; the scale path
-    bucketizes with lsh_signature first (same trade as minhash banding).
+    Default path (scale-safe): banded random-hyperplane LSH, the same trade
+    as minhash banding. Each vector gets `bands` independent sign-bit
+    signatures (band_planes planes each, plan-time literal hyperplanes from
+    make_planes so an external oracle can replay them); candidate pairs are
+    those agreeing on ANY band's full signature — an equi-join on
+    (band, signature) carrying ONLY ids through the shuffle — and every
+    candidate is then verified against the true cosine. Recall < 1 by
+    construction (a pair whose angle splits every band is missed); more
+    bands raise recall, more planes/band cut candidates. The plan is hash
+    joins only — never BroadcastNestedLoopJoin / CartesianProduct.
+
+    brute_force=True keeps the exact all-pairs theta-join (O(n^2) — the
+    verification baseline for small n, never for 100 TB).
     """
     base = df.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
     base = base.withColumn("_n", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
-    a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
-    b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6)
-    return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
+    cos_ab = F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6)
+    if brute_force:
+        a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+        b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        return pairs.select("id_a", "id_b", cos_ab.alias("cosine")).filter(
+            F.col("cosine") >= threshold
+        )
+
+    band_structs = []
+    for b in range(bands):
+        planes = make_planes(dims, band_planes, seed=seed + 101 * b)
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                lsh_signature_from_planes(F.col("_v"), planes).alias("sig"),
+            )
+        )
+    sigs = base.select("_id", F.explode(F.array(*band_structs)).alias("bs")).select(
+        "_id", F.col("bs.band").alias("_band"), F.col("bs.sig").alias("_sig")
+    )
+    left = sigs.select(F.col("_band").alias("b1"), F.col("_sig").alias("s1"), F.col("_id").alias("id_a"))
+    right = sigs.select(F.col("_band").alias("b2"), F.col("_sig").alias("s2"), F.col("_id").alias("id_b"))
+    cand = (
+        left.join(
+            right,
+            (F.col("b1") == F.col("b2"))
+            & (F.col("s1") == F.col("s2"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    vb = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    verified = cand.join(va, "id_a").join(vb, "id_b")
+    return verified.select("id_a", "id_b", cos_ab.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
 

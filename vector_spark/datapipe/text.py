@@ -16,12 +16,27 @@ MOD = 1_000_000_007
 
 STOPWORDS = ["the", "a", "and", "of", "to"]
 
-# wordlist profiles for the n-gram/stopword language-ID heuristic: tiny
-# marker sets per language; prediction = argmax marker-hit ratio
-LANG_PROFILES = {
-    "en": ["the", "a", "fast", "slow", "small", "big"],
-    "fr": ["table", "column", "part", "line"],
-    "de": ["hash", "batch", "stream", "window"],
+# character-trigram profiles for language ID: the classic n-gram approach
+# (Cavnar & Trenkle '94) with the 24 highest-frequency trigrams per language
+# drawn from public letter-frequency tables (spaces count — " th"/"er " are
+# the strongest signals). Score = fraction of the text's trigrams present in
+# the profile; prediction = argmax (ties -> lexicographic).
+LANG_TRIGRAMS = {
+    "en": [
+        " th", "the", "he ", "ing", "ng ", " an", "and", "nd ", "ed ",
+        " to", "to ", "er ", " of", "of ", "at ", " in", "ion", "on ",
+        " is", "is ", "en ", " be", "es ", " re",
+    ],
+    "de": [
+        "er ", "en ", "ch ", "der", " de", "die", " di", "ie ", "ein",
+        " ei", "ich", "sch", "und", " un", "nd ", "ung", "gen", " ge",
+        "ten", "cht", "das", " da", "ber", "ne ",
+    ],
+    "fr": [
+        " de", "de ", "es ", "le ", " le", "ent", "nt ", "la ", " la",
+        "et ", " et", "ion", "on ", "re ", " re", "une", " un", "ur ",
+        "que", " qu", "ue ", "ais", "our", " pa",
+    ],
 }
 
 
@@ -72,30 +87,44 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 
 def langid(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Wordlist-profile language ID: score = fraction of tokens hitting each
-    profile's marker set; prediction = argmax (ties -> lexicographic)."""
-    words = F.split(F.col(text_col), " ")
-    n = F.size(words).cast("double")
+    """Character-trigram language ID: extract every char trigram of the
+    lowercased text (pure JVM exprs — sequence + substr, scan-speed), score
+    each language as the fraction of trigrams present in its 24-trigram
+    profile, predict argmax (ties -> lexicographic). Texts shorter than 3
+    chars score 0.0 everywhere."""
+    norm = F.lower(F.col(text_col))
+    n_tri = F.length(norm) - 2
+    tris = F.when(
+        n_tri >= 1,
+        F.transform(F.sequence(F.lit(1), n_tri), lambda i: F.substr(norm, i, F.lit(3))),
+    ).otherwise(F.array().cast("array<string>"))
 
-    def marker_filter(markers: list[str]):
-        return lambda w: w.isin(markers)
+    def profile_filter(profile: list[str]):
+        return lambda t: t.isin(profile)
 
     scores = {
-        lang: F.round(F.size(F.filter(words, marker_filter(markers))).cast("double") / n, 4)
-        for lang, markers in LANG_PROFILES.items()
+        lang: F.when(
+            n_tri >= 1,
+            F.round(
+                F.size(F.filter(tris, profile_filter(profile))).cast("double")
+                / n_tri.cast("double"),
+                4,
+            ),
+        ).otherwise(F.lit(0.0))
+        for lang, profile in LANG_TRIGRAMS.items()
     }
     best = None
-    for lang in sorted(LANG_PROFILES):  # lexicographic tie-break: first wins on >=
+    for lang in sorted(LANG_TRIGRAMS):  # lexicographic tie-break: first wins on >=
         cond = None
-        for other in sorted(LANG_PROFILES):
+        for other in sorted(LANG_TRIGRAMS):
             if other == lang:
                 continue
             c = (scores[lang] > scores[other]) if other < lang else (scores[lang] >= scores[other])
             cond = c if cond is None else (cond & c)
         best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
-    predicted = best.otherwise(F.lit(sorted(LANG_PROFILES)[0]))
+    predicted = best.otherwise(F.lit(sorted(LANG_TRIGRAMS)[0]))
     return df.select(
         F.col(id_col),
-        *[scores[lang].alias(f"score_{lang}") for lang in sorted(LANG_PROFILES)],
+        *[scores[lang].alias(f"score_{lang}") for lang in sorted(LANG_TRIGRAMS)],
         predicted.alias("predicted_lang"),
     )

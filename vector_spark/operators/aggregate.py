@@ -132,17 +132,37 @@ def aggregate_summary(
     ts_col: str = "ts",
     series_cols: list[str] | None = None,
     value_col: str = "value",
+    approx: bool = False,
+    accuracy: int = 10_000,
 ) -> DataFrame:
-    """MetricValue::AggregatedSummary: exact quantiles + count + sum per
-    window/series. Exact `percentile` (linear interpolation) — at 100 TB
-    swap for approx_percentile/DDSketch, the reference's Sketch variant."""
+    """MetricValue::AggregatedSummary: quantiles + count + sum per
+    window/series.
+
+    approx=False: exact `percentile` (linear interpolation, a holistic agg
+    that buffers each group's values — fine at test scale, unbounded state
+    at 100 TB). approx=True: `approx_percentile` — Spark's
+    Greenwald-Khanna sketch, the analogue of the reference's AgentDDSketch
+    summary (lib/vector-core/src/event/metric/value.rs:22-88 Sketch
+    variant): mergeable fixed-size per-group state, full map-side partial
+    aggregation. Rank error <= 1/accuracy (so the reported quantile is an
+    actual data value whose rank is within n/accuracy of the target) —
+    tolerance-checked against the exact path in tests, not hash-compared
+    across engines (sketch internals are engine-specific)."""
     series_cols = series_cols or ["name"]
     ws = tumbling_window(F.col(ts_col), window_secs).alias("window_start")
     v = F.col(value_col)
-    aggs = [
-        F.round(F.percentile(v, F.lit(q)), 4).alias(f"q{str(q).replace('.', '_')}")
-        for q in quantiles
-    ]
+    if approx:
+        aggs = [
+            F.round(
+                F.approx_percentile(v, F.lit(q), F.lit(accuracy)), 4
+            ).alias(f"q{str(q).replace('.', '_')}")
+            for q in quantiles
+        ]
+    else:
+        aggs = [
+            F.round(F.percentile(v, F.lit(q)), 4).alias(f"q{str(q).replace('.', '_')}")
+            for q in quantiles
+        ]
     aggs += [
         F.count(v).alias("count"),
         F.sum(v.cast("decimal(25,6)")).cast("double").alias("sum"),

@@ -79,6 +79,8 @@ def reduce_sessions(
     order_col: str | list[str] | None = None,
     starts_when: Column | None = None,
     ends_when: Column | None = None,
+    max_events: int | None = None,
+    end_every_secs: float | None = None,
 ) -> DataFrame:
     """Collapse each session to one row.
 
@@ -89,17 +91,56 @@ def reduce_sessions(
     starts_when / ends_when: boolean Columns that force a session boundary
     before / after the matching event (reduce/transform.rs:241-262) —
     combined with the gap rule via the same running-sum trick.
+
+    max_events: flush once a session has accumulated this many events — a
+    longer run splits into ceil(n/max_events) output rows
+    (reduce/config.rs:30-60 max_events). end_every_secs: cyclic flush —
+    a session also splits at every multiple of this interval from the
+    session's first event (config.rs end_every_period_ms). Both are
+    expressed as running-window columns over the SAME (group, order)
+    window as the gap rule, so the whole operator is still one shuffle +
+    one groupBy regardless of which flush conditions are active.
     """
     order = _order_cols(order_col, ts_col)
     w = Window.partitionBy(*group_by).orderBy(*order)
-    gap = F.unix_micros(F.col(ts_col).cast('timestamp')) - F.unix_micros(F.lag(F.col(ts_col).cast('timestamp')).over(w))
+    tus = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = tus - F.lag(tus).over(w)
     boundary = gap.isNull() | (gap > int(gap_secs * 1_000_000))
     if starts_when is not None:
         boundary = boundary | starts_when
     if ends_when is not None:
         boundary = boundary | F.coalesce(F.lag(ends_when).over(w), F.lit(False))
     sess = F.sum(F.when(boundary, 1).otherwise(0)).over(w)
-    df = df.withColumn("_session", sess)
+    df = df.withColumn("_b", F.when(boundary, 1).otherwise(0)).withColumn("_session", sess)
+    sess_keys = ["_session"]
+
+    if end_every_secs is not None:
+        # session start ts = running last ts where a boundary fired; the
+        # cyclic chunk is the elapsed-period index from that start
+        start_us = F.last(F.when(F.col("_b") == 1, tus), ignorenulls=True).over(w)
+        period = int(end_every_secs * 1_000_000)
+        df = df.withColumn("_chunk_t", F.floor((tus - start_us) / period))
+        sess_keys.append("_chunk_t")
+
+    if max_events is not None:
+        # position within the (session [, period-chunk]) run, then split
+        # every max_events — all from running aggregates over the same w
+        # (each step materialized: Spark rejects nested window functions)
+        df = df.withColumn("_rn", F.row_number().over(w))
+        new_sub = F.col("_b") == 1
+        if end_every_secs is not None:
+            new_sub = new_sub | (
+                F.col("_chunk_t") != F.coalesce(F.lag("_chunk_t").over(w), F.lit(-1))
+            )
+        df = df.withColumn("_new_sub", new_sub)
+        df = df.withColumn(
+            "_sub_start",
+            F.last(F.when(F.col("_new_sub"), F.col("_rn")), ignorenulls=True).over(w),
+        )
+        df = df.withColumn(
+            "_chunk_n", F.floor((F.col("_rn") - F.col("_sub_start")) / max_events)
+        )
+        sess_keys.append("_chunk_n")
 
     o = F.struct(*[F.col(c) for c in order])
     aggs = [
@@ -109,4 +150,4 @@ def reduce_sessions(
     ]
     for out_col, (strategy, in_col) in merges.items():
         aggs.append(MERGE_STRATEGIES[strategy](F.col(in_col), o).alias(out_col))
-    return df.groupBy(*group_by, "_session").agg(*aggs).drop("_session")
+    return df.groupBy(*group_by, *sess_keys).agg(*aggs).drop("_b", *sess_keys)

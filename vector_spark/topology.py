@@ -364,6 +364,8 @@ def _build_transform(cfg, df, resolve, tables, spark):
             order_col=cfg.get("order_by"),
             starts_when=F.expr(cfg["starts_when"]) if cfg.get("starts_when") else None,
             ends_when=F.expr(cfg["ends_when"]) if cfg.get("ends_when") else None,
+            max_events=cfg.get("max_events"),
+            end_every_secs=cfg.get("end_every_secs"),
         )
     if kind == "aggregate":
         return aggregate_metrics(
