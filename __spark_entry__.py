@@ -508,6 +508,33 @@ def q_vrl_ip_functions(spark, sf_dir):
     )
 
 
+def q_vrl_ipv6_functions(spark, sf_dir):
+    """IPv6 family: expand-to-canonical of a compressed hex address,
+    IPv4 -> mapped-IPv6, mapped-IPv6 -> IPv4 (dotted-tail form)."""
+    from vector_spark.functions import ip_to_ipv6, ipv6_expand, ipv6_to_ipv4
+
+    e = _t(spark, sf_dir, "events")
+    ip4 = F.format_string(
+        "10.%d.%d.%d",
+        (F.col("user_id") % 128).cast("int"),
+        (F.col("event_id") % 256).cast("int"),
+        ((F.col("event_id") * 7) % 256).cast("int"),
+    )
+    v6 = F.format_string(
+        "2001:db8::%x:%x",
+        (F.col("user_id") % 65536).cast("int"),
+        (F.col("event_id") % 65536).cast("int"),
+    )
+    mapped = F.concat(F.lit("::ffff:"), ip4)
+    return e.select(
+        "event_id",
+        v6.alias("v6"),
+        ipv6_expand(v6).alias("v6_full"),
+        ip_to_ipv6(ip4).alias("mapped"),
+        ipv6_to_ipv4(mapped).alias("unmapped"),
+    )
+
+
 def q_vrl_encode(spark, sf_dir):
     from vector_spark.functions import encode_base16, encode_base64, redact
 
@@ -833,6 +860,158 @@ def q_reduce_flush_period(spark, sf_dir):
     )
 
 
+def q_parse_aws_vpc_flow(spark, sf_dir):
+    """parse_aws_vpc_flow_log round-trip: build a deterministic v2 flow-log
+    line per event (error events get '-' srcport/action to exercise the
+    null path), parse it, emit the typed fields. The oracle reconstructs
+    the expected fields directly from the source columns."""
+    from vector_spark.functions import parse_aws_vpc_flow_log
+
+    e = _t(spark, sf_dir, "events")
+    srcaddr = F.format_string(
+        "10.%d.%d.1", (F.col("user_id") % 128).cast("int"), (F.col("event_id") % 250).cast("int")
+    )
+    is_err = F.col("event_type") == "error"
+    srcport = F.when(is_err, F.lit("-")).otherwise((F.col("event_id") % 60000).cast("string"))
+    action = F.when(is_err, F.lit("-")).otherwise(F.lit("ACCEPT"))
+    start_s = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000).cast("long")
+    line = F.format_string(
+        "2 %d eni-%d %s 10.0.0.1 %s 443 6 %d %d %d %d %s OK",
+        F.col("user_id"), F.col("event_id"), srcaddr, srcport,
+        (F.col("event_id") % 100).cast("long"),
+        F.round(F.col("value") * 100).cast("long"),
+        start_s, start_s + F.lit(60), action,
+    )
+    p = parse_aws_vpc_flow_log(line)
+    return e.select(
+        "event_id",
+        p["version"].alias("version"),
+        p["account_id"].alias("account_id"),
+        p["interface_id"].alias("interface_id"),
+        p["srcaddr"].alias("srcaddr"),
+        p["srcport"].alias("srcport"),
+        p["protocol"].alias("protocol"),
+        p["packets"].alias("packets"),
+        p["bytes"].alias("bytes"),
+        p["start"].alias("start_ts"),
+        p["end"].alias("end_ts"),
+        p["action"].alias("action"),
+        p["log_status"].alias("log_status"),
+    )
+
+
+def q_parse_aws_alb(spark, sf_dir):
+    """parse_aws_alb_log round-trip: deterministic ALB access line per
+    event; '-' target/ssl fields exercise nulls; processing time is an
+    exact-3-decimal literal so the double parses identically everywhere."""
+    from vector_spark.functions import parse_aws_alb_log
+
+    e = _t(spark, sf_dir, "events")
+    tpt = F.format_string("0.%03d", (F.col("event_id") % 1000).cast("int"))
+    status = F.when(F.col("event_type") == "error", F.lit("500")).otherwise(F.lit("200"))
+    line = F.format_string(
+        'http 2024-01-01T00:00:00.000000Z app/lb/%d 192.168.1.%d:%d - 0.001 %s 0.000 '
+        '%s %s %d %d "GET http://example.com/u/%d HTTP/1.1" "agent-%d" - - '
+        'arn:aws:elb:tg/%d "Root=1-%d"',
+        F.col("user_id"), (F.col("user_id") % 250).cast("int"),
+        (F.col("event_id") % 60000).cast("int") + F.lit(1024), tpt, status, status,
+        F.col("event_id") % 4096, F.col("event_id") % 8192,
+        F.col("user_id"), F.col("user_id"), F.col("user_id"), F.col("event_id"),
+    )
+    p = parse_aws_alb_log(line)
+    return e.select(
+        "event_id",
+        p["type"].alias("type"),
+        p["elb"].alias("elb"),
+        p["client_host"].alias("client_host"),
+        p["target_host"].alias("target_host"),
+        p["target_processing_time"].alias("target_processing_time"),
+        p["elb_status_code"].alias("elb_status_code"),
+        p["received_bytes"].alias("received_bytes"),
+        p["sent_bytes"].alias("sent_bytes"),
+        p["request_method"].alias("request_method"),
+        p["request_url"].alias("request_url"),
+        p["user_agent"].alias("user_agent"),
+        p["ssl_cipher"].alias("ssl_cipher"),
+        p["trace_id"].alias("trace_id"),
+    )
+
+
+def q_parse_xml(spark, sf_dir):
+    """parse_xml via Spark's built-in xpath_* expressions: build a
+    deterministic XML doc per event, extract typed fields; the oracle
+    reconstructs the fields from the source columns."""
+    from vector_spark.functions import parse_xml_fields
+
+    e = _t(spark, sf_dir, "events")
+    doc = F.format_string(
+        "<event><id>%d</id><user>%d</user><type>%s</type><v>%.2f</v></event>",
+        F.col("event_id"), F.col("user_id"), F.col("event_type"), F.col("value"),
+    )
+    p = parse_xml_fields(
+        doc,
+        {
+            "xid": ("long", "/event/id/text()"),
+            "xuser": ("long", "/event/user/text()"),
+            "xtype": ("string", "/event/type/text()"),
+            "xv": ("double", "/event/v/text()"),
+        },
+    )
+    return e.select(
+        "event_id",
+        p["xid"].alias("xid"),
+        p["xuser"].alias("xuser"),
+        p["xtype"].alias("xtype"),
+        p["xv"].alias("xv"),
+    )
+
+
+def q_codec_framing_chardelim(spark, sf_dir):
+    """CharacterDelimited framing: one buffer holds 3 '|'-separated frames;
+    posexplode emits (event_id, idx, frame) — the 1->N framing shape."""
+    from vector_spark.functions import frame_character_delimited
+
+    e = _t(spark, sf_dir, "events")
+    buf = F.concat_ws(
+        "|", F.col("event_type"), F.col("user_id").cast("string"),
+        F.col("event_id").cast("string"),
+    )
+    return e.select(
+        "event_id", F.posexplode(frame_character_delimited(buf, "|")).alias("idx", "frame")
+    )
+
+
+def q_codec_framing_octet(spark, sf_dir):
+    """OctetCounting framing (RFC 6587): '<LEN> <MSG>' repeated; the
+    Arrow-batched frame parser must recover exactly the two messages."""
+    from vector_spark.functions import frame_octet_counting
+
+    e = _t(spark, sf_dir, "events")
+    buf = F.format_string(
+        "%d %s%d %s",
+        F.length("event_type"), F.col("event_type"),
+        F.length("props"), F.col("props"),
+    )
+    return e.select(
+        "event_id", F.posexplode(frame_octet_counting(buf)).alias("idx", "frame")
+    )
+
+
+def q_vrl_hmac(spark, sf_dir):
+    """VRL hmac: keyed MAC per event message (rows-only driver check —
+    DuckDB has no HMAC; RFC 4231 vectors are asserted in
+    tests/test_vrl_functions.py)."""
+    from vector_spark.functions import hmac_hex
+
+    e = _t(spark, sf_dir, "events")
+    msg = F.concat_ws(":", F.col("event_type"), F.col("event_id").cast("string"))
+    return e.select(
+        "event_id",
+        hmac_hex(msg, "topsecret", "sha256").alias("mac_sha256"),
+        hmac_hex(msg, "topsecret", "sha1").alias("mac_sha1"),
+    )
+
+
 def q_codec_csv(spark, sf_dir):
     """Csv deserializer round-trip: encode columns as a csv line, decode
     with from_csv; oracle reconstructs the expected struct fields directly."""
@@ -915,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vrl_parse_grok": q_vrl_parse_grok,
         "vrl_case_strings": q_vrl_case_strings,
         "vrl_ip_functions": q_vrl_ip_functions,
+        "vrl_ipv6_functions": q_vrl_ipv6_functions,
         "vrl_encode": q_vrl_encode,
         "reduce_merge_full": q_reduce_merge_full,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -934,6 +1114,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reduce_ends_when": q_reduce_ends_when,
         "reduce_max_events": q_reduce_max_events,
         "reduce_flush_period": q_reduce_flush_period,
+        "parse_aws_vpc_flow": q_parse_aws_vpc_flow,
+        "parse_aws_alb": q_parse_aws_alb,
+        "parse_xml": q_parse_xml,
+        "codec_framing_chardelim": q_codec_framing_chardelim,
+        "codec_framing_octet": q_codec_framing_octet,
+        "vrl_hmac": q_vrl_hmac,
         "datadog_search": q_datadog_search,
         "codec_json": q_codec_json,
     }
@@ -1517,6 +1703,21 @@ SELECT event_id,
 FROM t
 """
 
+    sql["vrl_ipv6_functions"] = """
+WITH t AS (
+  SELECT event_id,
+         user_id % 128 AS o2, event_id % 256 AS o3, (event_id * 7) % 256 AS o4,
+         user_id % 65536 AS h1, event_id % 65536 AS h2
+  FROM events
+)
+SELECT event_id,
+       printf('2001:db8::%x:%x', h1, h2) AS v6,
+       printf('2001:0db8:0000:0000:0000:0000:%04x:%04x', h1, h2) AS v6_full,
+       printf('::ffff:10.%d.%d.%d', o2, o3, o4) AS mapped,
+       printf('10.%d.%d.%d', o2, o3, o4) AS unmapped
+FROM t
+"""
+
     sql["vrl_encode"] = """
 SELECT doc_id,
        base64(encode(substr(text, 1, 24))) AS head_b64,
@@ -1748,6 +1949,61 @@ SELECT user_id,
        min(tus) AS chunk_start_us,
        CAST(count(*) AS BIGINT) AS n_events
 FROM s GROUP BY user_id, sess, (tus - sess_start) // 86400000000
+"""
+
+    sql["parse_aws_vpc_flow"] = """
+SELECT event_id,
+       2 AS version,
+       CAST(user_id AS VARCHAR) AS account_id,
+       printf('eni-%d', event_id) AS interface_id,
+       printf('10.%d.%d.1', user_id % 128, event_id % 250) AS srcaddr,
+       CASE WHEN event_type = 'error' THEN NULL ELSE event_id % 60000 END AS srcport,
+       6 AS protocol,
+       event_id % 100 AS packets,
+       CAST(round(value * 100, 0) AS BIGINT) AS bytes,
+       epoch_us(ts) // 1000000 AS start_ts,
+       epoch_us(ts) // 1000000 + 60 AS end_ts,
+       CASE WHEN event_type = 'error' THEN NULL ELSE 'ACCEPT' END AS action,
+       'OK' AS log_status
+FROM events
+"""
+
+    sql["parse_aws_alb"] = """
+SELECT event_id,
+       'http' AS type,
+       printf('app/lb/%d', user_id) AS elb,
+       printf('192.168.1.%d:%d', user_id % 250, event_id % 60000 + 1024) AS client_host,
+       NULL AS target_host,
+       CAST(printf('0.%03d', event_id % 1000) AS DOUBLE) AS target_processing_time,
+       CASE WHEN event_type = 'error' THEN '500' ELSE '200' END AS elb_status_code,
+       event_id % 4096 AS received_bytes,
+       event_id % 8192 AS sent_bytes,
+       'GET' AS request_method,
+       printf('http://example.com/u/%d', user_id) AS request_url,
+       printf('agent-%d', user_id) AS user_agent,
+       NULL AS ssl_cipher,
+       printf('Root=1-%d', event_id) AS trace_id
+FROM events
+"""
+
+    sql["parse_xml"] = """
+SELECT event_id, event_id AS xid, user_id AS xuser, event_type AS xtype,
+       CAST(printf('%.2f', value) AS DOUBLE) AS xv
+FROM events
+"""
+
+    sql["codec_framing_chardelim"] = """
+SELECT event_id, 0 AS idx, event_type AS frame FROM events
+UNION ALL
+SELECT event_id, 1, CAST(user_id AS VARCHAR) FROM events
+UNION ALL
+SELECT event_id, 2, CAST(event_id AS VARCHAR) FROM events
+"""
+
+    sql["codec_framing_octet"] = """
+SELECT event_id, 0 AS idx, event_type AS frame FROM events
+UNION ALL
+SELECT event_id, 1, props FROM events
 """
 
     sql["codec_csv"] = """

@@ -314,3 +314,68 @@ def test_chunks(spark):
 
     r = one(spark, ("s string", ("abcdefgh",)), {"c": chunks(F.col("s"), 3)})
     assert r["c"] == ["abc", "def", "gh"]
+
+
+def test_parse_aws_vpc_flow_log_default_format(spark):
+    """The reference's own doc example (parse_aws_vpc_flow_log.cue):
+    NODATA line with '-' fields -> nulls, typed numerics."""
+    from vector_spark.functions import parse_aws_vpc_flow_log
+
+    df = spark.createDataFrame(
+        [("2 123456789010 eni-1235b8ca123456789 - - - - - - - 1431280876 1431280934 - NODATA",)],
+        "line string",
+    )
+    p = parse_aws_vpc_flow_log(F.col("line"))
+    r = df.select(*[v.alias(k) for k, v in p.items()]).collect()[0]
+    assert r["version"] == 2
+    assert r["account_id"] == "123456789010"
+    assert r["interface_id"] == "eni-1235b8ca123456789"
+    assert r["srcaddr"] is None and r["srcport"] is None
+    assert r["start"] == 1431280876 and r["end"] == 1431280934
+    assert r["action"] is None and r["log_status"] == "NODATA"
+
+
+def test_parse_aws_vpc_flow_log_custom_format(spark):
+    from vector_spark.functions import parse_aws_vpc_flow_log
+
+    df = spark.createDataFrame(
+        [("- eni-1235b8ca123456789 10.0.1.5 10.0.0.220 10.0.1.5 203.0.113.5",)],
+        "line string",
+    )
+    p = parse_aws_vpc_flow_log(
+        F.col("line"),
+        format="instance_id interface_id srcaddr dstaddr pkt_srcaddr pkt_dstaddr",
+    )
+    r = df.select(*[v.alias(k) for k, v in p.items()]).collect()[0]
+    assert r["instance_id"] is None
+    assert r["pkt_dstaddr"] == "203.0.113.5"
+
+
+def test_parse_aws_alb_log_reference_example(spark):
+    """The reference's doc example line (parse_aws_alb_log.cue)."""
+    from vector_spark.functions import parse_aws_alb_log
+
+    line = (
+        'http 2018-11-30T22:23:00.186641Z app/my-loadbalancer/50dc6c495c0c9188 '
+        '192.168.131.39:2817 - 0.000 0.001 0.000 200 200 34 366 '
+        '"GET http://www.example.com:80/ HTTP/1.1" "curl/7.46.0" - - '
+        'arn:aws:elasticloadbalancing:us-east-2:123456789012:targetgroup/my-targets/73e2d6bc24d8a067 '
+        '"Root=1-58337364-23a8c76965a2ef7629b185e3"'
+    )
+    df = spark.createDataFrame([(line,)], "line string")
+    p = parse_aws_alb_log(F.col("line"))
+    r = df.select(*[v.alias(k) for k, v in p.items()]).collect()[0]
+    assert r["type"] == "http"
+    assert r["elb"] == "app/my-loadbalancer/50dc6c495c0c9188"
+    assert r["client_host"] == "192.168.131.39:2817"
+    assert r["target_host"] is None
+    assert r["request_processing_time"] == 0.0
+    assert r["target_processing_time"] == 0.001
+    assert r["elb_status_code"] == "200"
+    assert r["received_bytes"] == 34 and r["sent_bytes"] == 366
+    assert r["request_method"] == "GET"
+    assert r["request_url"] == "http://www.example.com:80/"
+    assert r["request_protocol"] == "HTTP/1.1"
+    assert r["user_agent"] == "curl/7.46.0"
+    assert r["ssl_cipher"] is None and r["ssl_protocol"] is None
+    assert r["trace_id"] == "Root=1-58337364-23a8c76965a2ef7629b185e3"

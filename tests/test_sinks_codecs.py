@@ -60,3 +60,85 @@ def test_parse_timestamp_strptime(spark):
     df = spark.createDataFrame([("05/Mar/2024",)], "s string")
     out = df.select(parse_timestamp(F.col("s"), "%d/%b/%Y").alias("t")).collect()[0]
     assert out["t"] == dt.datetime(2024, 3, 5)
+
+
+def test_hmac_rfc4231_vectors(spark):
+    """RFC 4231 test case 2 (key 'Jefe', msg 'what do ya want for nothing?')
+    and the standard sha1 vector — the MAC must be bit-exact."""
+    from vector_spark.functions import hmac_hex
+
+    df = spark.createDataFrame([("what do ya want for nothing?",)], "m string")
+    r = df.select(
+        hmac_hex(F.col("m"), "Jefe", "sha256").alias("h256"),
+        hmac_hex(F.col("m"), "Jefe", "sha1").alias("h1"),
+    ).collect()[0]
+    assert r["h256"] == (
+        "5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843"
+    )
+    assert r["h1"] == "effcdf6ae5eb2fa2d27416d5f184df9c259a7c79"
+    # null in -> null out
+    df2 = spark.createDataFrame([(None,)], "m string")
+    assert df2.select(hmac_hex(F.col("m"), "k").alias("h")).collect()[0]["h"] is None
+
+
+def test_octet_counting_framing_edges(spark):
+    from vector_spark.functions import frame_octet_counting
+
+    df = spark.createDataFrame(
+        [
+            ("5 hello5 world",),        # two exact frames
+            ("3 abc",),                 # single frame
+            ("junk",),                  # malformed -> empty list
+            ("3 abcxx",),               # trailing garbage ignored after frame
+            (None,),
+        ],
+        "buf string",
+    )
+    got = [r.f for r in df.select(frame_octet_counting(F.col("buf")).alias("f")).collect()]
+    assert got[0] == ["hello", "world"]
+    assert got[1] == ["abc"]
+    assert got[2] == []
+    assert got[3] == ["abc"]
+    assert got[4] is None
+
+
+def test_zstd_snappy_gated(spark):
+    """zstd/snappy codecs: round-trip where the wheel exists, a clear
+    ImportError where it does not (this sandbox has neither)."""
+    import pytest
+
+    from vector_spark.functions import decode_zstd, encode_zstd
+
+    df = spark.createDataFrame([(b"payload",)], "b binary")
+    try:
+        import zstandard  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="zstandard"):
+            df.select(encode_zstd(F.col("b")))
+        return
+    out = df.select(decode_zstd(encode_zstd(F.col("b"))).alias("rt")).collect()[0]
+    assert bytes(out["rt"]) == b"payload"
+
+
+def test_avro_roundtrip_or_skip(spark):
+    """Avro (de)serializer wiring: real from_avro/to_avro exprs; skipped
+    (not silently passed) when the spark-avro jar is absent."""
+    import pytest
+
+    from vector_spark.functions import parse_avro, serialize_avro
+
+    schema = (
+        '{"type":"record","name":"r","fields":'
+        '[{"name":"id","type":"long"},{"name":"s","type":"string"}]}'
+    )
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, s string")
+    try:
+        enc = df.select(serialize_avro(F.struct("id", "s"), schema).alias("b"))
+        got = enc.select(parse_avro(F.col("b"), schema).alias("r")).select(
+            "r.id", "r.s"
+        ).collect()
+    except Exception as e:
+        if "AVRO_NOT_LOADED" in str(e) or "avro" in str(e).lower():
+            pytest.skip(f"spark-avro jar not on classpath: {type(e).__name__}")
+        raise
+    assert sorted((r.id, r.s) for r in got) == [(1, "x"), (2, "y")]

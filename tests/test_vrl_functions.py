@@ -54,3 +54,36 @@ def test_render_template_fields_and_strftime(spark):
     )
     col = render_template("logs/{{ service }}/year=%Y/month=%m/day=%d", ts_col="ts")
     assert df.select(col.alias("k")).collect()[0]["k"] == "logs/svc-a/year=2024/month=01/day=09"
+
+
+def test_ipv6_family(spark):
+    from vector_spark.functions import ip_to_ipv6, ipv6_expand, ipv6_to_ipv4
+
+    df = spark.createDataFrame(
+        [
+            ("2001:db8::1",), ("::1",), ("fe80::a:b:c:d",),
+            ("::ffff:192.168.0.1",), ("0:0:0:0:0:ffff:10.0.0.7",),
+            ("::ffff:0102:0304",), ("1.2.3.4",), ("nonsense",),
+        ],
+        "ip string",
+    )
+    got = {
+        r.ip: (r.exp, r.to6, r.to4)
+        for r in df.select(
+            "ip",
+            ipv6_expand(F.col("ip")).alias("exp"),
+            ip_to_ipv6(F.col("ip")).alias("to6"),
+            ipv6_to_ipv4(F.col("ip")).alias("to4"),
+        ).collect()
+    }
+    assert got["2001:db8::1"][0] == "2001:0db8:0000:0000:0000:0000:0000:0001"
+    assert got["::1"][0] == "0000:0000:0000:0000:0000:0000:0000:0001"
+    assert got["fe80::a:b:c:d"][0] == "fe80:0000:0000:0000:000a:000b:000c:000d"
+    assert got["1.2.3.4"][1] == "::ffff:1.2.3.4"       # v4 -> mapped
+    assert got["2001:db8::1"][1] == "2001:db8::1"       # v6 passthrough
+    assert got["::ffff:192.168.0.1"][2] == "192.168.0.1"
+    assert got["0:0:0:0:0:ffff:10.0.0.7"][2] == "10.0.0.7"
+    assert got["::ffff:0102:0304"][2] == "1.2.3.4"      # hex-tail form
+    assert got["1.2.3.4"][2] == "1.2.3.4"               # v4 passthrough
+    assert got["nonsense"][2] is None                   # VRL errors -> null
+    assert got["::ffff:192.168.0.1"][0] is None         # dotted tail: no hex expand

@@ -56,3 +56,68 @@ def encode_gzip(col: Column | str) -> Column:
 
 def decode_gzip(col: Column | str) -> Column:
     return _udf("decode_gzip")(col)
+
+
+# --- zstd / snappy (gated: wheels not present in every environment) --------
+
+def _optional_codec(name: str, module: str):
+    """encode/decode builders for codecs whose wheel may be absent
+    (zstandard, python-snappy). The reference ships zstd/snappy in
+    lib/codecs; here they slot into the same Arrow-batched pattern as
+    zlib/gzip, but the import is deferred and a missing wheel raises a
+    clear ImportError AT CALL TIME (tests skip-if-absent)."""
+    import importlib
+
+    try:
+        mod = importlib.import_module(module)
+    except ImportError as e:
+        raise ImportError(
+            f"{name} needs the {module!r} wheel, which is not installed in "
+            f"this environment; zlib/gzip codecs are always available"
+        ) from e
+    return mod
+
+
+def encode_zstd(col: Column, level: int = 3) -> Column:
+    zstd = _optional_codec("encode_zstd", "zstandard")
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    c = zstd.ZstdCompressor(level=level)
+
+    def codec(data):
+        return data.map(lambda b: None if b is None else c.compress(bytes(b)))
+
+    return pandas_udf(codec, "binary")(col)
+
+
+def decode_zstd(col: Column) -> Column:
+    zstd = _optional_codec("decode_zstd", "zstandard")
+    from pyspark.sql.functions import pandas_udf
+
+    d = zstd.ZstdDecompressor()
+
+    def codec(data):
+        return data.map(lambda b: None if b is None else d.decompress(bytes(b)))
+
+    return pandas_udf(codec, "binary")(col)
+
+
+def encode_snappy(col: Column) -> Column:
+    snappy = _optional_codec("encode_snappy", "snappy")
+    from pyspark.sql.functions import pandas_udf
+
+    def codec(data):
+        return data.map(lambda b: None if b is None else snappy.compress(bytes(b)))
+
+    return pandas_udf(codec, "binary")(col)
+
+
+def decode_snappy(col: Column) -> Column:
+    snappy = _optional_codec("decode_snappy", "snappy")
+    from pyspark.sql.functions import pandas_udf
+
+    def codec(data):
+        return data.map(lambda b: None if b is None else snappy.decompress(bytes(b)))
+
+    return pandas_udf(codec, "binary")(col)

@@ -172,3 +172,86 @@ def community_id_v1(
 def chunks(col: Column, chunk_size: int) -> Column:
     """VRL chunks: split a string into an array of <=chunk_size pieces."""
     return F.regexp_extract_all(col, F.lit(f"(.{{1,{chunk_size}}})"), 1)
+
+
+# --- ipv6 ------------------------------------------------------------------
+
+def ipv6_expand(col: Column) -> Column:
+    """Normalize a (hex-group) IPv6 address to its full 8-group,
+    zero-padded, lowercase form — the canonical form VRL's ip family
+    compares in. Pure array exprs: split on '::', pad the gap with zero
+    groups, lpad every group to 4 digits. Addresses with an embedded dotted
+    IPv4 tail are not expanded here (see ipv6_to_ipv4)."""
+    low = F.lower(F.trim(col))
+    has_gap = low.contains("::")
+    left = F.filter(F.split(F.substring_index(low, "::", 1), ":"), lambda x: x != "")
+    right = F.filter(F.split(F.substring_index(low, "::", -1), ":"), lambda x: x != "")
+    plain = F.filter(F.split(low, ":"), lambda x: x != "")
+    gap = F.lit(8) - F.size(left) - F.size(right)
+    groups = F.when(
+        has_gap, F.concat(left, F.array_repeat(F.lit("0"), gap), right)
+    ).otherwise(plain)
+    padded = F.transform(groups, lambda g: F.lpad(g, 4, "0"))
+    return F.when(
+        (F.size(groups) == 8) & ~low.contains("."), F.array_join(padded, ":")
+    )
+
+
+def ip_to_ipv6(col: Column) -> Column:
+    """VRL ip_to_ipv6: dotted IPv4 -> its IPv4-mapped IPv6 form
+    ('::ffff:a.b.c.d'); an address that is already IPv6 passes through."""
+    is_v4 = col.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    return F.when(is_v4, F.concat(F.lit("::ffff:"), col)).otherwise(col)
+
+
+def ipv6_to_ipv4(col: Column) -> Column:
+    """VRL ipv6_to_ipv4: an IPv4-mapped IPv6 address back to dotted IPv4.
+    Handles the dotted-tail form (any zero-compression: '::ffff:1.2.3.4',
+    '0:0:0:0:0:ffff:1.2.3.4') and the hex-tail form
+    ('::ffff:0102:0304'); plain IPv4 passes through; anything else ->
+    null (VRL errors there)."""
+    low = F.lower(F.trim(col))
+    is_v4 = low.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    dotted = F.regexp_extract(
+        low, r"^(?:0{1,4}(?::0{1,4}){0,4}:|:):?ffff:((?:\d{1,3}\.){3}\d{1,3})$", 1
+    )
+    expanded = ipv6_expand(low)
+    hex_mapped = expanded.isNotNull() & expanded.startswith("0000:0000:0000:0000:0000:ffff:")
+    hi = F.conv(F.substring(expanded, 31, 4), 16, 10).cast("long")
+    lo = F.conv(F.substring(expanded, 36, 4), 16, 10).cast("long")
+    from_hex = F.concat_ws(
+        ".",
+        F.floor(hi / 256).cast("long").cast("string"),
+        F.pmod(hi, F.lit(256)).cast("string"),
+        F.floor(lo / 256).cast("long").cast("string"),
+        F.pmod(lo, F.lit(256)).cast("string"),
+    )
+    return (
+        F.when(is_v4, low)
+        .when(dotted != "", dotted)
+        .when(hex_mapped, from_hex)
+    )
+
+
+def hmac_hex(col: Column, key: bytes | str, algorithm: str = "sha256") -> Column:
+    """VRL hmac (website/cue/reference/remap/functions/hmac.cue): keyed-hash
+    MAC of the column, hex output. No JVM builtin exposes HMAC, so this is
+    an Arrow-batched pandas UDF over stdlib hmac/hashlib (the compress.py
+    pattern) — batch-at-a-time, never per-row Python. algorithm:
+    md5/sha1/sha256/sha512."""
+    import hashlib
+    import hmac as _hmac
+
+    from pyspark.sql.functions import pandas_udf
+
+    kb = key.encode() if isinstance(key, str) else key
+    digestmod = getattr(hashlib, algorithm)
+
+    def mac(data):
+        return data.map(
+            lambda v: None
+            if v is None
+            else _hmac.new(kb, v if isinstance(v, bytes) else str(v).encode(), digestmod).hexdigest()
+        )
+
+    return pandas_udf(mac, "string")(col)
