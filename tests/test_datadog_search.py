@@ -67,5 +67,29 @@ def test_match_all_and_exists(spark):
 
 
 def test_unsupported_raises(spark):
-    with pytest.raises(ValueError, match="fuzzy"):
-        datadog_search("host:web~2")
+    with pytest.raises(ValueError, match="unbalanced"):
+        datadog_search("(status:error")
+
+
+def test_regex_literal(spark):
+    df = spark.createDataFrame(
+        [(1, "error code 42"), (2, "warning code 7"), (3, "all fine")],
+        "id long, message string",
+    )
+    got = rows(df.filter(datadog_search(r"/code\s\d+/")), "id")
+    assert got == [(1,), (2,)]
+    got = rows(df.filter(datadog_search(r"message:/err.r/")), "id")
+    assert got == [(1,)]
+
+
+def test_fuzzy_match(spark):
+    df = spark.createDataFrame(
+        [(1, "kernel panic now"), (2, "kernal warning"), (3, "other")],
+        "id long, message string",
+    )
+    # bare fuzzy: any token within edit distance 1 of 'kernel'
+    got = rows(df.filter(datadog_search("kernel~1")), "id")
+    assert got == [(1,), (2,)]
+    df2 = spark.createDataFrame([(1, "prod-7"), (2, "staging")], "id long, env string")
+    got = rows(df2.filter(datadog_search("env:prod-9~2")), "id")
+    assert got == [(1,)]

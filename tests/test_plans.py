@@ -97,3 +97,23 @@ def test_salted_agg_rejects_holistic(spark):
     df = generate_pages(spark, 10, partitions=1)
     with pytest.raises(ValueError, match="not algebraic"):
         salted_agg(df, ["lang"], {"m": ("median", "html")})
+
+
+def test_reduce_flush_conditions_single_exchange(spark):
+    """reduce with gap + max_events stacks all running-window columns over
+    ONE shuffle (same partition/order), and the final per-session aggregate
+    reuses the user_id hash partitioning — exactly one Exchange total."""
+    from vector_spark.operators import reduce_sessions
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)],
+        "event_id long, user_id long, value double",
+    ).withColumn("ts", F.timestamp_seconds(F.col("event_id") * 10))
+    out = reduce_sessions(
+        df, ["user_id"], {"v": ("sum", "value")},
+        ts_col="ts", gap_secs=60, order_col=["ts", "event_id"],
+        max_events=3, end_every_secs=120,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan

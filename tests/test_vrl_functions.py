@@ -87,3 +87,34 @@ def test_ipv6_family(spark):
     assert got["1.2.3.4"][2] == "1.2.3.4"               # v4 passthrough
     assert got["nonsense"][2] is None                   # VRL errors -> null
     assert got["::ffff:192.168.0.1"][0] is None         # dotted tail: no hex expand
+
+
+def test_punycode_and_charset(spark):
+    from vector_spark.functions import (
+        decode_charset,
+        decode_punycode,
+        encode_charset,
+        encode_punycode,
+    )
+
+    df = spark.createDataFrame(
+        [("www.café.com",), ("plain.example.com",), (None,)], "d string"
+    )
+    got = [
+        (r.enc, r.rt)
+        for r in df.select(
+            encode_punycode(F.col("d")).alias("enc"),
+            decode_punycode(encode_punycode(F.col("d"))).alias("rt"),
+        ).collect()
+    ]
+    assert got[0] == ("www.xn--caf-dma.com", "www.café.com")
+    assert got[1] == ("plain.example.com", "plain.example.com")
+    assert got[2] == (None, None)
+
+    df2 = spark.createDataFrame([("héllo",)], "s string")
+    r = df2.select(
+        decode_charset(encode_charset(F.col("s"), "latin-1"), "latin-1").alias("rt"),
+        encode_charset(F.col("s"), "ascii").alias("bad"),
+    ).collect()[0]
+    assert r["rt"] == "héllo"
+    assert r["bad"] is None  # unmappable -> null (VRL errors)

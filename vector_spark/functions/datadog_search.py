@@ -17,8 +17,12 @@ Supported subset (covers the operators the reference's own tests exercise):
                                    for juxtaposition)
   *:*  or  *                   match-all
 
-Unsupported (raise ValueError): fuzzy (~), regex literals, nested facets
-beyond one level of dotted path.
+  term~2 / field:value~1         fuzzy match -> JVM levenshtein bound
+  /regex/  field:/regex/          regex literal -> rlike (pattern must not
+                                   contain spaces/parens — tokenizer subset)
+
+Unsupported (raise ValueError): nested facets beyond one level of dotted
+path.
 """
 
 from __future__ import annotations
@@ -59,6 +63,7 @@ def _tokens(query: str) -> list[tuple[str, str]]:
 
 
 _RANGE = re.compile(r"^\[(\S+) TO (\S+)\]$")
+_FUZZY = re.compile(r"^(.*?)~(\d+)?$")
 _CMP = re.compile(r"^(>=|<=|>|<)(.+)$")
 
 
@@ -160,12 +165,29 @@ class _Parser:
     def parse_term(self, term: str) -> Column:
         if term in ("*", "*:*"):
             return F.lit(True)
-        if "~" in term:
-            raise ValueError("datadog search: fuzzy matching not supported")
+        fuzz = _FUZZY.match(term)
+        if fuzz:
+            body, dist = fuzz.group(1), int(fuzz.group(2) or 2)
+            if ":" in body:
+                field, value = body.split(":", 1)
+                return F.levenshtein(
+                    _field_col(field).cast("string"), F.lit(value)
+                ) <= dist
+            # bare fuzzy word: any whitespace token of the default field
+            # within edit distance (JVM levenshtein inside exists())
+            return F.exists(
+                F.split(F.col(self.default_field), r"\s+"),
+                lambda t: F.levenshtein(t, F.lit(body)) <= dist,
+            )
         if ":" not in term:
+            if len(term) > 2 and term.startswith("/") and term.endswith("/"):
+                return F.col(self.default_field).rlike(term[1:-1])
             # bare word: substring on the default field
             return F.col(self.default_field).contains(term)
         field, value = term.split(":", 1)
+        if len(value) > 2 and value.startswith("/") and value.endswith("/"):
+            # regex literal (no spaces/parens inside — tokenizer subset)
+            return _field_col(field).cast("string").rlike(value[1:-1])
         if value.startswith("[") and not value.endswith("]"):
             # range literal was split on whitespace: rejoin "[lo TO hi]"
             while self.i < len(self.toks):

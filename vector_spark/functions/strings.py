@@ -255,3 +255,86 @@ def hmac_hex(col: Column, key: bytes | str, algorithm: str = "sha256") -> Column
         )
 
     return pandas_udf(mac, "string")(col)
+
+
+def encode_punycode(col: Column) -> Column:
+    """VRL encode_punycode: IDNA-encode a domain — each non-ASCII label
+    becomes 'xn--' + its punycode form, labels lowercased (the VRL
+    default). stdlib 'punycode' codec via an Arrow-batched pandas UDF."""
+    from pyspark.sql.functions import pandas_udf
+
+    def enc_domain(d: str | None):
+        if d is None:
+            return None
+        out = []
+        for label in d.lower().split("."):
+            if label.isascii():
+                out.append(label)
+            else:
+                out.append("xn--" + label.encode("punycode").decode("ascii"))
+        return ".".join(out)
+
+    def enc(data):
+        return data.map(enc_domain)
+
+    return pandas_udf(enc, "string")(col)
+
+
+def decode_punycode(col: Column) -> Column:
+    """VRL decode_punycode: reverse of encode_punycode; malformed labels
+    yield null (VRL errors there)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def dec_domain(d: str | None):
+        if d is None:
+            return None
+        out = []
+        for label in d.lower().split("."):
+            if label.startswith("xn--"):
+                try:
+                    out.append(label[4:].encode("ascii").decode("punycode"))
+                except (UnicodeError, UnicodeDecodeError):
+                    return None
+            else:
+                out.append(label)
+        return ".".join(out)
+
+    def dec(data):
+        return data.map(dec_domain)
+
+    return pandas_udf(dec, "string")(col)
+
+
+def encode_charset(col: Column, charset: str) -> Column:
+    """VRL-adjacent charset encode: string -> bytes in the given charset
+    (stdlib codecs; unmappable chars -> null, matching VRL's error)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def enc(data):
+        def one(v):
+            if v is None:
+                return None
+            try:
+                return str(v).encode(charset)
+            except (UnicodeError, LookupError):
+                return None
+        return data.map(one)
+
+    return pandas_udf(enc, "binary")(col)
+
+
+def decode_charset(col: Column, charset: str) -> Column:
+    """Bytes in the given charset -> string (invalid sequences -> null)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def dec(data):
+        def one(v):
+            if v is None:
+                return None
+            try:
+                return bytes(v).decode(charset)
+            except (UnicodeError, LookupError):
+                return None
+        return data.map(one)
+
+    return pandas_udf(dec, "string")(col)

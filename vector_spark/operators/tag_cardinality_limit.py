@@ -11,6 +11,15 @@ limit; (2) broadcast-join it back and null-out / drop non-allowed values.
 The allow-list is <= limit rows per key — always broadcast-small. The
 Probabilistic mode's analogue at scale is `approx_count_distinct` guarding
 which keys need a pass at all.
+
+Why one build pass PER key (not a single melted explode(keys) pass): each
+build is a column-pruned (key, order) scan whose shuffle carries map-side
+partially-aggregated distinct values only, and its orderBy+limit compiles
+to TakeOrderedAndProject — per-partition top-N, no global sort. A single
+melted pass would save K-1 narrow shuffles but needs a window rank
+partitioned by key, which sorts EVERY distinct value of a key inside one
+task — exactly the skew bomb a hot key with 10^9 distinct values sets off
+at 100 TB. K is 1-3 in practice; K narrow top-N scans win.
 """
 
 from __future__ import annotations
