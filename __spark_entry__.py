@@ -1012,6 +1012,31 @@ def q_vrl_hmac(spark, sf_dir):
     )
 
 
+def q_codec_influxdb(spark, sf_dir):
+    """Influxdb line-protocol round-trip: encode each event as a line
+    (sorted tags, i-suffixed int field, epoch-ns ts), parse it back, emit
+    the parsed pieces; oracle reconstructs them from the source columns."""
+    from vector_spark.functions import parse_influxdb_line
+
+    e = _t(spark, sf_dir, "events")
+    ns = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+    line = F.format_string(
+        "events,type=%s,user=%d value=%.2f,n=%di %d",
+        F.col("event_type"), F.col("user_id"), F.col("value"),
+        (F.col("event_id") % 100).cast("int"), ns,
+    )
+    p = parse_influxdb_line(line)
+    return e.select(
+        "event_id",
+        p["measurement"].alias("measurement"),
+        p["tags"].getItem("type").alias("tag_type"),
+        p["tags"].getItem("user").cast("long").alias("tag_user"),
+        p["fields"].getItem("value").cast("double").alias("f_value"),
+        p["fields"].getItem("n").cast("long").alias("f_n"),
+        p["timestamp_ns"].alias("ts_ns"),
+    )
+
+
 def q_codec_csv(spark, sf_dir):
     """Csv deserializer round-trip: encode columns as a csv line, decode
     with from_csv; oracle reconstructs the expected struct fields directly."""
@@ -1120,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_framing_chardelim": q_codec_framing_chardelim,
         "codec_framing_octet": q_codec_framing_octet,
         "vrl_hmac": q_vrl_hmac,
+        "codec_influxdb": q_codec_influxdb,
         "datadog_search": q_datadog_search,
         "codec_json": q_codec_json,
     }
@@ -2004,6 +2030,17 @@ SELECT event_id, 2, CAST(event_id AS VARCHAR) FROM events
 SELECT event_id, 0 AS idx, event_type AS frame FROM events
 UNION ALL
 SELECT event_id, 1, props FROM events
+"""
+
+    sql["codec_influxdb"] = """
+SELECT event_id,
+       'events' AS measurement,
+       event_type AS tag_type,
+       user_id AS tag_user,
+       CAST(printf('%.2f', value) AS DOUBLE) AS f_value,
+       event_id % 100 AS f_n,
+       epoch_us(ts) * 1000 AS ts_ns
+FROM events
 """
 
     sql["codec_csv"] = """

@@ -55,6 +55,11 @@ HEADLINE = [
     "topology_events",
     "aggregate_summary",
     "ann_ivf",
+    # round 2 additions
+    "enrich_geoip",
+    "reduce_max_events",
+    "embedding_near_dup",
+    "langid",
 ]
 
 

@@ -379,3 +379,47 @@ def test_parse_aws_alb_log_reference_example(spark):
     assert r["user_agent"] == "curl/7.46.0"
     assert r["ssl_cipher"] is None and r["ssl_protocol"] is None
     assert r["trace_id"] == "Root=1-58337364-23a8c76965a2ef7629b185e3"
+
+
+def test_frame_length_delimited(spark):
+    from vector_spark.functions import frame_length_delimited
+
+    buf = (3).to_bytes(4, "big") + b"abc" + (2).to_bytes(4, "big") + b"xy"
+    trunc = (9).to_bytes(4, "big") + b"short"
+    df = spark.createDataFrame([(buf,), (trunc,), (None,)], "b binary")
+    got = [r.f for r in df.select(frame_length_delimited(F.col("b")).alias("f")).collect()]
+    assert [bytes(x) for x in got[0]] == [b"abc", b"xy"]
+    assert got[1] == []      # payload shorter than declared length
+    assert got[2] is None
+
+
+def test_encode_gelf_and_csv_line(spark):
+    import json
+
+    from vector_spark.functions import encode_csv_line, encode_gelf, parse_gelf
+
+    df = spark.createDataFrame([("web1", "disk full", 2)], "h string, m string, lvl int")
+    doc = df.select(
+        encode_gelf(F.col("h"), F.col("m"), {"level": F.col("lvl")}).alias("g")
+    ).collect()[0]["g"]
+    parsed = json.loads(doc)
+    assert parsed == {"version": "1.1", "host": "web1",
+                      "short_message": "disk full", "_level": 2}
+    # csv quoting: embedded comma must round-trip through proper escaping
+    df2 = spark.createDataFrame([("a,b", 7)], "s string, n int")
+    line = df2.select(encode_csv_line(F.col("s"), F.col("n")).alias("l")).collect()[0]["l"]
+    assert line == '"a,b",7'
+
+
+def test_parse_linux_authorization(spark):
+    from vector_spark.functions import parse_linux_authorization
+
+    line = "Jun 14 15:16:01 combo sshd[19939]: Accepted password for root from 10.0.2.2 port 52725 ssh2"
+    df = spark.createDataFrame([(line,)], "l string")
+    p = parse_linux_authorization(F.col("l"))
+    r = df.select(*[v.alias(k) for k, v in p.items()]).collect()[0]
+    assert r["timestamp"] == "Jun 14 15:16:01"
+    assert r["hostname"] == "combo"
+    assert r["appname"] == "sshd"
+    assert r["procid"] == 19939
+    assert r["message"].startswith("Accepted password for root")

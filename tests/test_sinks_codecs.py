@@ -142,3 +142,31 @@ def test_avro_roundtrip_or_skip(spark):
             pytest.skip(f"spark-avro jar not on classpath: {type(e).__name__}")
         raise
     assert sorted((r.id, r.s) for r in got) == [(1, "x"), (2, "y")]
+
+
+def test_influxdb_line_roundtrip(spark):
+    from vector_spark.functions import encode_influxdb_line, parse_influxdb_line
+
+    df = spark.range(1)
+    line_col = encode_influxdb_line(
+        F.lit("cpu"),
+        {"region": F.lit("eu"), "host": F.lit("a")},   # must sort to host,region
+        {"usage": F.lit(0.5), "idle": F.lit(99)},
+        F.lit(1700000000000000000),
+    )
+    line = df.select(line_col.alias("l")).collect()[0]["l"]
+    assert line == "cpu,host=a,region=eu idle=99,usage=0.5 1700000000000000000"
+    p = parse_influxdb_line(F.lit(line))
+    r = df.select(
+        p["measurement"].alias("m"), p["tags"].alias("t"),
+        p["fields"].alias("f"), p["timestamp_ns"].alias("ts"),
+    ).collect()[0]
+    assert r["m"] == "cpu"
+    assert dict(r["t"]) == {"host": "a", "region": "eu"}
+    assert dict(r["f"]) == {"idle": "99", "usage": "0.5"}
+    assert r["ts"] == 1700000000000000000
+    # tagless line + integer suffix stripping
+    r2 = df.select(
+        parse_influxdb_line(F.lit("mem used=12i"))["fields"].alias("f")
+    ).collect()[0]
+    assert dict(r2["f"]) == {"used": "12"}

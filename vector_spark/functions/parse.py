@@ -496,3 +496,127 @@ def parse_protobuf(col: Column, message_name: str, desc_file_path: str,
     from pyspark.sql.protobuf.functions import from_protobuf
 
     return from_protobuf(col, message_name, desc_file_path, options or {})
+
+
+# --- influxdb line protocol ------------------------------------------------
+
+def parse_influxdb_line(col: Column) -> dict[str, Column]:
+    """Influxdb line-protocol deserializer (lib/codecs influxdb serializer's
+    inverse): 'measurement[,tag=v...] field=v[,field=v...] [ts]' ->
+    measurement, tags map<string,string>, fields map<string,string> (values
+    kept as written — cast at use site; '1i' integer suffix stripped), and
+    epoch-ns timestamp. Subset: no escaped commas/spaces/quotes inside
+    values. Pure split/str_to_map exprs."""
+    head = F.substring_index(col, " ", 1)
+    parts = F.split(col, " ")
+    field_str = F.element_at(parts, 2)
+    ts = F.when(F.size(parts) >= 3, F.element_at(parts, 3).cast("long"))
+    measurement = F.substring_index(head, ",", 1)
+    tag_str = F.when(
+        head.contains(","), F.substr(head, F.length(measurement) + F.lit(2))
+    )
+    tags = F.when(tag_str.isNotNull(), F.str_to_map(tag_str, F.lit(","), F.lit("=")))
+    fields = F.str_to_map(
+        F.regexp_replace(field_str, r"(\d)i(,|$)", r"$1$2"), F.lit(","), F.lit("=")
+    )
+    return {
+        "measurement": measurement,
+        "tags": tags,
+        "fields": fields,
+        "timestamp_ns": ts,
+    }
+
+
+def encode_influxdb_line(
+    measurement: Column,
+    tags: dict[str, Column],
+    fields: dict[str, Column],
+    ts_ns: Column | None = None,
+) -> Column:
+    """Influxdb line-protocol serializer (lib/codecs/src/encoding — the
+    Influxdb metric sink format): tags sorted by key (the protocol's
+    canonical order), float fields as-is, trailing epoch-ns timestamp."""
+    tag_part = [
+        F.concat(F.lit(f",{k}="), tags[k].cast("string")) for k in sorted(tags)
+    ]
+    field_part = F.concat_ws(
+        ",",
+        *[F.concat(F.lit(f"{k}="), fields[k].cast("string")) for k in sorted(fields)],
+    )
+    out = F.concat(measurement, *tag_part, F.lit(" "), field_part)
+    if ts_ns is not None:
+        out = F.concat(out, F.lit(" "), ts_ns.cast("string"))
+    return out
+
+
+def frame_length_delimited(col: Column, prefix_bytes: int = 4) -> Column:
+    """LengthDelimitedDecoder (lib/codecs decoding framing): repeated
+    <N-byte big-endian length><payload> frames over a binary column ->
+    array<binary>. Sequential buffer walk — Arrow-batched pandas UDF,
+    per-buffer independent (parallel across rows)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def parse_buf(b):
+        if b is None:
+            return None
+        b = bytes(b)
+        out = []
+        i = 0
+        while i + prefix_bytes <= len(b):
+            n = int.from_bytes(b[i : i + prefix_bytes], "big")
+            i += prefix_bytes
+            if i + n > len(b):
+                break
+            out.append(b[i : i + n])
+            i += n
+        return out
+
+    def frames(data):
+        return data.map(parse_buf)
+
+    return pandas_udf(frames, "array<binary>")(col)
+
+
+def serialize_protobuf(col: Column, message_name: str, desc_file_path: str,
+                       options: dict | None = None) -> Column:
+    """Protobuf serializer via native to_protobuf (pairs with
+    parse_protobuf; needs spark-protobuf + descriptor, skip-if-absent)."""
+    from pyspark.sql.protobuf.functions import to_protobuf
+
+    return to_protobuf(col, message_name, desc_file_path, options or {})
+
+
+def encode_csv_line(*cols: Column) -> Column:
+    """Csv serializer: struct -> one csv-encoded line via native to_csv
+    (proper quoting/escaping, unlike concat_ws)."""
+    return F.to_csv(F.struct(*cols))
+
+
+def encode_gelf(
+    host: Column, short_message: Column, extra: dict[str, Column] | None = None
+) -> Column:
+    """Gelf serializer (lib/codecs encoding Gelf): version 1.1 JSON doc
+    with host/short_message plus underscore-prefixed additional fields."""
+    fields = [
+        F.lit("1.1").alias("version"),
+        host.alias("host"),
+        short_message.alias("short_message"),
+    ]
+    for k in sorted(extra or {}):
+        fields.append(extra[k].alias(f"_{k}"))
+    return F.to_json(F.struct(*fields))
+
+
+# linux auth log: 'Jun 14 15:16:01 host sshd[123]: Accepted password for u from 1.2.3.4 port 22 ssh2'
+LINUX_AUTH = (
+    r"^(?P<timestamp>\w{3}\s+\d+\s[\d:]+)\s(?P<hostname>\S+)\s"
+    r"(?P<appname>[\w\-/\.]+)(?:\[(?P<procid>\d+)\])?:\s(?P<message>.*)$"
+)
+
+
+def parse_linux_authorization(col: Column) -> dict[str, Column]:
+    """VRL parse_linux_authorization: auth.log / secure lines (syslog 3164
+    without priority). One regex, named groups."""
+    out = _extract_all(col, LINUX_AUTH)
+    out["procid"] = F.nullif(out["procid"], F.lit("")).cast("int")
+    return out
