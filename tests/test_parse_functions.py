@@ -423,3 +423,14 @@ def test_parse_linux_authorization(spark):
     assert r["appname"] == "sshd"
     assert r["procid"] == 19939
     assert r["message"].startswith("Accepted password for root")
+
+
+def test_parse_tokens(spark):
+    from vector_spark.functions import parse_tokens
+
+    line = 'host [10/Oct/2000:13:55:36 -0700] "GET /path HTTP/1.1" 200'
+    df = spark.createDataFrame([(line,)], "l string")
+    got = df.select(parse_tokens(F.col("l")).alias("t")).collect()[0]["t"]
+    assert got == [
+        "host", "[10/Oct/2000:13:55:36 -0700]", '"GET /path HTTP/1.1"', "200",
+    ]

@@ -41,7 +41,7 @@ def _run_stream(spark, sdf, tmp_path, name):
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append" if name in ("dedupe", "throttle") else "complete")
+        .outputMode("append" if name in ("dedupe", "throttle", "reduce_max") else "complete")
         .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
         .trigger(availableNow=True)
         .start()
@@ -227,3 +227,38 @@ def test_stream_tag_cardinality_limit_state(spark, tmp_path):
     assert (ts(0, 0), "a") in got and (ts(0, 1), "b") in got
     assert (ts(0, 2), None) in got   # third distinct value -> tag dropped
     assert (ts(0, 3), "a") in got    # allowed value stays allowed
+
+
+def test_stream_reduce_max_events_equals_batch(spark, tmp_path):
+    """stream_reduce_max_events over a bounded source must produce the same
+    closed chunks as reduce_sessions(max_events=N); the still-open tail
+    session stays in state (not emitted), so compare against batch minus
+    each group's last chunk when it's unfinished."""
+    from vector_spark.streaming import stream_reduce_max_events
+
+    src = str(tmp_path / "src")
+    rows_in = [
+        # group a: 7 events, 10s apart -> chunks of 3,3 then 1 left open
+        *[(i, "a", ts((i * 10) // 60, (i * 10) % 60), 1.0) for i in range(7)],
+        # group b: 2 events, then a >60s gap closes them, then 1 open
+        (10, "b", ts(0, 0), 5.0), (11, "b", ts(0, 10), 5.0),
+        (12, "b", ts(10, 0), 7.0),
+    ]
+    spark.createDataFrame(
+        rows_in, "event_id long, g string, ts timestamp, value double"
+    ).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    sdf = stream_reduce_max_events(
+        spark.readStream.schema(schema).parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp")),
+        ["g"], gap_secs=60, max_events=3,
+    )
+    got = _run_stream(spark, sdf, tmp_path, "reduce_max")
+    emitted = sorted(
+        (r.g, r.session_start_us, r.events_merged, r.value_sum) for r in got.collect()
+    )
+    assert emitted == [
+        ("a", int(ts(0, 0).timestamp() * 1e6), 3, 3.0),
+        ("a", int(ts(0, 30).timestamp() * 1e6), 3, 3.0),
+        ("b", int(ts(0, 0).timestamp() * 1e6), 2, 10.0),
+    ]

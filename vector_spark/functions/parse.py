@@ -620,3 +620,11 @@ def parse_linux_authorization(col: Column) -> dict[str, Column]:
     out = _extract_all(col, LINUX_AUTH)
     out["procid"] = F.nullif(out["procid"], F.lit("")).cast("int")
     return out
+
+
+def parse_tokens(col: Column) -> Column:
+    """VRL parse_tokens: split a log line into tokens, keeping
+    double-quoted strings and [bracketed] groups together
+    (website/cue/reference/remap/functions/parse_tokens.cue). One
+    regexp_extract_all — codegen, no Python."""
+    return F.regexp_extract_all(col, F.lit(r'("[^"]*"|\[[^\]]*\]|\S+)'), 1)

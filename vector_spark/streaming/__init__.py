@@ -6,6 +6,7 @@ from .ops import (
     stream_dedupe,
     stream_pages_pipeline,
     stream_reduce_sessions,
+    stream_reduce_max_events,
     stream_throttle,
 )
 
@@ -17,5 +18,6 @@ __all__ = [
     "stream_hash_replace",
     "stream_tag_cardinality_limit",
     "stream_reduce_sessions",
+    "stream_reduce_max_events",
     "stream_throttle",
 ]

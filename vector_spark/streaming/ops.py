@@ -106,6 +106,69 @@ def stream_reduce_sessions(
     )
 
 
+def stream_reduce_max_events(
+    df: DataFrame,
+    group_by: list[str],
+    gap_secs: float,
+    max_events: int,
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of reduce_sessions(max_events=N): sessions close on
+    the inter-event gap OR on reaching max_events (the reference's
+    transaction-assembly flush, reduce/config.rs:30-60). session_window
+    can't count, so this carries explicit per-group state — the open
+    chunk's (start_us, last_us, count, sum) — via applyInPandasWithState;
+    completed chunks emit per micro-batch, the open chunk survives restarts
+    in the streaming checkpoint. Event-time order is guaranteed within a
+    batch (sorted) — late data across batches follows at-arrival semantics
+    (state-based operators see arrival order; use the batch operator for
+    exact event-time replay)."""
+    import pandas as pd
+
+    key_schema = ", ".join(f"{k} string" for k in group_by)
+    out_schema = (
+        f"{key_schema}, session_start_us long, events_merged int, value_sum double"
+    )
+    state_schema = "start_us long, last_us long, n int, vsum double"
+    gap_us = int(gap_secs * 1_000_000)
+
+    def fn(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        start, last, n, vsum = state.get if state.exists else (None, None, 0, 0.0)
+        rows = []
+
+        def flush():
+            nonlocal start, last, n, vsum
+            if n:
+                rows.append((*key, start, n, vsum))
+            start, last, n, vsum = None, None, 0, 0.0
+
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                us = int(ts.timestamp() * 1_000_000)
+                if n and (us - last > gap_us):
+                    flush()
+                if start is None:
+                    start = us
+                last = us
+                n += 1
+                vsum += float(v)
+                if n >= max_events:
+                    flush()
+        if n:
+            state.update((start, last, n, vsum))
+        else:
+            state.remove()
+        yield pd.DataFrame(
+            rows, columns=[*group_by, "session_start_us", "events_merged", "value_sum"]
+        )
+
+    return df.groupBy(*group_by).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_throttle(
     df: DataFrame,
     threshold: int,
