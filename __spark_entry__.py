@@ -997,6 +997,18 @@ def q_codec_framing_octet(spark, sf_dir):
     )
 
 
+def q_vrl_uuid_v7(spark, sf_dir):
+    """Deterministic uuid_v7: RFC 9562 layout with md5-derived random bits
+    — replayable, time-ordered, oracle-expressible (same hex math in SQL)."""
+    from vector_spark.functions import uuid_v7_deterministic
+
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        uuid_v7_deterministic(F.col("ts"), F.col("event_id")).alias("uuid7"),
+    )
+
+
 def q_vrl_hmac(spark, sf_dir):
     """VRL hmac: keyed MAC per event message (rows-only driver check —
     DuckDB has no HMAC; RFC 4231 vectors are asserted in
@@ -1034,6 +1046,35 @@ def q_codec_influxdb(spark, sf_dir):
         p["fields"].getItem("value").cast("double").alias("f_value"),
         p["fields"].getItem("n").cast("long").alias("f_n"),
         p["timestamp_ns"].alias("ts_ns"),
+    )
+
+
+def q_codec_native_json(spark, sf_dir):
+    """Vector-native JSON event round-trip: serialize each event as
+    {"log": {...}} (encode_native_json_log), deserialize with
+    parse_native_json, emit kind + extracted fields; metric events are
+    synthesized for purchase rows to exercise the metric branch."""
+    from vector_spark.functions import encode_native_json_log, parse_native_json
+
+    e = _t(spark, sf_dir, "events")
+    is_metric = F.col("event_type") == "purchase"
+    log_doc = encode_native_json_log(
+        {"etype": F.col("event_type"), "uid": F.col("user_id").cast("string")}
+    )
+    metric_doc = F.format_string(
+        '{"metric": {"name": "revenue", "kind": "incremental", "counter": {"value": %.2f}}}',
+        F.col("value"),
+    )
+    doc = F.when(is_metric, metric_doc).otherwise(log_doc)
+    p = parse_native_json(doc)
+    return e.select(
+        "event_id",
+        p["kind"].alias("kind"),
+        p["log"].getItem("etype").alias("log_etype"),
+        p["log"].getItem("uid").cast("long").alias("log_uid"),
+        p["metric_name"].alias("metric_name"),
+        p["metric_kind"].alias("metric_kind"),
+        p["counter_value"].alias("counter_value"),
     )
 
 
@@ -1145,7 +1186,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_framing_chardelim": q_codec_framing_chardelim,
         "codec_framing_octet": q_codec_framing_octet,
         "vrl_hmac": q_vrl_hmac,
+        "vrl_uuid_v7": q_vrl_uuid_v7,
         "codec_influxdb": q_codec_influxdb,
+        "codec_native_json": q_codec_native_json,
         "datadog_search": q_datadog_search,
         "codec_json": q_codec_json,
     }
@@ -2041,6 +2084,32 @@ SELECT event_id,
        event_id % 100 AS f_n,
        epoch_us(ts) * 1000 AS ts_ns
 FROM events
+"""
+
+    sql["codec_native_json"] = """
+SELECT event_id,
+       CASE WHEN event_type = 'purchase' THEN 'metric' ELSE 'log' END AS kind,
+       CASE WHEN event_type = 'purchase' THEN NULL ELSE event_type END AS log_etype,
+       CASE WHEN event_type = 'purchase' THEN NULL ELSE user_id END AS log_uid,
+       CASE WHEN event_type = 'purchase' THEN 'revenue' END AS metric_name,
+       CASE WHEN event_type = 'purchase' THEN 'incremental' END AS metric_kind,
+       CASE WHEN event_type = 'purchase' THEN CAST(printf('%.2f', value) AS DOUBLE) END AS counter_value
+FROM events
+"""
+
+    sql["vrl_uuid_v7"] = """
+WITH t AS (
+  SELECT event_id,
+         lpad(lower(to_hex(epoch_us(ts) // 1000)), 12, '0') AS ms_hex,
+         md5(CAST(event_id AS VARCHAR)) AS h
+  FROM events
+)
+SELECT event_id,
+       substr(ms_hex, 1, 8) || '-' || substr(ms_hex, 9, 4) || '-7' ||
+       substr(h, 1, 3) || '-' ||
+       substr('89ab', ((strpos('0123456789abcdef', substr(h, 4, 1)) - 1) % 4) + 1, 1) ||
+       substr(h, 5, 3) || '-' || substr(h, 8, 12) AS uuid7
+FROM t
 """
 
     sql["codec_csv"] = """

@@ -118,3 +118,48 @@ def test_punycode_and_charset(spark):
     ).collect()[0]
     assert r["rt"] == "héllo"
     assert r["bad"] is None  # unmappable -> null (VRL errors)
+
+
+def test_uuid_v7_deterministic(spark):
+    import re
+
+    from vector_spark.functions import uuid_v7_deterministic
+
+    df = spark.createDataFrame(
+        [(1, ts(0, 0)), (2, ts(0, 0)), (1, ts(5, 0))],
+        "id long, t timestamp",
+    )
+    out = [r.u for r in df.select(
+        uuid_v7_deterministic(F.col("t"), F.col("id")).alias("u")
+    ).collect()]
+    pat = re.compile(r"^[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$")
+    assert all(pat.match(u) for u in out)          # RFC 9562 v7 layout
+    assert out[0] != out[1]                        # entropy differentiates
+    assert out[0] < out[2]                         # time-ordered
+    # replayable: same inputs -> same uuid
+    again = df.select(uuid_v7_deterministic(F.col("t"), F.col("id")).alias("u")).collect()
+    assert [r.u for r in again] == out
+
+
+def test_parse_native_json(spark):
+    from vector_spark.functions import encode_native_json_log, parse_native_json
+
+    df = spark.createDataFrame(
+        [
+            ('{"log": {"message": "hi", "host": "h1"}}',),
+            ('{"metric": {"name": "reqs", "kind": "incremental", "counter": {"value": 3.5}}}',),
+        ],
+        "doc string",
+    )
+    p = parse_native_json(F.col("doc"))
+    rows_out = df.select(*[v.alias(k) for k, v in p.items()]).collect()
+    assert rows_out[0]["kind"] == "log"
+    assert dict(rows_out[0]["log"]) == {"message": "hi", "host": "h1"}
+    assert rows_out[1]["kind"] == "metric"
+    assert rows_out[1]["metric_name"] == "reqs"
+    assert rows_out[1]["counter_value"] == 3.5
+    # serializer round-trip
+    enc = spark.range(1).select(
+        encode_native_json_log({"message": F.lit("x"), "level": F.lit("info")}).alias("d")
+    ).collect()[0]["d"]
+    assert enc == '{"log":{"level":"info","message":"x"}}'

@@ -628,3 +628,32 @@ def parse_tokens(col: Column) -> Column:
     (website/cue/reference/remap/functions/parse_tokens.cue). One
     regexp_extract_all — codegen, no Python."""
     return F.regexp_extract_all(col, F.lit(r'("[^"]*"|\[[^\]]*\]|\S+)'), 1)
+
+
+def parse_native_json(col: Column) -> dict[str, Column]:
+    """Vector-native JSON event deserializer
+    (lib/codecs/src/decoding/format/native_json.rs): each line is
+    {"log": {...}} | {"metric": {...}} | {"trace": {...}}. Returns the
+    event kind, the log fields as map<string,string>, and the metric
+    identity/value columns (counter/gauge). All JVM json exprs."""
+    kind = (
+        F.when(F.get_json_object(col, "$.log").isNotNull(), F.lit("log"))
+        .when(F.get_json_object(col, "$.metric").isNotNull(), F.lit("metric"))
+        .when(F.get_json_object(col, "$.trace").isNotNull(), F.lit("trace"))
+    )
+    return {
+        "kind": kind,
+        "log": F.from_json(F.get_json_object(col, "$.log"), "map<string,string>"),
+        "metric_name": F.get_json_object(col, "$.metric.name"),
+        "metric_namespace": F.get_json_object(col, "$.metric.namespace"),
+        "metric_kind": F.get_json_object(col, "$.metric.kind"),
+        "counter_value": F.get_json_object(col, "$.metric.counter.value").cast("double"),
+        "gauge_value": F.get_json_object(col, "$.metric.gauge.value").cast("double"),
+    }
+
+
+def encode_native_json_log(fields: dict[str, Column]) -> Column:
+    """Vector-native JSON serializer for log events: {"log": {fields...}}
+    (lib/codecs encoding NativeJson)."""
+    inner = F.struct(*[fields[k].alias(k) for k in sorted(fields)])
+    return F.to_json(F.struct(inner.alias("log")))

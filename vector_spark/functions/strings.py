@@ -338,3 +338,31 @@ def decode_charset(col: Column, charset: str) -> Column:
         return data.map(one)
 
     return pandas_udf(dec, "string")(col)
+
+
+def uuid_v4() -> Column:
+    """VRL uuid_v4: random v4 UUID per row (non-deterministic — excluded
+    from oracle queries; use uuid_v7_deterministic for replayable ids)."""
+    return F.uuid()
+
+
+def uuid_v7_deterministic(ts: Column, entropy: Column) -> Column:
+    """VRL uuid_v7 analogue with REPLAYABLE random bits: RFC 9562 v7 layout
+    (48-bit unix-ms timestamp, version 7, variant 10) with the random
+    sections drawn from md5(entropy) instead of a RNG — time-ordered like
+    real v7, deterministic for checkpoint replay / oracle comparison, and
+    still unique per distinct (ts, entropy). Pure hex string exprs."""
+    ms_hex = F.lpad(F.lower(F.hex(F.unix_millis(ts.cast("timestamp")))), 12, "0")
+    h = F.md5(entropy.cast("string"))
+    nib = F.substring(h, 4, 1)
+    variant_digit = F.element_at(
+        F.split(F.lit("8,9,a,b"), ","),
+        (F.pmod(F.instr(F.lit("0123456789abcdef"), nib) - 1, F.lit(4)) + 1).cast("int"),
+    )
+    return F.concat(
+        F.substring(ms_hex, 1, 8), F.lit("-"),
+        F.substring(ms_hex, 9, 4), F.lit("-7"),
+        F.substring(h, 1, 3), F.lit("-"),
+        variant_digit, F.substring(h, 5, 3), F.lit("-"),
+        F.substring(h, 8, 12),
+    )
