@@ -66,6 +66,33 @@ def main() -> None:
     routes = {"errors": "event_type = 'error'", "big": "value > 600",
               "purchases": "event_type = 'purchase'"}
 
+    def _geoip(ev):
+        from vector_spark.operators import enrich_ip_range
+        from vector_spark.sources import geoip_dim
+
+        ip = F.format_string(
+            "10.%d.%d.%d",
+            F.pmod(F.xxhash64("event_id", F.lit(7)), F.lit(128)).cast("int"),
+            F.pmod(F.xxhash64("event_id", F.lit(8)), F.lit(256)).cast("int"),
+            F.pmod(F.xxhash64("event_id", F.lit(9)), F.lit(256)).cast("int"),
+        )
+        gd = geoip_dim(spark).select("ip_start", "ip_end", "country", "region")
+        return enrich_ip_range(ev.withColumn("ip", ip), gd, "ip")
+
+    def _alb(ev):
+        from vector_spark.functions import parse_aws_alb_log
+
+        line = F.format_string(
+            'http 2024-01-01T00:00:00.000000Z app/lb/%d 10.0.0.%d:%d - 0.001 0.002 0.000 '
+            '200 200 %d %d "GET http://x/%d HTTP/1.1" "ua-%d" - - arn:tg/%d "Root=1-%d"',
+            F.col("event_id"), (F.col("event_id") % 250).cast("int"),
+            (F.col("event_id") % 60000).cast("int") + F.lit(1024),
+            F.col("event_id") % 4096, F.col("event_id") % 8192,
+            F.col("event_id"), F.col("event_id"), F.col("event_id"), F.col("event_id"),
+        )
+        p = parse_aws_alb_log(line)
+        return ev.select("event_id", *[v.alias(k) for k, v in p.items()])
+
     ops = {
         "remap_parse_json": lambda: events.select(
             "event_id", F.get_json_object("props", "$.k").cast("int").alias("k"),
@@ -93,6 +120,16 @@ def main() -> None:
         "window_aggregate": lambda: events.groupBy(
             (F.floor(F.unix_timestamp("ts") / 10) * 10).alias("w"), "event_type"
         ).agg(F.count(F.lit(1)), F.sum("value")),
+        "enrich_geoip_range": lambda: _geoip(events),
+        "reduce_max_events": lambda: reduce_sessions(
+            events, ["host"], {"v": ("sum", "value")}, ts_col="ts", gap_secs=300,
+            order_col=["ts", "event_id"], max_events=5,
+        ),
+        "hash_replace_2keys": lambda: hash_replace(
+            events, ["message", "event_type"], order_col="event_id"),
+        "hash_replace_2keys_projected": lambda: hash_replace(
+            events, ["message", "event_type"], order_col="event_id", project=True),
+        "parse_aws_alb": lambda: _alb(events),
     }
 
     results = {}

@@ -152,14 +152,14 @@ def test_throttle_excluded_rows_consume_no_tokens(spark):
 
 
 def test_hash_replace_multi_column_projection_path(spark):
-    """K>=2 columns rank over the narrow projection and join flags back —
+    """project=True ranks over the narrow projection and joins flags back —
     results identical to per-column window semantics."""
     df = spark.createDataFrame(
         [(1, "a", "x"), (2, "a", "y"), (3, "b", "x")],
         "event_id long, body string, tag string",
     )
     out = {r.event_id: r for r in hash_replace(
-        df, ["body", "tag"], order_col="event_id").collect()}
+        df, ["body", "tag"], order_col="event_id", project=True).collect()}
     assert out[1]["body"] == "a" and out[2]["body"] is None
     assert out[3]["body"] == "b"
     assert out[1]["tag"] == "x" and out[3]["tag"] is None

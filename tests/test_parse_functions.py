@@ -434,3 +434,24 @@ def test_parse_tokens(spark):
     assert got == [
         "host", "[10/Oct/2000:13:55:36 -0700]", '"GET /path HTTP/1.1"', "200",
     ]
+
+
+def test_parse_json_paths_and_bytes_and_crc(spark):
+    from vector_spark.functions import crc, parse_bytes, parse_json_paths
+
+    df = spark.createDataFrame(
+        [('{"a": {"b": [10, 20]}, "name": "x"}', "1mib", "123456789")],
+        "doc string, size string, payload string",
+    )
+    p = parse_json_paths(F.col("doc"), {"b1": "$.a.b[1]", "nm": "$.name"})
+    r = df.select(
+        p["b1"].cast("int").alias("b1"), p["nm"].alias("nm"),
+        parse_bytes(F.col("size")).alias("bytes"),
+        parse_bytes(F.col("size"), unit="KiB").alias("kib"),
+        parse_bytes(F.lit("5.5 GB")).alias("gb"),
+        crc(F.col("payload")).alias("crc"),
+    ).collect()[0]
+    assert (r["b1"], r["nm"]) == (20, "x")
+    assert r["bytes"] == 1048576.0 and r["kib"] == 1024.0
+    assert r["gb"] == 5.5e9
+    assert r["crc"] == 0xCBF43926  # CRC-32 check value for '123456789'

@@ -657,3 +657,32 @@ def encode_native_json_log(fields: dict[str, Column]) -> Column:
     (lib/codecs encoding NativeJson)."""
     inner = F.struct(*[fields[k].alias(k) for k in sorted(fields)])
     return F.to_json(F.struct(inner.alias("log")))
+
+
+def parse_json_paths(col: Column, paths: dict[str, str]) -> dict[str, Column]:
+    """JsonPaths deserializer (lib/codecs/src/decoding/format/json_paths.rs):
+    project JSONPath expressions out of a JSON document column —
+    {out_name: '$.a.b[0]'} -> string columns (cast at use site). Built on
+    get_json_object (JVM JSONPath subset: dot + bracket index)."""
+    return {name: F.get_json_object(col, path) for name, path in paths.items()}
+
+
+_BYTE_UNITS = {
+    "b": 1, "kb": 1000, "mb": 1000**2, "gb": 1000**3, "tb": 1000**4,
+    "kib": 1024, "mib": 1024**2, "gib": 1024**3, "tib": 1024**4,
+}
+
+
+def parse_bytes(col: Column, unit: str = "B") -> Column:
+    """VRL parse_bytes: '1mib' / '5.2 GB' -> numeric bytes (then divided
+    into `unit`). SI (kB/MB/...) and binary (KiB/MiB/...) units, case
+    insensitive, optional space. Pure regexp + when-chain."""
+    if unit.lower() not in _BYTE_UNITS:
+        raise ValueError(f"unknown unit {unit!r}")
+    num = F.regexp_extract(F.lower(F.trim(col)), r"^([0-9.]+)", 1).cast("double")
+    u = F.regexp_extract(F.lower(F.trim(col)), r"([a-z]+)$", 1)
+    factor = None
+    for name, mult in _BYTE_UNITS.items():
+        branch = (u == name, F.lit(float(mult)))
+        factor = F.when(*branch) if factor is None else factor.when(*branch)
+    return num * factor / float(_BYTE_UNITS[unit.lower()])

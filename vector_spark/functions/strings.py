@@ -366,3 +366,8 @@ def uuid_v7_deterministic(ts: Column, entropy: Column) -> Column:
         variant_digit, F.substring(h, 5, 3), F.lit("-"),
         F.substring(h, 8, 12),
     )
+
+
+def crc(col: Column) -> Column:
+    """VRL crc (CRC-32/ISO-HDLC): native F.crc32 over the value's bytes."""
+    return F.crc32(col.cast("binary"))
