@@ -375,6 +375,15 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def q_dedup_ladder(spark, sf_dir):
+    """Composed dedup ladder: exact tier (min id per md5) then MinHash-LSH
+    near-dup tier (remove the higher id of every verified pair) — one
+    surviving doc per duplicate neighborhood with the exact-tier dup_count."""
+    from vector_spark.datapipe import dedup_ladder
+
+    return dedup_ladder(_t(spark, sf_dir, "documents"), jaccard_threshold=0.5)
+
+
 def q_dedup_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"))
 
@@ -1147,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "dedup_exact_text": q_dedup_exact_text,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ladder": q_dedup_ladder,
         "dedup_simhash": q_dedup_simhash,
         "text_quality": q_text_quality,
         "token_count": q_token_count,
@@ -1221,7 +1231,7 @@ SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM t
 """
 
 
-def _minhash_sql(num_hashes: int = 6, band_size: int = 2, threshold: float = 0.5) -> str:
+def _minhash_sql(num_hashes: int = 6, band_size: int = 2, threshold: float = 0.5, source: str = "documents") -> str:
     mh_exprs = ",\n         ".join(
         f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS mh{i}"
         for i in range(num_hashes)
@@ -1237,7 +1247,7 @@ WITH docs AS (
            generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
            i -> array_to_string(string_split(text,' ')[i:i+2], ' ')
          )) AS sh
-  FROM documents
+  FROM {source}
 ),
 mh AS (
   SELECT doc, sh,
@@ -1655,6 +1665,27 @@ FROM documents GROUP BY md5(text)
 """
 
     sql["dedup_minhash_lsh"] = _minhash_sql()
+
+    ladder_pairs = _minhash_sql(source="surv").strip()
+    assert ladder_pairs.startswith("WITH ")
+    ladder_pairs = ladder_pairs[5:].replace(
+        ")\nSELECT doc_a, doc_b,", "),\npairs_out AS (SELECT doc_a, doc_b,", 1
+    )
+    sql["dedup_ladder"] = f"""
+WITH exact AS (
+  SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+  FROM documents GROUP BY md5(text)
+),
+surv AS (
+  SELECT d.doc_id, d.text FROM exact JOIN documents d USING (doc_id)
+),
+{ladder_pairs}
+),
+removed AS (SELECT DISTINCT doc_b AS doc_id FROM pairs_out)
+SELECT e.doc_id, e.dup_count
+FROM exact e LEFT JOIN removed r USING (doc_id)
+WHERE r.doc_id IS NULL
+"""
     sql["dedup_simhash"] = _simhash_sql()
 
     sql["text_quality"] = """

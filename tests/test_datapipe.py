@@ -171,3 +171,14 @@ def test_embedding_near_dup_default_plan_has_no_nested_loop(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_ladder_two_tiers(spark):
+    """Exact tier collapses identical texts to the min id; near-dup tier
+    then removes the higher id of each verified near-dup pair."""
+    from vector_spark.datapipe import dedup_ladder
+
+    got = {r.doc_id: r.dup_count for r in dedup_ladder(_docs(spark)).collect()}
+    # doc 1 is an exact dup of 0 (removed, dup_count=2 on the survivor);
+    # doc 2 is a near-dup of 0 (removed by tier 2); doc 3 survives alone
+    assert got == {0: 2, 3: 1}

@@ -455,3 +455,27 @@ def test_parse_json_paths_and_bytes_and_crc(spark):
     assert r["bytes"] == 1048576.0 and r["kib"] == 1024.0
     assert r["gb"] == 5.5e9
     assert r["crc"] == 0xCBF43926  # CRC-32 check value for '123456789'
+
+
+def test_reassemble_gelf_chunks(spark):
+    from vector_spark.functions import reassemble_gelf_chunks
+
+    def chunk(mid: bytes, seq: int, total: int, payload: bytes) -> bytes:
+        return b"\x1e\x0f" + mid + bytes([seq, total]) + payload
+
+    mid1, mid2 = b"AAAAAAAA", b"BBBBBBBB"
+    rows_in = [
+        (chunk(mid1, 1, 3, b"lo wo"),        ),  # out of order on purpose
+        (chunk(mid1, 0, 3, b"hel"),          ),
+        (chunk(mid1, 2, 3, b"rld"),          ),
+        (chunk(mid2, 0, 2, b"half"),         ),  # incomplete: 1 of 2
+        (b'{"version":"1.1"}',               ),  # unchunked passthrough
+    ]
+    df = spark.createDataFrame(rows_in, "chunk binary")
+    got = {
+        (r.message_id, bool(r.complete)): (bytes(r.payload), r.n_chunks)
+        for r in reassemble_gelf_chunks(df).collect()
+    }
+    assert got[(mid1.hex(), True)] == (b"hello world", 3)
+    assert got[(mid2.hex(), False)] == (b"half", 1)
+    assert got[(None, True)] == (b'{"version":"1.1"}', 1)

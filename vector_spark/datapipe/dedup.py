@@ -121,3 +121,38 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         vote = F.aggregate(hashes, F.lit(0).cast("long"), vote_fn(j))
         out = out + F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
     return df.select(F.col(id_col), out.alias("simhash"))
+
+
+def dedup_ladder(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """The composed training-data dedup ladder: exact tier then near-dup
+    tier, one surviving doc per duplicate neighborhood.
+
+    1. exact: keep the min id per md5(text) (exact_dedup).
+    2. near-dup: MinHash+LSH pairs over the exact survivors; any doc that
+       is the HIGHER id of a pair is removed (the lower id represents the
+       neighborhood). Deterministic without union-find: removal by
+       pair-membership is a superset of one-per-connected-component — a
+       chain a<b<c removes b and c, keeping a.
+
+    Returns (doc_id, dup_count) — the exact-tier duplicate count rides
+    along so downstream sampling can weight by it. Scale: tier 1 is one
+    hash-shuffle; tier 2 is the banded pair join over the (already
+    deduplicated) survivor set; the final anti-join is ids-only.
+    """
+    exact = exact_dedup(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col), "dup_count"
+    )
+    survivors = exact.join(df.select(id_col, text_col), id_col)
+    pairs = minhash_lsh_pairs(
+        survivors, text_col=text_col, id_col=id_col, threshold=jaccard_threshold
+    )
+    removed = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return (
+        exact.join(removed, id_col, "left_anti")
+        .select(id_col, "dup_count")
+    )

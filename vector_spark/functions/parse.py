@@ -686,3 +686,50 @@ def parse_bytes(col: Column, unit: str = "B") -> Column:
         branch = (u == name, F.lit(float(mult)))
         factor = F.when(*branch) if factor is None else factor.when(*branch)
     return num * factor / float(_BYTE_UNITS[unit.lower()])
+
+
+def reassemble_gelf_chunks(df, chunk_col: str = "chunk"):
+    """ChunkedGelfDecoder (lib/codecs/src/decoding/framing/chunked_gelf.rs):
+    GELF UDP datagrams 0x1e0f | 8-byte message id | seq u8 | total u8 |
+    payload, reassembled into whole messages. Spark-first: header fields are
+    hex-string slices (pure exprs), reassembly = ONE groupBy(message_id)
+    with sort_array(collect_list(seq, payload)) — arrival order within the
+    group is irrelevant, chunks of one message hash to one task.
+    Non-chunked datagrams (no magic) pass through one-row-per-message.
+
+    Returns (message_id string|null, payload binary, n_chunks int,
+    complete boolean). Incomplete groups (missing chunks) are emitted with
+    complete=false — the timeout-discard policy is the caller's (the
+    reference drops them after timeout_secs; in batch you filter)."""
+    from pyspark.sql import functions as F
+
+    hx = F.lower(F.hex(F.col(chunk_col)))
+    base = df.select(hx.alias("_hx"))
+    chunked = base.filter(F.col("_hx").startswith("1e0f")).select(
+        F.substring("_hx", 5, 16).alias("message_id"),
+        F.conv(F.substring("_hx", 21, 2), 16, 10).cast("int").alias("_seq"),
+        F.conv(F.substring("_hx", 23, 2), 16, 10).cast("int").alias("_total"),
+        F.expr("substring(_hx, 25)").alias("_payload_hex"),
+    )
+    assembled = (
+        chunked.groupBy("message_id")
+        .agg(
+            F.unhex(
+                F.array_join(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_seq"), F.col("_payload_hex")))
+                    ).getField("_payload_hex"),
+                    "",
+                )
+            ).alias("payload"),
+            F.count(F.lit(1)).cast("int").alias("n_chunks"),
+            (F.count(F.lit(1)) == F.max("_total")).alias("complete"),
+        )
+    )
+    passthrough = base.filter(~F.col("_hx").startswith("1e0f")).select(
+        F.lit(None).cast("string").alias("message_id"),
+        F.unhex(F.col("_hx")).alias("payload"),
+        F.lit(1).alias("n_chunks"),
+        F.lit(True).alias("complete"),
+    )
+    return assembled.unionByName(passthrough)
