@@ -367,6 +367,46 @@ def q_tpch_q3(spark, sf_dir):
 
 # ---- training-data ops ----------------------------------------------------
 
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): five-way join with broadcast dims,
+    hash agg, deterministic ordering — the relational-depth probe for the
+    §2.9 checklist. Customer and supplier must share the nation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    out = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), (o.o_custkey == c.c_custkey))
+        .join(broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+    return out.select("n_name", F.round("revenue", 2).alias("revenue"))
+
+
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): pure scan + filter + one
+    global agg — the predicate-pushdown probe."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    return out.select(F.round("revenue", 2).alias("revenue"))
+
+
 def q_dedup_exact_text(spark, sf_dir):
     return exact_dedup(_t(spark, sf_dir, "documents"))
 
@@ -1154,6 +1194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_events_e2e": q_pipeline_events_e2e,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
         "dedup_exact_text": q_dedup_exact_text,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ladder": q_dedup_ladder,
@@ -1657,6 +1699,30 @@ WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY o_orderkey
 ORDER BY revenue DESC, o_orderkey
 LIMIT 10
+"""
+
+    sql["tpch_q5"] = """
+SELECT n_name,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+    sql["tpch_q6"] = """
+SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
 """
 
     sql["dedup_exact_text"] = """

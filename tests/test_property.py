@@ -103,3 +103,70 @@ def test_sample_membership_is_stable(spark, rows, rate):
     assert a == b
     if rate == 1:
         assert a == {r[0] for r in rows}
+
+
+@given(rows=events, max_events=st.integers(1, 5))
+@settings(**SETTINGS)
+def test_reduce_flush_conserves_events(spark, rows, max_events):
+    """For ANY event set and max_events: chunk sizes sum to the input count,
+    no chunk exceeds max_events, and the result is partition-invariant."""
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = reduce_sessions(
+        df, ["kind"], {"n": ("count", "event_id")},
+        ts_col="ts", gap_secs=30, order_col=["ts", "event_id"],
+        max_events=max_events,
+    )
+    got = [(r.kind, r.ts, r.events_merged) for r in out.collect()]
+    assert sum(g[2] for g in got) == len(rows)
+    assert all(g[2] <= max_events for g in got)
+    re_got = [
+        (r.kind, r.ts, r.events_merged)
+        for r in reduce_sessions(
+            df.repartition(5), ["kind"], {"n": ("count", "event_id")},
+            ts_col="ts", gap_secs=30, order_col=["ts", "event_id"],
+            max_events=max_events,
+        ).collect()
+    ]
+    assert sorted(got) == sorted(re_got)
+
+
+ips = st.lists(
+    st.tuples(st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)),
+    min_size=1, max_size=20,
+).map(lambda triples: [
+    (i, f"10.{a}.{b}.{c}") for i, (a, b, c) in enumerate(triples)
+])
+
+
+@given(rows=ips)
+@settings(**SETTINGS)
+def test_enrich_ip_range_equals_naive_between(spark, rows):
+    """The block-exploded hash join must equal the naive BETWEEN lookup for
+    ANY IPs (matched, unmatched, boundary)."""
+    from vector_spark.functions.strings import ip_aton
+    from vector_spark.operators import enrich_ip_range
+    from vector_spark.sources import geoip_dim
+
+    df = spark.createDataFrame(rows, "id long, ip string")
+    dim = geoip_dim(spark).select("ip_start", "ip_end", "country", "region")
+    fast = enrich_ip_range(df, dim, "ip")
+    naive = df.alias("f").join(
+        dim.alias("d"),
+        ip_aton(F.col("f.ip")).between(
+            ip_aton(F.col("d.ip_start")), ip_aton(F.col("d.ip_end"))
+        ),
+        "left",
+    ).select("f.id", "d.country", "d.region")
+    assert sorted((r.id, r.country, r.region) for r in fast.select("id", "country", "region").collect()) == \
+           sorted((r.id, r.country, r.region) for r in naive.collect())
+
+
+@given(rows=ips)
+@settings(**SETTINGS)
+def test_ipv6_mapped_roundtrip(spark, rows):
+    """ipv6_to_ipv4(ip_to_ipv6(v4)) == v4 for any IPv4."""
+    from vector_spark.functions import ip_to_ipv6, ipv6_to_ipv4
+
+    df = spark.createDataFrame(rows, "id long, ip string")
+    out = df.select("ip", ipv6_to_ipv4(ip_to_ipv6(F.col("ip"))).alias("rt"))
+    assert all(r.ip == r.rt for r in out.collect())
