@@ -428,6 +428,16 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"))
 
 
+def q_quality_gopher(spark, sf_dir):
+    """Gopher-rule quality gates over documents (min_words lowered to suit
+    the synthetic docs' lengths)."""
+    from vector_spark.datapipe import quality_filter_gopher
+
+    return quality_filter_gopher(
+        _t(spark, sf_dir, "documents"), min_words=20, min_stopword_hits=1
+    )
+
+
 def q_text_quality(spark, sf_dir):
     return text_quality(_t(spark, sf_dir, "documents"))
 
@@ -1201,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ladder": q_dedup_ladder,
         "dedup_simhash": q_dedup_simhash,
         "text_quality": q_text_quality,
+        "quality_gopher": q_quality_gopher,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "langid": q_langid,
@@ -1753,6 +1764,35 @@ FROM exact e LEFT JOIN removed r USING (doc_id)
 WHERE r.doc_id IS NULL
 """
     sql["dedup_simhash"] = _simhash_sql()
+
+    sql["quality_gopher"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS words,
+         len(text) - len(regexp_replace(text, '#|\.\.\.', '', 'g')) AS n_sym
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         round(CAST(list_sum(list_transform(words, w -> len(w))) AS DOUBLE)
+               / greatest(len(words), 1), 4) AS avg_word_len,
+         round(CAST(n_sym AS DOUBLE) / greatest(len(words), 1), 4) AS symbol_ratio,
+         CAST(len(list_filter(words, w -> list_contains(
+           ['the','be','to','of','and','that','have','with'], lower(w)))) AS BIGINT)
+           AS stopword_hits
+  FROM t
+)
+SELECT doc_id, n_words, avg_word_len, symbol_ratio, stopword_hits,
+       n_words >= 20 AND n_words <= 100000 AS ok_word_count,
+       avg_word_len >= 3.0 AND avg_word_len <= 10.0 AS ok_word_len,
+       symbol_ratio <= 0.1 AS ok_symbols,
+       stopword_hits >= 1 AS ok_stopwords,
+       (n_words >= 20 AND n_words <= 100000)
+         AND (avg_word_len >= 3.0 AND avg_word_len <= 10.0)
+         AND symbol_ratio <= 0.1 AND stopword_hits >= 1 AS keep
+FROM m
+"""
 
     sql["text_quality"] = """
 WITH t AS (

@@ -182,3 +182,20 @@ def test_dedup_ladder_two_tiers(spark):
     # doc 1 is an exact dup of 0 (removed, dup_count=2 on the survivor);
     # doc 2 is a near-dup of 0 (removed by tier 2); doc 3 survives alone
     assert got == {0: 2, 3: 1}
+
+
+def test_quality_filter_gopher_rules(spark):
+    from vector_spark.datapipe import quality_filter_gopher
+
+    long_good = "the data is good and we have many words with solid text here"
+    short = "too short"
+    symbols = "the ### doc ### with ### junk ### and ### markers ### to drop"
+    df = spark.createDataFrame(
+        [(1, long_good), (2, short), (3, symbols)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in quality_filter_gopher(
+        df, min_words=5, min_stopword_hits=1).collect()}
+    assert got[1]["keep"] is True
+    assert got[2]["keep"] is False and got[2]["ok_word_count"] is False
+    assert got[3]["keep"] is False and got[3]["ok_symbols"] is False
+    assert got[1]["n_words"] == 13

@@ -127,3 +127,55 @@ def langid(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Dat
         *[scores[lang].alias(f"score_{lang}") for lang in sorted(LANG_TRIGRAMS)],
         predicted.alias("predicted_lang"),
     )
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def quality_filter_gopher(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_avg_word_len: float = 3.0,
+    max_avg_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1 — the
+    standard public web-text curation gates, also used by C4/RefinedWeb
+    variants): word-count bounds, mean-word-length bounds, symbol-to-word
+    ratio (# and ... as junk markers), and required stopword presence.
+    Emits one boolean per rule plus the conjunctive `keep` — callers filter
+    on `keep` or inspect per-rule flags for curation dashboards. Pure
+    column expressions: runs at scan speed, no shuffle, trivially
+    partition-parallel at 100 TB."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    n_words = F.size(words).cast("long")
+    total_word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    avg_wl = F.round(total_word_chars.cast("double") / F.greatest(n_words, F.lit(1)), 4)
+    n_symbols = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), r"#|\.\.\.", ""))
+    )
+    sym_ratio = F.round(n_symbols.cast("double") / F.greatest(n_words, F.lit(1)), 4)
+    stop_hits = F.size(F.filter(words, lambda w: F.lower(w).isin(GOPHER_STOPWORDS)))
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_wl = (avg_wl >= min_avg_word_len) & (avg_wl <= max_avg_word_len)
+    ok_sym = sym_ratio <= max_symbol_ratio
+    ok_stop = stop_hits >= min_stopword_hits
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        avg_wl.alias("avg_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        ok_words.alias("ok_word_count"),
+        ok_wl.alias("ok_word_len"),
+        ok_sym.alias("ok_symbols"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_wl & ok_sym & ok_stop).alias("keep"),
+    )
