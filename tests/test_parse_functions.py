@@ -479,3 +479,17 @@ def test_reassemble_gelf_chunks(spark):
     assert got[(mid1.hex(), True)] == (b"hello world", 3)
     assert got[(mid2.hex(), False)] == (b"half", 1)
     assert got[(None, True)] == (b'{"version":"1.1"}', 1)
+
+
+def test_parse_combined_log(spark):
+    from vector_spark.functions import parse_combined_log
+
+    line = ('127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /apache_pb.gif HTTP/1.0" '
+            '200 2326 "http://www.example.com/start.html" "Mozilla/4.08 [en] (Win98; I ;Nav)"')
+    df = spark.createDataFrame([(line,)], "l string")
+    p = parse_combined_log(F.col("l"))
+    r = df.select(*[v.alias(k) for k, v in p.items()]).collect()[0]
+    assert r["host"] == "127.0.0.1" and r["user"] == "frank"
+    assert r["status"] == 200 and r["size"] == 2326
+    assert r["referrer"] == "http://www.example.com/start.html"
+    assert r["agent"].startswith("Mozilla/4.08")

@@ -733,3 +733,16 @@ def reassemble_gelf_chunks(df, chunk_col: str = "chunk"):
         F.lit(True).alias("complete"),
     )
     return assembled.unionByName(passthrough)
+
+
+APACHE_COMBINED = APACHE_COMMON + r' "(?P<referrer>[^"]*)" "(?P<agent>[^"]*)"'
+
+
+def parse_combined_log(col: Column) -> dict[str, Column]:
+    """VRL parse_apache_log(format: combined) / nginx access log: common
+    format plus quoted referrer and user-agent; '-' referrer -> null."""
+    out = _extract_all(col, APACHE_COMBINED)
+    out["status"] = out["status"].cast("int")
+    out["size"] = F.nullif(out["size"], F.lit("-")).cast("long")
+    out["referrer"] = F.nullif(out["referrer"], F.lit("-"))
+    return out
