@@ -493,3 +493,35 @@ def test_parse_combined_log(spark):
     assert r["status"] == 200 and r["size"] == 2326
     assert r["referrer"] == "http://www.example.com/start.html"
     assert r["agent"].startswith("Mozilla/4.08")
+
+
+def test_parse_netflow_v5(spark):
+    import struct
+
+    from vector_spark.functions import parse_netflow_v5
+
+    def flow(src, dst, sport, dport, pkts, byts, proto):
+        rec = bytearray(48)
+        rec[0:4] = bytes(src)
+        rec[4:8] = bytes(dst)
+        rec[16:20] = struct.pack(">I", pkts)
+        rec[20:24] = struct.pack(">I", byts)
+        rec[32:34] = struct.pack(">H", sport)
+        rec[34:36] = struct.pack(">H", dport)
+        rec[38] = proto
+        return bytes(rec)
+
+    header = struct.pack(">HHIII", 5, 2, 123456, 1_700_000_000, 0) + b"\x00" * 8
+    assert len(header) == 24
+    packet = header + flow((10, 0, 0, 1), (10, 0, 0, 2), 1234, 443, 7, 512, 6) \
+                    + flow((192, 168, 1, 9), (8, 8, 8, 8), 5353, 53, 1, 64, 17)
+    bad = struct.pack(">HH", 9, 1) + b"\x00" * 20  # version != 5: dropped
+    df = spark.createDataFrame([(packet,), (bad,)], "packet binary")
+    got = sorted(
+        (r.flow_idx, r.srcaddr, r.dstaddr, r.srcport, r.dstport, r.packets, r.bytes, r.proto)
+        for r in parse_netflow_v5(df).collect()
+    )
+    assert got == [
+        (0, "10.0.0.1", "10.0.0.2", 1234, 443, 7, 512, 6),
+        (1, "192.168.1.9", "8.8.8.8", 5353, 53, 1, 64, 17),
+    ]

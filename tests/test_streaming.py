@@ -262,3 +262,29 @@ def test_stream_reduce_max_events_equals_batch(spark, tmp_path):
         ("a", int(ts(0, 30).timestamp() * 1e6), 3, 3.0),
         ("b", int(ts(0, 0).timestamp() * 1e6), 2, 10.0),
     ]
+
+
+def test_stream_reduce_period_flush(spark, tmp_path):
+    """end_every_secs in streaming: a continuous run (no gaps) splits at
+    each 60s period boundary measured from the session's first event;
+    the open tail chunk stays in state."""
+    from vector_spark.streaming import stream_reduce_max_events
+
+    src = str(tmp_path / "src_p")
+    rows_in = [(i, "a", ts((i * 20) // 60, (i * 20) % 60), 1.0) for i in range(8)]
+    spark.createDataFrame(
+        rows_in, "event_id long, g string, ts timestamp, value double"
+    ).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    sdf = stream_reduce_max_events(
+        spark.readStream.schema(schema).parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp")),
+        ["g"], gap_secs=3600, end_every_secs=60,
+    )
+    got = _run_stream(spark, sdf, tmp_path, "reduce_max")
+    emitted = sorted((r.session_start_us, r.events_merged) for r in got.collect())
+    # batch chunks are 3/3/2; the last (2-event) chunk is open -> state
+    assert emitted == [
+        (int(ts(0, 0).timestamp() * 1e6), 3),
+        (int(ts(1, 0).timestamp() * 1e6), 3),
+    ]

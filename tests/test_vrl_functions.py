@@ -163,3 +163,20 @@ def test_parse_native_json(spark):
         encode_native_json_log({"message": F.lit("x"), "level": F.lit("info")}).alias("d")
     ).collect()[0]["d"]
     assert enc == '{"log":{"level":"info","message":"x"}}'
+
+
+def test_mime_q_roundtrip(spark):
+    from vector_spark.functions import decode_mime_q, encode_mime_q
+
+    df = spark.createDataFrame([("héllo wörld",), ("plain",), (None,)], "s string")
+    got = [
+        (r.enc, r.rt)
+        for r in df.select(
+            encode_mime_q(F.col("s")).alias("enc"),
+            decode_mime_q(encode_mime_q(F.col("s"))).alias("rt"),
+        ).collect()
+    ]
+    assert got[0][0] == "=?utf-8?q?h=C3=A9llo_w=C3=B6rld?="
+    assert got[0][1] == "héllo wörld"
+    assert got[1][1] == "plain"
+    assert got[2] == (None, None)

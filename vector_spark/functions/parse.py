@@ -746,3 +746,55 @@ def parse_combined_log(col: Column) -> dict[str, Column]:
     out["size"] = F.nullif(out["size"], F.lit("-")).cast("long")
     out["referrer"] = F.nullif(out["referrer"], F.lit("-"))
     return out
+
+
+def parse_netflow_v5(df, packet_col: str = "packet"):
+    """Netflow v5 framing/deserializer
+    (lib/codecs/src/decoding/framing/netflow.rs scope): a v5 packet is a
+    24-byte header (version u16, count u16, uptime u32, unix_secs u32, ...)
+    followed by `count` 48-byte flow records. Spark-first: hex-slice the
+    header, explode(sequence(0, count-1)) for the records, slice each
+    record's fields — pure exprs, one Generate, no Python. Returns one row
+    per flow record: (unix_secs, flow_idx, srcaddr, dstaddr, srcport,
+    dstport, packets, bytes, proto)."""
+    from pyspark.sql import functions as F
+
+    hx = F.lower(F.hex(F.col(packet_col)))
+    base = df.select(hx.alias("_hx"))
+
+    def u(start_byte: int, nbytes: int, of: Column | None = None) -> Column:
+        src = of if of is not None else F.col("_hx")
+        return F.conv(F.substring(src, start_byte * 2 + 1, nbytes * 2), 16, 10).cast("long")
+
+    hdr = base.select(
+        "_hx",
+        u(0, 2).alias("version"),
+        u(2, 2).cast("int").alias("count"),
+        u(8, 4).alias("unix_secs"),
+    ).filter(F.col("version") == 5)
+    rec = hdr.select(
+        "unix_secs",
+        F.explode(F.sequence(F.lit(0), F.col("count") - 1)).alias("flow_idx"),
+        F.col("_hx"),
+    ).withColumn("_r", F.expr("substring(_hx, 49 + flow_idx * 96, 96)"))
+    r = F.col("_r")
+
+    def ru(start_byte: int, nbytes: int) -> Column:
+        return F.conv(F.substring(r, start_byte * 2 + 1, nbytes * 2), 16, 10).cast("long")
+
+    def ip(start_byte: int) -> Column:
+        return F.concat_ws(
+            ".", *[ru(start_byte + i, 1).cast("string") for i in range(4)]
+        )
+
+    return rec.select(
+        "unix_secs",
+        "flow_idx",
+        ip(0).alias("srcaddr"),
+        ip(4).alias("dstaddr"),
+        ru(32, 2).alias("srcport"),
+        ru(34, 2).alias("dstport"),
+        ru(16, 4).alias("packets"),
+        ru(20, 4).alias("bytes"),
+        ru(38, 1).alias("proto"),
+    )

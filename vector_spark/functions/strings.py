@@ -371,3 +371,45 @@ def uuid_v7_deterministic(ts: Column, entropy: Column) -> Column:
 def crc(col: Column) -> Column:
     """VRL crc (CRC-32/ISO-HDLC): native F.crc32 over the value's bytes."""
     return F.crc32(col.cast("binary"))
+
+
+def encode_mime_q(col: Column, charset: str = "utf-8") -> Column:
+    """VRL encode_mime_q: RFC 2047 Q-encoded word ('=?utf-8?q?...?=') —
+    stdlib email.quoprimime via an Arrow-batched pandas UDF."""
+    import email.quoprimime as _q
+
+    from pyspark.sql.functions import pandas_udf
+
+    def enc(data):
+        return data.map(
+            lambda v: None if v is None else _q.header_encode(str(v).encode(charset), charset)
+        )
+
+    return pandas_udf(enc, "string")(col)
+
+
+def decode_mime_q(col: Column) -> Column:
+    """VRL decode_mime_q: decode RFC 2047 encoded-words (q and b forms);
+    plain text passes through; malformed -> null."""
+    import email.header as _h
+
+    from pyspark.sql.functions import pandas_udf
+
+    def dec_one(v):
+        if v is None:
+            return None
+        try:
+            parts = []
+            for payload, cs in _h.decode_header(str(v)):
+                if isinstance(payload, bytes):
+                    parts.append(payload.decode(cs or "ascii"))
+                else:
+                    parts.append(payload)
+            return "".join(parts)
+        except Exception:
+            return None
+
+    def dec(data):
+        return data.map(dec_one)
+
+    return pandas_udf(dec, "string")(col)

@@ -110,54 +110,68 @@ def stream_reduce_max_events(
     df: DataFrame,
     group_by: list[str],
     gap_secs: float,
-    max_events: int,
+    max_events: int | None = None,
+    end_every_secs: float | None = None,
     value_col: str = "value",
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Streaming twin of reduce_sessions(max_events=N): sessions close on
-    the inter-event gap OR on reaching max_events (the reference's
-    transaction-assembly flush, reduce/config.rs:30-60). session_window
-    can't count, so this carries explicit per-group state — the open
-    chunk's (start_us, last_us, count, sum) — via applyInPandasWithState;
-    completed chunks emit per micro-batch, the open chunk survives restarts
-    in the streaming checkpoint. Event-time order is guaranteed within a
-    batch (sorted) — late data across batches follows at-arrival semantics
-    (state-based operators see arrival order; use the batch operator for
-    exact event-time replay)."""
+    """Streaming twin of reduce_sessions(max_events=N, end_every_secs=P):
+    chunks close on the inter-event gap, on reaching max_events, or when
+    the elapsed-period index from the SESSION's first event advances (the
+    reference's transaction-assembly flushes, reduce/config.rs:30-120).
+    session_window can't count or cycle, so this carries explicit per-group
+    state — (session_start_us, chunk_start_us, last_us, count, sum) — via
+    applyInPandasWithState; completed chunks emit per micro-batch, the open
+    chunk survives restarts in the streaming checkpoint. Event-time order
+    is guaranteed within a batch (sorted) — late data across batches
+    follows at-arrival semantics (use the batch operator for exact
+    event-time replay)."""
     import pandas as pd
 
     key_schema = ", ".join(f"{k} string" for k in group_by)
     out_schema = (
         f"{key_schema}, session_start_us long, events_merged int, value_sum double"
     )
-    state_schema = "start_us long, last_us long, n int, vsum double"
+    state_schema = "sess_us long, chunk_us long, last_us long, n int, vsum double"
     gap_us = int(gap_secs * 1_000_000)
+    period_us = int(end_every_secs * 1_000_000) if end_every_secs else None
 
     def fn(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
-        start, last, n, vsum = state.get if state.exists else (None, None, 0, 0.0)
+        sess, chunk, last, n, vsum = (
+            state.get if state.exists else (None, None, None, 0, 0.0)
+        )
         rows = []
 
-        def flush():
-            nonlocal start, last, n, vsum
+        def flush(new_session: bool):
+            nonlocal sess, chunk, last, n, vsum
             if n:
-                rows.append((*key, start, n, vsum))
-            start, last, n, vsum = None, None, 0, 0.0
+                rows.append((*key, chunk, n, vsum))
+            chunk, n, vsum = None, 0, 0.0
+            if new_session:
+                sess, last = None, None
 
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)
             for ts, v in zip(pdf[ts_col], pdf[value_col]):
                 us = int(ts.timestamp() * 1_000_000)
                 if n and (us - last > gap_us):
-                    flush()
-                if start is None:
-                    start = us
+                    flush(new_session=True)
+                if period_us and sess is not None and chunk is not None:
+                    # cyclic flush: the period index is measured from the
+                    # session's first event (batch _chunk_t semantics)
+                    if (us - sess) // period_us != (chunk - sess) // period_us:
+                        flush(new_session=False)
+                if sess is None:
+                    sess = us
+                if chunk is None:
+                    chunk = us
                 last = us
                 n += 1
                 vsum += float(v)
-                if n >= max_events:
-                    flush()
+                if max_events and n >= max_events:
+                    flush(new_session=False)
         if n:
-            state.update((start, last, n, vsum))
+            state.update((sess, chunk, last, n, vsum))
         else:
             state.remove()
         yield pd.DataFrame(
