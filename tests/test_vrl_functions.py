@@ -204,3 +204,23 @@ def test_encrypt_decrypt_aes(spark):
 
     with pytest.raises(ValueError, match="unsupported AES mode"):
         encrypt(F.col("s"), key128, "AES-128-CTR")
+
+
+def test_sha3_and_ruby_hash(spark):
+    import hashlib
+
+    from vector_spark.functions import parse_ruby_hash, sha3
+
+    df = spark.createDataFrame(
+        [('{"name" => "spark", :port => 8080, "note" => nil}', "payload")],
+        "rh string, p string",
+    )
+    r = df.select(
+        sha3(F.col("p")).alias("h"),
+        parse_ruby_hash(
+            F.col("rh"), "name string, port int, note string"
+        ).alias("o"),
+    ).collect()[0]
+    assert r["h"] == hashlib.sha3_256(b"payload").hexdigest()
+    assert r["o"]["name"] == "spark" and r["o"]["port"] == 8080
+    assert r["o"]["note"] is None

@@ -798,3 +798,15 @@ def parse_netflow_v5(df, packet_col: str = "packet"):
         ru(20, 4).alias("bytes"),
         ru(38, 1).alias("proto"),
     )
+
+
+def parse_ruby_hash(col: Column, schema: str) -> Column:
+    """VRL parse_ruby_hash: '{"key" => "value"}' Ruby-hash literals ->
+    struct. The grammar is JSON with '=>' for ':', nil for null, and
+    :symbol keys — normalized with regex rewrites (outside of string
+    literals for the common cases) then from_json. Subset: no nested
+    quotes containing '=>'."""
+    normalized = F.regexp_replace(col, r'"\s*=>', '":')
+    normalized = F.regexp_replace(normalized, r":(\w+)\s*=>", r'"$1":')
+    normalized = F.regexp_replace(normalized, r"\bnil\b", "null")
+    return F.from_json(normalized, schema)

@@ -448,3 +448,25 @@ def decrypt(col: Column, key: bytes | str, algorithm: str = "AES-128-CBC") -> Co
     null-on-garbage instead of an error."""
     kb = key.encode() if isinstance(key, str) else key
     return F.aes_decrypt(col, F.lit(kb), F.lit(_aes_mode(algorithm)))
+
+
+def sha3(col: Column, variant: str = "sha3-256") -> Column:
+    """VRL sha3 (SHA3-224/256/384/512): no JVM builtin, so stdlib hashlib
+    in an Arrow-batched pandas UDF; hex output."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    name = variant.replace("-", "_").lower()
+    if name not in ("sha3_224", "sha3_256", "sha3_384", "sha3_512"):
+        raise ValueError(f"unknown sha3 variant {variant!r}")
+    fn = getattr(hashlib, name)
+
+    def mac(data):
+        return data.map(
+            lambda v: None
+            if v is None
+            else fn(v if isinstance(v, bytes) else str(v).encode()).hexdigest()
+        )
+
+    return pandas_udf(mac, "string")(col)
