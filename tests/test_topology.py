@@ -227,3 +227,66 @@ def test_streaming_sink_requires_checkpoint(spark, tmp_path):
     }
     with pytest.raises(TopologyError, match="checkpoint"):
         compile_topology(spec).build(spark).run()
+
+
+def test_parse_transform_and_file_sink(spark, tmp_path):
+    """Source-decoding codec as a `parse` transform (syslog fields merged
+    onto the event) and encoding-codec `file` sink (one json line per
+    event) — the Vector decoding.codec / encoding.codec analogues."""
+    import json
+
+    spec = {
+        "sources": {
+            "logs": {
+                "type": "inline",
+                "rows": [
+                    (1, "<34>Jan  5 10:20:30 web1 sshd[77]: login ok"),
+                    (2, "<13>Jan  5 10:20:31 db1 cron[12]: job done"),
+                ],
+                "schema": "event_id long, message string",
+            }
+        },
+        "transforms": {
+            "decoded": {
+                "type": "parse",
+                "inputs": ["logs"],
+                "parser": "syslog",
+                "column": "message",
+                "drop_column": True,
+            },
+            "errors_only": {
+                "type": "filter",
+                "inputs": ["decoded"],
+                "condition": "severity = 2",  # <34> -> fac 4, sev 2
+            },
+        },
+        "sinks": {
+            "out": {
+                "type": "file",
+                "inputs": ["errors_only"],
+                "codec": "json",
+                "path": str(tmp_path / "out"),
+            }
+        },
+    }
+    res = compile_topology(spec).build(spark).run()
+    lines = [
+        json.loads(r.value)
+        for r in spark.read.text(res["out"]).collect()
+    ]
+    assert len(lines) == 1
+    assert lines[0]["event_id"] == 1
+    assert lines[0]["hostname"] == "web1" and lines[0]["appname"] == "sshd"
+    assert lines[0]["severity"] == 2 and lines[0]["facility"] == 4
+    assert lines[0]["message"] == "login ok"  # extracted body replaced the raw line
+
+
+def test_parse_transform_unknown_parser_rejected(spark):
+    spec = {
+        "sources": {"logs": EVENTS_SRC},
+        "transforms": {
+            "p": {"type": "parse", "inputs": ["logs"], "parser": "nope"}
+        },
+    }
+    with pytest.raises(TopologyError, match="unknown parser"):
+        compile_topology(spec).build(spark)

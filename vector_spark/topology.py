@@ -185,6 +185,28 @@ class BuiltTopology:
                     w = w.partitionBy(*cfg["partition_by"])
                 w.parquet(cfg["path"])
                 results[name] = cfg["path"]
+            elif kind == "file":
+                # encoding-codec sink (Vector sink `encoding.codec`,
+                # lib/codecs serializers): events serialized one-per-line
+                codec = cfg.get("codec", "json")
+                if codec == "json":
+                    val = F.to_json(F.struct(*df.columns))
+                elif codec == "logfmt":
+                    from .functions import encode_logfmt
+
+                    val = encode_logfmt({c: F.col(c) for c in df.columns})
+                elif codec == "csv":
+                    val = F.to_csv(F.struct(*df.columns))
+                elif codec == "raw":
+                    val = F.col(cfg["column"]).cast("string")
+                else:
+                    raise TopologyError(f"unknown sink codec {codec!r}")
+                (
+                    df.select(val.alias("value"))
+                    .write.mode(cfg.get("mode", "overwrite"))
+                    .text(cfg["path"])
+                )
+                results[name] = cfg["path"]
             elif kind == "noop":
                 df.write.format("noop").mode("overwrite").save()
                 results[name] = None
@@ -319,6 +341,47 @@ def _build_transform(cfg, df, resolve, tables, spark):
         for col, expr in cfg.get("set", {}).items():
             df = df.withColumn(col, F.expr(expr))
         return df
+    if kind == "parse":
+        # the source-decoding codec surface (Vector `decoding.codec` /
+        # lib/codecs deserializers) as a transform: named parser over one
+        # column, extracted fields merged onto the event
+        from .functions import (
+            parse_aws_alb_log,
+            parse_aws_vpc_flow_log,
+            parse_combined_log,
+            parse_common_log,
+            parse_influxdb_line,
+            parse_linux_authorization,
+            parse_syslog,
+        )
+
+        parsers: dict[str, Callable] = {
+            "syslog": lambda c: parse_syslog(c, rfc=cfg.get("rfc", "3164")),
+            "common_log": parse_common_log,
+            "combined_log": parse_combined_log,
+            "aws_vpc_flow_log": lambda c: parse_aws_vpc_flow_log(c, format=cfg.get("format")),
+            "aws_alb_log": parse_aws_alb_log,
+            "linux_authorization": parse_linux_authorization,
+            "influxdb": parse_influxdb_line,
+        }
+        if cfg["parser"] not in parsers:
+            raise TopologyError(
+                f"unknown parser {cfg['parser']!r}; one of {sorted(parsers)}"
+            )
+        fields = parsers[cfg["parser"]](F.col(cfg.get("column", "message")))
+        prefix = cfg.get("prefix", "")
+        # ONE atomic projection (withColumns): every extracted field is
+        # computed against the ORIGINAL row. Sequential withColumn would
+        # let an extracted field named like the source column (syslog's
+        # `message` body) overwrite it mid-chain and corrupt later fields.
+        out = df.withColumns({f"{prefix}{name}": col for name, col in fields.items()})
+        emitted = {f"{prefix}{n}" for n in fields}
+        src_col = cfg.get("column", "message")
+        if cfg.get("drop_column", False) and src_col not in emitted:
+            # when an extracted field shares the source column's name
+            # (syslog's message body), it already replaced it — keep it
+            out = out.drop(src_col)
+        return out
     if kind == "filter":
         return filter_events(df, cfg["condition"])
     if kind == "route":
