@@ -290,3 +290,26 @@ def test_parse_transform_unknown_parser_rejected(spark):
     }
     with pytest.raises(TopologyError, match="unknown parser"):
         compile_topology(spec).build(spark)
+
+
+def test_syslog_config_yaml_end_to_end(spark, tmp_path):
+    """The shipped configs/syslog_topology.yaml runs end-to-end over
+    demo_logs syslog lines (paths rewritten into tmp)."""
+    import json
+    import pathlib
+
+    from vector_spark.sources.demo_logs import demo_logs
+
+    src = str(tmp_path / "lines")
+    demo_logs(spark, 500, "syslog").write.parquet(src)
+    spec = load_yaml(str(pathlib.Path(__file__).parent.parent / "configs" / "syslog_topology.yaml"))
+    spec["sources"]["syslog_in"]["path"] = src
+    for sink in spec["sinks"].values():
+        sink["path"] = str(tmp_path / pathlib.Path(sink["path"]).name)
+    res = compile_topology(spec).build(spark).run()
+    alerts = [json.loads(r.value) for r in spark.read.text(res["alerts_jsonl"]).collect()]
+    assert alerts and all(a["severity"] <= 3 for a in alerts)
+    assert all("hostname" in a and "appname" in a for a in alerts)
+    counts = spark.read.parquet(res["counts"])
+    assert counts.count() > 0
+    assert {"window_start", "hostname", "appname", "agg_value"} <= set(counts.columns)

@@ -105,11 +105,17 @@ def _extract_all(col: Column, pattern: str) -> dict[str, Column]:
     }
 
 
+def _num(col: Column, typ: str) -> Column:
+    """Cast an extracted group to a number; unmatched lines (regexp_extract
+    yields '') become null instead of an ANSI CAST_INVALID_INPUT error."""
+    return F.nullif(col, F.lit("")).cast(typ)
+
+
 def parse_common_log(col: Column) -> dict[str, Column]:
     """VRL parse_common_log / parse_apache_log (common format)."""
     out = _extract_all(col, APACHE_COMMON)
-    out["status"] = out["status"].cast("int")
-    out["size"] = F.nullif(out["size"], F.lit("-")).cast("long")
+    out["status"] = _num(out["status"], "int")
+    out["size"] = _num(F.nullif(out["size"], F.lit("-")), "long")
     return out
 
 
@@ -117,7 +123,7 @@ def parse_syslog(col: Column, rfc: str = "3164") -> dict[str, Column]:
     """VRL parse_syslog: RFC3164 or RFC5424 line -> fields + derived
     facility/severity (priority = facility*8 + severity)."""
     out = _extract_all(col, SYSLOG_3164 if rfc == "3164" else SYSLOG_5424)
-    pri = out["priority"].cast("int")
+    pri = _num(out["priority"], "int")
     out["facility"] = F.floor(pri / 8).cast("int")
     out["severity"] = F.pmod(pri, F.lit(8)).cast("int")
     return out
@@ -131,7 +137,7 @@ def parse_duration(col: Column, unit: str = "ms") -> Column:
     }
     if unit not in scale_ms:
         raise ValueError(f"unknown unit {unit!r}")
-    num = F.regexp_extract(col, r"^([0-9.]+)", 1).cast("double")
+    num = _num(F.regexp_extract(col, r"^([0-9.]+)", 1), "double")
     u = F.regexp_extract(col, r"([a-z]+)$", 1)
     in_ms = num * (
         F.when(u == "ns", F.lit(1e-6))
@@ -330,8 +336,8 @@ def parse_glog(col: Column) -> dict[str, Column]:
             else expanded.when(lvl == k, F.lit(v))
         )
     out["level"] = expanded
-    out["line"] = out["line"].cast("int")
-    out["tid"] = out["tid"].cast("int")
+    out["line"] = _num(out["line"], "int")
+    out["tid"] = _num(out["tid"], "int")
     return out
 
 
@@ -397,9 +403,9 @@ def parse_aws_alb_log(col: Column) -> dict[str, Column]:
         "request_processing_time", "target_processing_time",
         "response_processing_time",
     ):
-        out[name] = out[name].cast("double")
+        out[name] = _num(out[name], "double")
     for name in ("received_bytes", "sent_bytes"):
-        out[name] = out[name].cast("long")
+        out[name] = _num(out[name], "long")
     return out
 
 
@@ -618,7 +624,7 @@ def parse_linux_authorization(col: Column) -> dict[str, Column]:
     """VRL parse_linux_authorization: auth.log / secure lines (syslog 3164
     without priority). One regex, named groups."""
     out = _extract_all(col, LINUX_AUTH)
-    out["procid"] = F.nullif(out["procid"], F.lit("")).cast("int")
+    out["procid"] = _num(out["procid"], "int")
     return out
 
 
@@ -679,7 +685,7 @@ def parse_bytes(col: Column, unit: str = "B") -> Column:
     insensitive, optional space. Pure regexp + when-chain."""
     if unit.lower() not in _BYTE_UNITS:
         raise ValueError(f"unknown unit {unit!r}")
-    num = F.regexp_extract(F.lower(F.trim(col)), r"^([0-9.]+)", 1).cast("double")
+    num = _num(F.regexp_extract(F.lower(F.trim(col)), r"^([0-9.]+)", 1), "double")
     u = F.regexp_extract(F.lower(F.trim(col)), r"([a-z]+)$", 1)
     factor = None
     for name, mult in _BYTE_UNITS.items():
@@ -742,8 +748,8 @@ def parse_combined_log(col: Column) -> dict[str, Column]:
     """VRL parse_apache_log(format: combined) / nginx access log: common
     format plus quoted referrer and user-agent; '-' referrer -> null."""
     out = _extract_all(col, APACHE_COMBINED)
-    out["status"] = out["status"].cast("int")
-    out["size"] = F.nullif(out["size"], F.lit("-")).cast("long")
+    out["status"] = _num(out["status"], "int")
+    out["size"] = _num(F.nullif(out["size"], F.lit("-")), "long")
     out["referrer"] = F.nullif(out["referrer"], F.lit("-"))
     return out
 
