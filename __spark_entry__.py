@@ -244,11 +244,15 @@ def q_tag_cardinality_limit(spark, sf_dir):
 
 
 def q_hash_replace(spark, sf_dir):
-    """Two configured keys exercise the narrow-projection rank path (keep
-    flags computed over (event_id, props, event_type) only; the wide rows
-    shuffle once, on the unique event id)."""
+    """Two configured keys, forced onto the narrow-projection rank path
+    (project=True: keep flags computed over (event_id, props, event_type)
+    only; the wide rows shuffle once, on the unique event id). Auto mode
+    would pick the windows path at K=2 — same oracle result, different
+    physical strategy."""
     e = _t(spark, sf_dir, "events")
-    return hash_replace(e, ["props", "event_type"], order_col="event_id").select(
+    return hash_replace(
+        e, ["props", "event_type"], order_col="event_id", project=True
+    ).select(
         "event_id", "props", "props_hash", "event_type", "event_type_hash"
     )
 

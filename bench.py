@@ -77,12 +77,16 @@ def _pages_table(spark, n_rows: int) -> str:
     return path
 
 
-def run_pages(spark, n_rows: int, samples: int = 3, rollup: bool = True) -> tuple[float, int]:
+def run_pages(
+    spark, n_rows: int, samples: int = 5, rollup: bool = True
+) -> tuple[float, int, list[float]]:
     """North-rule probe: parse -> enrich -> route -> aggregate over the
-    materialized pages table. One warm-up run (codegen/JIT), then the
-    median of `samples` timed runs. Returns (seconds, rows)."""
-    import statistics
-
+    materialized pages table. One warm-up run (codegen/JIT), then the MIN
+    of `samples` timed runs — the same estimator as the per-query loop and
+    the scaling protocol: this shared host shows 2-5x CPU-time swings for
+    identical work, so median-of-few is a coin flip (round-2 postmortem:
+    a 9.79 s median vs a 2.3 s true cost). Returns (seconds, rows,
+    all samples) so the caller can publish the spread."""
     from vector_spark.plans import pages_pipeline
     from vector_spark.sources import geo_dim, lang_dim
 
@@ -97,7 +101,7 @@ def run_pages(spark, n_rows: int, samples: int = 3, rollup: bool = True) -> tupl
         if rollup:
             out["domain_rollup"].write.format("noop").mode("overwrite").save()
         times.append(time.time() - t0)
-    return statistics.median(times), n_rows
+    return min(times), n_rows, [round(t, 3) for t in times]
 
 
 def run_syslog(spark, n_rows: int = 2_000_000) -> dict:
@@ -107,7 +111,6 @@ def run_syslog(spark, n_rows: int = 2_000_000) -> dict:
     VECTOR_THREADS=4 — see BASELINE.md). We materialize RFC3164 lines once,
     then measure parse+aggregate bytes/sec executor-side."""
     import os.path
-    import statistics
 
     from pyspark.sql import functions as F
 
@@ -137,12 +140,14 @@ def run_syslog(spark, n_rows: int = 2_000_000) -> dict:
         t0 = time.time()
         metrics.write.format("noop").mode("overwrite").save()
         ts.append(time.time() - t0)
-    med = statistics.median(ts)
+    # min, same estimator as every other probe (noisy-host protocol)
+    best = min(ts)
     return {
-        "seconds": round(med, 3),
-        "lines_per_sec": round(n_rows / med, 1),
-        "mb_per_sec": round(total_bytes / med / 1e6, 1),
-        "megabit_per_sec": round(total_bytes * 8 / med / 1e6, 1),
+        "seconds": round(best, 3),
+        "samples_sec": [round(t, 3) for t in ts],
+        "lines_per_sec": round(n_rows / best, 1),
+        "mb_per_sec": round(total_bytes / best / 1e6, 1),
+        "megabit_per_sec": round(total_bytes * 8 / best / 1e6, 1),
     }
 
 
@@ -165,13 +170,14 @@ def single_level(sf_dir: str) -> dict:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
-    pipe_s, pipe_rows = run_pages(spark, PAGES_ROWS)
+    pipe_s, pipe_rows, pipe_samples = run_pages(spark, PAGES_ROWS)
     timings["pages_pipeline_1m"] = round(pipe_s, 3)
     events_per_sec = pipe_rows / pipe_s
     syslog = run_syslog(spark)
     timings["syslog_parse_2m"] = syslog["seconds"]
 
     return {
+        "pages_pipeline_samples_sec": pipe_samples,
         "metric": "end-to-end events/sec (parse->enrich->route->aggregate), 1M pages",
         "value": round(events_per_sec, 1),
         "unit": "events/sec",

@@ -102,6 +102,18 @@ def test_octet_counting_framing_edges(spark):
     assert got[4] is None
 
 
+def test_octet_counting_counts_bytes_not_chars(spark):
+    """RFC 6587 LEN is the BYTE length of the UTF-8 message: 'héllo' is 5
+    chars but 6 bytes, so the frame after it must still land on a byte
+    boundary (char-counting would misframe everything downstream)."""
+    from vector_spark.functions import frame_octet_counting
+
+    buf = "6 héllo5 world"  # é = 2 UTF-8 bytes
+    df = spark.createDataFrame([(buf,)], "buf string")
+    got = df.select(frame_octet_counting(F.col("buf")).alias("f")).collect()[0].f
+    assert got == ["héllo", "world"]
+
+
 def test_zstd_snappy_gated(spark):
     """zstd/snappy codecs: round-trip where the wheel exists, a clear
     ImportError where it does not (this sandbox has neither)."""
@@ -170,3 +182,17 @@ def test_influxdb_line_roundtrip(spark):
         parse_influxdb_line(F.lit("mem used=12i"))["fields"].alias("f")
     ).collect()[0]
     assert dict(r2["f"]) == {"used": "12"}
+
+
+def test_influxdb_encode_null_tag_omitted(spark):
+    """A null tag value omits the tag instead of null-propagating through
+    concat and dropping the whole line (silent event loss at the sink)."""
+    from vector_spark.functions import encode_influxdb_line
+
+    df = spark.range(1)
+    line_col = encode_influxdb_line(
+        F.lit("cpu"),
+        {"region": F.lit(None).cast("string"), "host": F.lit("a")},
+        {"usage": F.lit(0.5)},
+    )
+    assert df.select(line_col.alias("l")).collect()[0]["l"] == "cpu,host=a usage=0.5"

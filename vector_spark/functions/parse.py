@@ -459,14 +459,18 @@ def frame_octet_counting(col: Column) -> Column:
     def parse_buf(s: str | None):
         if s is None:
             return None
+        # RFC 6587 LEN counts BYTES of the UTF-8 message, not characters —
+        # walk byte offsets and decode each frame back to str, or any
+        # non-ASCII payload would misframe the rest of the buffer.
+        b = s.encode("utf-8")
         out = []
         i = 0
-        while i < len(s):
-            j = s.find(" ", i)
-            if j < 0 or not s[i:j].isdigit():
+        while i < len(b):
+            j = b.find(b" ", i)
+            if j < 0 or not b[i:j].isdigit():
                 break
-            n = int(s[i:j])
-            out.append(s[j + 1 : j + 1 + n])
+            n = int(b[i:j])
+            out.append(b[j + 1 : j + 1 + n].decode("utf-8", errors="replace"))
             i = j + 1 + n
         return out
 
@@ -541,9 +545,16 @@ def encode_influxdb_line(
 ) -> Column:
     """Influxdb line-protocol serializer (lib/codecs/src/encoding — the
     Influxdb metric sink format): tags sorted by key (the protocol's
-    canonical order), float fields as-is, trailing epoch-ns timestamp."""
+    canonical order), float fields as-is, trailing epoch-ns timestamp.
+    A null tag value omits that tag (protocol semantics) instead of
+    null-propagating through concat and dropping the whole line; null
+    fields are likewise omitted (concat_ws skips nulls)."""
     tag_part = [
-        F.concat(F.lit(f",{k}="), tags[k].cast("string")) for k in sorted(tags)
+        F.when(
+            tags[k].isNotNull(),
+            F.concat(F.lit(f",{k}="), tags[k].cast("string")),
+        ).otherwise(F.lit(""))
+        for k in sorted(tags)
     ]
     field_part = F.concat_ws(
         ",",

@@ -122,10 +122,12 @@ def stream_reduce_max_events(
     session_window can't count or cycle, so this carries explicit per-group
     state — (session_start_us, chunk_start_us, last_us, count, sum) — via
     applyInPandasWithState; completed chunks emit per micro-batch, the open
-    chunk survives restarts in the streaming checkpoint. Event-time order
-    is guaranteed within a batch (sorted) — late data across batches
-    follows at-arrival semantics (use the batch operator for exact
-    event-time replay)."""
+    chunk survives restarts in the streaming checkpoint. The whole
+    micro-batch for a group is materialized and sorted before the event
+    loop (bounded by per-group batch size, the same bound the held state
+    already implies), so event-time order holds across Arrow chunk
+    boundaries — late data across micro-batches follows at-arrival
+    semantics (use the batch operator for exact event-time replay)."""
     import pandas as pd
 
     key_schema = ", ".join(f"{k} string" for k in group_by)
@@ -150,11 +152,14 @@ def stream_reduce_max_events(
             if new_session:
                 sess, last = None, None
 
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            pdf = pd.concat(frames).sort_values(ts_col)
             for ts, v in zip(pdf[ts_col], pdf[value_col]):
                 us = int(ts.timestamp() * 1_000_000)
-                if n and (us - last > gap_us):
+                # gap detection keys off `last`, not `n`: a chunk flush
+                # (max_events / period) leaves n==0 but the session open.
+                if last is not None and (us - last > gap_us):
                     flush(new_session=True)
                 if period_us and sess is not None and chunk is not None:
                     # cyclic flush: the period index is measured from the
@@ -170,7 +175,10 @@ def stream_reduce_max_events(
                 vsum += float(v)
                 if max_events and n >= max_events:
                     flush(new_session=False)
-        if n:
+        # Keep state whenever a session is open, even with an empty chunk
+        # (n==0 right after a max_events/period flush): gap detection and
+        # the period anchor must survive into the next micro-batch.
+        if n or sess is not None:
             state.update((sess, chunk, last, n, vsum))
         else:
             state.remove()
@@ -202,9 +210,11 @@ def stream_throttle(
     def fn(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
         win, used = state.get if state.exists else (-1, 0)
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
-            for ts in pdf[ts_col]:
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            # one sort over the whole per-group micro-batch: Arrow chunk
+            # boundaries (~10k rows) are not ordered relative to each other
+            for ts in pd.concat(frames).sort_values(ts_col)[ts_col]:
                 w = int(ts.timestamp()) // window_secs
                 if w != win:
                     win, used = w, 0
@@ -240,8 +250,9 @@ def stream_hash_replace(
     def fn(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
         seen = set(state.get[0]) if state.exists else set()
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            pdf = pd.concat(frames).sort_values(ts_col)
             for ts, val in zip(pdf[ts_col], pdf[value_col]):
                 h = hashlib.md5(str(val).encode()).hexdigest()
                 rows.append((*key, ts, None if h in seen else val, h))
@@ -276,8 +287,9 @@ def stream_tag_cardinality_limit(
         allowed = list(state.get[0]) if state.exists else []
         allow_set = set(allowed)
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            pdf = pd.concat(frames).sort_values(ts_col)
             for ts, tag in zip(pdf[ts_col], pdf[tag_col]):
                 if tag in allow_set:
                     rows.append((*key, ts, tag))
