@@ -1060,6 +1060,81 @@ def q_codec_framing_octet(spark, sf_dir):
     )
 
 
+def q_codec_netflow_v9(spark, sf_dir):
+    """NetFlow v9 template-based decode (netflow.rs:8-13): each event is
+    encoded as a v9 packet (20-byte header + one 21-byte data record in
+    flowset 256, padded to 4 bytes) with pure hex exprs; the template
+    arrives in a SEPARATE packet, so decoding exercises the two-pass
+    template-broadcast machinery. The oracle recomputes the expected flow
+    tuples straight from the events table — field-exact round-trip."""
+    from vector_spark.functions import parse_netflow
+
+    e = _t(spark, sf_dir, "events")
+
+    def hexn(col, nbytes):
+        return F.lpad(F.lower(F.hex(col)), nbytes * 2, "0")
+
+    secs = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000
+    ).cast("long")
+    eid = F.col("event_id")
+    src_hex = F.concat(
+        hexn(F.lit(10), 1),
+        hexn(F.expr("CAST((event_id div 65536) % 256 AS INT)"), 1),
+        hexn(F.expr("CAST((event_id div 256) % 256 AS INT)"), 1),
+        hexn(F.expr("CAST(event_id % 256 AS INT)"), 1),
+    )
+    dst_hex = F.concat(
+        hexn(F.lit(192), 1), hexn(F.lit(168), 1), hexn(F.lit(1), 1),
+        hexn(F.expr("CAST(event_id % 200 + 1 AS INT)"), 1),
+    )
+    srcport = (eid % 50000 + 1024).cast("long")
+    dstport = F.when(eid % 2 == 0, F.lit(443)).otherwise(F.lit(80)).cast("long")
+    pkts = (eid % 1000 + 1).cast("long")
+    octets = ((eid % 1000 + 1) * 64).cast("long")
+    proto = F.when(eid % 3 == 0, F.lit(17)).otherwise(F.lit(6)).cast("long")
+
+    header = F.concat(
+        hexn(F.lit(9), 2), hexn(F.lit(1), 2), hexn(F.lit(0), 4),
+        hexn(secs, 4), hexn(F.lit(0), 4), hexn(F.lit(1), 4),
+    )
+    record = F.concat(
+        src_hex, dst_hex, hexn(srcport, 2), hexn(dstport, 2),
+        hexn(pkts, 4), hexn(octets, 4), hexn(proto, 1),
+    )
+    flowset = F.concat(
+        hexn(F.lit(256), 2), hexn(F.lit(28), 2), record, F.lit("000000")
+    )
+    data_pkts = e.select(F.unhex(F.concat(header, flowset)).alias("packet"))
+
+    # the template packet: v9 header + flowset 0 defining template 256
+    def _u(v, n):
+        return int(v).to_bytes(n, "big")
+
+    t_fields = [(8, 4), (12, 4), (7, 2), (11, 2), (2, 4), (1, 4), (4, 1)]
+    t_body = _u(256, 2) + _u(len(t_fields), 2) + b"".join(
+        _u(f, 2) + _u(l, 2) for f, l in t_fields
+    )
+    tpl_packet = (
+        _u(9, 2) + _u(1, 2) + _u(0, 4) + _u(0, 4) + _u(0, 4) + _u(1, 4)
+        + _u(0, 2) + _u(4 + len(t_body), 2) + t_body
+    )
+    tpl_df = spark.createDataFrame([(bytearray(tpl_packet),)], "packet binary")
+
+    out = parse_netflow(tpl_df.unionByName(data_pkts))
+    f = F.col("fields")
+    return out.filter(f.isNotNull()).select(
+        F.col("export_time"),
+        f.getItem("ipv4_src_addr").alias("srcaddr"),
+        f.getItem("ipv4_dst_addr").alias("dstaddr"),
+        f.getItem("l4_src_port").cast("long").alias("srcport"),
+        f.getItem("l4_dst_port").cast("long").alias("dstport"),
+        f.getItem("in_pkts").cast("long").alias("packets"),
+        f.getItem("in_bytes").cast("long").alias("octets"),
+        f.getItem("protocol").cast("long").alias("proto"),
+    )
+
+
 def q_vrl_uuid_v7(spark, sf_dir):
     """Deterministic uuid_v7: RFC 9562 layout with md5-derived random bits
     — replayable, time-ordered, oracle-expressible (same hex math in SQL)."""
@@ -1252,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_xml": q_parse_xml,
         "codec_framing_chardelim": q_codec_framing_chardelim,
         "codec_framing_octet": q_codec_framing_octet,
+        "codec_netflow_v9": q_codec_netflow_v9,
         "vrl_hmac": q_vrl_hmac,
         "vrl_uuid_v7": q_vrl_uuid_v7,
         "codec_influxdb": q_codec_influxdb,
@@ -2214,6 +2290,21 @@ SELECT event_id, 2, CAST(event_id AS VARCHAR) FROM events
 SELECT event_id, 0 AS idx, event_type AS frame FROM events
 UNION ALL
 SELECT event_id, 1, props FROM events
+"""
+
+    sql["codec_netflow_v9"] = """
+SELECT epoch_us(ts) // 1000000 AS export_time,
+       printf('10.%d.%d.%d',
+              (event_id // 65536) % 256,
+              (event_id // 256) % 256,
+              event_id % 256) AS srcaddr,
+       printf('192.168.1.%d', event_id % 200 + 1) AS dstaddr,
+       event_id % 50000 + 1024 AS srcport,
+       CASE WHEN event_id % 2 = 0 THEN 443 ELSE 80 END AS dstport,
+       event_id % 1000 + 1 AS packets,
+       (event_id % 1000 + 1) * 64 AS octets,
+       CASE WHEN event_id % 3 = 0 THEN 17 ELSE 6 END AS proto
+FROM events
 """
 
     sql["codec_influxdb"] = """

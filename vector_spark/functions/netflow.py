@@ -1,0 +1,341 @@
+"""NetFlow v9 / IPFIX (v10) template-based decoding, plus the static v7
+record layout — completing the reference's NetflowDecoder version set
+(v5/v7/v9/IPFIX, lib/codecs/src/decoding/framing/netflow.rs:8-13; the
+static v5 path lives in parse.py::parse_netflow_v5).
+
+The reference decodes continuously with a mutable per-connection
+NetflowParser holding the template cache (netflow.rs:72-95). Batch-Spark
+re-derivation is two passes over the same packet column:
+
+  pass 1  extract_netflow_templates — walk every packet's flowsets and
+          emit the template records (set id 0 for v9, 2 for IPFIX);
+          a packet column scan with an Arrow-batched mapInPandas
+          (sequential buffer walk, per-packet independent -> parallel).
+  bridge  netflow_template_map — collapse to the LATEST definition per
+          (version, source_id/observation_domain, template_id) by export
+          time and collect to the driver. Templates are tiny (exporters x
+          templates x ~20 fields), so this is a bounded driver action —
+          the same "broadcast the dim" shape as enrich.py. At production
+          scale you persist this map as a table across batches and hand
+          it in via `templates=` instead of re-deriving.
+  pass 2  parse_netflow — decode data sets against the broadcast map;
+          one output row per data RECORD with a canonical
+          fields map<string,string> (IPs dotted/ipv6-hex, numerics
+          decimal — mirroring netflow.rs:453-470 FormattedFieldValue).
+          A data set whose template is unknown emits ONE row with
+          fields=NULL (visible loss, never silent — the reference warns
+          and skips, netflow.rs:398-410).
+
+Subset vs the reference's netflow_parser crate: options templates
+(v9 set 1 / IPFIX set 3) and IPFIX variable-length fields (length 65535)
+are skipped, documented here; enterprise-specific IPFIX IEs decode with
+synthesized names (field_<enterprise>_<id>).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# RFC 3954 / IANA IPFIX information elements — the well-known core set.
+# Unlisted ids decode as field_<id>.
+IE_NAMES = {
+    1: "in_bytes",
+    2: "in_pkts",
+    3: "flows",
+    4: "protocol",
+    5: "src_tos",
+    6: "tcp_flags",
+    7: "l4_src_port",
+    8: "ipv4_src_addr",
+    9: "src_mask",
+    10: "input_snmp",
+    11: "l4_dst_port",
+    12: "ipv4_dst_addr",
+    13: "dst_mask",
+    14: "output_snmp",
+    15: "ipv4_next_hop",
+    16: "src_as",
+    17: "dst_as",
+    21: "last_switched",
+    22: "first_switched",
+    23: "out_bytes",
+    24: "out_pkts",
+    27: "ipv6_src_addr",
+    28: "ipv6_dst_addr",
+    32: "icmp_type",
+    48: "sampler_id",
+    56: "in_src_mac",
+    57: "out_dst_mac",
+    58: "src_vlan",
+    59: "dst_vlan",
+    60: "ip_protocol_version",
+    61: "direction",
+    136: "flow_end_reason",
+    148: "flow_id",
+    150: "flow_start_seconds",
+    151: "flow_end_seconds",
+}
+
+_IPV4_IES = {8, 12, 15}
+_IPV6_IES = {27, 28}
+_MAC_IES = {56, 57}
+
+TEMPLATE_SCHEMA = (
+    "version int, export_time long, source_id long, template_id int, "
+    "field_ids array<int>, field_lens array<int>, field_ens array<long>"
+)
+
+RECORD_SCHEMA = (
+    "version int, export_time long, source_id long, template_id int, "
+    "rec_idx int, fields map<string,string>"
+)
+
+
+def _walk_packet(b: bytes):
+    """Yield (version, export_time, source_id, set_id, set_payload) per
+    flowset/set in one packet; None on a non-v9/v10 packet."""
+    if len(b) < 16:
+        return
+    version = int.from_bytes(b[0:2], "big")
+    if version == 9:
+        if len(b) < 20:
+            return
+        export_time = int.from_bytes(b[8:12], "big")
+        source_id = int.from_bytes(b[16:20], "big")
+        i = 20
+    elif version == 10:
+        export_time = int.from_bytes(b[4:8], "big")
+        source_id = int.from_bytes(b[12:16], "big")
+        i = 16
+    else:
+        return
+    while i + 4 <= len(b):
+        set_id = int.from_bytes(b[i : i + 2], "big")
+        set_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        if set_len < 4 or i + set_len > len(b):
+            break
+        yield version, export_time, source_id, set_id, b[i + 4 : i + set_len]
+        i += set_len
+
+
+def _parse_templates(version: int, payload: bytes):
+    """Template-set payload -> [(template_id, [ids], [lens], [ens])].
+    v9 set 0 and IPFIX set 2 share this layout; IPFIX adds the
+    enterprise bit (RFC 7011 §3.2)."""
+    out = []
+    i = 0
+    while i + 4 <= len(payload):
+        tid = int.from_bytes(payload[i : i + 2], "big")
+        n_fields = int.from_bytes(payload[i + 2 : i + 4], "big")
+        i += 4
+        if tid < 256 or n_fields == 0:
+            break  # padding reached
+        ids, lens, ens = [], [], []
+        ok = True
+        for _ in range(n_fields):
+            if i + 4 > len(payload):
+                ok = False
+                break
+            raw_id = int.from_bytes(payload[i : i + 2], "big")
+            flen = int.from_bytes(payload[i + 2 : i + 4], "big")
+            i += 4
+            en = 0
+            if version == 10 and raw_id & 0x8000:
+                if i + 4 > len(payload):
+                    ok = False
+                    break
+                en = int.from_bytes(payload[i : i + 4], "big")
+                i += 4
+                raw_id &= 0x7FFF
+            ids.append(raw_id)
+            lens.append(flen)
+            ens.append(en)
+        if ok:
+            out.append((tid, ids, lens, ens))
+    return out
+
+
+def _render(ie_id: int, en: int, raw: bytes) -> str:
+    """Canonical string per FormattedFieldValue (netflow.rs:453-470):
+    IPs as addresses, MACs colon-hex, numerics decimal, else hex."""
+    if en == 0 and ie_id in _IPV4_IES and len(raw) == 4:
+        return ".".join(str(x) for x in raw)
+    if en == 0 and ie_id in _IPV6_IES and len(raw) == 16:
+        return ":".join(raw[j : j + 2].hex() for j in range(0, 16, 2))
+    if en == 0 and ie_id in _MAC_IES and len(raw) == 6:
+        return ":".join(f"{x:02x}" for x in raw)
+    if len(raw) <= 8:
+        return str(int.from_bytes(raw, "big"))
+    return raw.hex()
+
+
+def _field_name(ie_id: int, en: int) -> str:
+    if en:
+        return f"field_{en}_{ie_id}"
+    return IE_NAMES.get(ie_id, f"field_{ie_id}")
+
+
+def extract_netflow_templates(df: DataFrame, packet_col: str = "packet") -> DataFrame:
+    """Pass 1: every template record in every v9/IPFIX packet, one row per
+    (version, export_time, source_id, template_id). Arrow-batched packet
+    walk; no shuffle."""
+    import pandas as pd
+
+    def gen(pdfs: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in pdfs:
+            rows = []
+            for pkt in pdf[packet_col]:
+                if pkt is None:
+                    continue
+                for version, et, sid, set_id, payload in _walk_packet(bytes(pkt)):
+                    if (version == 9 and set_id == 0) or (
+                        version == 10 and set_id == 2
+                    ):
+                        for tid, ids, lens, ens in _parse_templates(version, payload):
+                            rows.append((version, et, sid, tid, ids, lens, ens))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "version", "export_time", "source_id", "template_id",
+                    "field_ids", "field_lens", "field_ens",
+                ],
+            )
+
+    return df.select(packet_col).mapInPandas(gen, TEMPLATE_SCHEMA)
+
+
+def netflow_template_map(df: DataFrame, packet_col: str = "packet") -> dict:
+    """Collapse pass-1 output to {(version, source_id, template_id):
+    (ids, lens, ens)}, keeping the LATEST definition by export time
+    (template refresh wins — the reference's cache overwrite). Bounded
+    driver collect: exporters x templates, never data."""
+    t = extract_netflow_templates(df, packet_col)
+    latest = (
+        t.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("version", "source_id", "template_id")
+                .orderBy(F.desc("export_time"), F.desc(F.hash("field_ids")))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return {
+        (r.version, r.source_id, r.template_id): (
+            list(r.field_ids), list(r.field_lens), list(r.field_ens)
+        )
+        for r in latest.collect()
+    }
+
+
+def parse_netflow(
+    df: DataFrame,
+    packet_col: str = "packet",
+    templates: dict | None = None,
+) -> DataFrame:
+    """Pass 2: decode v9/IPFIX data sets. One row per data record:
+    (version, export_time, source_id, template_id, rec_idx, fields).
+    A data set with no known template emits one row with fields=NULL.
+    `templates` defaults to a map derived from `df` itself (two-pass,
+    one extra scan); hand in a persisted map to skip pass 1."""
+    import pandas as pd
+
+    if templates is None:
+        templates = netflow_template_map(df, packet_col)
+    spark = df.sparkSession
+    tmpl_bc = spark.sparkContext.broadcast(templates)
+
+    def gen(pdfs: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        tmpl = tmpl_bc.value
+        for pdf in pdfs:
+            rows = []
+            for pkt in pdf[packet_col]:
+                if pkt is None:
+                    continue
+                for version, et, sid, set_id, payload in _walk_packet(bytes(pkt)):
+                    if set_id < 256:
+                        continue  # template / options sets
+                    spec = tmpl.get((version, sid, set_id))
+                    if spec is None:
+                        rows.append((version, et, sid, set_id, 0, None))
+                        continue
+                    ids, lens, ens = spec
+                    rec_size = sum(lens)
+                    if rec_size == 0:
+                        continue
+                    i, rec_idx = 0, 0
+                    while i + rec_size <= len(payload):
+                        fields = {}
+                        j = i
+                        for ie_id, flen, en in zip(ids, lens, ens):
+                            fields[_field_name(ie_id, en)] = _render(
+                                ie_id, en, payload[j : j + flen]
+                            )
+                            j += flen
+                        rows.append((version, et, sid, set_id, rec_idx, fields))
+                        i += rec_size
+                        rec_idx += 1
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "version", "export_time", "source_id", "template_id",
+                    "rec_idx", "fields",
+                ],
+            )
+
+    return df.select(packet_col).mapInPandas(gen, RECORD_SCHEMA)
+
+
+def parse_netflow_v7(df: DataFrame, packet_col: str = "packet") -> DataFrame:
+    """NetFlow v7 static records (netflow.rs:139-146 V7 path): 24-byte
+    header (same as v5) + count x 52-byte records (v5 layout + 4-byte
+    router_sc trailer; no engine fields). Pure hex-slice exprs like
+    parse_netflow_v5 — one Generate, no Python."""
+    hx = F.lower(F.hex(F.col(packet_col)))
+    base = df.select(hx.alias("_hx"))
+
+    def u(start_byte: int, nbytes: int) -> Column:
+        return F.conv(
+            F.substring(F.col("_hx"), start_byte * 2 + 1, nbytes * 2), 16, 10
+        ).cast("long")
+
+    hdr = base.select(
+        "_hx",
+        u(0, 2).alias("version"),
+        u(2, 2).cast("int").alias("count"),
+        u(8, 4).alias("unix_secs"),
+    ).filter(F.col("version") == 7)
+    rec = hdr.select(
+        "unix_secs",
+        F.explode(F.sequence(F.lit(0), F.col("count") - 1)).alias("flow_idx"),
+        F.col("_hx"),
+    ).withColumn("_r", F.expr("substring(_hx, 49 + flow_idx * 104, 104)"))
+    r = F.col("_r")
+
+    def ru(start_byte: int, nbytes: int) -> Column:
+        return F.conv(F.substring(r, start_byte * 2 + 1, nbytes * 2), 16, 10).cast(
+            "long"
+        )
+
+    def ip(start_byte: int) -> Column:
+        return F.concat_ws(
+            ".", *[ru(start_byte + i, 1).cast("string") for i in range(4)]
+        )
+
+    return rec.select(
+        "unix_secs",
+        "flow_idx",
+        ip(0).alias("srcaddr"),
+        ip(4).alias("dstaddr"),
+        ru(32, 2).alias("srcport"),
+        ru(34, 2).alias("dstport"),
+        ru(16, 4).alias("packets"),
+        ru(20, 4).alias("bytes"),
+        ru(38, 1).alias("proto"),
+        ip(48).alias("router_sc"),
+    )
