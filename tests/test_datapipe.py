@@ -103,6 +103,30 @@ def test_langid_trigram_profiles(spark):
     assert out[4]["score_en"] == 0.0 and out[4]["predicted_lang"] == "de"
 
 
+def test_langid_ten_languages(spark):
+    """The broadened profile set classifies real sentences in all 10
+    languages; es-vs-pt (heavy trigram overlap: de/que/ent cores) is the
+    discriminative pair the unique markers must separate."""
+    sentences = [
+        (1, "es", "la casa del perro es muy grande y el niño que vive en ella come con sus amigos"),
+        (2, "pt", "a casa do menino é muito grande e o cão que vive em uma vila para todos começa"),
+        (3, "it", "il gatto che vive nella casa della nonna è una creatura di grande bellezza"),
+        (4, "nl", "de kinderen van het dorp lopen een uur door de mooie straten naar het grote huis"),
+        (5, "sv", "barnen är glada och vill att det ska bli sommar för att de har en fin dag"),
+        (6, "pl", "dzieci w wiosce nie chcą się uczyć przez cały dzień ale wiedzą że to jest ważne"),
+        (7, "id", "anak anak di desa itu sedang belajar dengan senang untuk menjadi orang yang berguna"),
+        (8, "en", "the children of the village are walking to the large house in the morning"),
+        (9, "de", "die kinder aus dem dorf gehen durch die schönen strassen und singen ein lied"),
+        (10, "fr", "les enfants du village marchent par la rue pour aller à une grande maison"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, _, t in sentences], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.predicted_lang for r in langid(df).collect()}
+    for i, expect, _ in sentences:
+        assert got[i] == expect, f"doc {i}: expected {expect}, got {got[i]}"
+
+
 def _vecs(spark):
     rows_ = [
         (0, [1.0, 0.0, 0.0]),

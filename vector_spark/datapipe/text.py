@@ -37,6 +37,44 @@ LANG_TRIGRAMS = {
         "et ", " et", "ion", "on ", "re ", " re", "une", " un", "ur ",
         "que", " qu", "ue ", "ais", "our", " pa",
     ],
+    # es vs pt is the discriminative pair: both share de/que/ent cores, so
+    # each profile carries its unique markers (es: el/la/ión/y; pt: ão/ção/
+    # do/da/em/um) — tests/test_datapipe.py separates them on real sentences
+    "es": [
+        " de", "de ", " la", "la ", "os ", " qu", "que", "ue ", "el ",
+        " el", "en ", " en", "ent", "nte", " co", "con", "es ", " es",
+        "ión", "ció", "ado", " y ", "del", "a l",
+    ],
+    "pt": [
+        " de", "de ", " a ", "os ", "as ", " qu", "que", "ue ", "ão ",
+        "ção", " co", "com", "do ", " do", "da ", " da", "em ", " em",
+        "ent", "nte", " um", "uma", "par", "ara",
+    ],
+    "it": [
+        " di", "di ", " co", "to ", "la ", " la", "no ", "ne ", "re ",
+        "che", " ch", "he ", "ion", "zio", "one", "lla", "ell", "del",
+        " de", "ta ", "ato", " un", "na ", "e d",
+    ],
+    "nl": [
+        "en ", " de", "de ", "et ", " he", "het", "an ", " va", "van",
+        "n d", "een", " ee", "er ", "der", " ge", "ijk", "aar", "oor",
+        " vo", "te ", " en", "at ", " da", "ver",
+    ],
+    "sv": [
+        "en ", " de", "de ", "et ", "ar ", " oc", "och", "ch ", " at",
+        "att", "tt ", " är", "är ", " so", "som", "om ", " fö", "för",
+        "ör ", "ing", "ng ", "det", "den", " ha",
+    ],
+    "pl": [
+        "ie ", " ni", "nie", " po", " pr", "prz", "rze", " w ", "na ",
+        " na", "ch ", " do", " za", "ego", "go ", " je", "st ", "owa",
+        "wie", "ych", "ej ", " si", "się", "ani",
+    ],
+    "id": [
+        "an ", " me", "ng ", "ang", " di", "kan", " ke", " se", "eng",
+        "nga", " da", "dan", "ah ", "yan", " be", "ber", "nya", "ya ",
+        " pe", "per", "ter", "men", " ya", "ada",
+    ],
 }
 
 
