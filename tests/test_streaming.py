@@ -288,3 +288,59 @@ def test_stream_reduce_period_flush(spark, tmp_path):
         (int(ts(0, 0).timestamp() * 1e6), 3),
         (int(ts(1, 0).timestamp() * 1e6), 3),
     ]
+
+
+def test_stream_reduce_merges_equals_batch(spark, tmp_path):
+    """Full merge parity: stream_reduce_merges with discard/retain/array/
+    concat/max/sum must equal reduce_sessions exactly under availableNow.
+    Every chunk closes via max_events (counts divisible by 3), so the
+    streaming side emits everything the batch side does."""
+    from vector_spark.operators.reduce import reduce_sessions
+    from vector_spark.streaming import stream_reduce_merges
+
+    src = str(tmp_path / "srm_src")
+    rows_in = [
+        # group a: one session of 6 (10s apart) -> two closed 3-chunks
+        *[(i, "a", ts((i * 10) // 60, (i * 10) % 60), float(i + 1), f"m{i}")
+          for i in range(6)],
+        # group b: 3 events, >60s gap, 3 more -> two closed sessions
+        *[(10 + i, "b", ts(0, i), 10.0 + i, f"x{i}") for i in range(3)],
+        *[(20 + i, "b", ts(30, i), 20.0 + i, f"y{i}") for i in range(3)],
+    ]
+    spark.createDataFrame(
+        rows_in, "event_id long, g string, ts timestamp, value double, body string"
+    ).write.mode("overwrite").parquet(src)
+
+    merges = {
+        "first_body": ("discard", "body"),
+        "last_body": ("retain", "body"),
+        "all_bodies": ("array", "body"),
+        "joined": ("concat", "body"),
+        "v_max": ("max", "value"),
+        "v_sum": ("sum", "value"),
+    }
+    schema = spark.read.parquet(src).schema
+    sdf = stream_reduce_merges(
+        spark.readStream.schema(schema).parquet(src),
+        ["g"], gap_secs=60, merges=merges,
+        types={"all_bodies": "array<string>", "v_max": "double", "v_sum": "double"},
+        max_events=3,
+    )
+    got = _run_stream(spark, sdf, tmp_path, "reduce_max")
+    stream_rows = sorted(
+        (r.g, r.session_start_us, r.ts_end_us, r.events_merged, r.first_body,
+         r.last_body, tuple(r.all_bodies), r.joined, r.v_max, r.v_sum)
+        for r in got.collect()
+    )
+    batch = reduce_sessions(
+        spark.read.parquet(src), ["g"], merges,
+        gap_secs=60, max_events=3, order_col="ts",
+    )
+    batch_rows = sorted(
+        (r.g, int(r.ts.timestamp() * 1e6), int(r.ts_end.timestamp() * 1e6),
+         r.events_merged, r.first_body, r.last_body, tuple(r.all_bodies),
+         r.joined, r.v_max, r.v_sum)
+        for r in batch.collect()
+    )
+    assert len(stream_rows) == 4
+    assert stream_rows == batch_rows

@@ -7,6 +7,7 @@ from .ops import (
     stream_pages_pipeline,
     stream_reduce_sessions,
     stream_reduce_max_events,
+    stream_reduce_merges,
     stream_throttle,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "stream_tag_cardinality_limit",
     "stream_reduce_sessions",
     "stream_reduce_max_events",
+    "stream_reduce_merges",
     "stream_throttle",
 ]

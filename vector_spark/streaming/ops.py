@@ -106,6 +106,175 @@ def stream_reduce_sessions(
     )
 
 
+def _py(v):
+    """numpy/pandas scalar -> plain JSON-serializable Python value."""
+    if v is None:
+        return None
+    if hasattr(v, "item"):
+        return v.item()
+    if isinstance(v, (list, tuple)):
+        return [_py(x) for x in v]
+    return v
+
+
+def _merge_step(partial: dict, col: str, strategy: str, v):
+    """Fold one event's value into the per-session partial for `col` —
+    the streaming counterpart of each MERGE_STRATEGIES aggregate
+    (operators/reduce.py:26-46; reference merge_strategy.rs:17-62)."""
+    v = _py(v)
+    if strategy == "discard":
+        partial.setdefault(col, v)
+    elif strategy == "retain":
+        partial[col] = v
+    elif strategy == "sum":
+        partial[col] = (partial.get(col) or 0) + (v or 0)
+    elif strategy == "max":
+        if v is not None and (col not in partial or v > partial[col]):
+            partial[col] = v
+    elif strategy == "min":
+        if v is not None and (col not in partial or v < partial[col]):
+            partial[col] = v
+    elif strategy == "count":
+        partial[col] = partial.get(col, 0) + (0 if v is None else 1)
+    elif strategy in ("array", "concat", "concat_newline", "concat_raw"):
+        if v is not None:
+            partial.setdefault(col, []).append(v)
+    elif strategy == "flat_unique":
+        acc = partial.setdefault(col, [])
+        for x in v or []:
+            if x not in acc:
+                acc.append(x)
+    elif strategy == "shortest_array":
+        if v is not None and (col not in partial or len(v) < len(partial[col])):
+            partial[col] = v
+    elif strategy == "longest_array":
+        if v is not None and (col not in partial or len(v) > len(partial[col])):
+            partial[col] = v
+    else:
+        raise ValueError(f"unknown merge strategy: {strategy}")
+
+
+_CONCAT_SEP = {"concat": " ", "concat_newline": "\n", "concat_raw": ""}
+
+
+def _merge_final(partial: dict, col: str, strategy: str):
+    v = partial.get(col)
+    if strategy in _CONCAT_SEP:
+        return _CONCAT_SEP[strategy].join(str(x) for x in (v or []))
+    if strategy == "array" and v is None:
+        return []
+    return v
+
+
+def stream_reduce_merges(
+    df: DataFrame,
+    group_by: list[str],
+    gap_secs: float,
+    merges: dict[str, tuple[str, str]],
+    types: dict[str, str] | None = None,
+    ts_col: str = "ts",
+    max_events: int | None = None,
+    end_every_secs: float | None = None,
+) -> DataFrame:
+    """Full-merge-parity streaming reduce — the continuous twin of
+    reduce_sessions with ALL 13 merge strategies (discard/retain/sum/max/
+    min/count/array/concat x3/flat_unique/shortest/longest_array), plus
+    max_events and end_every_secs cyclic flushes
+    (reduce/transform.rs:155-310, merge_strategy.rs:17-62).
+
+    merges: {out_col: (strategy, in_col)}; types: {out_col: spark type
+    string} for non-string outputs (default string). State per group =
+    (session_start_us, chunk_start_us, last_us, count, partial-merge JSON)
+    in applyInPandasWithState — the partial is exactly the per-session
+    accumulator the reference's ReduceState holds, so memory is bounded by
+    the open session (max_events bounds it hard). Completed chunks emit
+    per micro-batch; the open chunk survives restarts in the streaming
+    checkpoint. The whole per-group micro-batch is materialized + sorted
+    before the event loop (Arrow chunks are not mutually ordered); late
+    data across micro-batches follows at-arrival semantics.
+
+    Output: group keys, session_start_us, ts_end_us (epoch-us of the
+    chunk's first/last event — the batch twin's ts/ts_end), events_merged,
+    then one column per merge. Equality with reduce_sessions under
+    trigger(availableNow) is asserted in tests/test_streaming.py."""
+    import json
+
+    import pandas as pd
+
+    types = types or {}
+    key_schema = ", ".join(f"{k} string" for k in group_by)
+    merge_schema = ", ".join(f"{c} {types.get(c, 'string')}" for c in merges)
+    out_schema = (
+        f"{key_schema}, session_start_us long, ts_end_us long, "
+        f"events_merged int, {merge_schema}"
+    )
+    state_schema = "sess_us long, chunk_us long, last_us long, n int, partial string"
+    gap_us = int(gap_secs * 1_000_000)
+    period_us = int(end_every_secs * 1_000_000) if end_every_secs else None
+    in_cols = [ic for _, ic in merges.values()]
+
+    def fn(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        if state.exists:
+            sess, chunk, last, n, pjson = state.get
+            partial = json.loads(pjson) if pjson else {}
+        else:
+            sess, chunk, last, n, partial = None, None, None, 0, {}
+        rows = []
+
+        def flush(new_session: bool):
+            nonlocal sess, chunk, last, n, partial
+            if n:
+                rows.append(
+                    (*key, chunk, last, n,
+                     *[_merge_final(partial, c, s) for c, (s, _) in merges.items()])
+                )
+            chunk, n, partial = None, 0, {}
+            if new_session:
+                sess, last = None, None
+
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            pdf = pd.concat(frames).sort_values(ts_col)
+            for row in pdf.itertuples(index=False):
+                ts = getattr(row, ts_col)
+                us = int(ts.timestamp() * 1_000_000)
+                # gap detection keys off `last`, not `n`: a chunk flush
+                # (max_events / period) leaves n==0 but the session open
+                if last is not None and (us - last > gap_us):
+                    flush(new_session=True)
+                if period_us and sess is not None and chunk is not None:
+                    # cyclic flush: period index measured from the
+                    # SESSION's first event (batch _chunk_t semantics)
+                    if (us - sess) // period_us != (chunk - sess) // period_us:
+                        flush(new_session=False)
+                if sess is None:
+                    sess = us
+                if chunk is None:
+                    chunk = us
+                last = us
+                n += 1
+                for out_col, (strategy, in_col) in merges.items():
+                    _merge_step(partial, out_col, strategy, getattr(row, in_col))
+                if max_events and n >= max_events:
+                    flush(new_session=False)
+        # keep state whenever a session is open, even with an empty chunk
+        # (n==0 right after a max_events/period flush): gap detection and
+        # the period anchor must survive into the next micro-batch
+        if n or sess is not None:
+            state.update((sess, chunk, last, n, json.dumps(partial)))
+        else:
+            state.remove()
+        yield pd.DataFrame(
+            rows,
+            columns=[*group_by, "session_start_us", "ts_end_us",
+                     "events_merged", *merges],
+        )
+
+    return df.groupBy(*group_by).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_reduce_max_events(
     df: DataFrame,
     group_by: list[str],
@@ -115,80 +284,16 @@ def stream_reduce_max_events(
     value_col: str = "value",
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Streaming twin of reduce_sessions(max_events=N, end_every_secs=P):
-    chunks close on the inter-event gap, on reaching max_events, or when
-    the elapsed-period index from the SESSION's first event advances (the
-    reference's transaction-assembly flushes, reduce/config.rs:30-120).
-    session_window can't count or cycle, so this carries explicit per-group
-    state — (session_start_us, chunk_start_us, last_us, count, sum) — via
-    applyInPandasWithState; completed chunks emit per micro-batch, the open
-    chunk survives restarts in the streaming checkpoint. The whole
-    micro-batch for a group is materialized and sorted before the event
-    loop (bounded by per-group batch size, the same bound the held state
-    already implies), so event-time order holds across Arrow chunk
-    boundaries — late data across micro-batches follows at-arrival
-    semantics (use the batch operator for exact event-time replay)."""
-    import pandas as pd
-
-    key_schema = ", ".join(f"{k} string" for k in group_by)
-    out_schema = (
-        f"{key_schema}, session_start_us long, events_merged int, value_sum double"
+    """Streaming twin of reduce_sessions(max_events=N, end_every_secs=P)
+    with a sum merge — kept as the contract-query surface; a thin wrapper
+    over stream_reduce_merges (the full-parity engine)."""
+    out = stream_reduce_merges(
+        df, group_by, gap_secs,
+        merges={"value_sum": ("sum", value_col)},
+        types={"value_sum": "double"},
+        ts_col=ts_col, max_events=max_events, end_every_secs=end_every_secs,
     )
-    state_schema = "sess_us long, chunk_us long, last_us long, n int, vsum double"
-    gap_us = int(gap_secs * 1_000_000)
-    period_us = int(end_every_secs * 1_000_000) if end_every_secs else None
-
-    def fn(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
-        sess, chunk, last, n, vsum = (
-            state.get if state.exists else (None, None, None, 0, 0.0)
-        )
-        rows = []
-
-        def flush(new_session: bool):
-            nonlocal sess, chunk, last, n, vsum
-            if n:
-                rows.append((*key, chunk, n, vsum))
-            chunk, n, vsum = None, 0, 0.0
-            if new_session:
-                sess, last = None, None
-
-        frames = [pdf for pdf in pdfs if len(pdf)]
-        if frames:
-            pdf = pd.concat(frames).sort_values(ts_col)
-            for ts, v in zip(pdf[ts_col], pdf[value_col]):
-                us = int(ts.timestamp() * 1_000_000)
-                # gap detection keys off `last`, not `n`: a chunk flush
-                # (max_events / period) leaves n==0 but the session open.
-                if last is not None and (us - last > gap_us):
-                    flush(new_session=True)
-                if period_us and sess is not None and chunk is not None:
-                    # cyclic flush: the period index is measured from the
-                    # session's first event (batch _chunk_t semantics)
-                    if (us - sess) // period_us != (chunk - sess) // period_us:
-                        flush(new_session=False)
-                if sess is None:
-                    sess = us
-                if chunk is None:
-                    chunk = us
-                last = us
-                n += 1
-                vsum += float(v)
-                if max_events and n >= max_events:
-                    flush(new_session=False)
-        # Keep state whenever a session is open, even with an empty chunk
-        # (n==0 right after a max_events/period flush): gap detection and
-        # the period anchor must survive into the next micro-batch.
-        if n or sess is not None:
-            state.update((sess, chunk, last, n, vsum))
-        else:
-            state.remove()
-        yield pd.DataFrame(
-            rows, columns=[*group_by, "session_start_us", "events_merged", "value_sum"]
-        )
-
-    return df.groupBy(*group_by).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
-    )
+    return out.select(*group_by, "session_start_us", "events_merged", "value_sum")
 
 
 def stream_throttle(
