@@ -175,3 +175,58 @@ def test_max_events_and_period_compose(spark):
         end_every_secs=60, max_events=2,
     )
     assert sorted(r.events_merged for r in out.collect()) == [1, 1, 2, 2, 2]
+
+
+def test_hot_split_exact_when_sessions_fit_slices(spark):
+    """hot_split: one group holds ~50% of all rows; with a slice chosen so
+    no session spans a slice edge, the split result equals the unsplit
+    result row-for-row, and the session window's physical partitioning
+    includes the _split salt (no single-task straggler on the hot key)."""
+    rows_in = []
+    # hot group: 6 sessions of 10 events, one session per hour, events 5s
+    # apart (session span 45s << slice 3600s; gaps between sessions 
+    # >gap_secs) -> 60 rows
+    for h in range(6):
+        for i in range(10):
+            rows_in.append((h * 100 + i, "hot", ts(0, i * 5, hour=h), 1.0))
+    # 6 cold groups, 10 rows each -> hot group holds 50%
+    for g in range(6):
+        for i in range(10):
+            rows_in.append((1000 + g * 10 + i, f"cold{g}", ts(10, i * 5), 1.0))
+    df = spark.createDataFrame(
+        rows_in, "event_id long, g string, ts timestamp, v double"
+    )
+    merges = {"n": ("count", "event_id"), "vsum": ("sum", "v")}
+    base = reduce_sessions(
+        df, ["g"], merges, gap_secs=60, order_col=["ts", "event_id"]
+    )
+    split = reduce_sessions(
+        df, ["g"], merges, gap_secs=60, order_col=["ts", "event_id"],
+        hot_split={"threshold": 30, "slice_secs": 3600},
+    )
+    cols = ["g", "ts", "ts_end", "events_merged", "n", "vsum"]
+    assert rows(split, *cols) == rows(base, *cols)
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    assert "_split" in plan  # the salt reaches the physical partitioning
+
+
+def test_hot_split_force_flush_at_slice_edge(spark):
+    """A session that DOES span a slice edge is force-flushed there: one
+    extra chunk, totals preserved — the documented bounded-state
+    deviation."""
+    # 8 events 30s apart straddling the 3600s slice boundary at minute 60
+    rows_in = [
+        (i, "hot", ts((58 + i) % 60, 0, hour=(58 + i) // 60), 1.0)
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows_in, "event_id long, g string, ts timestamp, v double"
+    )
+    merges = {"n": ("count", "event_id")}
+    split = reduce_sessions(
+        df, ["g"], merges, gap_secs=120, order_col=["ts", "event_id"],
+        hot_split={"threshold": 1, "slice_secs": 3600},
+    )
+    got = sorted(r.n for r in split.collect())
+    assert got == [2, 6]          # split at minute 60: events 58,59 | 60..65
+    assert sum(got) == 8          # nothing lost

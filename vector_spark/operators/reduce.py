@@ -81,6 +81,7 @@ def reduce_sessions(
     ends_when: Column | None = None,
     max_events: int | None = None,
     end_every_secs: float | None = None,
+    hot_split: dict | None = None,
 ) -> DataFrame:
     """Collapse each session to one row.
 
@@ -100,9 +101,49 @@ def reduce_sessions(
     expressed as running-window columns over the SAME (group, order)
     window as the gap rule, so the whole operator is still one shuffle +
     one groupBy regardless of which flush conditions are active.
+
+    SCALE BOUND — per-group serialization: the session window partitions
+    by the group key, so ONE group's entire history runs in ONE task (the
+    reference has the same constraint — its per-key ReduceState is a
+    single-threaded map entry, reduce/transform.rs:155-310). A
+    pathological hot key holding a large share of the input serializes
+    into a straggler task at 100x scale.
+
+    hot_split (opt-in guard): {"threshold": rows, "slice_secs": S}.
+    A cheap count-per-group pass (map-side partial agg, tiny broadcast)
+    flags groups above `threshold` rows; their rows get a time-slice salt
+    floor(event_us / S) added to the window partition key, so the hot
+    group's timeline parallelizes across ceil(span/S) tasks. Semantics:
+    EXACT for every session that does not span a slice edge; a session
+    crossing an edge is force-flushed there (one extra output chunk per
+    crossing — the same bounded-state behavior max_events already
+    imposes). Pick S >> gap_secs so crossings are rare; sessions longer
+    than S must be bounded anyway at this scale.
     """
     order = _order_cols(order_col, ts_col)
-    w = Window.partitionBy(*group_by).orderBy(*order)
+    part_cols = list(group_by)
+    if hot_split is not None:
+        threshold = hot_split.get("threshold", 1_000_000)
+        slice_secs = hot_split.get("slice_secs", 3600)
+        hot = (
+            df.groupBy(*group_by)
+            .count()
+            .filter(F.col("count") > threshold)
+            .select(*group_by, F.lit(True).alias("_hot"))
+        )
+        tus0 = F.unix_micros(F.col(ts_col).cast("timestamp"))
+        df = (
+            df.join(F.broadcast(hot), group_by, "left")
+            .withColumn(
+                "_split",
+                F.when(
+                    F.col("_hot"), F.floor(tus0 / int(slice_secs * 1_000_000))
+                ).otherwise(F.lit(0)),
+            )
+            .drop("_hot")
+        )
+        part_cols.append("_split")
+    w = Window.partitionBy(*part_cols).orderBy(*order)
     tus = F.unix_micros(F.col(ts_col).cast("timestamp"))
     gap = tus - F.lag(tus).over(w)
     boundary = gap.isNull() | (gap > int(gap_secs * 1_000_000))
@@ -112,7 +153,7 @@ def reduce_sessions(
         boundary = boundary | F.coalesce(F.lag(ends_when).over(w), F.lit(False))
     sess = F.sum(F.when(boundary, 1).otherwise(0)).over(w)
     df = df.withColumn("_b", F.when(boundary, 1).otherwise(0)).withColumn("_session", sess)
-    sess_keys = ["_session"]
+    sess_keys = ["_session"] + (["_split"] if hot_split is not None else [])
 
     if end_every_secs is not None:
         # session start ts = running last ts where a boundary fired; the
