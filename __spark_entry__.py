@@ -768,6 +768,22 @@ def q_aggregate_summary(spark, sf_dir):
     )
 
 
+def q_aggregate_sketch(spark, sf_dir):
+    """Real DDSketch mode (AgentDDSketch gamma-bucket analogue,
+    metrics/ddsketch.rs): deterministic bucket keys + agent-style
+    interpolated quantiles, so unlike approx_percentile this IS
+    oracle-checkable — the DuckDB twin re-derives the same gamma-bucket
+    math with window cumsums instead of a fold (independent formulation,
+    same sketch)."""
+    from vector_spark.operators import aggregate_sketch
+
+    e = _t(spark, sf_dir, "events")
+    return aggregate_sketch(
+        e, quantiles=[0.5, 0.9], window_secs=86400 * 7,
+        ts_col="ts", series_cols=["event_type"],
+    )
+
+
 def q_aggregate_summary_approx(spark, sf_dir):
     """Sketch-quantile summary (AgentDDSketch analogue, metric/value.rs
     Sketch): approx_percentile with accuracy 10k — mergeable bounded state,
@@ -1311,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggregate_set": q_aggregate_set,
         "aggregate_histogram": q_aggregate_histogram,
         "aggregate_summary": q_aggregate_summary,
+        "aggregate_sketch": q_aggregate_sketch,
         "aggregate_summary_approx": q_aggregate_summary_approx,
         "sample_group_modulo": q_sample_group_modulo,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1409,6 +1426,83 @@ FROM pairs
 WHERE round(CAST(len(list_filter(sh_a, x -> list_contains(sh_b, x))) AS DOUBLE)
             / (len(sh_a) + len(sh_b) - len(list_filter(sh_a, x -> list_contains(sh_b, x)))),
             4) >= {threshold}
+"""
+
+
+def _aggregate_sketch_sql(quantiles=(0.5, 0.9), eps=1.0 / 128) -> str:
+    """DuckDB twin of the gamma-bucket DDSketch analogue: identical key
+    assignment (6-decimal-rounded log quotient, half-even rounding — spelled
+    out as a CASE since DuckDB's round is half-away) and identical agent
+    interpolation, but derived with window cumsums + arg_min instead of a
+    fold — an independent formulation of the same sketch."""
+    import math
+
+    gamma = 1.0 + 2.0 * eps  # exactly representable for eps = 1/128
+    lng = repr(math.log(gamma))
+    g = repr(gamma)
+
+    def rte(x):
+        # round-half-to-even (Spark bround / agent round_to_even)
+        return (
+            f"CAST(floor({x}) + CASE WHEN ({x}) - floor({x}) > 0.5 THEN 1 "
+            f"WHEN ({x}) - floor({x}) = 0.5 THEN "
+            f"CASE WHEN CAST(floor({x}) AS BIGINT) % 2 = 0 THEN 0 ELSE 1 END "
+            f"ELSE 0 END AS BIGINT)"
+        )
+
+    qref = f"round(ln(abs(v))/{lng}, 6)"
+    key = (
+        f"CASE WHEN abs(v) <= 1e-09 THEN 0 WHEN v > 0 THEN {rte(qref)} "
+        f"ELSE -{rte(qref)} END"
+    )
+    rank_defs, est_cols = [], []
+    for q in quantiles:
+        nm = str(q).replace(".", "_")
+        rank_defs.append(f"{rte(f'{q!r} * (t.count - 1)')} AS rank_{nm}")
+        w = f"((s.cumn - s.rank_{nm}) / CAST(s.cnt AS DOUBLE))"
+        est = f"s.lb * {w} + (s.lb * {g}) * (1 - {w})"
+        est_cols.append(
+            f"round(least(greatest(arg_min({est}, s.k) "
+            f"FILTER (WHERE s.cumn > s.rank_{nm}), min(s.mn)), min(s.mx)), 6) "
+            f"AS q{nm}"
+        )
+    return f"""
+WITH base AS (
+  SELECT (epoch_us(ts) // 604800000000) * 604800 AS window_start, event_type,
+         value AS v
+  FROM events
+),
+keyed AS (
+  SELECT window_start, event_type, {key} AS k, v FROM base
+),
+bucketed AS (
+  SELECT window_start, event_type, k, count(*) AS cnt
+  FROM keyed GROUP BY 1, 2, 3
+),
+tot AS (
+  SELECT window_start, event_type, count(*) AS count, min(v) AS mn, max(v) AS mx,
+         CAST(sum(CAST(v AS DECIMAL(25,6))) AS DOUBLE) AS sum
+  FROM keyed GROUP BY 1, 2
+),
+cum AS (
+  SELECT window_start, event_type, k, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY window_start, event_type ORDER BY k)
+              AS DOUBLE) AS cumn
+  FROM bucketed
+),
+sel AS (
+  SELECT c.window_start, c.event_type, c.k, c.cnt, c.cumn,
+         t.count, t.mn, t.mx, t.sum,
+         CASE WHEN c.k = 0 THEN 0.0
+              WHEN c.k > 0 THEN power({g}, c.k)
+              ELSE -power({g}, -c.k) END AS lb,
+         {', '.join(rank_defs)}
+  FROM cum c JOIN tot t USING (window_start, event_type)
+)
+SELECT s.window_start, s.event_type,
+       {', '.join(est_cols)},
+       min(s.count) AS count, min(s.sum) AS sum
+FROM sel s GROUP BY 1, 2
 """
 
 
@@ -2112,6 +2206,8 @@ SELECT (epoch_us(ts) // 604800000000) * 604800 AS window_start,
        CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum
 FROM events GROUP BY 1, 2
 """
+
+    sql["aggregate_sketch"] = _aggregate_sketch_sql()
 
     sql["sample_group_modulo"] = """
 SELECT event_id, user_id, 20 AS sample_rate FROM (

@@ -104,3 +104,45 @@ def test_summary_approx_within_rank_tolerance(spark):
         hi = s[min(1999, int(q * 2000) + 2)]
         assert lo <= approx[col] <= hi, (col, approx[col], lo, hi)
         assert abs(approx[col] - exact[col]) <= (hi - lo) + 0.01
+
+
+def test_aggregate_sketch_error_bound(spark):
+    """Gamma-bucket DDSketch analogue: every interior quantile is within
+    gamma-1 = 2*eps (1.5625% at the default) relative error of the exact
+    percentile; count/sum are exact; q=0/1 return exact min/max."""
+    import datetime as dt
+
+    from vector_spark.operators import aggregate_sketch, aggregate_summary
+
+    rows_in = [
+        ("m", dt.datetime(2024, 1, 1, 0, 0, i % 60), float(1 + (i * 37) % 997))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows_in, "name string, ts timestamp, value double")
+    qs = [0.0, 0.5, 0.9, 0.99, 1.0]
+    sk = aggregate_sketch(df, qs, window_secs=3600).collect()[0]
+    ex = aggregate_summary(df, qs, window_secs=3600).collect()[0]
+    assert sk["count"] == ex["count"] == 2000
+    assert abs(sk["sum"] - ex["sum"]) < 1e-6
+    assert sk["q0_0"] == ex["q0_0"] and sk["q1_0"] == ex["q1_0"]  # exact min/max
+    for q in ("q0_5", "q0_9", "q0_99"):
+        rel = abs(sk[q] - ex[q]) / abs(ex[q])
+        assert rel <= 2.0 / 128 + 1e-9, (q, sk[q], ex[q], rel)
+
+
+def test_aggregate_sketch_negative_and_zero_values(spark):
+    """Negative values use mirrored keys; |v| <= min_value collapses to
+    the zero bucket; quantiles stay within [min, max]."""
+    import datetime as dt
+
+    from vector_spark.operators import aggregate_sketch
+
+    vals = [-100.0, -10.0, 0.0, 1e-12, 10.0, 100.0, 1000.0]
+    rows_in = [
+        ("m", dt.datetime(2024, 1, 1, 0, 0, i), v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows_in, "name string, ts timestamp, value double")
+    r = aggregate_sketch(df, [0.0, 0.5, 1.0], window_secs=3600).collect()[0]
+    assert r["q0_0"] == -100.0 and r["q1_0"] == 1000.0
+    assert -100.0 <= r["q0_5"] <= 1000.0
+    assert r["count"] == 7

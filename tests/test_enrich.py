@@ -40,11 +40,27 @@ def test_between_dates_inclusive(spark):
     assert rows(out, "id", "tag") == [(1, "in-window"), (2, "in-window"), (3, None)]
 
 
-def test_find_table_row_errors_on_ambiguity(spark):
+def test_find_table_row_errors_on_ambiguity_lazily(spark):
+    """The ambiguity check is plan-embedded: building the lookup runs NO
+    Spark job (topology compile stays lazy — job-group listener assert);
+    the ambiguous dim errors at action time."""
     dim = spark.createDataFrame([("k", 1), ("k", 2)], "key string, v int")
     df = spark.createDataFrame([("k",)], "key string")
-    with pytest.raises(ValueError, match="ambiguous"):
-        find_table_row(df, dim, [("key", "key")])
+    sc = spark.sparkContext
+    sc.setJobGroup("ftr_compile", "find_table_row build must be lazy")
+    out = find_table_row(df, dim, [("key", "key")])
+    compile_jobs = sc.statusTracker().getJobIdsForGroup("ftr_compile")
+    sc.setJobGroup(None, None)
+    assert list(compile_jobs) == []
+    with pytest.raises(Exception, match="ambiguous"):
+        out.collect()
+
+
+def test_find_table_row_unique_dim_passes(spark):
+    dim = spark.createDataFrame([("k", 1), ("j", 2)], "key string, v int")
+    df = spark.createDataFrame([("k",), ("j",)], "key string")
+    out = find_table_row(df, dim, [("key", "key")])
+    assert rows(out, "key", "v") == [("j", 2), ("k", 1)]
 
 
 def test_find_table_row_first_pick_is_deterministic(spark):

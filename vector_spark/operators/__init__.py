@@ -8,6 +8,7 @@ from .aggregate import (
     aggregate_diff,
     aggregate_histogram,
     aggregate_set,
+    aggregate_sketch,
     aggregate_summary,
     tumbling_window,
 )
@@ -24,7 +25,7 @@ __all__ = [
     "filter_events", "route", "exclusive_route", "UNMATCHED", "dedupe",
     "sample", "sample_group_modulo", "enrich_equi", "enrich_between", "enrich_constant", "enrich_ip_range",
     "find_table_row", "aggregate_metrics", "aggregate_diff",
-    "aggregate_histogram", "aggregate_set", "aggregate_summary",
+    "aggregate_histogram", "aggregate_set", "aggregate_summary", "aggregate_sketch",
     "tumbling_window", "reduce_sessions", "MERGE_STRATEGIES", "throttle",
     "log_to_metric", "metric_to_log", "tag_cardinality_limit", "hash_replace",
     "salted_agg", "remap_with_errors",

@@ -170,6 +170,133 @@ def aggregate_summary(
     return df.groupBy(ws, *series_cols).agg(*aggs)
 
 
+def aggregate_sketch(
+    df: DataFrame,
+    quantiles: list[float],
+    window_secs: int = 10,
+    ts_col: str = "ts",
+    series_cols: list[str] | None = None,
+    value_col: str = "value",
+    eps: float = 1.0 / 128,
+    min_value: float = 1e-9,
+) -> DataFrame:
+    """MetricValue::Sketch — the AgentDDSketch gamma-bucket quantile sketch
+    (lib/vector-core/src/metrics/ddsketch.rs:18-26,128-145,668-707;
+    value.rs:22-88 Sketch variant) re-expressed as two Spark hash-aggs:
+
+      bucket key  k = sign(v) * round_half_even(ln(|v|)/ln(gamma)),
+                  gamma = 1 + 2*eps (agent Config::new: eps *= 2) — for
+                  the default eps=1/128, gamma = 1.015625, EXACTLY binary-
+                  representable, relative accuracy (gamma-1)/2 = 1/128.
+                  |v| <= min_value collapses to bucket 0.
+      level 1     groupBy(window, series, k) -> per-bucket counts. This IS
+                  the sketch's mergeable state: bucket counts add, so map-
+                  side partial aggregation = client-side sketch merge and
+                  the reduce side = server-side merge, loss-free like
+                  AgentDDSketch::merge (ddsketch.rs:710-717). Shuffle rows
+                  are bounded by series x occupied buckets (<= ~4k/series,
+                  the agent's bin_limit scale), NOT by event count.
+      level 2     groupBy(window, series): fold the sorted bucket list for
+                  each phi — rank = round_half_even(phi*(count-1)), walk
+                  to the first bucket with cum > rank, interpolate
+                  lb*w + lb*gamma*(1-w) with w = (cum-rank)/bin_count,
+                  clamp to [min, max] (the agent's quantile(),
+                  ddsketch.rs:668-707) — then round to 6 decimals for
+                  engine portability.
+
+    Differences from the agent, disclosed: no bin_limit collapse (Spark's
+    shuffle handles bucket cardinality; the agent folds low buckets to fit
+    u16 keys) and the first/last-bin min/max interpolation is replaced by
+    the clamp. Error bound: the bucket representative gamma^k is within
+    eps of every value it holds, and the v_low -> v_low*gamma rank
+    interpolation can add up to one more gamma factor, so the end-to-end
+    relative error on interior quantiles is <= gamma - 1 = 2*eps
+    (1.5625% at the default) — asserted against the exact percentile in
+    tests; the agent's quantile() has the same interpolation skew. The log
+    quotient is rounded to 6 decimals before the half-even rounding so the
+    DuckDB oracle's independently-derived keys match bit-for-bit."""
+    import math
+
+    series_cols = series_cols or ["name"]
+    gamma = 1.0 + 2.0 * eps
+    ln_gamma = math.log(gamma)
+    ws = tumbling_window(F.col(ts_col), window_secs).alias("window_start")
+    v = F.col(value_col)
+
+    qlog = F.round(F.log(F.abs(v)) / F.lit(ln_gamma), 6)
+    k = (
+        F.when(F.abs(v) <= min_value, F.lit(0))
+        .otherwise(F.signum(v) * F.bround(qlog))
+        .cast("long")
+    )
+    buckets = df.groupBy(ws, *series_cols, k.alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(v).alias("bmin"),
+        F.max(v).alias("bmax"),
+        F.sum(v.cast("decimal(25,6)")).alias("bsum"),
+    )
+
+    g = buckets.groupBy("window_start", *series_cols)
+    bins = F.array_sort(
+        F.collect_list(F.struct(F.col("k").alias("k"), F.col("cnt").alias("cnt")))
+    )
+    total = F.sum("cnt")
+    agged = g.agg(
+        bins.alias("_bins"),
+        total.alias("count"),
+        F.min("bmin").alias("_mn"),
+        F.max("bmax").alias("_mx"),
+        F.sum("bsum").cast("double").alias("sum"),
+    )
+
+    def lower_bound(kc):
+        return (
+            F.when(kc == 0, F.lit(0.0))
+            .when(kc > 0, F.pow(F.lit(gamma), kc.cast("double")))
+            .otherwise(-F.pow(F.lit(gamma), (-kc).cast("double")))
+        )
+
+    cnt_total = F.col("count")
+    mn, mx = F.col("_mn"), F.col("_mx")
+
+    def quantile_col(q: float) -> Column:
+        if q <= 0.0:
+            return F.round(mn, 6)
+        if q >= 1.0:
+            return F.round(mx, 6)
+        rank = F.bround(F.lit(q) * (cnt_total - 1).cast("double"))
+        acc0 = F.struct(
+            F.lit(0.0).cast("double").alias("cum"),
+            F.lit(None).cast("double").alias("est"),
+        )
+
+        def fold(acc, b):
+            newcum = acc["cum"] + b["cnt"].cast("double")
+            w = (newcum - rank) / b["cnt"].cast("double")
+            lb = lower_bound(b["k"])
+            est_here = lb * w + (lb * gamma) * (F.lit(1.0) - w)
+            return F.struct(
+                newcum.alias("cum"),
+                F.when(acc["est"].isNotNull(), acc["est"])
+                .when(newcum > rank, est_here)
+                .alias("est"),
+            )
+
+        est = F.aggregate(F.col("_bins"), acc0, fold)["est"]
+        return F.round(F.least(F.greatest(est, mn), mx), 6)
+
+    return agged.select(
+        "window_start",
+        *series_cols,
+        *[
+            quantile_col(q).alias(f"q{str(q).replace('.', '_')}")
+            for q in quantiles
+        ],
+        "count",
+        "sum",
+    )
+
+
 def aggregate_diff(
     df: DataFrame,
     window_secs: int = 10,

@@ -72,14 +72,25 @@ def find_table_row(
 ) -> DataFrame:
     """`find_table_row` strict semantics: exactly one dim match per fact row
     or the lookup errors (lib/enrichment/src/lib.rs:43-51). Distributed
-    version: detect duplicate keys on the (small) dim side up front."""
+    version: the duplicate-key check is EMBEDDED IN THE PLAN — a per-key
+    window count on the (small) dim side guards the join key with
+    assert_true, so building the lookup stays lazy (no Spark job at
+    topology compile) and an ambiguous dim errors at action time, when
+    the query actually runs."""
+    from pyspark.sql import Window
+
     dim_keys = [dc for _, dc in keys]
-    dup = dim.groupBy(*dim_keys).count().filter(F.col("count") > 1)
     if on_ambiguous == "error":
-        n = dup.count()  # dim is broadcast-small; this is a cheap driver check
-        if n:
-            raise ValueError(f"find_table_row: {n} ambiguous key(s) in enrichment table")
-        one = dim
+        cnt = F.count(F.lit(1)).over(Window.partitionBy(*dim_keys))
+        msg = F.concat(
+            F.lit("find_table_row: ambiguous key in enrichment table: "),
+            F.concat_ws(",", *[F.col(c).cast("string") for c in dim_keys]),
+        )
+        dc0 = dim_keys[0]
+        # assert_true returns NULL on success; anchoring it on the join key
+        # keeps Catalyst from pruning the check away
+        guarded = F.when(F.assert_true(cnt <= 1, msg).isNull(), F.col(dc0))
+        one = dim.withColumn(dc0, guarded)
     else:  # 'first': deterministic pick per key
         w_cols = [F.col(c) for c in (order_dim_by.split(",") if order_dim_by else dim.columns)]
         from pyspark.sql import Window
