@@ -1151,6 +1151,101 @@ def q_codec_netflow_v9(spark, sf_dir):
     )
 
 
+def _dnstap_fixture_frames() -> list[str]:
+    """Four deterministic dnstap frames (public dnstap.proto wire format),
+    hand-encoded at plan time — the parse side must recover exactly what
+    was encoded, so the oracle enumerates these constants by event_id%4."""
+    import base64
+
+    def u(v, n):
+        return int(v).to_bytes(n, "big")
+
+    def pb(fno, wt, payload):
+        tag = bytes([(fno << 3) | wt])
+        if wt == 2:
+            return tag + bytes([len(payload)]) + payload
+        if wt == 5:
+            return tag + payload
+        return tag + payload  # wt 0: payload is pre-encoded varint bytes
+
+    def varint(v):
+        out = b""
+        while True:
+            b7 = v & 0x7F
+            v >>= 7
+            out += bytes([b7 | (0x80 if v else 0)])
+            if not v:
+                return out
+
+    def dns(qid, qr, labels, qtype):
+        name = b"".join(bytes([len(l)]) + l.encode() for l in labels) + b"\x00"
+        flags = 0x8000 if qr else 0
+        return (u(qid, 2) + u(flags, 2) + u(1, 2) + u(0, 2) + u(0, 2) + u(0, 2)
+                + name + u(qtype, 2) + u(1, 2))
+
+    variants = [
+        # (mtype, family, proto, src, sport, resp, rport, t_sec, t_nsec, labels, qtype, qr)
+        (5, 1, 1, bytes([10, 0, 0, 1]), 1053, None, None,
+         1700000000, 11, ["a0", "example", "com"], 1, 0),
+        (6, 1, 1, None, None, bytes([10, 0, 0, 2]), 53,
+         1700000001, 22, ["a1", "example", "org"], 28, 1),
+        (3, 2, 2, b"\x00" * 15 + b"\x01", 2053, None, None,
+         1700000002, 33, ["a2", "example", "net"], 16, 0),
+        (7, 1, 1, bytes([192, 168, 5, 5]), 5353, None, None,
+         1700000003, 44, ["a3", "example", "io"], 15, 0),
+    ]
+    frames = []
+    for i, (mt, fam, proto, src, sport, resp, rport, tsec, tnsec, labels,
+            qtype, qr) in enumerate(variants):
+        m = pb(1, 0, varint(mt)) + pb(2, 0, varint(fam)) + pb(3, 0, varint(proto))
+        if src is not None:
+            m += pb(4, 2, src) + pb(6, 0, varint(sport))
+        if resp is not None:
+            m += pb(5, 2, resp) + pb(7, 0, varint(rport))
+        if mt % 2 == 0:  # response: response_time (11 varint? no: 12/13)
+            m += pb(12, 0, varint(tsec)) + pb(13, 5, int(tnsec).to_bytes(4, "little"))
+            m += pb(14, 2, dns(100 + i, qr, labels, qtype))
+        else:
+            m += pb(8, 0, varint(tsec)) + pb(9, 5, int(tnsec).to_bytes(4, "little"))
+            m += pb(10, 2, dns(100 + i, qr, labels, qtype))
+        frame = (pb(1, 2, b"vs-test") + pb(2, 2, b"v1")
+                 + pb(15, 0, varint(1)) + pb(14, 2, m))
+        frames.append(base64.b64encode(frame).decode())
+    return frames
+
+
+def q_parse_dnstap(spark, sf_dir):
+    """VRL parse_dnstap (parse_dnstap.cue): pure-Python protobuf
+    wire-format walker over the public dnstap schema, Arrow-batched.
+    Each event gets one of four hand-encoded frames (event_id%4); the
+    oracle enumerates the encoded constants — field-exact decode check."""
+    from vector_spark.functions import parse_dnstap
+
+    e = _t(spark, sf_dir, "events")
+    frames = _dnstap_fixture_frames()
+    frame = F.element_at(
+        F.array(*[F.lit(x) for x in frames]), (F.col("event_id") % 4 + 1).cast("int")
+    )
+    d = parse_dnstap(frame)
+    return e.select(
+        "event_id",
+        d.getField("messageType").alias("message_type"),
+        d.getField("messageTypeId").alias("message_type_id"),
+        d.getField("socketFamily").alias("socket_family"),
+        d.getField("socketProtocol").alias("socket_protocol"),
+        d.getField("sourceAddress").alias("source_address"),
+        d.getField("sourcePort").alias("source_port"),
+        d.getField("responseAddress").alias("response_address"),
+        d.getField("responsePort").alias("response_port"),
+        d.getField("time").alias("time_ns"),
+        d.getField("header_id").alias("header_id"),
+        d.getField("header_qr").alias("header_qr"),
+        d.getField("question_name").alias("question_name"),
+        d.getField("question_type").alias("question_type"),
+        d.getField("serverId").alias("server_id"),
+    )
+
+
 def q_vrl_uuid_v7(spark, sf_dir):
     """Deterministic uuid_v7: RFC 9562 layout with md5-derived random bits
     — replayable, time-ordered, oracle-expressible (same hex math in SQL)."""
@@ -1345,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_framing_chardelim": q_codec_framing_chardelim,
         "codec_framing_octet": q_codec_framing_octet,
         "codec_netflow_v9": q_codec_netflow_v9,
+        "parse_dnstap": q_parse_dnstap,
         "vrl_hmac": q_vrl_hmac,
         "vrl_uuid_v7": q_vrl_uuid_v7,
         "codec_influxdb": q_codec_influxdb,
@@ -2400,6 +2496,32 @@ SELECT epoch_us(ts) // 1000000 AS export_time,
        event_id % 1000 + 1 AS packets,
        (event_id % 1000 + 1) * 64 AS octets,
        CASE WHEN event_id % 3 = 0 THEN 17 ELSE 6 END AS proto
+FROM events
+"""
+
+    sql["parse_dnstap"] = """
+SELECT event_id,
+  CASE event_id % 4 WHEN 0 THEN 'ClientQuery' WHEN 1 THEN 'ClientResponse'
+       WHEN 2 THEN 'ResolverQuery' ELSE 'ForwarderQuery' END AS message_type,
+  CAST(CASE event_id % 4 WHEN 0 THEN 5 WHEN 1 THEN 6 WHEN 2 THEN 3 ELSE 7 END AS INT)
+       AS message_type_id,
+  CASE event_id % 4 WHEN 2 THEN 'INET6' ELSE 'INET' END AS socket_family,
+  CASE event_id % 4 WHEN 2 THEN 'TCP' ELSE 'UDP' END AS socket_protocol,
+  CASE event_id % 4 WHEN 0 THEN '10.0.0.1' WHEN 2 THEN '::1'
+       WHEN 3 THEN '192.168.5.5' ELSE NULL END AS source_address,
+  CAST(CASE event_id % 4 WHEN 0 THEN 1053 WHEN 2 THEN 2053 WHEN 3 THEN 5353
+       ELSE NULL END AS INT) AS source_port,
+  CASE event_id % 4 WHEN 1 THEN '10.0.0.2' ELSE NULL END AS response_address,
+  CAST(CASE event_id % 4 WHEN 1 THEN 53 ELSE NULL END AS INT) AS response_port,
+  CASE event_id % 4 WHEN 0 THEN 1700000000000000011 WHEN 1 THEN 1700000001000000022
+       WHEN 2 THEN 1700000002000000033 ELSE 1700000003000000044 END AS time_ns,
+  CAST(100 + event_id % 4 AS INT) AS header_id,
+  CAST(CASE event_id % 4 WHEN 1 THEN 1 ELSE 0 END AS INT) AS header_qr,
+  CASE event_id % 4 WHEN 0 THEN 'a0.example.com.' WHEN 1 THEN 'a1.example.org.'
+       WHEN 2 THEN 'a2.example.net.' ELSE 'a3.example.io.' END AS question_name,
+  CASE event_id % 4 WHEN 0 THEN 'A' WHEN 1 THEN 'AAAA' WHEN 2 THEN 'TXT'
+       ELSE 'MX' END AS question_type,
+  'vs-test' AS server_id
 FROM events
 """
 
