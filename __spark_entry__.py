@@ -1246,6 +1246,38 @@ def q_parse_dnstap(spark, sf_dir):
     )
 
 
+def q_vrl_misc(spark, sf_dir):
+    """Grouped VRL straggler sweep (to_syslog_level/severity/facility,
+    parse_int with prefixes, format_int, deterministic random_*, friendly
+    id round-trip): every output is a pure function of event_id/ts so the
+    oracle re-derives each one. The friendly-id pair is exercised as
+    encode-then-decode around uuid_v7_deterministic — the round-trip must
+    return the original uuid, whose SQL twin already exists."""
+    from vector_spark.functions import (
+        format_int_vrl, friendly_id_from_uuid, parse_int_vrl,
+        random_bool_seeded, random_int_seeded, to_syslog_facility,
+        to_syslog_level, to_syslog_severity, uuid_from_friendly_id,
+        uuid_v7_deterministic,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    level = to_syslog_level(eid % 8)
+    hex_str = F.concat(F.lit("0x"), F.lower(F.hex(eid)))
+    u7 = uuid_v7_deterministic(F.col("ts"), eid)
+    return e.select(
+        "event_id",
+        level.alias("syslog_level"),
+        to_syslog_severity(level).alias("syslog_severity"),
+        to_syslog_facility(eid % 24).alias("syslog_facility"),
+        parse_int_vrl(hex_str).alias("parsed_hex"),
+        format_int_vrl(eid, 16).alias("formatted_hex"),
+        random_int_seeded(eid, 0, 100).alias("rand_int"),
+        random_bool_seeded(eid).alias("rand_bool"),
+        uuid_from_friendly_id(friendly_id_from_uuid(u7)).alias("uuid_roundtrip"),
+    )
+
+
 def q_vrl_uuid_v7(spark, sf_dir):
     """Deterministic uuid_v7: RFC 9562 layout with md5-derived random bits
     — replayable, time-ordered, oracle-expressible (same hex math in SQL)."""
@@ -1441,6 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_framing_octet": q_codec_framing_octet,
         "codec_netflow_v9": q_codec_netflow_v9,
         "parse_dnstap": q_parse_dnstap,
+        "vrl_misc": q_vrl_misc,
         "vrl_hmac": q_vrl_hmac,
         "vrl_uuid_v7": q_vrl_uuid_v7,
         "codec_influxdb": q_codec_influxdb,
@@ -2545,6 +2578,42 @@ SELECT event_id,
        CASE WHEN event_type = 'purchase' THEN 'incremental' END AS metric_kind,
        CASE WHEN event_type = 'purchase' THEN CAST(printf('%.2f', value) AS DOUBLE) END AS counter_value
 FROM events
+"""
+
+    _facilities = (
+        "'kern','user','mail','daemon','auth','syslog','lpr','news','uucp',"
+        "'cron','authpriv','ftp','ntp','security','console','solaris-cron',"
+        "'local0','local1','local2','local3','local4','local5','local6','local7'"
+    )
+
+    def _randbits_sql(tag: str) -> str:
+        md = f"md5('{tag}|' || CAST(event_id AS VARCHAR))"
+        terms = [
+            f"CAST({_hexval_sql(f'substr({md}, {i + 1}, 1)')} AS BIGINT) * {16 ** (7 - i)}"
+            for i in range(8)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    sql["vrl_misc"] = f"""
+WITH t AS (
+  SELECT event_id,
+         lpad(lower(to_hex(epoch_us(ts) // 1000)), 12, '0') AS ms_hex,
+         md5(CAST(event_id AS VARCHAR)) AS h
+  FROM events
+)
+SELECT event_id,
+  ['emerg','alert','crit','err','warning','notice','info','debug'][CAST(event_id % 8 AS INT) + 1] AS syslog_level,
+  CAST(event_id % 8 AS INT) AS syslog_severity,
+  [{_facilities}][CAST(event_id % 24 AS INT) + 1] AS syslog_facility,
+  event_id AS parsed_hex,
+  lower(to_hex(event_id)) AS formatted_hex,
+  CAST({_randbits_sql('ri')} % 100 AS BIGINT) AS rand_int,
+  ({_randbits_sql('rb')} % 2 = 0) AS rand_bool,
+  substr(ms_hex, 1, 8) || '-' || substr(ms_hex, 9, 4) || '-7' ||
+  substr(h, 1, 3) || '-' ||
+  substr('89ab', ((strpos('0123456789abcdef', substr(h, 4, 1)) - 1) % 4) + 1, 1) ||
+  substr(h, 5, 3) || '-' || substr(h, 8, 12) AS uuid_roundtrip
+FROM t
 """
 
     sql["vrl_uuid_v7"] = """

@@ -224,3 +224,72 @@ def test_sha3_and_ruby_hash(spark):
     assert r["h"] == hashlib.sha3_256(b"payload").hexdigest()
     assert r["o"]["name"] == "spark" and r["o"]["port"] == 8080
     assert r["o"]["note"] is None
+
+
+def test_syslog_level_severity_facility(spark):
+    from vector_spark.functions import (
+        to_syslog_facility, to_syslog_level, to_syslog_severity,
+    )
+
+    df = spark.createDataFrame([(0,), (3,), (7,), (8,), (23,)], "n int")
+    out = df.select(
+        "n",
+        to_syslog_level(F.col("n")).alias("lvl"),
+        to_syslog_facility(F.col("n")).alias("fac"),
+    ).orderBy("n").collect()
+    assert [r.lvl for r in out] == ["emerg", "err", "debug", None, None]
+    assert out[0].fac == "kern" and out[3].fac == "uucp" and out[4].fac == "local7"
+    sev = spark.createDataFrame([("err",), ("debug",), ("bogus",)], "s string")
+    got = [r.v for r in sev.select(to_syslog_severity(F.col("s")).alias("v")).collect()]
+    assert got == [3, 7, None]
+
+
+def test_parse_int_prefixes(spark):
+    from vector_spark.functions import format_int_vrl, parse_int_vrl
+
+    df = spark.createDataFrame(
+        [("0xff",), ("0b101",), ("0o17",), ("42",)], "s string"
+    )
+    got = [r.v for r in df.select(parse_int_vrl(F.col("s")).alias("v")).collect()]
+    assert got == [255, 5, 15, 42]
+    df2 = spark.createDataFrame([(255,)], "n long")
+    assert df2.select(format_int_vrl(F.col("n"), 16).alias("h")).collect()[0].h == "ff"
+    assert df2.select(format_int_vrl(F.col("n"), 2).alias("b")).collect()[0].b == "11111111"
+
+
+def test_friendly_id_roundtrip_and_vectors(spark):
+    from vector_spark.functions import friendly_id_from_uuid, uuid_from_friendly_id
+
+    uuids = [
+        "01890a5d-ac96-774b-b94b-9ffa6e1eb1b2",
+        "00000000-0000-0000-0000-000000000000",
+        "ffffffff-ffff-ffff-ffff-ffffffffffff",
+    ]
+    df = spark.createDataFrame([(u,) for u in uuids], "u string")
+    out = df.select(
+        "u",
+        uuid_from_friendly_id(friendly_id_from_uuid(F.col("u"))).alias("rt"),
+        friendly_id_from_uuid(F.col("u")).alias("fid"),
+    ).collect()
+    for r in out:
+        assert r.rt == r.u
+        assert r.fid is not None and all(c.isalnum() for c in r.fid)
+    # nil uuid encodes to the single zero digit
+    assert out[1].fid == "0"
+    # fallible decode: bad alphabet and >128-bit values return null
+    bad = spark.createDataFrame([("!!!",), ("z" * 30,)], "s string")
+    got = [r.v for r in bad.select(uuid_from_friendly_id(F.col("s")).alias("v")).collect()]
+    assert got == [None, None]
+
+
+def test_random_seeded_deterministic(spark):
+    from vector_spark.functions import random_int_seeded, random_float_seeded
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "id long")
+    a = [r.v for r in df.select(random_int_seeded(F.col("id"), 0, 10).alias("v")).collect()]
+    b = [r.v for r in df.select(random_int_seeded(F.col("id"), 0, 10).alias("v")).collect()]
+    assert a == b                      # replayable
+    assert all(0 <= x < 10 for x in a)
+    assert len(set(a)) == 10           # all residues hit over 200 seeds
+    f = [r.v for r in df.select(random_float_seeded(F.col("id"), 2.0, 3.0).alias("v")).collect()]
+    assert all(2.0 <= x < 3.0 for x in f)

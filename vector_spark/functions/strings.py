@@ -470,3 +470,166 @@ def sha3(col: Column, variant: str = "sha3-256") -> Column:
         )
 
     return pandas_udf(mac, "string")(col)
+
+
+# --- syslog level/severity/facility names (VRL to_syslog_* family,
+# website/cue/reference/remap/functions/to_syslog_{level,severity,facility}.cue;
+# RFC 5424 tables) ----------------------------------------------------------
+
+SYSLOG_LEVELS = ["emerg", "alert", "crit", "err", "warning", "notice", "info", "debug"]
+SYSLOG_FACILITIES = [
+    "kern", "user", "mail", "daemon", "auth", "syslog", "lpr", "news",
+    "uucp", "cron", "authpriv", "ftp", "ntp", "security", "console",
+    "solaris-cron", "local0", "local1", "local2", "local3", "local4",
+    "local5", "local6", "local7",
+]
+
+
+def to_syslog_level(col: Column) -> Column:
+    """VRL to_syslog_level: severity code 0-7 -> keyword; null outside."""
+    return F.when(
+        col.between(0, 7),
+        F.element_at(F.array(*[F.lit(x) for x in SYSLOG_LEVELS]), col.cast("int") + 1),
+    )
+
+
+def to_syslog_severity(col: Column) -> Column:
+    """VRL to_syslog_severity: keyword -> code (inverse of to_syslog_level)."""
+    out = F.lit(None).cast("int")
+    expr = None
+    for i, name in enumerate(SYSLOG_LEVELS):
+        c = F.when(col == name, F.lit(i))
+        expr = c if expr is None else expr.when(col == name, F.lit(i))
+    return expr.otherwise(out)
+
+
+def to_syslog_facility(col: Column) -> Column:
+    """VRL to_syslog_facility: facility code 0-23 -> keyword; null outside."""
+    return F.when(
+        col.between(0, 23),
+        F.element_at(
+            F.array(*[F.lit(x) for x in SYSLOG_FACILITIES]), col.cast("int") + 1
+        ),
+    )
+
+
+def parse_int_vrl(col: Column, base: int | None = None) -> Column:
+    """VRL parse_int: string -> integer honoring 0x/0o/0b prefixes when no
+    explicit base is given (parse_int.cue). Pure conv exprs."""
+    if base is not None:
+        return F.conv(col, base, 10).cast("long")
+    body = F.substring(col, 3, 64)
+    return (
+        F.when(col.startswith("0x"), F.conv(body, 16, 10))
+        .when(col.startswith("0b"), F.conv(body, 2, 10))
+        .when(col.startswith("0o"), F.conv(body, 8, 10))
+        .otherwise(F.conv(col, 10, 10))
+        .cast("long")
+    )
+
+
+def format_int_vrl(col: Column, base: int = 10) -> Column:
+    """VRL format_int: integer -> string in the given base (lowercase)."""
+    return F.lower(F.conv(col.cast("string"), 10, base))
+
+
+# --- deterministic random_* (VRL random_bool/random_int/random_float) ------
+# The reference's random_* are RNG-backed and therefore non-replayable; the
+# Spark-first variants derive the randomness from md5(seed) so checkpoint
+# replay and the DuckDB oracle see identical values — pass a per-row unique
+# seed column (e.g. event_id) for i.i.d.-like behavior.
+
+def _rand_bits(seed: Column, tag: str) -> Column:
+    h8 = F.substring(F.md5(F.concat(F.lit(tag + "|"), seed.cast("string"))), 1, 8)
+    return F.conv(h8, 16, 10).cast("long")
+
+
+def random_float_seeded(seed: Column, lo: float = 0.0, hi: float = 1.0,
+                        tag: str = "rf") -> Column:
+    unit = _rand_bits(seed, tag).cast("double") / F.lit(4294967296.0)
+    return F.lit(lo) + unit * F.lit(hi - lo)
+
+
+def random_int_seeded(seed: Column, lo: int, hi: int, tag: str = "ri") -> Column:
+    """Uniform integer in [lo, hi) — VRL random_int's half-open range."""
+    return (F.lit(lo) + F.pmod(_rand_bits(seed, tag), F.lit(hi - lo))).cast("long")
+
+
+def random_bool_seeded(seed: Column, tag: str = "rb") -> Column:
+    return F.pmod(_rand_bits(seed, tag), F.lit(2)) == 0
+
+
+# --- friendly ids (VRL uuid_from_friendly_id / encode side) ----------------
+
+_BASE62 = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+
+
+def friendly_id_from_uuid(col: Column) -> Column:
+    """UUID string -> base62 friendly id (the inverse surface of VRL
+    uuid_from_friendly_id, uuid_from_friendly_id.cue). 128-bit base
+    conversion exceeds DECIMAL(38) by one bit, so this is an Arrow-batched
+    pandas UDF (crypto-family exemption); deterministic."""
+    from pyspark.sql.functions import pandas_udf
+
+    def enc(data):
+        def one(u):
+            if u is None:
+                return None
+            try:
+                n = int(u.replace("-", ""), 16)
+            except ValueError:
+                return None
+            if n == 0:
+                return _BASE62[0]
+            out = []
+            while n:
+                n, r = divmod(n, 62)
+                out.append(_BASE62[r])
+            return "".join(reversed(out))
+
+        return data.map(one)
+
+    return pandas_udf(enc, "string")(col)
+
+
+def uuid_from_friendly_id(col: Column) -> Column:
+    """VRL uuid_from_friendly_id: base62 friendly id -> canonical
+    8-4-4-4-12 UUID string; null on non-base62 input (fallible parse)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def dec(data):
+        def one(s):
+            if s is None:
+                return None
+            n = 0
+            for ch in s:
+                i = _BASE62.find(ch)
+                if i < 0:
+                    return None
+                n = n * 62 + i
+            if n >= 1 << 128:
+                return None
+            h = f"{n:032x}"
+            return f"{h[0:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+
+        return data.map(one)
+
+    return pandas_udf(dec, "string")(col)
+
+
+def get_env_var(name: str, default: str | None = None) -> Column:
+    """VRL get_env_var: driver-resolved at plan time into a literal column
+    (the reference resolves at VRL runtime on one host; on a cluster the
+    DRIVER's environment is the deterministic choice — executors may
+    differ)."""
+    import os
+
+    return F.lit(os.environ.get(name, default))
+
+
+def get_hostname() -> Column:
+    """VRL get_hostname: the driver's hostname as a literal (same
+    driver-resolution rationale as get_env_var)."""
+    import socket
+
+    return F.lit(socket.gethostname())
