@@ -525,3 +525,20 @@ def test_parse_netflow_v5(spark):
         (0, "10.0.0.1", "10.0.0.2", 1234, 443, 7, 512, 6),
         (1, "192.168.1.9", "8.8.8.8", 5353, 53, 1, 64, 17),
     ]
+
+
+def test_ensure_parallelism_file_source(spark, tmp_path):
+    """File-backed inputs go through the inputFiles() estimate (no
+    Catalyst->RDD conversion): a single tiny parquet file repartitions,
+    a many-file input is a no-op."""
+    from vector_spark.session import ensure_parallelism
+
+    small = str(tmp_path / "one")
+    spark.range(100).coalesce(1).write.parquet(small)
+    df = spark.read.parquet(small)
+    assert ensure_parallelism(df).rdd.getNumPartitions() >= 2
+
+    many = str(tmp_path / "many")
+    spark.range(1000).repartition(16).write.parquet(many)
+    wide = spark.read.parquet(many)
+    assert ensure_parallelism(wide) is wide

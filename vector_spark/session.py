@@ -66,9 +66,38 @@ def ensure_parallelism(df, min_parts: int | None = None):
     yields ONE scan split no matter what maxPartitionBytes says — any
     per-row-expensive stage downstream (minhash, regex, hashing) then runs
     single-threaded. One cheap round-robin shuffle fixes it. No-op when the
-    input is already parallel (the 100 TB case: thousands of splits)."""
+    input is already parallel (the 100 TB case: thousands of splits).
+
+    Split estimation uses inputFiles() + local file sizes — file-index
+    metadata only, no Catalyst->RDD plan conversion (df.rdd forced a full
+    physical planning pass per call). Remote files (s3/hdfs) count as one
+    split each, which at production scale means thousands of files ->
+    no-op without any filesystem stat calls; non-file sources fall back
+    to the RDD partition count."""
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(2, target // 2):
+    floor = max(2, target // 2)
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        if len(files) >= floor:
+            return df
+        mpb_raw = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
+        mpb = int(mpb_raw[:-1]) * units[mpb_raw[-1].lower()] if mpb_raw[-1].lower() in units else int(mpb_raw)
+        est = 0
+        for f in files:
+            local = f[5:] if f.startswith("file:") else f
+            try:
+                size = os.path.getsize(local)
+            except OSError:
+                size = 0
+            est += max(1, -(-size // mpb))
+        splits = est
+    else:
+        splits = df.rdd.getNumPartitions()
+    if splits >= floor:
         return df
     return df.repartition(target)
