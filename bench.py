@@ -60,6 +60,11 @@ HEADLINE = [
     "reduce_max_events",
     "embedding_near_dup",
     "langid",
+    # round 3 additions
+    "codec_netflow_v9",
+    "aggregate_sketch",
+    "parse_dnstap",
+    "vrl_misc",
 ]
 
 

@@ -355,6 +355,17 @@ def _build_transform(cfg, df, resolve, tables, spark):
             parse_syslog,
         )
 
+        def _dnstap_fields(c):
+            from .functions import parse_dnstap
+            from .functions.dnstap import DNSTAP_SCHEMA
+
+            d = parse_dnstap(c, lowercase_hostnames=cfg.get("lowercase_hostnames", False))
+            # one UDF call expression shared by every getField — the
+            # Python-UDF extractor dedupes identical calls, so the frame
+            # decodes once per row, not once per field
+            return {f.split(" ")[0]: d.getField(f.split(" ")[0])
+                    for f in DNSTAP_SCHEMA.split(", ")}
+
         parsers: dict[str, Callable] = {
             "syslog": lambda c: parse_syslog(c, rfc=cfg.get("rfc", "3164")),
             "common_log": parse_common_log,
@@ -363,6 +374,7 @@ def _build_transform(cfg, df, resolve, tables, spark):
             "aws_alb_log": parse_aws_alb_log,
             "linux_authorization": parse_linux_authorization,
             "influxdb": parse_influxdb_line,
+            "dnstap": _dnstap_fields,
         }
         if cfg["parser"] not in parsers:
             raise TopologyError(
@@ -382,6 +394,22 @@ def _build_transform(cfg, df, resolve, tables, spark):
             # (syslog's message body), it already replaced it — keep it
             out = out.drop(src_col)
         return out
+    if kind == "netflow":
+        # packet-framing decoder (NetflowDecoder, netflow.rs:8-13): one
+        # packet row -> N flow-record rows; replaces the event stream like
+        # remap's `emit`. version v5/v7 are static layouts (pure exprs),
+        # v9/ipfix go through the two-pass template machinery.
+        from .functions import parse_netflow, parse_netflow_v5, parse_netflow_v7
+
+        version = cfg.get("version", "v9")
+        col = cfg.get("column", "packet")
+        if version == "v5":
+            return parse_netflow_v5(df, col)
+        if version == "v7":
+            return parse_netflow_v7(df, col)
+        if version in ("v9", "ipfix"):
+            return parse_netflow(df, col)
+        raise TopologyError(f"unknown netflow version {version!r}")
     if kind == "filter":
         return filter_events(df, cfg["condition"])
     if kind == "route":
@@ -429,16 +457,45 @@ def _build_transform(cfg, df, resolve, tables, spark):
             ends_when=F.expr(cfg["ends_when"]) if cfg.get("ends_when") else None,
             max_events=cfg.get("max_events"),
             end_every_secs=cfg.get("end_every_secs"),
+            hot_split=cfg.get("hot_split"),
         )
     if kind == "aggregate":
-        return aggregate_metrics(
-            df, cfg.get("mode", "sum"),
+        vt = cfg.get("value_type")
+        common = dict(
             window_secs=cfg.get("window_secs", 10),
             ts_col=cfg.get("ts_col", "ts"),
             series_cols=cfg.get("series"),
             value_col=cfg.get("value_col", "value"),
+        )
+        if vt == "set":
+            from .operators import aggregate_set
+
+            return aggregate_set(df, **common)
+        if vt == "histogram":
+            from .operators import aggregate_histogram
+
+            return aggregate_histogram(df, cfg["buckets"], **common)
+        if vt == "summary":
+            from .operators import aggregate_summary
+
+            return aggregate_summary(
+                df, cfg.get("quantiles", [0.5, 0.9, 0.99]),
+                approx=cfg.get("approx", False), **common,
+            )
+        if vt == "sketch":
+            from .operators import aggregate_sketch
+
+            return aggregate_sketch(
+                df, cfg.get("quantiles", [0.5, 0.9, 0.99]),
+                eps=cfg.get("eps", 1.0 / 128), **common,
+            )
+        if vt is not None:
+            raise TopologyError(f"unknown aggregate value_type {vt!r}")
+        return aggregate_metrics(
+            df, cfg.get("mode", "sum"),
             kind_col=cfg.get("kind_col"),
             order_col=cfg.get("order_by"),
+            **common,
         )
     if kind == "throttle":
         return throttle(
