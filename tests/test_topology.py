@@ -313,3 +313,92 @@ def test_syslog_config_yaml_end_to_end(spark, tmp_path):
     counts = spark.read.parquet(res["counts"])
     assert counts.count() > 0
     assert {"window_start", "hostname", "appname", "agg_value"} <= set(counts.columns)
+
+
+def test_netflow_transform_and_sketch_aggregate(spark):
+    """Round-3 topology surface: a netflow v5 decoding stage (1 packet ->
+    N flow records) feeding an aggregate with value_type: sketch."""
+    import datetime as dt
+
+    def u(v, n):
+        return int(v).to_bytes(n, "big")
+
+    def v5_packet(unix_secs, flows):
+        hdr = u(5, 2) + u(len(flows), 2) + u(0, 4) + u(unix_secs, 4) + u(0, 8) + u(0, 4)
+        recs = b""
+        for src, byts in flows:
+            recs += (bytes(src) + bytes([10, 0, 0, 2]) + b"\x00" * 8
+                     + u(1, 4) + u(byts, 4) + b"\x00" * 8
+                     + u(1234, 2) + u(80, 2) + b"\x00\x00" + u(6, 1) + b"\x00"
+                     + b"\x00" * 8)
+        return hdr + recs
+
+    pkts = [
+        (bytearray(v5_packet(1_700_000_000, [([10, 0, 0, 1], 100), ([10, 0, 0, 3], 300)])),),
+        (bytearray(v5_packet(1_700_000_005, [([10, 0, 0, 1], 500)])),),
+    ]
+    spec = {
+        "sources": {
+            "pkts": {"type": "inline", "schema": "packet binary", "rows": pkts},
+        },
+        "transforms": {
+            "flows": {"type": "netflow", "inputs": ["pkts"], "version": "v5"},
+            "sk": {
+                "type": "aggregate", "inputs": ["flows"],
+                "value_type": "sketch", "quantiles": [0.5],
+                "window_secs": 3600, "series": ["proto"],
+                "value_col": "bytes", "ts_col": "ts",
+            },
+        },
+        "sinks": {
+            "raw": {"type": "memory", "inputs": ["flows"]},
+            "out": {"type": "memory", "inputs": ["sk"]},
+        },
+    }
+    # sketch needs a timestamp column: map unix_secs in a remap stage
+    spec["transforms"]["flows2"] = {
+        "type": "remap", "inputs": ["flows"],
+        "set": {"ts": "CAST(unix_secs AS TIMESTAMP)"},
+    }
+    spec["transforms"]["sk"]["inputs"] = ["flows2"]
+    topo = compile_topology(spec).build(spark)
+    out = topo.run()
+    assert len(out["raw"]) == 3                       # 2 + 1 flow records
+    srcs = sorted(r.srcaddr for r in out["raw"])
+    assert srcs == ["10.0.0.1", "10.0.0.1", "10.0.0.3"]
+    sk = out["out"]
+    assert len(sk) == 1 and sk[0]["count"] == 3
+    assert 90 <= sk[0]["q0_5"] <= 510                  # within the value range
+
+
+def test_dnstap_parse_transform(spark):
+    from test_dnstap import DOC_FIXTURE
+
+    spec = {
+        "sources": {
+            "frames": {
+                "type": "inline", "schema": "id long, message string",
+                "rows": [(1, DOC_FIXTURE)],
+            },
+        },
+        "transforms": {
+            "parsed": {"type": "parse", "inputs": ["frames"],
+                       "parser": "dnstap", "prefix": "dt_"},
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["parsed"]}},
+    }
+    out = compile_topology(spec).build(spark).run()
+    r = out["out"][0]
+    assert r["dt_messageType"] == "ResolverQuery"
+    assert r["dt_question_name"] == "facebook1.com."
+    assert r["dt_responsePort"] == 53
+
+
+def test_aggregate_value_type_rejects_unknown(spark):
+    spec = {
+        "sources": {"e": {"type": "inline", "schema": "ts timestamp, value double, name string", "rows": []}},
+        "transforms": {"a": {"type": "aggregate", "inputs": ["e"], "value_type": "bogus"}},
+        "sinks": {"out": {"type": "memory", "inputs": ["a"]}},
+    }
+    with pytest.raises(TopologyError, match="value_type"):
+        compile_topology(spec).build(spark)
