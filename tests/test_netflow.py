@@ -168,3 +168,76 @@ def test_netflow_v7_static(spark):
     assert (r.srcaddr, r.dstaddr) == ("10.0.0.1", "192.168.1.1")
     assert (r.srcport, r.dstport, r.packets, r.bytes, r.proto) == (2222, 80, 5, 320, 6)
     assert r.router_sc == "172.16.0.1"
+
+
+def test_ipfix_varlen_fields(spark):
+    """RFC 7011 §7 variable-length fields: template length 0xFFFF, each
+    record value prefixed by a 1-byte length (255 -> 2-byte). Printable
+    values decode as text, binary as hex."""
+    tbody = _u(256, 2) + _u(2, 2)
+    tbody += _u(8, 2) + _u(4, 2)          # ipv4_src_addr fixed
+    tbody += _u(82, 2) + _u(0xFFFF, 2)    # interface_name (82), varlen
+    tset = _u(2, 2) + _u(4 + len(tbody), 2) + tbody
+    rec1 = bytes([10, 1, 1, 1]) + bytes([4]) + b"eth0"
+    rec2 = bytes([10, 1, 1, 2]) + bytes([2]) + b"\x00\xff"   # non-printable
+    body = rec1 + rec2
+    dset = _u(256, 2) + _u(4 + len(body), 2) + body
+    total = 16 + len(tset) + len(dset)
+    pkt = (_u(10, 2) + _u(total, 2) + _u(1_700_000_000, 4) + _u(0, 4)
+           + _u(7, 4) + tset + dset)
+    out = parse_netflow(_pkt_df(spark, [pkt])).orderBy("rec_idx").collect()
+    assert len(out) == 2
+    assert dict(out[0].fields) == {"ipv4_src_addr": "10.1.1.1", "field_82": "eth0"}
+    assert dict(out[1].fields) == {"ipv4_src_addr": "10.1.1.2", "field_82": "00ff"}
+
+
+def test_ipfix_varlen_long_form(spark):
+    """The 255-prefix 3-byte length form for values >= 255 bytes."""
+    tbody = _u(256, 2) + _u(1, 2) + _u(82, 2) + _u(0xFFFF, 2)
+    tset = _u(2, 2) + _u(4 + len(tbody), 2) + tbody
+    val = b"x" * 300
+    rec = bytes([255]) + _u(300, 2) + val
+    dset = _u(256, 2) + _u(4 + len(rec), 2) + rec
+    total = 16 + len(tset) + len(dset)
+    pkt = (_u(10, 2) + _u(total, 2) + _u(0, 4) + _u(0, 4) + _u(7, 4)
+           + tset + dset)
+    out = parse_netflow(_pkt_df(spark, [pkt])).collect()
+    assert len(out) == 1
+    assert dict(out[0].fields)["field_82"] == "x" * 300
+
+
+def test_v9_options_template_scope_fields(spark):
+    """v9 options template (set 1): scope fields decode under scope_<name>;
+    the options data set decodes like any data set."""
+    # scope: ipv4_src_addr-as-scope (4B); options: sampler_id(48, 2B)
+    tbody = (_u(257, 2) + _u(4, 2) + _u(4, 2)      # tid, scope_len=4B, opt_len=4B
+             + _u(8, 2) + _u(4, 2)                  # scope field spec
+             + _u(48, 2) + _u(2, 2))                # option field spec
+    tset = _u(1, 2) + _u(4 + len(tbody), 2) + tbody
+    rec = bytes([10, 9, 9, 9]) + _u(7, 2)
+    pad = b"\x00" * 2
+    dset = _u(257, 2) + _u(4 + len(rec) + len(pad), 2) + rec + pad
+    pkt = (_u(9, 2) + _u(2, 2) + _u(0, 4) + _u(1_700_000_000, 4) + _u(0, 4)
+           + _u(1, 4) + tset + dset)
+    out = parse_netflow(_pkt_df(spark, [pkt])).collect()
+    assert len(out) == 1
+    assert dict(out[0].fields) == {
+        "scope_ipv4_src_addr": "10.9.9.9", "sampler_id": "7",
+    }
+
+
+def test_ipfix_options_template_scope_count(spark):
+    """IPFIX options template (set 3): field_count + scope_field_count
+    header form."""
+    tbody = (_u(258, 2) + _u(2, 2) + _u(1, 2)      # tid, total=2, scope=1
+             + _u(10, 2) + _u(2, 2)                 # scope: input_snmp(10)
+             + _u(48, 2) + _u(2, 2))                # option: sampler_id
+    tset = _u(3, 2) + _u(4 + len(tbody), 2) + tbody
+    rec = _u(3, 2) + _u(9, 2)
+    dset = _u(258, 2) + _u(4 + len(rec), 2) + rec
+    total = 16 + len(tset) + len(dset)
+    pkt = (_u(10, 2) + _u(total, 2) + _u(0, 4) + _u(0, 4) + _u(5, 4)
+           + tset + dset)
+    out = parse_netflow(_pkt_df(spark, [pkt])).collect()
+    assert len(out) == 1
+    assert dict(out[0].fields) == {"scope_input_snmp": "3", "sampler_id": "9"}

@@ -26,9 +26,11 @@ re-derivation is two passes over the same packet column:
           fields=NULL (visible loss, never silent — the reference warns
           and skips, netflow.rs:398-410).
 
-Subset vs the reference's netflow_parser crate: options templates
-(v9 set 1 / IPFIX set 3) and IPFIX variable-length fields (length 65535)
-are skipped, documented here; enterprise-specific IPFIX IEs decode with
+Options templates (v9 set 1 / IPFIX set 3) register like data templates
+with their scope fields named scope_<name>; IPFIX variable-length fields
+(template length 65535 -> per-record 1- or 3-byte length prefix,
+RFC 7011 §7) decode on a field-walking slow path, printable values as
+text, the rest as hex. Enterprise-specific IPFIX IEs decode with
 synthesized names (field_<enterprise>_<id>).
 """
 
@@ -86,8 +88,11 @@ _MAC_IES = {56, 57}
 
 TEMPLATE_SCHEMA = (
     "version int, export_time long, source_id long, template_id int, "
-    "field_ids array<int>, field_lens array<int>, field_ens array<long>"
+    "field_ids array<int>, field_lens array<int>, field_ens array<long>, "
+    "field_scopes array<boolean>"
 )
+
+VARLEN = 0xFFFF
 
 RECORD_SCHEMA = (
     "version int, export_time long, source_id long, template_id int, "
@@ -122,8 +127,31 @@ def _walk_packet(b: bytes):
         i += set_len
 
 
+def _read_field_specs(version: int, payload: bytes, i: int, n_fields: int):
+    """Read n_fields (type, length[, enterprise]) specs starting at i.
+    Returns (ids, lens, ens, next_i) or None on truncation."""
+    ids, lens, ens = [], [], []
+    for _ in range(n_fields):
+        if i + 4 > len(payload):
+            return None
+        raw_id = int.from_bytes(payload[i : i + 2], "big")
+        flen = int.from_bytes(payload[i + 2 : i + 4], "big")
+        i += 4
+        en = 0
+        if version == 10 and raw_id & 0x8000:
+            if i + 4 > len(payload):
+                return None
+            en = int.from_bytes(payload[i : i + 4], "big")
+            i += 4
+            raw_id &= 0x7FFF
+        ids.append(raw_id)
+        lens.append(flen)
+        ens.append(en)
+    return ids, lens, ens, i
+
+
 def _parse_templates(version: int, payload: bytes):
-    """Template-set payload -> [(template_id, [ids], [lens], [ens])].
+    """Template-set payload -> [(template_id, ids, lens, ens, scopes)].
     v9 set 0 and IPFIX set 2 share this layout; IPFIX adds the
     enterprise bit (RFC 7011 §3.2)."""
     out = []
@@ -134,28 +162,45 @@ def _parse_templates(version: int, payload: bytes):
         i += 4
         if tid < 256 or n_fields == 0:
             break  # padding reached
-        ids, lens, ens = [], [], []
-        ok = True
-        for _ in range(n_fields):
-            if i + 4 > len(payload):
-                ok = False
-                break
-            raw_id = int.from_bytes(payload[i : i + 2], "big")
-            flen = int.from_bytes(payload[i + 2 : i + 4], "big")
-            i += 4
-            en = 0
-            if version == 10 and raw_id & 0x8000:
-                if i + 4 > len(payload):
-                    ok = False
-                    break
-                en = int.from_bytes(payload[i : i + 4], "big")
-                i += 4
-                raw_id &= 0x7FFF
-            ids.append(raw_id)
-            lens.append(flen)
-            ens.append(en)
-        if ok:
-            out.append((tid, ids, lens, ens))
+        spec = _read_field_specs(version, payload, i, n_fields)
+        if spec is None:
+            break
+        ids, lens, ens, i = spec
+        out.append((tid, ids, lens, ens, [False] * len(ids)))
+    return out
+
+
+def _parse_options_templates(version: int, payload: bytes):
+    """Options-template payload (v9 set 1 / IPFIX set 3, RFC 3954 §6.1 /
+    RFC 7011 §3.4.2.2) -> same tuple shape as _parse_templates, with the
+    scope fields flagged (they decode under scope_<name>)."""
+    out = []
+    i = 0
+    while i + 6 <= len(payload):
+        tid = int.from_bytes(payload[i : i + 2], "big")
+        if tid < 256:
+            break  # padding
+        if version == 9:
+            scope_bytes = int.from_bytes(payload[i + 2 : i + 4], "big")
+            option_bytes = int.from_bytes(payload[i + 4 : i + 6], "big")
+            n_scope, n_opt = scope_bytes // 4, option_bytes // 4
+        else:
+            total = int.from_bytes(payload[i + 2 : i + 4], "big")
+            n_scope = int.from_bytes(payload[i + 4 : i + 6], "big")
+            n_opt = total - n_scope
+        i += 6
+        spec = _read_field_specs(version, payload, i, n_scope)
+        if spec is None:
+            break
+        s_ids, s_lens, s_ens, i = spec
+        spec = _read_field_specs(version, payload, i, n_opt)
+        if spec is None:
+            break
+        o_ids, o_lens, o_ens, i = spec
+        out.append(
+            (tid, s_ids + o_ids, s_lens + o_lens, s_ens + o_ens,
+             [True] * n_scope + [False] * n_opt)
+        )
     return out
 
 
@@ -173,10 +218,20 @@ def _render(ie_id: int, en: int, raw: bytes) -> str:
     return raw.hex()
 
 
-def _field_name(ie_id: int, en: int) -> str:
+def _render_varlen(raw: bytes) -> str:
+    """Variable-length IPFIX values: printable ASCII decodes as text
+    (interface names, sampler names...), anything else as hex."""
+    if all(32 <= x < 127 for x in raw):
+        return raw.decode("ascii")
+    return raw.hex()
+
+
+def _field_name(ie_id: int, en: int, scope: bool = False) -> str:
     if en:
-        return f"field_{en}_{ie_id}"
-    return IE_NAMES.get(ie_id, f"field_{ie_id}")
+        base = f"field_{en}_{ie_id}"
+    else:
+        base = IE_NAMES.get(ie_id, f"field_{ie_id}")
+    return f"scope_{base}" if scope else base
 
 
 def extract_netflow_templates(df: DataFrame, packet_col: str = "packet") -> DataFrame:
@@ -195,13 +250,20 @@ def extract_netflow_templates(df: DataFrame, packet_col: str = "packet") -> Data
                     if (version == 9 and set_id == 0) or (
                         version == 10 and set_id == 2
                     ):
-                        for tid, ids, lens, ens in _parse_templates(version, payload):
-                            rows.append((version, et, sid, tid, ids, lens, ens))
+                        tmpls = _parse_templates(version, payload)
+                    elif (version == 9 and set_id == 1) or (
+                        version == 10 and set_id == 3
+                    ):
+                        tmpls = _parse_options_templates(version, payload)
+                    else:
+                        continue
+                    for tid, ids, lens, ens, scopes in tmpls:
+                        rows.append((version, et, sid, tid, ids, lens, ens, scopes))
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "version", "export_time", "source_id", "template_id",
-                    "field_ids", "field_lens", "field_ens",
+                    "field_ids", "field_lens", "field_ens", "field_scopes",
                 ],
             )
 
@@ -227,7 +289,8 @@ def netflow_template_map(df: DataFrame, packet_col: str = "packet") -> dict:
     )
     return {
         (r.version, r.source_id, r.template_id): (
-            list(r.field_ids), list(r.field_lens), list(r.field_ens)
+            list(r.field_ids), list(r.field_lens), list(r.field_ens),
+            list(r.field_scopes),
         )
         for r in latest.collect()
     }
@@ -264,21 +327,62 @@ def parse_netflow(
                     if spec is None:
                         rows.append((version, et, sid, set_id, 0, None))
                         continue
-                    ids, lens, ens = spec
-                    rec_size = sum(lens)
-                    if rec_size == 0:
+                    ids, lens, ens, scopes = spec
+                    names = [
+                        _field_name(i_, e_, s_)
+                        for i_, e_, s_ in zip(ids, ens, scopes)
+                    ]
+                    rec_idx = 0
+                    if VARLEN not in lens:
+                        rec_size = sum(lens)
+                        if rec_size == 0:
+                            continue
+                        i = 0
+                        while i + rec_size <= len(payload):
+                            fields = {}
+                            j = i
+                            for name, ie_id, flen, en in zip(names, ids, lens, ens):
+                                fields[name] = _render(ie_id, en, payload[j : j + flen])
+                                j += flen
+                            rows.append((version, et, sid, set_id, rec_idx, fields))
+                            i = j
+                            rec_idx += 1
                         continue
-                    i, rec_idx = 0, 0
-                    while i + rec_size <= len(payload):
+                    # variable-length slow path (RFC 7011 §7): each varlen
+                    # field carries a 1-byte length, 255 -> 2-byte length
+                    min_size = sum(l if l != VARLEN else 1 for l in lens)
+                    i = 0
+                    while len(payload) - i >= min_size:
+                        if len(payload) - i <= 3 and not any(payload[i:]):
+                            break  # trailing 4-byte-alignment padding
                         fields = {}
                         j = i
-                        for ie_id, flen, en in zip(ids, lens, ens):
-                            fields[_field_name(ie_id, en)] = _render(
-                                ie_id, en, payload[j : j + flen]
-                            )
-                            j += flen
+                        ok = True
+                        for name, ie_id, flen, en in zip(names, ids, lens, ens):
+                            if flen == VARLEN:
+                                if j >= len(payload):
+                                    ok = False
+                                    break
+                                ln = payload[j]
+                                j += 1
+                                if ln == 255:
+                                    ln = int.from_bytes(payload[j : j + 2], "big")
+                                    j += 2
+                                if j + ln > len(payload):
+                                    ok = False
+                                    break
+                                fields[name] = _render_varlen(payload[j : j + ln])
+                                j += ln
+                            else:
+                                if j + flen > len(payload):
+                                    ok = False
+                                    break
+                                fields[name] = _render(ie_id, en, payload[j : j + flen])
+                                j += flen
+                        if not ok:
+                            break
                         rows.append((version, et, sid, set_id, rec_idx, fields))
-                        i += rec_size
+                        i = j
                         rec_idx += 1
             yield pd.DataFrame(
                 rows,
