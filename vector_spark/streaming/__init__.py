@@ -8,6 +8,7 @@ from .ops import (
     stream_reduce_sessions,
     stream_reduce_max_events,
     stream_reduce_merges,
+    stream_parse_netflow,
     stream_throttle,
 )
 
@@ -21,5 +22,6 @@ __all__ = [
     "stream_reduce_sessions",
     "stream_reduce_max_events",
     "stream_reduce_merges",
+    "stream_parse_netflow",
     "stream_throttle",
 ]

@@ -413,6 +413,132 @@ def stream_tag_cardinality_limit(
     )
 
 
+def stream_parse_netflow(df: DataFrame, packet_col: str = "packet") -> DataFrame:
+    """Continuous NetFlow v9/IPFIX decoding with a PERSISTENT template
+    cache — the reference's actual model (NetflowDecoder holds a mutable
+    NetflowParser per connection, netflow.rs:72-95): templates seen in any
+    micro-batch decode data packets in every later batch, surviving
+    restarts in the streaming checkpoint.
+
+    The exporter key (version, source_id/observation_domain) is sliced out
+    of the packet header with pure hex exprs — no Python before the
+    groupBy — so template state shards across exporters exactly like the
+    reference shards parsers across connections. Within a batch, packets
+    process in export-time order (template refresh before later data).
+    Data sets with no known template emit the visible null-fields row."""
+    import json
+
+    import pandas as pd
+
+    from ..functions.netflow import (
+        RECORD_SCHEMA,
+        VARLEN,
+        _field_name,
+        _parse_options_templates,
+        _parse_templates,
+        _render,
+        _render_varlen,
+        _walk_packet,
+    )
+
+    hx = F.lower(F.hex(F.col(packet_col)))
+    version = F.conv(F.substring(hx, 1, 4), 16, 10).cast("int")
+    source_id = F.when(
+        version == 9, F.conv(F.substring(hx, 33, 8), 16, 10)
+    ).when(version == 10, F.conv(F.substring(hx, 25, 8), 16, 10)).cast("long")
+    keyed = df.select(
+        version.alias("_v"), source_id.alias("_sid"), F.col(packet_col)
+    ).filter(F.col("_v").isin(9, 10))
+
+    state_schema = "tmpl string"
+
+    def fn(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        tmpl: dict = json.loads(state.get[0]) if state.exists else {}
+        rows = []
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            pdf = pd.concat(frames)
+            # order by export time so a template refresh precedes the data
+            # that follows it (the arrival-order proxy available in batch)
+            pkts = sorted(
+                (bytes(p) for p in pdf[packet_col] if p is not None),
+                key=lambda b: int.from_bytes(
+                    b[8:12] if b[0:2] == b"\x00\x09" else b[4:8], "big"
+                ),
+            )
+            for raw in pkts:
+                for ver, et, sid, set_id, payload in _walk_packet(raw):
+                    if (ver == 9 and set_id == 0) or (ver == 10 and set_id == 2):
+                        for tid, ids, lens, ens, scopes in _parse_templates(ver, payload):
+                            tmpl[str(tid)] = [ids, lens, ens, scopes]
+                        continue
+                    if (ver == 9 and set_id == 1) or (ver == 10 and set_id == 3):
+                        for tid, ids, lens, ens, scopes in _parse_options_templates(ver, payload):
+                            tmpl[str(tid)] = [ids, lens, ens, scopes]
+                        continue
+                    if set_id < 256:
+                        continue
+                    spec = tmpl.get(str(set_id))
+                    if spec is None:
+                        rows.append((ver, et, sid, set_id, 0, None))
+                        continue
+                    ids, lens, ens, scopes = spec
+                    names = [
+                        _field_name(i_, e_, s_)
+                        for i_, e_, s_ in zip(ids, ens, scopes)
+                    ]
+                    rec_idx, i = 0, 0
+                    if VARLEN not in lens:
+                        rec_size = sum(lens)
+                        if rec_size == 0:
+                            continue
+                        while i + rec_size <= len(payload):
+                            fields, j = {}, i
+                            for name, ie_id, flen, en in zip(names, ids, lens, ens):
+                                fields[name] = _render(ie_id, en, payload[j : j + flen])
+                                j += flen
+                            rows.append((ver, et, sid, set_id, rec_idx, fields))
+                            i, rec_idx = j, rec_idx + 1
+                    else:
+                        min_size = sum(l if l != VARLEN else 1 for l in lens)
+                        while len(payload) - i >= min_size:
+                            if len(payload) - i <= 3 and not any(payload[i:]):
+                                break
+                            fields, j, ok = {}, i, True
+                            for name, ie_id, flen, en in zip(names, ids, lens, ens):
+                                if flen == VARLEN:
+                                    ln = payload[j]
+                                    j += 1
+                                    if ln == 255:
+                                        ln = int.from_bytes(payload[j : j + 2], "big")
+                                        j += 2
+                                    if j + ln > len(payload):
+                                        ok = False
+                                        break
+                                    fields[name] = _render_varlen(payload[j : j + ln])
+                                    j += ln
+                                else:
+                                    if j + flen > len(payload):
+                                        ok = False
+                                        break
+                                    fields[name] = _render(ie_id, en, payload[j : j + flen])
+                                    j += flen
+                            if not ok:
+                                break
+                            rows.append((ver, et, sid, set_id, rec_idx, fields))
+                            i, rec_idx = j, rec_idx + 1
+        state.update((json.dumps(tmpl),))
+        yield pd.DataFrame(
+            rows,
+            columns=["version", "export_time", "source_id", "template_id",
+                     "rec_idx", "fields"],
+        )
+
+    return keyed.groupBy("_v", "_sid").applyInPandasWithState(
+        fn, RECORD_SCHEMA, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_route_to_sinks(
     df: DataFrame,
     conditions: dict,
