@@ -132,6 +132,32 @@ def main() -> None:
         "parse_aws_alb": lambda: _alb(events),
     }
 
+    def _sketch(ev):
+        from vector_spark.operators import aggregate_sketch
+
+        return aggregate_sketch(ev, [0.5, 0.95], window_secs=3600,
+                                series_cols=["event_type"])
+
+    def _syslog_tables(ev):
+        from vector_spark.functions import to_syslog_facility, to_syslog_level
+
+        return ev.select(
+            "event_id",
+            to_syslog_level(F.col("event_id") % 8).alias("lvl"),
+            to_syslog_facility(F.col("event_id") % 24).alias("fac"),
+        )
+
+    def _seeded_random(ev):
+        from vector_spark.functions import random_int_seeded
+
+        return ev.select(
+            "event_id", random_int_seeded(F.col("event_id"), 0, 1000).alias("r")
+        )
+
+    ops["aggregate_sketch"] = lambda: _sketch(events)
+    ops["to_syslog_tables"] = lambda: _syslog_tables(events)
+    ops["seeded_random"] = lambda: _seeded_random(events)
+
     results = {}
     for name, mk in ops.items():
         df = mk()
