@@ -117,3 +117,58 @@ def test_reduce_flush_conditions_single_exchange(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_aggregate_sketch_two_hash_aggs_partial(spark):
+    """aggregate_sketch's physical shape at 100 TB: bucket counts reduce
+    through a partial+final HashAggregate pair (map-side combine = the
+    mergeable sketch state), then one more narrow exchange for the
+    per-series fold — no SortAggregate, no extra shuffles, and the fold
+    runs over collected bucket structs (<= ~4k per series), never rows."""
+    import datetime as dt
+
+    from vector_spark.operators import aggregate_sketch
+
+    df = spark.createDataFrame(
+        [("m", dt.datetime(2024, 1, 1, 0, 0, i % 60), float(i + 1)) for i in range(100)],
+        "name string, ts timestamp, value double",
+    )
+    plan = plan_of(aggregate_sketch(df, [0.5], window_secs=3600))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "SortAggregate" not in plan
+    # partial aggregation present for the bucket-count level
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_netflow_template_pass_no_shuffle(spark):
+    """Template extraction is a narrow packet-column scan: mapInPandas
+    straight over the source, zero Exchange before the (tiny) latest-wins
+    window in netflow_template_map."""
+    from test_netflow import _v9_template_packet
+    from vector_spark.functions import extract_netflow_templates
+
+    df = spark.createDataFrame(
+        [(bytearray(_v9_template_packet()),)], "packet binary"
+    )
+    plan = plan_of(extract_netflow_templates(df))
+    assert "Exchange" not in plan
+
+
+def test_reduce_hot_split_uses_broadcast_flag_join(spark):
+    """The hot_split count pass joins back as a broadcast (tiny flag dim),
+    never a SortMergeJoin on the fact."""
+    import datetime as dt
+
+    from vector_spark.operators import reduce_sessions
+
+    df = spark.createDataFrame(
+        [(i, "g", dt.datetime(2024, 1, 1, 0, 0, i % 60), 1.0) for i in range(100)],
+        "event_id long, g string, ts timestamp, v double",
+    )
+    plan = plan_of(
+        reduce_sessions(df, ["g"], {"n": ("count", "event_id")},
+                        order_col=["ts", "event_id"],
+                        hot_split={"threshold": 10, "slice_secs": 3600})
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

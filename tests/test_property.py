@@ -170,3 +170,58 @@ def test_ipv6_mapped_roundtrip(spark, rows):
     df = spark.createDataFrame(rows, "id long, ip string")
     out = df.select("ip", ipv6_to_ipv4(ip_to_ipv6(F.col("ip"))).alias("rt"))
     assert all(r.ip == r.rt for r in out.collect())
+
+
+flow_tuples = st.lists(
+    st.tuples(
+        st.integers(0, 2**32 - 1),   # src ip as uint32
+        st.integers(0, 65535),       # src port
+        st.integers(0, 65535),       # dst port
+        st.integers(0, 2**32 - 1),   # byte count
+        st.integers(0, 255),         # proto
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(flows=flow_tuples)
+@settings(**SETTINGS)
+def test_netflow_v9_roundtrip_any_flows(spark, flows):
+    """For ANY flow values, hand-encoding a v9 packet and decoding it
+    through the template machinery recovers every field exactly."""
+    from test_netflow import _u, _v9_data_packet, _v9_template_packet
+
+    def rec(src, sport, dport, byts, proto):
+        return (
+            src.to_bytes(4, "big") + bytes([192, 168, 0, 1])
+            + _u(sport, 2) + _u(dport, 2) + _u(1, 4) + _u(byts, 4) + _u(proto, 1)
+        )
+
+    from vector_spark.functions import parse_netflow
+
+    pkts = [
+        (bytearray(_v9_template_packet()),),
+        (bytearray(_v9_data_packet(256, [rec(*f) for f in flows])),),
+    ]
+    df = spark.createDataFrame(pkts, "packet binary")
+    out = parse_netflow(df).orderBy("rec_idx").collect()
+    assert len(out) == len(flows)
+    for r, (src, sport, dport, byts, proto) in zip(out, flows):
+        f = dict(r.fields)
+        assert f["ipv4_src_addr"] == ".".join(str(x) for x in src.to_bytes(4, "big"))
+        assert (int(f["l4_src_port"]), int(f["l4_dst_port"])) == (sport, dport)
+        assert (int(f["in_bytes"]), int(f["protocol"])) == (byts, proto)
+
+
+@given(msgs=st.lists(st.text(min_size=0, max_size=40), min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_octet_counting_roundtrip_any_unicode(spark, msgs):
+    """RFC 6587 framing: for ANY unicode messages, '<bytelen> <msg>'
+    concatenation reframes to exactly the original messages."""
+    from vector_spark.functions import frame_octet_counting
+
+    buf = "".join(f"{len(m.encode('utf-8'))} {m}" for m in msgs)
+    df = spark.createDataFrame([(buf,)], "buf string")
+    got = df.select(frame_octet_counting(F.col("buf")).alias("f")).collect()[0].f
+    assert got == msgs
