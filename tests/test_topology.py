@@ -402,3 +402,45 @@ def test_aggregate_value_type_rejects_unknown(spark):
     }
     with pytest.raises(TopologyError, match="value_type"):
         compile_topology(spec).build(spark)
+
+
+def test_netflow_config_yaml_end_to_end(spark, tmp_path):
+    """The shipped configs/netflow_topology.yaml runs end-to-end over
+    hand-encoded v9 packets (paths rewritten into tmp): decode ->
+    remap-typed flows -> web/dns routing -> per-minute sums + sketch."""
+    import pathlib
+
+    from test_netflow import _flow_record, _v9_data_packet, _v9_template_packet
+
+    src = str(tmp_path / "packets")
+    recs1 = [
+        _flow_record("10.0.0.1", "1.1.1.1", 40000, 443, 3, 900, 6),
+        _flow_record("10.0.0.2", "8.8.8.8", 50000, 53, 1, 80, 17),
+    ]
+    recs2 = [_flow_record("10.0.0.3", "1.1.1.2", 40001, 80, 2, 400, 6)]
+    spark.createDataFrame(
+        [
+            (bytearray(_v9_template_packet()),),
+            (bytearray(_v9_data_packet(256, recs1, unix_secs=1_700_000_000)),),
+            (bytearray(_v9_data_packet(256, recs2, unix_secs=1_700_000_090)),),
+        ],
+        "packet binary",
+    ).write.parquet(src)
+
+    spec = load_yaml(str(pathlib.Path(__file__).parent.parent / "configs" / "netflow_topology.yaml"))
+    spec["sources"]["packets"]["path"] = src
+    for sink in spec["sinks"].values():
+        sink["path"] = str(tmp_path / pathlib.Path(sink["path"]).name)
+    res = compile_topology(spec).build(spark).run()
+
+    web = spark.read.parquet(res["web_flows"])
+    assert sorted(r.srcaddr for r in web.collect()) == ["10.0.0.1", "10.0.0.3"]
+    dns = spark.read.parquet(res["dns_flows"])
+    assert [r.srcaddr for r in dns.collect()] == ["10.0.0.2"]
+    traffic = {(r.proto, r.window_start): r.agg_value
+               for r in spark.read.parquet(res["traffic"]).collect()}
+    assert traffic[("6", 1_700_000_000 // 60 * 60)] == 900.0
+    assert traffic[("6", 1_700_000_090 // 60 * 60)] == 400.0
+    assert traffic[("17", 1_700_000_000 // 60 * 60)] == 80.0
+    sk = spark.read.parquet(res["sketches"]).collect()
+    assert {r.proto: r["count"] for r in sk} == {"6": 2, "17": 1}
