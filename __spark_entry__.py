@@ -411,6 +411,40 @@ def q_tpch_q6(spark, sf_dir):
     return out.select(F.round("revenue", 2).alias("revenue"))
 
 
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customer): agg-derived semi-join set
+    (HAVING sum > 200), three-way join with a broadcast customer dim,
+    re-aggregation, deterministic top-100 (totalprice desc, date,
+    orderkey tie-break) — the agg-in-subquery + top-k shape q1/q3/q5/q6
+    don't cover."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("_q"))
+        .filter(F.col("_q") > 200)
+        .select(F.col("l_orderkey").alias("_big_ok"))
+    )
+    out = (
+        o.join(big, o["o_orderkey"] == big["_big_ok"]).drop("_big_ok")
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_dsum(F.col("l_quantity"), "sum_qty"))
+        .orderBy(
+            F.desc("o_totalprice"), F.col("o_orderdate"), F.col("o_orderkey")
+        )
+        .limit(100)
+    )
+    return out.select(
+        "c_name", "c_custkey", "o_orderkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "sum_qty",
+    )
+
+
 def q_dedup_exact_text(spark, sf_dir):
     return exact_dedup(_t(spark, sf_dir, "documents"))
 
@@ -1428,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        "tpch_q18": q_tpch_q18,
         "dedup_exact_text": q_dedup_exact_text,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ladder": q_dedup_ladder,
@@ -2037,6 +2072,23 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate <  TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
+"""
+
+    sql["tpch_q18"] = """
+SELECT c_name, c_custkey, o_orderkey,
+       epoch_us(o_orderdate) AS o_orderdate_us,
+       round(o_totalprice, 2) AS o_totalprice,
+       CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(25,6))) > 200
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
 """
 
     sql["dedup_exact_text"] = """
