@@ -293,3 +293,18 @@ def test_random_seeded_deterministic(spark):
     assert len(set(a)) == 10           # all residues hit over 200 seeds
     f = [r.v for r in df.select(random_float_seeded(F.col("id"), 2.0, 3.0).alias("v")).collect()]
     assert all(2.0 <= x < 3.0 for x in f)
+
+
+def test_seahash_reference_doc_vectors(spark):
+    """Both vectors published in the reference's own seahash.cue docs,
+    plus the seahash crate's doc vector — bit-exact, including the
+    signed-i64 wraparound the reference documents."""
+    from vector_spark.functions import seahash
+    from vector_spark.functions.strings import seahash_py
+
+    assert seahash_py(b"to be or not to be") == 1988685042348123509
+    df = spark.createDataFrame(
+        [("foobar",), ("bar",), (None,)], "s string"
+    )
+    got = [r.h for r in df.select(seahash(F.col("s")).alias("h")).collect()]
+    assert got == [5348458858952426560, -2796170501982571315, None]

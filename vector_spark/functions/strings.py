@@ -633,3 +633,49 @@ def get_hostname() -> Column:
     import socket
 
     return F.lit(socket.gethostname())
+
+
+# --- seahash (VRL seahash, website/cue/reference/remap/functions/seahash.cue)
+
+_SEA_P = 0x6EED0E9DA4D94A4F
+_SEA_M = (1 << 64) - 1
+
+
+def _sea_diffuse(x: int) -> int:
+    x = (x * _SEA_P) & _SEA_M
+    x ^= (x >> 32) >> (x >> 60)
+    return (x * _SEA_P) & _SEA_M
+
+
+def seahash_py(data: bytes) -> int:
+    """SeaHash (public spec, ticki's seahash crate reference module):
+    4-lane state, per-u64 diffuse + lane rotation (equivalent to the
+    crate's parallel 4-lane form), zero-padded LE tail, finalize =
+    diffuse(a^b^c^d^len). Returned as the unsigned u64."""
+    s = [0x16F11FE89B0D677C, 0xB480A793D8E6C86C,
+         0x6FE2E5AAF078EBC9, 0x14F994A4C5259381]
+    n = len(data)
+    for i in range(0, n, 8):
+        x = int.from_bytes(data[i : i + 8].ljust(8, b"\0"), "little")
+        s = [s[1], s[2], s[3], _sea_diffuse(s[0] ^ x)]
+    return _sea_diffuse(s[0] ^ s[1] ^ s[2] ^ s[3] ^ n)
+
+
+def seahash(col: Column) -> Column:
+    """VRL seahash: u64 SeaHash of the string's bytes, wrapped to signed
+    i64 exactly like the reference ("results higher than the signed
+    maximum wrap around to negative", seahash.cue) — pinned to the
+    reference docs' own vectors in tests. Arrow-batched (64-bit wrapping
+    multiplies have no JVM-expression form)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def fn(data):
+        def one(v):
+            if v is None:
+                return None
+            h = seahash_py(str(v).encode("utf-8"))
+            return h - (1 << 64) if h >= (1 << 63) else h
+
+        return data.map(one)
+
+    return pandas_udf(fn, "long")(col)
