@@ -308,3 +308,120 @@ def test_seahash_reference_doc_vectors(spark):
     )
     got = [r.h for r in df.select(seahash(F.col("s")).alias("h")).collect()]
     assert got == [5348458858952426560, -2796170501982571315, None]
+
+
+def test_ip_pton_ntop_roundtrip(spark):
+    from vector_spark.functions import ip_ntop, ip_pton, ipv6_expand
+
+    df = spark.createDataFrame(
+        [("10.1.2.3",), ("255.255.255.255",), ("2001:db8::1",)], "ip string"
+    )
+    out = df.select(
+        "ip",
+        F.length(ip_pton(F.col("ip"))).alias("n"),
+        ip_ntop(ip_pton(F.col("ip"))).alias("rt"),
+        ipv6_expand(F.col("ip")).alias("full"),
+    ).collect()
+    by_ip = {r.ip: r for r in out}
+    assert by_ip["10.1.2.3"].n == 4 and by_ip["10.1.2.3"].rt == "10.1.2.3"
+    assert by_ip["255.255.255.255"].rt == "255.255.255.255"
+    r6 = by_ip["2001:db8::1"]
+    assert r6.n == 16 and r6.rt == r6.full  # full 8-group form (documented)
+
+
+def test_is_ipv4_is_ipv6(spark):
+    from vector_spark.functions import is_ipv4, is_ipv6
+
+    df = spark.createDataFrame(
+        [("1.2.3.4",), ("256.1.1.1",), ("::1",), ("nope",)], "s string"
+    )
+    got = {r.s: (r.v4, r.v6) for r in df.select(
+        "s", is_ipv4(F.col("s")).alias("v4"), is_ipv6(F.col("s")).alias("v6")
+    ).collect()}
+    assert got["1.2.3.4"] == (True, False)
+    assert got["256.1.1.1"][0] is False
+    assert got["::1"][1] is True
+    assert got["nope"] == (False, False)
+
+
+def test_parse_groks_first_match_wins(spark):
+    from vector_spark.functions import parse_groks
+
+    pats = [
+        "%{INT:code} %{WORD:tag}",
+        "%{WORD:tag} only",
+    ]
+    df = spark.createDataFrame([("42 abc",), ("xyz only",), ("n/a",)], "s string")
+    fields = parse_groks(F.col("s"), pats)
+    out = df.select("s", fields["code"].alias("code"), fields["tag"].alias("tag")).collect()
+    by_s = {r.s: r for r in out}
+    assert (by_s["42 abc"].code, by_s["42 abc"].tag) == ("42", "abc")
+    assert by_s["xyz only"].code is None and by_s["xyz only"].tag == "xyz"
+    assert by_s["n/a"].tag is None
+
+
+def test_parse_regex_all_arrays(spark):
+    from vector_spark.functions import parse_regex_all
+
+    df = spark.createDataFrame([("a=1 b=2 a=3",)], "s string")
+    fields = parse_regex_all(F.col("s"), r"(?P<key>\w+)=(?P<val>\d+)")
+    r = df.select(fields["key"].alias("k"), fields["val"].alias("v")).collect()[0]
+    assert list(r.k) == ["a", "b", "a"] and list(r.v) == ["1", "2", "3"]
+
+
+def test_cloudwatch_subscription_message(spark):
+    import json
+
+    from vector_spark.functions import parse_aws_cloudwatch_log_subscription_message
+
+    msg = json.dumps({
+        "owner": "111111111111", "logGroup": "g", "logStream": "s",
+        "subscriptionFilters": ["f1"], "messageType": "DATA_MESSAGE",
+        "logEvents": [
+            {"id": "e1", "timestamp": 1700000000000, "message": "hello"},
+            {"id": "e2", "timestamp": 1700000000001, "message": "world"},
+        ],
+    })
+    df = spark.createDataFrame([(msg,)], "m string")
+    out = df.select(
+        parse_aws_cloudwatch_log_subscription_message(F.col("m")).alias("p")
+    ).select("p.owner", "p.messageType", F.explode("p.logEvents").alias("e")) \
+     .select("owner", "messageType", "e.id", "e.message").collect()
+    assert [(r.id, r.message) for r in out] == [("e1", "hello"), ("e2", "world")]
+    assert out[0].owner == "111111111111"
+
+
+def test_encode_key_value_and_secrets(spark):
+    from vector_spark.functions import (
+        encode_key_value, get_secret, remove_secret, set_secret,
+    )
+
+    df = spark.range(1).select(
+        F.create_map(F.lit("token"), F.lit("abc")).alias("secrets")
+    )
+    line = encode_key_value(
+        {"b": F.lit(2), "a": F.lit("x"), "skip": F.lit(None).cast("string")},
+        key_value_delimiter=":", field_delimiter=",",
+    )
+    r = df.select(
+        line.alias("kv"),
+        get_secret(F.col("secrets"), "token").alias("tok"),
+        get_secret(set_secret(F.col("secrets"), "token", F.lit("new")), "token").alias("tok2"),
+        F.map_keys(remove_secret(F.col("secrets"), "token")).alias("left"),
+    ).collect()[0]
+    assert r.kv == "a:x,b:2"
+    assert (r.tok, r.tok2, list(r.left)) == ("abc", "new", [])
+
+
+def test_random_bytes_seeded(spark):
+    from vector_spark.functions import random_bytes_seeded
+
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    out = df.select(
+        F.length(random_bytes_seeded(F.col("id"), 20)).alias("n"),
+        random_bytes_seeded(F.col("id"), 20).alias("b"),
+    ).collect()
+    assert all(r.n == 20 for r in out)
+    assert bytes(out[0].b) != bytes(out[1].b)   # seed-dependent
+    again = df.select(random_bytes_seeded(F.col("id"), 20).alias("b")).collect()
+    assert bytes(out[0].b) == bytes(again[0].b)  # replayable

@@ -827,3 +827,73 @@ def parse_ruby_hash(col: Column, schema: str) -> Column:
     normalized = F.regexp_replace(normalized, r":(\w+)\s*=>", r'"$1":')
     normalized = F.regexp_replace(normalized, r"\bnil\b", "null")
     return F.from_json(normalized, schema)
+
+
+def parse_regex_all(col: Column, pattern: str) -> dict[str, Column]:
+    """VRL parse_regex_all: every match's named captures, as one array per
+    group name (column-oriented transpose of VRL's array-of-objects).
+    JVM regexp_extract_all under codegen."""
+    from .vrl import java_regex
+
+    jre = java_regex(pattern)
+    return {
+        name: F.regexp_extract_all(col, F.lit(jre), F.lit(idx))
+        for name, idx in re.compile(pattern).groupindex.items()
+    }
+
+
+def parse_groks(col: Column, patterns: list[str]) -> dict[str, Column]:
+    """VRL parse_groks: try each grok pattern in order, first match wins
+    (the multi-pattern Datadog pipeline shape). Fields are the union over
+    patterns; unmatched-by-the-winning-pattern fields are null."""
+    from .vrl import java_regex
+
+    compiled = [(p, grok_to_regex(p)) for p in patterns]
+    matches = [col.rlike(java_regex(rx)) for _, rx in compiled]
+    all_fields: list[str] = []
+    per_pattern: list[dict[str, Column]] = []
+    for _, rx in compiled:
+        fields = _extract_all(col, rx)
+        per_pattern.append(fields)
+        for name in fields:
+            if name not in all_fields:
+                all_fields.append(name)
+    out: dict[str, Column] = {}
+    for name in all_fields:
+        expr = None
+        for m, fields in zip(matches, per_pattern):
+            val = fields.get(name, F.lit(None).cast("string"))
+            expr = F.when(m, val) if expr is None else expr.when(m, val)
+        out[name] = expr
+    return out
+
+
+_CLOUDWATCH_SUBSCRIPTION_SCHEMA = (
+    "owner string, logGroup string, logStream string, "
+    "subscriptionFilters array<string>, messageType string, "
+    "logEvents array<struct<id string, timestamp long, message string>>"
+)
+
+
+def parse_aws_cloudwatch_log_subscription_message(col: Column) -> Column:
+    """VRL parse_aws_cloudwatch_log_subscription_message: the fixed
+    CloudWatch Logs subscription JSON envelope -> typed struct; explode
+    `logEvents` downstream for one row per log event."""
+    return F.from_json(col, _CLOUDWATCH_SUBSCRIPTION_SCHEMA)
+
+
+def encode_key_value(
+    cols: dict[str, Column],
+    key_value_delimiter: str = "=",
+    field_delimiter: str = " ",
+) -> Column:
+    """VRL encode_key_value: the general form of encode_logfmt (which is
+    this with '=' and ' '), stable key order, null fields omitted."""
+    parts = [
+        F.when(
+            cols[k].isNotNull(),
+            F.concat(F.lit(f"{k}{key_value_delimiter}"), cols[k].cast("string")),
+        )
+        for k in sorted(cols)
+    ]
+    return F.concat_ws(field_delimiter, *parts)

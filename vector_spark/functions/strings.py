@@ -679,3 +679,81 @@ def seahash(col: Column) -> Column:
         return data.map(one)
 
     return pandas_udf(fn, "long")(col)
+
+
+# --- ip_pton / ip_ntop (binary <-> text IPs) -------------------------------
+
+_IPV4_RE = r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"
+
+
+def is_ipv4(col: Column) -> Column:
+    """VRL is_ipv4: dotted-quad shape with in-range octets."""
+    o = F.split(col, r"\.")
+    in_range = F.forall(o, lambda x: x.cast("int").between(0, 255))
+    return col.rlike(_IPV4_RE) & in_range
+
+
+def is_ipv6(col: Column) -> Column:
+    """VRL is_ipv6: parses under ipv6_expand (8 hex groups after gap
+    fill), or is an IPv4-mapped dotted-tail form."""
+    return ipv6_expand(col).isNotNull() | (
+        F.lower(col).rlike(r"^(::ffff:|::|([0-9a-f]{1,4}:){1,6}:?)\d{1,3}(\.\d{1,3}){3}$")
+    )
+
+
+def ip_pton(col: Column) -> Column:
+    """VRL ip_pton: text IP -> network-order bytes (4 for v4, 16 for v6).
+    Pure exprs: v4 via the aton math, v6 via ipv6_expand + unhex."""
+    v4 = F.unhex(F.lpad(F.hex(ip_aton(col)), 8, "0"))
+    v6 = F.unhex(F.replace(ipv6_expand(col), F.lit(":"), F.lit("")))
+    return F.when(col.rlike(_IPV4_RE), v4).otherwise(v6)
+
+
+def ip_ntop(col: Column) -> Column:
+    """VRL ip_ntop: 4/16-byte binary -> text. v6 renders the canonical
+    FULL 8-group form (not zero-compressed — compare after ipv6_expand;
+    disclosed subset of Rust's compressed Display)."""
+    hx = F.lower(F.hex(col))
+    v4 = ip_ntoa(F.conv(hx, 16, 10).cast("long"))
+    groups = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.substring(hx, i * 4 + 1, 4),
+    )
+    v6 = F.array_join(groups, ":")
+    return F.when(F.length(col) == 4, v4).when(F.length(col) == 16, v6)
+
+
+# --- secrets (VRL get_secret/set_secret/remove_secret) ---------------------
+# The reference stores secrets in event metadata (vector-core event
+# metadata map); the columnar equivalent is a map<string,string> column.
+
+def get_secret(secrets: Column, name: str) -> Column:
+    return F.element_at(secrets, F.lit(name))
+
+
+def set_secret(secrets: Column, name: str, value: Column) -> Column:
+    return F.map_concat(
+        F.map_filter(secrets, lambda k, _: k != name),
+        F.create_map(F.lit(name), value),
+    )
+
+
+def remove_secret(secrets: Column, name: str) -> Column:
+    return F.map_filter(secrets, lambda k, _: k != name)
+
+
+def get_timezone_name(spark) -> Column:
+    """VRL get_timezone_name: the session's timezone as a literal (this
+    engine pins UTC in get_spark for determinism)."""
+    return F.lit(spark.conf.get("spark.sql.session.timeZone"))
+
+
+def random_bytes_seeded(seed: Column, n: int, tag: str = "rby") -> Column:
+    """VRL random_bytes, deterministic-seeded like the other random_*:
+    an md5 chain over (tag, seed, block index) concatenated and cut to n
+    bytes. Replayable; uniform."""
+    blocks = [
+        F.md5(F.concat(F.lit(f"{tag}|{i}|"), seed.cast("string")))
+        for i in range((n + 15) // 16)
+    ]
+    return F.unhex(F.substring(F.concat(*blocks), 1, 2 * n))
