@@ -444,3 +444,40 @@ def test_netflow_config_yaml_end_to_end(spark, tmp_path):
     assert traffic[("17", 1_700_000_000 // 60 * 60)] == 80.0
     sk = spark.read.parquet(res["sketches"]).collect()
     assert {r.proto: r["count"] for r in sk} == {"6": 2, "17": 1}
+
+
+def test_netflow_transform_streaming_uses_template_cache(spark, tmp_path):
+    """A streaming topology with a netflow stage compiles onto the
+    stateful template-cache decoder (batch's up-front collect is
+    impossible on a streaming plan) and decodes end-to-end."""
+    from test_netflow import _flow_record, _v9_data_packet, _v9_template_packet
+
+    src = str(tmp_path / "nfs_src")
+    rec = _flow_record("10.0.0.5", "1.1.1.1", 1234, 443, 1, 64, 6)
+    spark.createDataFrame(
+        [
+            (bytearray(_v9_template_packet()),),
+            (bytearray(_v9_data_packet(256, [rec], unix_secs=1_700_000_100)),),
+        ],
+        "packet binary",
+    ).write.parquet(src)
+    spec = {
+        "sources": {
+            "pkts": {"type": "parquet_stream", "path": src},
+        },
+        "transforms": {
+            "flows": {"type": "netflow", "inputs": ["pkts"], "version": "v9"},
+        },
+        "sinks": {
+            "out": {
+                "type": "parquet", "inputs": ["flows"],
+                "path": str(tmp_path / "nfs_out"),
+                "checkpoint": str(tmp_path / "nfs_ck"),
+            },
+        },
+    }
+    topo = compile_topology(spec).build(spark)
+    topo.run()
+    out = spark.read.parquet(str(tmp_path / "nfs_out")).collect()
+    assert len(out) == 1
+    assert dict(out[0].fields)["ipv4_src_addr"] == "10.0.0.5"

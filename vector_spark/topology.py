@@ -408,6 +408,13 @@ def _build_transform(cfg, df, resolve, tables, spark):
         if version == "v7":
             return parse_netflow_v7(df, col)
         if version in ("v9", "ipfix"):
+            if df.isStreaming:
+                # the two-pass batch path collects a template map up front,
+                # which a streaming plan cannot do — use the stateful
+                # template-cache decoder (checkpoint-persistent)
+                from .streaming import stream_parse_netflow
+
+                return stream_parse_netflow(df, col)
             return parse_netflow(df, col)
         raise TopologyError(f"unknown netflow version {version!r}")
     if kind == "filter":
