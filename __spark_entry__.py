@@ -1593,7 +1593,8 @@ WHERE round(CAST(len(list_filter(sh_a, x -> list_contains(sh_b, x))) AS DOUBLE)
 """
 
 
-def _aggregate_sketch_sql(quantiles=(0.5, 0.9), eps=1.0 / 128) -> str:
+def _aggregate_sketch_sql(quantiles=(0.5, 0.9), eps=1.0 / 128,
+                          min_value=1e-9) -> str:
     """DuckDB twin of the gamma-bucket DDSketch analogue: identical key
     assignment (6-decimal-rounded log quotient, half-even rounding — spelled
     out as a CASE since DuckDB's round is half-away) and identical agent
@@ -1604,6 +1605,9 @@ def _aggregate_sketch_sql(quantiles=(0.5, 0.9), eps=1.0 / 128) -> str:
     gamma = 1.0 + 2.0 * eps  # exactly representable for eps = 1/128
     lng = repr(math.log(gamma))
     g = repr(gamma)
+    # the agent's norm_bias: keeps real-value keys strictly positive so
+    # raw key 0 (values near 1.0) can't collide with the zero bucket
+    bias = 1 - math.floor(math.log(min_value) / math.log(gamma))
 
     def rte(x):
         # round-half-to-even (Spark bround / agent round_to_even)
@@ -1616,8 +1620,9 @@ def _aggregate_sketch_sql(quantiles=(0.5, 0.9), eps=1.0 / 128) -> str:
 
     qref = f"round(ln(abs(v))/{lng}, 6)"
     key = (
-        f"CASE WHEN abs(v) <= 1e-09 THEN 0 WHEN v > 0 THEN {rte(qref)} "
-        f"ELSE -{rte(qref)} END"
+        f"CASE WHEN abs(v) <= {min_value!r} THEN 0 "
+        f"WHEN v > 0 THEN {rte(qref)} + {bias} "
+        f"ELSE -({rte(qref)} + {bias}) END"
     )
     rank_defs, est_cols = [], []
     for q in quantiles:
@@ -1658,8 +1663,8 @@ sel AS (
   SELECT c.window_start, c.event_type, c.k, c.cnt, c.cumn,
          t.count, t.mn, t.mx, t.sum,
          CASE WHEN c.k = 0 THEN 0.0
-              WHEN c.k > 0 THEN power({g}, c.k)
-              ELSE -power({g}, -c.k) END AS lb,
+              WHEN c.k > 0 THEN power({g}, c.k - {bias})
+              ELSE -power({g}, (-c.k) - {bias}) END AS lb,
          {', '.join(rank_defs)}
   FROM cum c JOIN tot t USING (window_start, event_type)
 )

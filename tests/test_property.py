@@ -225,3 +225,45 @@ def test_octet_counting_roundtrip_any_unicode(spark, msgs):
     df = spark.createDataFrame([(buf,)], "buf string")
     got = df.select(frame_octet_counting(F.col("buf")).alias("f")).collect()[0].f
     assert got == msgs
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.001, max_value=1e6, allow_nan=False,
+                  allow_infinity=False),
+        min_size=3, max_size=60,
+    )
+)
+@settings(**SETTINGS)
+def test_sketch_quantile_error_bound_any_values(spark, vals):
+    """aggregate_sketch: for ANY positive value set, every interior
+    quantile is within gamma-1 = 2*eps relative error of the EXACT
+    RANK-BASED sample quantile (the agent's semantics: rank =
+    round_half_even(q*(n-1)) picks a sample — NOT the linearly
+    interpolated percentile, which diverges arbitrarily at tiny n);
+    count/sum are exact and q=0/1 return true min/max."""
+    from vector_spark.operators import aggregate_sketch
+
+    rows = [
+        ("m", dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i), float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "name string, ts timestamp, value double")
+    qs = [0.0, 0.25, 0.5, 0.75, 0.99, 1.0]
+    sk = aggregate_sketch(df, qs, window_secs=86400).collect()[0]
+    n = len(vals)
+    srt = sorted(vals)
+    assert sk["count"] == n
+    assert abs(sk["sum"] - sum(vals)) <= 1e-5 * max(1.0, abs(sum(vals)))
+    assert abs(sk["q0_0"] - srt[0]) <= 1e-6 * max(1.0, srt[0])
+    assert abs(sk["q1_0"] - srt[-1]) <= 1e-6 * max(1.0, srt[-1])
+
+    def rte(x: float) -> int:
+        import decimal
+
+        return int(decimal.Decimal(x).quantize(0, rounding=decimal.ROUND_HALF_EVEN))
+
+    for q, name in [(0.25, "q0_25"), (0.5, "q0_5"), (0.75, "q0_75"), (0.99, "q0_99")]:
+        exact = srt[min(rte(q * (n - 1)), n - 1)]
+        rel = abs(sk[name] - exact) / abs(exact)
+        assert rel <= 2.0 / 128 + 1e-6, (name, sk[name], exact, rel)

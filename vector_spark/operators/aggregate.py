@@ -184,10 +184,14 @@ def aggregate_sketch(
     (lib/vector-core/src/metrics/ddsketch.rs:18-26,128-145,668-707;
     value.rs:22-88 Sketch variant) re-expressed as two Spark hash-aggs:
 
-      bucket key  k = sign(v) * round_half_even(ln(|v|)/ln(gamma)),
+      bucket key  k = sign(v) * (round_half_even(ln(|v|)/ln(gamma)) + bias),
                   gamma = 1 + 2*eps (agent Config::new: eps *= 2) — for
                   the default eps=1/128, gamma = 1.015625, EXACTLY binary-
                   representable, relative accuracy (gamma-1)/2 = 1/128.
+                  bias = 1 - floor(ln(min_value)/ln(gamma)) (the agent's
+                  norm_bias, ddsketch.rs:93-96) keeps every real value's
+                  key strictly positive so values near 1.0 (raw key 0)
+                  never collide with the reserved zero bucket;
                   |v| <= min_value collapses to bucket 0.
       level 1     groupBy(window, series, k) -> per-bucket counts. This IS
                   the sketch's mergeable state: bucket counts add, so map-
@@ -220,13 +224,14 @@ def aggregate_sketch(
     series_cols = series_cols or ["name"]
     gamma = 1.0 + 2.0 * eps
     ln_gamma = math.log(gamma)
+    bias = 1 - math.floor(math.log(min_value) / ln_gamma)
     ws = tumbling_window(F.col(ts_col), window_secs).alias("window_start")
     v = F.col(value_col)
 
     qlog = F.round(F.log(F.abs(v)) / F.lit(ln_gamma), 6)
     k = (
         F.when(F.abs(v) <= min_value, F.lit(0))
-        .otherwise(F.signum(v) * F.bround(qlog))
+        .otherwise(F.signum(v) * (F.bround(qlog) + bias))
         .cast("long")
     )
     buckets = df.groupBy(ws, *series_cols, k.alias("k")).agg(
@@ -252,8 +257,8 @@ def aggregate_sketch(
     def lower_bound(kc):
         return (
             F.when(kc == 0, F.lit(0.0))
-            .when(kc > 0, F.pow(F.lit(gamma), kc.cast("double")))
-            .otherwise(-F.pow(F.lit(gamma), (-kc).cast("double")))
+            .when(kc > 0, F.pow(F.lit(gamma), (kc - bias).cast("double")))
+            .otherwise(-F.pow(F.lit(gamma), ((-kc) - bias).cast("double")))
         )
 
     cnt_total = F.col("count")
