@@ -267,3 +267,63 @@ def test_sketch_quantile_error_bound_any_values(spark, vals):
         exact = srt[min(rte(q * (n - 1)), n - 1)]
         rel = abs(sk[name] - exact) / abs(exact)
         assert rel <= 2.0 / 128 + 1e-6, (name, sk[name], exact, rel)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+            st.text(alphabet="abcxyz", min_size=1, max_size=4),
+            st.lists(st.integers(0, 5), min_size=0, max_size=4),
+        ),
+        min_size=1, max_size=15,
+    )
+)
+@settings(**SETTINGS)
+def test_stream_merge_fold_equals_batch_aggregates(spark, rows):
+    """The streaming reduce's pure-Python fold (_merge_step/_merge_final)
+    must equal the batch MERGE_STRATEGIES aggregates for every strategy on
+    one closed session, for ANY inputs — the fold has 13 branches and this
+    pins each against its Column twin."""
+    from vector_spark.operators.reduce import reduce_sessions
+    from vector_spark.streaming.ops import _merge_final, _merge_step
+
+    data = [
+        (i, "g", dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i),
+         float(v), s, arr)
+        for i, (v, s, arr) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id long, g string, ts timestamp, num double, body string, arr array<int>",
+    )
+    merges = {
+        "first_b": ("discard", "body"), "last_b": ("retain", "body"),
+        "arr_b": ("array", "body"), "cat": ("concat", "body"),
+        "cat_nl": ("concat_newline", "body"), "cat_raw": ("concat_raw", "body"),
+        "s": ("sum", "num"), "mx": ("max", "num"), "mn": ("min", "num"),
+        "cnt": ("count", "num"), "fu": ("flat_unique", "arr"),
+        "sa": ("shortest_array", "arr"), "la": ("longest_array", "arr"),
+    }
+    batch = reduce_sessions(
+        df, ["g"], merges, gap_secs=10_000, order_col=["ts", "event_id"]
+    ).collect()
+    assert len(batch) == 1
+    b = batch[0]
+
+    partial: dict = {}
+    for _, v, s, arr in [(r[0], r[3], r[4], r[5]) for r in data]:
+        for out_col, (strategy, in_col) in merges.items():
+            val = {"num": v, "body": s, "arr": arr}[in_col]
+            _merge_step(partial, out_col, strategy, val)
+    got = {c: _merge_final(partial, c, s_) for c, (s_, _) in merges.items()}
+
+    assert got["first_b"] == b["first_b"] and got["last_b"] == b["last_b"]
+    assert got["arr_b"] == list(b["arr_b"])
+    assert got["cat"] == b["cat"] and got["cat_nl"] == b["cat_nl"]
+    assert got["cat_raw"] == b["cat_raw"]
+    assert abs(got["s"] - b["s"]) < 1e-9
+    assert got["mx"] == b["mx"] and got["mn"] == b["mn"]
+    assert got["cnt"] == b["cnt"]
+    assert sorted(got["fu"]) == sorted(b["fu"])
+    assert len(got["sa"]) == len(b["sa"]) and len(got["la"]) == len(b["la"])
