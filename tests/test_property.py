@@ -327,3 +327,35 @@ def test_stream_merge_fold_equals_batch_aggregates(spark, rows):
     assert got["cnt"] == b["cnt"]
     assert sorted(got["fu"]) == sorted(b["fu"])
     assert len(got["sa"]) == len(b["sa"]) and len(got["la"]) == len(b["la"])
+
+
+@given(
+    offsets=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)),  # (hour, sec offset)
+        min_size=2, max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_hot_split_equivalence_any_slice_confined_data(spark, offsets):
+    """hot_split: for ANY events confined to the first 1000s of each hour
+    (so no session can reach a 3600s slice edge: inter-cluster gaps are
+    >= 2600s > gap_secs), the split result equals the unsplit result
+    row-for-row."""
+    from vector_spark.operators import reduce_sessions
+
+    rows = [
+        (i, "hot" if i % 3 else "cold",
+         dt.datetime(2024, 1, 1) + dt.timedelta(hours=h, seconds=s), 1.0)
+        for i, (h, s) in enumerate(offsets)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, g string, ts timestamp, v double")
+    merges = {"n": ("count", "event_id"), "vs": ("sum", "v")}
+    kw = dict(gap_secs=1500, order_col=["ts", "event_id"])
+    base = reduce_sessions(df, ["g"], merges, **kw)
+    split = reduce_sessions(
+        df, ["g"], merges, hot_split={"threshold": 1, "slice_secs": 3600}, **kw
+    )
+    cols = ("g", "ts", "ts_end", "events_merged", "n", "vs")
+    a = sorted(tuple(r[c] for c in cols) for r in base.collect())
+    b = sorted(tuple(r[c] for c in cols) for r in split.collect())
+    assert a == b
