@@ -425,3 +425,18 @@ def test_random_bytes_seeded(spark):
     assert bytes(out[0].b) != bytes(out[1].b)   # seed-dependent
     again = df.select(random_bytes_seeded(F.col("id"), 20).alias("b")).collect()
     assert bytes(out[0].b) == bytes(again[0].b)  # replayable
+
+
+def test_unflatten_dotted_keys(spark):
+    from vector_spark.functions import unflatten
+
+    df = spark.range(1).select(
+        F.create_map(
+            F.lit("a.b.c"), F.lit("1"), F.lit("a.b.d"), F.lit("2"),
+            F.lit("x"), F.lit("y"),
+        ).alias("m")
+    )
+    r = df.select(unflatten(F.col("m")).alias("j")).collect()[0]
+    import json
+
+    assert json.loads(r.j) == {"a": {"b": {"c": "1", "d": "2"}}, "x": "y"}

@@ -757,3 +757,34 @@ def random_bytes_seeded(seed: Column, n: int, tag: str = "rby") -> Column:
         for i in range((n + 15) // 16)
     ]
     return F.unhex(F.substring(F.concat(*blocks), 1, 2 * n))
+
+
+def unflatten(col: Column) -> Column:
+    """VRL unflatten: a map with dotted keys ('a.b.c' -> v) into a nested
+    object, returned as a JSON string (pair with from_json at a declared
+    schema — Spark columns need static types where VRL's object is
+    dynamic). Arrow-batched; later keys win on conflicts like VRL."""
+    import json
+
+    from pyspark.sql.functions import pandas_udf
+
+    def fn(data):
+        def one(m):
+            if m is None:
+                return None
+            root: dict = {}
+            for k, v in m.items():
+                cur = root
+                parts = k.split(".")
+                for p in parts[:-1]:
+                    nxt = cur.get(p)
+                    if not isinstance(nxt, dict):
+                        nxt = {}
+                        cur[p] = nxt
+                    cur = nxt
+                cur[parts[-1]] = v
+            return json.dumps(root, sort_keys=True)
+
+        return data.map(one)
+
+    return pandas_udf(fn, "string")(col)
