@@ -359,3 +359,46 @@ def test_hot_split_equivalence_any_slice_confined_data(spark, offsets):
     a = sorted(tuple(r[c] for c in cols) for r in base.collect())
     b = sorted(tuple(r[c] for c in cols) for r in split.collect())
     assert a == b
+
+
+@given(
+    chunks_=st.lists(st.binary(min_size=0, max_size=64), min_size=1, max_size=10)
+)
+@settings(**SETTINGS)
+def test_length_delimited_roundtrip_any_bytes(spark, chunks_):
+    """LengthDelimited framing: any byte chunks concatenated as
+    <4B len><payload> reframe to exactly the originals."""
+    from vector_spark.functions import frame_length_delimited
+
+    buf = b"".join(len(c).to_bytes(4, "big") + c for c in chunks_)
+    df = spark.createDataFrame([(bytearray(buf),)], "buf binary")
+    got = df.select(frame_length_delimited(F.col("buf")).alias("f")).collect()[0].f
+    assert [bytes(x) for x in got] == chunks_
+
+
+_lp_token = st.text(alphabet="abcdefghij0123456789_", min_size=1, max_size=8)
+
+
+@given(
+    tagval=_lp_token, fval=st.floats(min_value=0, max_value=1e6, allow_nan=False),
+    ts=st.integers(0, 2**40),
+)
+@settings(**SETTINGS)
+def test_influxdb_line_roundtrip_any_values(spark, tagval, fval, ts):
+    """Influxdb line protocol: encode(parse) identity for any token-safe
+    tag values, float fields, and timestamps (the documented no-escaping
+    subset)."""
+    from vector_spark.functions import encode_influxdb_line, parse_influxdb_line
+
+    df = spark.range(1)
+    line = encode_influxdb_line(
+        F.lit("m"), {"t": F.lit(tagval)}, {"v": F.lit(float(fval))}, F.lit(ts)
+    )
+    p = parse_influxdb_line(line)
+    r = df.select(
+        p["measurement"].alias("m"), p["tags"].getItem("t").alias("t"),
+        p["fields"].getItem("v").cast("double").alias("v"),
+        p["timestamp_ns"].alias("ts"),
+    ).collect()[0]
+    assert r.m == "m" and r.t == tagval and r.ts == ts
+    assert abs(r.v - float(fval)) <= 1e-9 * max(1.0, abs(fval))
