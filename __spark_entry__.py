@@ -445,6 +445,94 @@ def q_tpch_q18(spark, sf_dir):
     )
 
 
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking): LEFT SEMI join — orders in
+    a quarter having at least one late lineitem. The testdata schema lacks
+    l_commitdate/l_receiptdate, so "late" is adapted to
+    l_shipdate > o_orderdate; the shape (EXISTS -> LeftSemi, correlated
+    non-equi residual on the join) is the point. The lineitem side carries
+    only (l_orderkey, l_shipdate) through the join — ids-only at 100 TB."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    late = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            late,
+            (o.o_orderkey == late.l_orderkey) & (late.l_shipdate > o.o_orderdate),
+            "leftsemi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 (customer distribution): LEFT OUTER join customer->orders
+    (keeping order-less customers as count 0) with a join-side predicate,
+    then a second aggregation over the counts — the outer-join +
+    agg-of-agg shape. count("o_orderkey") counts matched rows only, the
+    standard q13 trick."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship): LEFT ANTI join
+    (NOT IN excluded suppliers) + COUNT DISTINCT per part group. Adapted to
+    the trimmed schema: the part-supplier relationship comes from lineitem
+    (no partsupp table) and the supplier exclusion is s_acctbal < 2000 (no
+    s_comment). Both dims broadcast; lineitem carries only
+    (l_partkey, l_suppkey) through the shuffle."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (~F.col("p_type").startswith("PROMO"))
+        & F.col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 2000).select("s_suppkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): scalar subquery (global
+    avg of positive balances, broadcast as a 1-row cross join) + LEFT ANTI
+    correlated NOT EXISTS. Adapted: cntrycode := c_nationkey (no c_phone)
+    and the anti-join excludes customers with any URGENT order (every
+    customer has orders in the testdata). Threshold = exact decimal sum /
+    count in double — bit-identical in both engines."""
+    c = _t(spark, sf_dir, "customer")
+    thresh = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("t")
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.join(broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("t"))
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(F.count(F.lit(1)).alias("numcust"), _dsum(F.col("c_acctbal"), "totacctbal"))
+    )
+
+
 def q_dedup_exact_text(spark, sf_dir):
     return exact_dedup(_t(spark, sf_dir, "documents"))
 
@@ -1463,6 +1551,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q18": q_tpch_q18,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q22": q_tpch_q22,
         "dedup_exact_text": q_dedup_exact_text,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ladder": q_dedup_ladder,
@@ -2094,6 +2186,58 @@ WHERE o_orderkey IN (
 GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
 ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
 LIMIT 100
+"""
+
+    sql["tpch_q4"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+    sql["tpch_q13"] = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""
+
+    sql["tpch_q16"] = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000
+  )
+GROUP BY p_brand, p_type, p_size
+"""
+
+    sql["tpch_q22"] = f"""
+SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+       {DSUM_SQL.format(col='c_acctbal', alias='totacctbal')}
+FROM customer c
+WHERE c_acctbal > (
+    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / count(*)
+    FROM customer WHERE c_acctbal > 0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+  )
+GROUP BY c_nationkey
 """
 
     sql["dedup_exact_text"] = """

@@ -172,3 +172,36 @@ def test_reduce_hot_split_uses_broadcast_flag_join(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_semi_and_anti_joins_stay_hash_joins(spark):
+    """The TPC-H q4/q16/q22 shapes (EXISTS -> LeftSemi, NOT IN/NOT EXISTS ->
+    LeftAnti) must compile to broadcast HASH joins when the lookup side is
+    dim-sized — a SortMergeJoin here would shuffle the whole fact at 100 TB.
+    Mirrors __spark_entry__.q_tpch_q4/q_tpch_q22."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    o = spark.createDataFrame(
+        [(i, i % 7, dt.datetime(1996, 7, 1 + i % 20)) for i in range(200)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    li = spark.createDataFrame(
+        [(i % 50, dt.datetime(1996, 7, 5 + i % 20)) for i in range(300)],
+        "l_orderkey long, l_shipdate timestamp",
+    )
+    semi = o.join(
+        F.broadcast(li),
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "leftsemi",
+    )
+    plan = plan_of(semi)
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    bad = spark.createDataFrame([(k,) for k in range(3)], "k long")
+    anti = o.join(F.broadcast(bad), o.o_custkey == bad.k, "left_anti")
+    plan = plan_of(anti)
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

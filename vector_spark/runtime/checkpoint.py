@@ -63,9 +63,16 @@ class CheckpointedRun:
         )
 
     def committed(self) -> set[int]:
+        # Probe existence via the Hadoop FS instead of letting read.parquet
+        # raise AnalysisException on the first pass: the raise also fires
+        # Spark's ExecutionListenerBus (the Observation metrics listener),
+        # spraying ERROR stack traces on a perfectly normal fresh run.
+        fs, Path = self._hadoop_fs(self._ckpt_path)
+        if not fs.exists(Path(self._ckpt_path)):
+            return set()
         try:
             rows = self.spark.read.schema(_CKPT_SCHEMA).parquet(self._ckpt_path).select("bucket").collect()
-        except AnalysisException:
+        except AnalysisException:  # deleted between probe and read
             return set()
         return {r.bucket for r in rows}
 
