@@ -554,6 +554,16 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_spans(spark, sf_dir):
+    """C4/RefinedWeb-style cross-document span dedup: 3-word blocks, first
+    occurrence (doc_id, span_no) survives, documents reassembled in order.
+    The testdata documents are single-line word streams, so the word-block
+    unit (not newline lines) is the discriminative one here."""
+    from vector_spark.datapipe import dedup_spans
+
+    return dedup_spans(_t(spark, sf_dir, "documents"), span_words=3)
+
+
 def q_quality_gopher(spark, sf_dir):
     """Gopher-rule quality gates over documents (min_words lowered to suit
     the synthetic docs' lengths)."""
@@ -1558,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_text": q_dedup_exact_text,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ladder": q_dedup_ladder,
+        "dedup_spans": q_dedup_spans,
         "dedup_simhash": q_dedup_simhash,
         "text_quality": q_text_quality,
         "quality_gopher": q_quality_gopher,
@@ -2268,6 +2279,41 @@ FROM exact e LEFT JOIN removed r USING (doc_id)
 WHERE r.doc_id IS NULL
 """
     sql["dedup_simhash"] = _simhash_sql()
+
+    # independent formulation on purpose: DuckDB ranks occurrences with a
+    # window (row_number over the span), Spark detects firsts with a
+    # groupBy-min + join — same answer, different engines' idioms.
+    sql["dedup_spans"] = """
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+spans AS (
+  SELECT doc_id,
+         unnest(range(0, greatest(1, CAST(ceil(len(w) / 3.0) AS BIGINT)))) AS span_no,
+         unnest([array_to_string(w[i*3+1 : i*3+3], ' ')
+                 for i in range(0, greatest(1, CAST(ceil(len(w) / 3.0) AS BIGINT)))]) AS span
+  FROM docs
+),
+ranked AS (
+  SELECT doc_id, span_no, span,
+         row_number() OVER (PARTITION BY span ORDER BY doc_id, span_no) AS rn
+  FROM spans
+),
+keep AS (SELECT doc_id, span_no, span FROM ranked WHERE rn = 1),
+reass AS (
+  SELECT doc_id, string_agg(span, ' ' ORDER BY span_no) AS text_dedup,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM keep GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id,
+         greatest(1, CAST(ceil(len(string_split(text, ' ')) / 3.0) AS BIGINT)) AS n_spans
+  FROM documents
+)
+SELECT b.doc_id, coalesce(r.text_dedup, '') AS text_dedup, b.n_spans,
+       b.n_spans - coalesce(r.n_kept, 0) AS n_removed
+FROM base b LEFT JOIN reass r USING (doc_id)
+"""
 
     sql["quality_gopher"] = """
 WITH t AS (

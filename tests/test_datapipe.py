@@ -223,3 +223,45 @@ def test_quality_filter_gopher_rules(spark):
     assert got[2]["keep"] is False and got[2]["ok_word_count"] is False
     assert got[3]["keep"] is False and got[3]["ok_symbols"] is False
     assert got[1]["n_words"] == 13
+
+
+def test_dedup_spans_word_blocks_first_occurrence_wins(spark):
+    """3-word blocks: a block repeated across docs survives only at its
+    first (doc_id, span_no) occurrence; doc order is preserved on
+    reassembly; a doc whose every span is removed is still emitted."""
+    from vector_spark.datapipe import dedup_spans
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),          # spans: "a b c", "d e f"
+            (1, "d e f x y z"),          # "d e f" dup -> removed; keeps "x y z"
+            (2, "a b c d e f"),          # both spans dup -> fully removed
+            (3, "q r"),                  # short doc: one partial span
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_spans(df, span_words=3).collect()}
+    assert out[0].text_dedup == "a b c d e f" and out[0].n_removed == 0
+    assert out[1].text_dedup == "x y z" and out[1].n_removed == 1
+    assert out[2].text_dedup == "" and out[2].n_removed == 2 and out[2].n_spans == 2
+    assert out[3].text_dedup == "q r" and out[3].n_spans == 1
+
+
+def test_dedup_spans_line_mode_and_min_chars_exemption(spark):
+    """span_words=None splits on newlines; min_chars exempts short lines
+    (blank separators survive corpus-wide dedup)."""
+    from vector_spark.datapipe import dedup_spans
+
+    df = spark.createDataFrame(
+        [
+            (0, "shared boilerplate footer line\n\nunique first body"),
+            (1, "shared boilerplate footer line\n\nunique second body"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_spans(df, span_words=None, min_chars=5).collect()}
+    # doc 0 keeps everything (first occurrence); doc 1 loses the footer but
+    # keeps its exempt blank line
+    assert out[0].text_dedup == "shared boilerplate footer line\n\nunique first body"
+    assert out[1].text_dedup == "\nunique second body"
+    assert out[1].n_removed == 1

@@ -1,4 +1,4 @@
-from .dedup import exact_dedup, dedup_ladder, shingle_docs, minhash_lsh_pairs, simhash
+from .dedup import exact_dedup, dedup_ladder, dedup_spans, shingle_docs, minhash_lsh_pairs, simhash
 from .similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
@@ -9,7 +9,7 @@ from .text import text_quality, token_count, doc_fingerprint, langid, quality_fi
 from .multimodal import binary_meta, extract_features, frame_sample, resize_image
 
 __all__ = [
-    "exact_dedup", "dedup_ladder", "shingle_docs", "minhash_lsh_pairs", "simhash",
+    "exact_dedup", "dedup_ladder", "dedup_spans", "shingle_docs", "minhash_lsh_pairs", "simhash",
     "cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "embedding_near_dup_pairs",
     "text_quality", "quality_filter_gopher", "token_count", "doc_fingerprint", "langid",
     "binary_meta", "extract_features", "frame_sample", "resize_image",

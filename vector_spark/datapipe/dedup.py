@@ -123,6 +123,84 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     return df.select(F.col(id_col), out.alias("simhash"))
 
 
+def dedup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int | None = 3,
+    min_chars: int = 0,
+) -> DataFrame:
+    """Cross-document span-level exact dedup — the C4 / RefinedWeb / Dolma
+    "line-wise dedup" pass generalized to a parameterizable unit: split each
+    document into spans (consecutive `span_words`-word blocks, or
+    newline-delimited lines when span_words=None), drop every span whose
+    exact content already occurred earlier in the corpus (first occurrence
+    by (doc_id, span_no) survives), and reassemble the survivors in
+    document order. Spans shorter than `min_chars` characters are exempt
+    (always kept) — the standard guard that stops blank/boilerplate lines
+    from being deleted corpus-wide.
+
+    Returns (doc_id, text_dedup, n_spans, n_removed); a document whose
+    every span was removed is still emitted with text_dedup = ''.
+
+    Scale shape (100 TB): first-occurrence detection is a groupBy on
+    md5(span) with a map-side partial MIN — a corpus-hot span collapses to
+    one row per task before the exchange, so skew dies in the partial agg.
+    The keep-join back to the exploded spans shuffles the span text once
+    (AQE splits any residual hot key), and reassembly is one groupBy on
+    doc_id. Three narrow-payload exchanges total, no window over a
+    skewable partition.
+    """
+    sep = " " if span_words is not None else "\n"
+    if span_words is None:
+        spans_arr = F.split(F.col(text_col), "\n")
+    else:
+        words = F.split(F.col(text_col), " ")
+        k = span_words
+        nblocks = F.greatest(F.ceil(F.size(words) / F.lit(k)), F.lit(1)).cast("int")
+        spans_arr = F.transform(
+            F.sequence(F.lit(0), nblocks - 1),
+            lambda i: F.array_join(F.slice(words, i * k + 1, k), " "),
+        )
+    base = df.select(F.col(id_col), F.size(spans_arr).cast("long").alias("n_spans"))
+    lines = df.select(
+        F.col(id_col), F.posexplode(spans_arr).alias("span_no", "span")
+    ).withColumn("sh", F.md5(F.col("span").cast("binary")))
+    firsts = lines.groupBy("sh").agg(
+        F.min(F.struct(F.col(id_col), F.col("span_no"))).alias("first")
+    )
+    keep = (
+        lines.join(firsts, "sh")
+        .filter(
+            (F.length("span") < min_chars)
+            | (
+                (F.col(id_col) == F.col(f"first.{id_col}"))
+                & (F.col("span_no") == F.col("first.span_no"))
+            )
+        )
+        .select(id_col, "span_no", "span")
+    )
+    reassembled = keep.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_no", "span"))),
+                lambda s: s.span,
+            ),
+            sep,
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    return (
+        base.join(reassembled, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+            F.col("n_spans"),
+            (F.col("n_spans") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias("n_removed"),
+        )
+    )
+
+
 def dedup_ladder(
     df: DataFrame,
     text_col: str = "text",
