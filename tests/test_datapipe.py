@@ -100,13 +100,17 @@ def test_langid_trigram_profiles(spark):
     assert out[1]["predicted_lang"] == "en"
     assert out[2]["predicted_lang"] == "de"
     assert out[3]["predicted_lang"] == "fr"
-    assert out[4]["score_en"] == 0.0 and out[4]["predicted_lang"] == "de"
+    # too-short text: all scores 0.0, lexicographic fallback = first
+    # sorted profile (ca since the 20-language set)
+    assert out[4]["score_en"] == 0.0 and out[4]["predicted_lang"] == "ca"
 
 
-def test_langid_ten_languages(spark):
-    """The broadened profile set classifies real sentences in all 10
-    languages; es-vs-pt (heavy trigram overlap: de/que/ent cores) is the
-    discriminative pair the unique markers must separate."""
+def test_langid_twenty_languages(spark):
+    """The broadened profile set classifies real sentences in all 20
+    languages. The discriminative clusters the unique markers must
+    separate: es-pt-ca (shared de/que/ent Romance core), da-no-sv
+    (shared er/en/et/og/at Scandinavian core — af/med vs av/på/ikke vs
+    och/är/att decide), cs-pl (Slavic Latin-script)."""
     sentences = [
         (1, "es", "la casa del perro es muy grande y el niño que vive en ella come con sus amigos"),
         (2, "pt", "a casa do menino é muito grande e o cão que vive em uma vila para todos começa"),
@@ -118,6 +122,16 @@ def test_langid_ten_languages(spark):
         (8, "en", "the children of the village are walking to the large house in the morning"),
         (9, "de", "die kinder aus dem dorf gehen durch die schönen strassen und singen ein lied"),
         (10, "fr", "les enfants du village marchent par la rue pour aller à une grande maison"),
+        (11, "ro", "copiii din sat merg pe drum către casa cea mare și cântă de bucurie cu prietenii lor"),
+        (12, "tr", "köydeki çocuklar bir güzel sabah ile büyük eve doğru yürüyorlar ve şarkı söylüyorlar"),
+        (13, "cs", "děti ze vsi jdou po cestě k velkému domu a zpívají si že je to pěkný den"),
+        (14, "da", "børnene fra landsbyen går med deres venner hen til det store hus af træ for at synge"),
+        (15, "no", "barna fra landsbyen går på veien til det store huset og jeg vet at de ikke er triste"),
+        (16, "fi", "lapset ovat talossa ja he laulavat koska kesällä on mukavaa olla järvessä uimassa"),
+        (17, "hu", "a falu gyerekei reggel az úton sétálnak a nagy házhoz és énekelnek hogy egy szép nap van"),
+        (18, "ca", "els nens del poble caminen per la ciutat cap a les cases grans i canten una cançó"),
+        (19, "vi", "những đứa trẻ trong làng đang đi bộ đến ngôi nhà lớn và chúng hát một bài hát của mình"),
+        (20, "ru", "дети из деревни идут по дороге к большому дому и поют песню о прекрасном дне"),
     ]
     df = spark.createDataFrame(
         [(i, t) for i, _, t in sentences], "doc_id long, text string"
@@ -125,6 +139,30 @@ def test_langid_ten_languages(spark):
     got = {r.doc_id: r.predicted_lang for r in langid(df).collect()}
     for i, expect, _ in sentences:
         assert got[i] == expect, f"doc {i}: expected {expect}, got {got[i]}"
+
+
+def test_langid_profiles_well_formed_and_subset_param(spark):
+    """Every profile is exactly 24 distinct length-3 trigrams (the regex
+    and the SQL oracle both assume this); `languages=` restricts scoring
+    cost to the selected profiles and rejects unknown codes."""
+    from vector_spark.datapipe.text import LANG_TRIGRAMS
+
+    assert len(LANG_TRIGRAMS) == 20
+    for lang, profile in LANG_TRIGRAMS.items():
+        assert len(profile) == 24 and len(set(profile)) == 24, lang
+        assert all(len(t) == 3 for t in profile), lang
+
+    df = spark.createDataFrame(
+        [(1, "the children of the village are walking to the large house")],
+        "doc_id long, text string",
+    )
+    out = langid(df, languages=["en", "de"])
+    assert out.columns == ["doc_id", "score_de", "score_en", "predicted_lang"]
+    assert out.collect()[0].predicted_lang == "en"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown language"):
+        langid(df, languages=["en", "xx"])
 
 
 def _vecs(spark):

@@ -75,6 +75,62 @@ LANG_TRIGRAMS = {
         "nga", " da", "dan", "ah ", "yan", " be", "ber", "nya", "ya ",
         " pe", "per", "ter", "men", " ya", "ada",
     ],
+    "ro": [
+        " de", "de ", " în", "în ", "ul ", "ui ", "lui", " cu", "cu ",
+        "re ", "are", " ca", "că ", " că", "ea ", "le ", " pe", "pe ",
+        " și", "și ", "te ", "ate", "rea", " la",
+    ],
+    "tr": [
+        " bi", "bir", "ir ", "lar", "ler", "an ", "en ", "in ", "ın ",
+        " de", "de ", "da ", " ve", "ve ", "ar ", "eri", "arı", "er ",
+        "ik ", " ka", " ya", "ile", "le ", "nda",
+    ],
+    "cs": [
+        " př", "pře", " ne", "ní ", "ou ", " po", " se", "se ", " na",
+        "na ", " je", "je ", "ho ", "ce ", " st", "ost", " to", "to ",
+        "la ", "ně ", " že", "že ", "pro", " pr",
+    ],
+    # da vs no vs sv is the Scandinavian discriminative trio: the shared
+    # er/en/et/de/og/at core is useless, so each profile leans on its
+    # orthographic markers (da: af/med/ere; no: av/på/ikk/jeg; sv: och/är/
+    # att/som — redundant with the sv profile above)
+    "da": [
+        "er ", "en ", "et ", " de", "de ", "der", " og", "og ", " at",
+        "at ", " fo", "for", " ti", "til", "il ", "ke ", "ed ", " me",
+        "med", "nde", "ere", " ha", "det", " af",
+    ],
+    "no": [
+        "er ", "en ", "et ", " de", "de ", "det", " og", "og ", " at",
+        "at ", "for", " fo", "til", " ti", "ikk", "kke", " av", "av ",
+        " på", "på ", "jeg", " je", "ter", "ene",
+    ],
+    "fi": [
+        "en ", "in ", "an ", "on ", " on", "ssa", "ssä", "sta", "tä ",
+        "ta ", "aan", "een", "lla", "llä", "ist", "sen", "nen", " ja",
+        "ja ", "ksi", "ell", "itt", "tte", "ain",
+    ],
+    "hu": [
+        " a ", " az", "az ", " me", "meg", "el ", "en ", "ek ", "et ",
+        "tt ", "ett", "nek", "nak", "ség", "és ", " és", "egy", " eg",
+        " sz", "sze", "hog", "ogy", "gy ", "ban",
+    ],
+    # ca vs es/pt: els/ls / i /ió endings are the Catalan markers against
+    # the shared de/que/ent Romance core
+    "ca": [
+        " de", "de ", "es ", " la", "la ", "el ", " el", " qu", "que",
+        "ue ", "ent", "nt ", " i ", "els", "ls ", " pe", "per", "er ",
+        "ió ", "ció", "at ", " le", "les", "una",
+    ],
+    "vi": [
+        " ng", "ng ", "nh ", " nh", " th", " ch", "ông", " kh", "khô",
+        "hôn", " đư", "đượ", "ược", " củ", "của", "ủa ", " và", "và ",
+        " cá", "các", " mộ", "một", "ột ", "iệc",
+    ],
+    "ru": [
+        " пр", "про", " не", "не ", " на", "на ", " то", "то ", "ть ",
+        "ет ", "ние", "ени", "ого", "го ", " по", "ств", " ко", "ая ",
+        "ли ", " ст", "ать", " в ", "ост", "ов ",
+    ],
 }
 
 
@@ -124,12 +180,28 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
-def langid(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def langid(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    languages: list[str] | None = None,
+) -> DataFrame:
     """Character-trigram language ID: extract every char trigram of the
     lowercased text (pure JVM exprs — sequence + substr, scan-speed), score
     each language as the fraction of trigrams present in its 24-trigram
     profile, predict argmax (ties -> lexicographic). Texts shorter than 3
-    chars score 0.0 everywhere."""
+    chars score 0.0 everywhere.
+
+    Cost is linear in the number of profiles (one lookahead-regex scan per
+    language); `languages` restricts scoring to a subset so a pipeline that
+    only cares about, say, en/de/fr pays for 3 scans, not 20."""
+    if languages is not None:
+        unknown = set(languages) - set(LANG_TRIGRAMS)
+        if unknown:
+            raise ValueError(f"unknown language profiles: {sorted(unknown)}")
+        profiles = {k: LANG_TRIGRAMS[k] for k in languages}
+    else:
+        profiles = LANG_TRIGRAMS
     norm = F.lower(F.col(text_col))
     n_tri = F.length(norm) - 2
     # hits = positions where any profile trigram starts. A zero-width
@@ -148,21 +220,21 @@ def langid(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Dat
                 4,
             ),
         ).otherwise(F.lit(0.0))
-        for lang, profile in LANG_TRIGRAMS.items()
+        for lang, profile in profiles.items()
     }
     best = None
-    for lang in sorted(LANG_TRIGRAMS):  # lexicographic tie-break: first wins on >=
+    for lang in sorted(profiles):  # lexicographic tie-break: first wins on >=
         cond = None
-        for other in sorted(LANG_TRIGRAMS):
+        for other in sorted(profiles):
             if other == lang:
                 continue
             c = (scores[lang] > scores[other]) if other < lang else (scores[lang] >= scores[other])
             cond = c if cond is None else (cond & c)
         best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
-    predicted = best.otherwise(F.lit(sorted(LANG_TRIGRAMS)[0]))
+    predicted = best.otherwise(F.lit(sorted(profiles)[0]))
     return df.select(
         F.col(id_col),
-        *[scores[lang].alias(f"score_{lang}") for lang in sorted(LANG_TRIGRAMS)],
+        *[scores[lang].alias(f"score_{lang}") for lang in sorted(profiles)],
         predicted.alias("predicted_lang"),
     )
 
