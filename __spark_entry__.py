@@ -554,6 +554,16 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"))
 
 
+def q_quality_repetition(spark, sf_dir):
+    """Gopher repetition rules (Rae et al. Table A1): top-2/3/4-gram char
+    fraction + duplicated-5..10-gram char fraction, per-rule flags + keep.
+    Spark computes each rule as an in-row sorted-run fold (scan-speed, no
+    shuffle); the oracle is the opposite unnest->GROUP BY formulation."""
+    from vector_spark.datapipe import repetition_filter_gopher
+
+    return repetition_filter_gopher(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_spans(spark, sf_dir):
     """C4/RefinedWeb-style cross-document span dedup: 3-word blocks, first
     occurrence (doc_id, span_no) survives, documents reassembled in order.
@@ -1572,6 +1582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "text_quality": q_text_quality,
         "quality_gopher": q_quality_gopher,
+        "quality_repetition": q_quality_repetition,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "langid": q_langid,
@@ -1822,6 +1833,61 @@ s AS (
 )
 SELECT doc_id, {', '.join('score_' + l for l in langs)}, {case_sql} AS predicted_lang FROM s
 """
+
+
+def _repetition_sql() -> str:
+    """DuckDB twin of repetition_filter_gopher, formulated the opposite
+    way on purpose (unnest n-grams -> GROUP BY count -> window-rank top /
+    filtered sum) so the hash match is evidence, not an echo."""
+    from vector_spark.datapipe.text import GOPHER_DUP_NGRAM_MAX, GOPHER_TOP_NGRAM_MAX
+
+    ctes = [
+        "wd AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w,"
+        " CAST(len(text) AS BIGINT) AS n_chars FROM documents)"
+    ]
+    sel = ["wd.doc_id", "wd.n_chars"]
+    keep_terms = []
+    all_ns = sorted(set(GOPHER_TOP_NGRAM_MAX) | set(GOPHER_DUP_NGRAM_MAX))
+    for n in all_ns:
+        ctes.append(
+            f"g{n} AS (SELECT doc_id, unnest([array_to_string(w[i+1:i+{n}], ' ')"
+            f" for i in range(0, greatest(len(w)-{n}+1, 0))]) AS g FROM wd)"
+        )
+        ctes.append(f"c{n} AS (SELECT doc_id, g, count(*) AS c FROM g{n} GROUP BY 1, 2)")
+    for n, mx in sorted(GOPHER_TOP_NGRAM_MAX.items()):
+        ctes.append(
+            f"top{n} AS (SELECT doc_id, c, g FROM ("
+            f"SELECT doc_id, c, g, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn"
+            f" FROM c{n}) WHERE rn = 1)"
+        )
+        frac = (
+            f"round(coalesce(CASE WHEN top{n}.c >= 2 THEN"
+            f" CAST(top{n}.c * len(top{n}.g) AS DOUBLE) / greatest(wd.n_chars, 1)"
+            f" ELSE 0.0 END, 0.0), 4)"
+        )
+        sel.append(f"{frac} AS top_{n}gram_frac")
+        sel.append(f"{frac} <= {mx} AS ok_top_{n}gram")
+        keep_terms.append(f"{frac} <= {mx}")
+    for n, mx in sorted(GOPHER_DUP_NGRAM_MAX.items()):
+        ctes.append(
+            f"dup{n} AS (SELECT doc_id, sum(c * len(g)) AS dchars FROM c{n}"
+            f" WHERE c >= 2 GROUP BY doc_id)"
+        )
+        frac = (
+            f"round(coalesce(CAST(dup{n}.dchars AS DOUBLE) / greatest(wd.n_chars, 1), 0.0), 4)"
+        )
+        sel.append(f"{frac} AS dup_{n}gram_frac")
+        sel.append(f"{frac} <= {mx} AS ok_dup_{n}gram")
+        keep_terms.append(f"{frac} <= {mx}")
+    joins = "".join(
+        f"\nLEFT JOIN top{n} ON top{n}.doc_id = wd.doc_id" for n in sorted(GOPHER_TOP_NGRAM_MAX)
+    ) + "".join(
+        f"\nLEFT JOIN dup{n} ON dup{n}.doc_id = wd.doc_id" for n in sorted(GOPHER_DUP_NGRAM_MAX)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT " + ",\n       ".join(sel)
+        + f",\n       ({' AND '.join(keep_terms)}) AS keep\nFROM wd" + joins
+    )
 
 
 def _ann_lsh_sql(dims: int = 64, planes: int = 6, k: int = 5) -> str:
@@ -2314,6 +2380,8 @@ SELECT b.doc_id, coalesce(r.text_dedup, '') AS text_dedup, b.n_spans,
        b.n_spans - coalesce(r.n_kept, 0) AS n_removed
 FROM base b LEFT JOIN reass r USING (doc_id)
 """
+
+    sql["quality_repetition"] = _repetition_sql()
 
     sql["quality_gopher"] = """
 WITH t AS (

@@ -303,3 +303,29 @@ def test_dedup_spans_line_mode_and_min_chars_exemption(spark):
     assert out[0].text_dedup == "shared boilerplate footer line\n\nunique first body"
     assert out[1].text_dedup == "\nunique second body"
     assert out[1].n_removed == 1
+
+
+def test_repetition_filter_gopher_rules(spark):
+    """Published Gopher repetition semantics: a doc dominated by one
+    repeated 2-gram fails the top-n-gram caps; a clean doc passes every
+    rule (a top gram occurring once charges 0); duplicated 5-grams charge
+    count*len(gram) characters."""
+    from vector_spark.datapipe import repetition_filter_gopher
+
+    df = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam spam"),
+            (1, "the quick brown fox jumps over the lazy dog at dawn"),
+            (2, "one two three four five one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_filter_gopher(df).collect()}
+    # doc 0: "spam spam" occurs 5x (overlapping), 5*9/29 > 1 -> fails
+    assert out[0].top_2gram_frac > 0.2 and not out[0].keep
+    # doc 1: zero repeated n-grams at any n -> all fracs 0, keep
+    assert out[1].top_2gram_frac == 0.0 and out[1].dup_5gram_frac == 0.0
+    assert out[1].keep
+    # doc 2: "one two three four five" occurs twice -> dup_5gram = 2*23/57
+    assert out[2].dup_5gram_frac == round(2 * 23 / 57, 4)
+    assert not out[2].ok_dup_5gram and not out[2].keep

@@ -5,12 +5,12 @@ from .similarity import (
     ivf_ann_topk,
     lsh_ann_topk,
 )
-from .text import text_quality, token_count, doc_fingerprint, langid, quality_filter_gopher
+from .text import text_quality, token_count, doc_fingerprint, langid, quality_filter_gopher, repetition_filter_gopher
 from .multimodal import binary_meta, extract_features, frame_sample, resize_image
 
 __all__ = [
     "exact_dedup", "dedup_ladder", "dedup_spans", "shingle_docs", "minhash_lsh_pairs", "simhash",
     "cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "embedding_near_dup_pairs",
-    "text_quality", "quality_filter_gopher", "token_count", "doc_fingerprint", "langid",
+    "text_quality", "quality_filter_gopher", "repetition_filter_gopher", "token_count", "doc_fingerprint", "langid",
     "binary_meta", "extract_features", "frame_sample", "resize_image",
 ]

@@ -289,3 +289,119 @@ def quality_filter_gopher(
         ok_stop.alias("ok_stopwords"),
         (ok_words & ok_wl & ok_sym & ok_stop).alias("keep"),
     )
+
+
+# Gopher repetition thresholds (Rae et al. 2021, Table A1): a document is
+# dropped when the most frequent n-gram covers too much of it, or too many
+# of its characters sit inside n-grams that occur more than once.
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def _ngram_run_stats(words: Column, n: int) -> Column:
+    """Fold a doc's sorted word-n-gram array into
+    struct(top_cnt, top_gram, dup_chars) in ONE pass — no explode, no
+    shuffle; repetition stats run at scan speed inside the same stage as
+    the parquet read even on million-word documents (sort is O(g log g)
+    per row). top = highest count, ties to the lexicographically smallest
+    gram; dup_chars = sum over grams occurring >= 2 times of
+    count * len(gram) (overlap-ignoring charge, the common public
+    reimplementation of the Gopher appendix)."""
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    srt = F.array_sort(grams)
+
+    def _finalize(acc):
+        # close the open run: fold it into top/dup tallies
+        better = (acc["run"] > acc["top_cnt"]) | (
+            (acc["run"] == acc["top_cnt"]) & (acc["prev"] < acc["top_gram"])
+        )
+        return F.struct(
+            F.when(better, acc["run"]).otherwise(acc["top_cnt"]).alias("top_cnt"),
+            F.when(better, acc["prev"]).otherwise(acc["top_gram"]).alias("top_gram"),
+            (
+                acc["dup_chars"]
+                + F.when(acc["run"] >= 2, acc["run"] * F.length(acc["prev"])).otherwise(F.lit(0))
+            ).alias("dup_chars"),
+        )
+
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("top_cnt"),
+        F.lit("").alias("top_gram"),
+        F.lit(0).cast("long").alias("dup_chars"),
+    )
+
+    def merge(acc, g):
+        closed = _finalize(acc)
+        same = acc["prev"] == g
+        return F.struct(
+            g.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(same, acc["top_cnt"]).otherwise(closed["top_cnt"]).alias("top_cnt"),
+            F.when(same, acc["top_gram"]).otherwise(closed["top_gram"]).alias("top_gram"),
+            F.when(same, acc["dup_chars"]).otherwise(closed["dup_chars"]).alias("dup_chars"),
+        )
+
+    return F.aggregate(srt, init, merge, _finalize)
+
+
+def repetition_filter_gopher(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ngram_max: dict[int, float] | None = None,
+    dup_ngram_max: dict[int, float] | None = None,
+) -> DataFrame:
+    """The repetition half of the Gopher quality rules (Rae et al. 2021
+    §A1.1, Table A1), complementing quality_filter_gopher's length/symbol/
+    stopword gates: per n, the fraction of the document's characters
+    covered by its single most frequent word-n-gram
+    (top_{n}gram_frac = top_count * len(top_gram) / n_chars) and the
+    fraction sitting inside n-grams that occur more than once
+    (dup_{n}gram_frac = sum(count * len(gram) for count >= 2) / n_chars).
+    Emits one fraction + ok flag per rule and the conjunctive `keep`.
+
+    Defaults are the published thresholds: top 2/3/4-grams capped at
+    20/18/16%, duplicated 5..10-grams capped at 15..10%.
+
+    Scale: each rule is one array_sort + one fold over the row's own
+    n-grams — pure JVM expressions, zero Python, zero shuffle; the whole
+    filter runs inside the scan stage at 100 TB. The DuckDB oracle uses
+    the opposite formulation (unnest -> GROUP BY -> max/sum) on purpose.
+    """
+    top_ngram_max = GOPHER_TOP_NGRAM_MAX if top_ngram_max is None else top_ngram_max
+    dup_ngram_max = GOPHER_DUP_NGRAM_MAX if dup_ngram_max is None else dup_ngram_max
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    n_chars = F.length(F.col(text_col)).cast("long")
+    denom = F.greatest(n_chars, F.lit(1)).cast("double")
+    cols = [F.col(id_col), n_chars.alias("n_chars")]
+    keep = F.lit(True)
+    for n, mx in sorted(top_ngram_max.items()):
+        st = _ngram_run_stats(words, n)
+        # a top gram that occurs once is no repetition — charge 0 (matches
+        # the public reimplementations; otherwise any short clean doc
+        # fails on its own longest n-gram)
+        frac = F.round(
+            F.when(
+                st["top_cnt"] >= 2,
+                (st["top_cnt"] * F.length(st["top_gram"])).cast("double") / denom,
+            ).otherwise(F.lit(0.0)),
+            4,
+        )
+        ok = frac <= mx
+        cols += [frac.alias(f"top_{n}gram_frac"), ok.alias(f"ok_top_{n}gram")]
+        keep = keep & ok
+    for n, mx in sorted(dup_ngram_max.items()):
+        st = _ngram_run_stats(words, n)
+        frac = F.round(st["dup_chars"].cast("double") / denom, 4)
+        ok = frac <= mx
+        cols += [frac.alias(f"dup_{n}gram_frac"), ok.alias(f"ok_dup_{n}gram")]
+        keep = keep & ok
+    return df.select(*cols, keep.alias("keep"))
