@@ -554,6 +554,29 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"))
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """The composed curation recipe as ONE plan: Gopher quality gates
+    (contract thresholds) -> repetition gates -> corpus-wide span dedup
+    over the gated set -> langid, with the three row-local stages fused
+    into a single scan projection."""
+    from vector_spark.datapipe import curation_pipeline
+
+    return curation_pipeline(
+        _t(spark, sf_dir, "documents"),
+        quality={"min_words": 20, "min_stopword_hits": 1},
+        span_words=3,
+        max_removed_frac=0.5,
+    )
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Context-window packing prep: 8-token chunks with 2-token overlap
+    (stride 6) over the documents table — one posexplode, no shuffle."""
+    from vector_spark.datapipe import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"), chunk_tokens=8, overlap=2)
+
+
 def q_quality_repetition(spark, sf_dir):
     """Gopher repetition rules (Rae et al. Table A1): top-2/3/4-gram char
     fraction + duplicated-5..10-gram char fraction, per-rule flags + keep.
@@ -1583,6 +1606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "quality_gopher": q_quality_gopher,
         "quality_repetition": q_quality_repetition,
+        "chunk_documents": q_chunk_documents,
+        "curation_pipeline": q_curation_pipeline,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "langid": q_langid,
@@ -2383,6 +2408,26 @@ FROM base b LEFT JOIN reass r USING (doc_id)
 
     sql["quality_repetition"] = _repetition_sql()
 
+
+    # chunk i covers words [i*6+1 .. i*6+8] (1-based inclusive, stride 6);
+    # n_chunks collapses to 1 when the doc fits one window
+    sql["chunk_documents"] = """
+WITH wd AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+nb AS (
+  SELECT doc_id, w, len(w) AS n,
+         CASE WHEN len(w) <= 8 THEN 1
+              ELSE CAST(ceil((len(w) - 2) / 6.0) AS BIGINT) END AS n_chunks
+  FROM wd
+)
+SELECT doc_id,
+       unnest(range(0, n_chunks)) AS chunk_id,
+       unnest([array_to_string(w[i*6+1 : i*6+8], ' ') for i in range(0, n_chunks)]) AS chunk_text,
+       unnest([least(8, n - i*6) for i in range(0, n_chunks)]) AS n_tokens
+FROM nb
+"""
+
     sql["quality_gopher"] = """
 WITH t AS (
   SELECT doc_id,
@@ -2961,4 +3006,25 @@ SELECT event_id, user_id AS u, event_type AS t FROM events
     # pages_pipeline, demo_logs_roundtrip, multimodal_features, frame_sample:
     # intentionally no oracle (generated input / md5-float + sha1 stubs) ->
     # driver records rows-only checks
+
+    # composed curation oracle: quality + repetition as gating joins, the
+    # span-dedup SQL re-rooted onto the gated subset (dedup after gating,
+    # same as the Spark plan), langid joined row-locally.
+    _spans_gated = sql["dedup_spans"].replace("FROM documents", "FROM gated")
+    assert _spans_gated.count("FROM gated") == 2
+    sql["curation_pipeline"] = f"""
+WITH gated AS (
+  SELECT d.doc_id, d.text, q.n_words
+  FROM documents d
+  JOIN ({sql['quality_gopher']}) q ON q.doc_id = d.doc_id AND q.keep
+  JOIN ({sql['quality_repetition']}) r ON r.doc_id = d.doc_id AND r.keep
+),
+sp AS ({_spans_gated}),
+surv AS (SELECT * FROM sp WHERE n_removed <= 0.5 * n_spans)
+SELECT g.doc_id, l.predicted_lang, g.n_words, s.n_spans, s.n_removed, s.text_dedup
+FROM surv s
+JOIN gated g ON g.doc_id = s.doc_id
+JOIN ({sql['langid']}) l ON l.doc_id = g.doc_id
+"""
+
     return sql

@@ -329,3 +329,25 @@ def test_repetition_filter_gopher_rules(spark):
     # doc 2: "one two three four five" occurs twice -> dup_5gram = 2*23/57
     assert out[2].dup_5gram_frac == round(2 * 23 / 57, 4)
     assert not out[2].ok_dup_5gram and not out[2].keep
+
+
+def test_chunk_documents_windows_and_tail_rule(spark):
+    """Windows advance by stride=chunk-overlap; a tail lying entirely
+    inside the previous window's overlap is not emitted; short docs give
+    one chunk; invalid overlap rejected."""
+    from vector_spark.datapipe import chunk_documents
+
+    df = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(10))), (1, "a b c")],
+        "doc_id long, text string",
+    )
+    out = rows(chunk_documents(df, chunk_tokens=5, overlap=2), "doc_id", "chunk_id", "chunk_text", "n_tokens")
+    assert (0, 0, "w0 w1 w2 w3 w4", 5) in out
+    assert (0, 1, "w3 w4 w5 w6 w7", 5) in out
+    assert (0, 2, "w6 w7 w8 w9", 4) in out
+    assert (1, 0, "a b c", 3) in out
+    assert len([r for r in out if r[0] == 0]) == 3  # no contained tail at start 9
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap=4)

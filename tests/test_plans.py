@@ -205,3 +205,20 @@ def test_semi_and_anti_joins_stay_hash_joins(spark):
     plan = plan_of(anti)
     assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dedup_spans_plan_two_scans_three_exchanges(spark):
+    """dedup_spans detects first occurrences with a skew-immune
+    groupBy-min + join (hot spans collapse in the map-side partial agg —
+    a window over sh would serialize a corpus-hot span into one task).
+    The price is the input subtree appearing twice (firsts is derived
+    from lines); the kept-flag reassembly keeps it at exactly two, with
+    three exchanges and no per-doc base join."""
+    from vector_spark.datapipe import dedup_spans
+
+    df = spark.createDataFrame(
+        [(i, f"a b c w{i} x y") for i in range(50)], "doc_id long, text string"
+    )
+    plan = plan_of(dedup_spans(df, span_words=3))
+    assert plan.count("Exchange") <= 3
+    assert "Window" not in plan  # no skewable window partition anywhere

@@ -162,43 +162,36 @@ def dedup_spans(
             F.sequence(F.lit(0), nblocks - 1),
             lambda i: F.array_join(F.slice(words, i * k + 1, k), " "),
         )
-    base = df.select(F.col(id_col), F.size(spans_arr).cast("long").alias("n_spans"))
+    # single use of the input: removed spans are FLAGGED (not filtered) so
+    # the reassembly groupBy also yields n_spans/n_removed — no second
+    # scan of the source, no join back to a per-doc base (collect_list
+    # skips the nulls the when() leaves for dropped spans)
     lines = df.select(
         F.col(id_col), F.posexplode(spans_arr).alias("span_no", "span")
     ).withColumn("sh", F.md5(F.col("span").cast("binary")))
     firsts = lines.groupBy("sh").agg(
         F.min(F.struct(F.col(id_col), F.col("span_no"))).alias("first")
     )
-    keep = (
-        lines.join(firsts, "sh")
-        .filter(
-            (F.length("span") < min_chars)
-            | (
-                (F.col(id_col) == F.col(f"first.{id_col}"))
-                & (F.col("span_no") == F.col("first.span_no"))
-            )
-        )
-        .select(id_col, "span_no", "span")
+    kept = (F.length("span") < min_chars) | (
+        (F.col(id_col) == F.col(f"first.{id_col}"))
+        & (F.col("span_no") == F.col("first.span_no"))
     )
-    reassembled = keep.groupBy(id_col).agg(
+    flagged = lines.join(firsts, "sh").select(
+        id_col, "span_no", "span", kept.alias("_kept")
+    )
+    return flagged.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("span_no", "span"))),
+                F.array_sort(
+                    F.collect_list(F.when(F.col("_kept"), F.struct("span_no", "span")))
+                ),
                 lambda s: s.span,
             ),
             sep,
         ).alias("text_dedup"),
-        F.count(F.lit(1)).alias("_n_kept"),
-    )
-    return (
-        base.join(reassembled, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
-            F.col("n_spans"),
-            (F.col("n_spans") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias("n_removed"),
-        )
-    )
+        F.count(F.lit(1)).alias("n_spans"),
+        (F.count(F.lit(1)) - F.sum(F.col("_kept").cast("long"))).alias("n_removed"),
+    ).select(id_col, "text_dedup", "n_spans", "n_removed")
 
 
 def dedup_ladder(

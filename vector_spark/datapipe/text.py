@@ -195,6 +195,13 @@ def langid(
     Cost is linear in the number of profiles (one lookahead-regex scan per
     language); `languages` restricts scoring to a subset so a pipeline that
     only cares about, say, en/de/fr pays for 3 scans, not 20."""
+    exprs = langid_exprs(text_col, languages)
+    return df.select(F.col(id_col), *[v.alias(k) for k, v in exprs.items()])
+
+
+def langid_exprs(text_col: str = "text", languages: list[str] | None = None) -> dict[str, Column]:
+    """The langid output as an ordered name->Column dict, for fusing into a
+    wider single-scan projection (curation_pipeline)."""
     if languages is not None:
         unknown = set(languages) - set(LANG_TRIGRAMS)
         if unknown:
@@ -232,11 +239,9 @@ def langid(
             cond = c if cond is None else (cond & c)
         best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
     predicted = best.otherwise(F.lit(sorted(profiles)[0]))
-    return df.select(
-        F.col(id_col),
-        *[scores[lang].alias(f"score_{lang}") for lang in sorted(profiles)],
-        predicted.alias("predicted_lang"),
-    )
+    out: dict[str, Column] = {f"score_{lang}": scores[lang] for lang in sorted(profiles)}
+    out["predicted_lang"] = predicted
+    return out
 
 
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
@@ -261,6 +266,24 @@ def quality_filter_gopher(
     on `keep` or inspect per-rule flags for curation dashboards. Pure
     column expressions: runs at scan speed, no shuffle, trivially
     partition-parallel at 100 TB."""
+    exprs = gopher_quality_exprs(
+        text_col, min_words, max_words, min_avg_word_len, max_avg_word_len,
+        max_symbol_ratio, min_stopword_hits,
+    )
+    return df.select(F.col(id_col), *[v.alias(k) for k, v in exprs.items()])
+
+
+def gopher_quality_exprs(
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_avg_word_len: float = 3.0,
+    max_avg_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_stopword_hits: int = 2,
+) -> dict[str, Column]:
+    """quality_filter_gopher's output as an ordered name->Column dict, for
+    fusing into a wider single-scan projection (curation_pipeline)."""
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
     n_words = F.size(words).cast("long")
     total_word_chars = F.aggregate(
@@ -277,18 +300,17 @@ def quality_filter_gopher(
     ok_wl = (avg_wl >= min_avg_word_len) & (avg_wl <= max_avg_word_len)
     ok_sym = sym_ratio <= max_symbol_ratio
     ok_stop = stop_hits >= min_stopword_hits
-    return df.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        avg_wl.alias("avg_word_len"),
-        sym_ratio.alias("symbol_ratio"),
-        stop_hits.cast("long").alias("stopword_hits"),
-        ok_words.alias("ok_word_count"),
-        ok_wl.alias("ok_word_len"),
-        ok_sym.alias("ok_symbols"),
-        ok_stop.alias("ok_stopwords"),
-        (ok_words & ok_wl & ok_sym & ok_stop).alias("keep"),
-    )
+    return {
+        "n_words": n_words,
+        "avg_word_len": avg_wl,
+        "symbol_ratio": sym_ratio,
+        "stopword_hits": stop_hits.cast("long"),
+        "ok_word_count": ok_words,
+        "ok_word_len": ok_wl,
+        "ok_symbols": ok_sym,
+        "ok_stopwords": ok_stop,
+        "keep": ok_words & ok_wl & ok_sym & ok_stop,
+    }
 
 
 # Gopher repetition thresholds (Rae et al. 2021, Table A1): a document is
@@ -376,12 +398,23 @@ def repetition_filter_gopher(
     filter runs inside the scan stage at 100 TB. The DuckDB oracle uses
     the opposite formulation (unnest -> GROUP BY -> max/sum) on purpose.
     """
+    exprs = gopher_repetition_exprs(text_col, top_ngram_max, dup_ngram_max)
+    return df.select(F.col(id_col), *[v.alias(k) for k, v in exprs.items()])
+
+
+def gopher_repetition_exprs(
+    text_col: str = "text",
+    top_ngram_max: dict[int, float] | None = None,
+    dup_ngram_max: dict[int, float] | None = None,
+) -> dict[str, Column]:
+    """repetition_filter_gopher's output as an ordered name->Column dict,
+    for fusing into a wider single-scan projection (curation_pipeline)."""
     top_ngram_max = GOPHER_TOP_NGRAM_MAX if top_ngram_max is None else top_ngram_max
     dup_ngram_max = GOPHER_DUP_NGRAM_MAX if dup_ngram_max is None else dup_ngram_max
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
     n_chars = F.length(F.col(text_col)).cast("long")
     denom = F.greatest(n_chars, F.lit(1)).cast("double")
-    cols = [F.col(id_col), n_chars.alias("n_chars")]
+    out: dict[str, Column] = {"n_chars": n_chars}
     keep = F.lit(True)
     for n, mx in sorted(top_ngram_max.items()):
         st = _ngram_run_stats(words, n)
@@ -396,12 +429,50 @@ def repetition_filter_gopher(
             4,
         )
         ok = frac <= mx
-        cols += [frac.alias(f"top_{n}gram_frac"), ok.alias(f"ok_top_{n}gram")]
+        out[f"top_{n}gram_frac"] = frac
+        out[f"ok_top_{n}gram"] = ok
         keep = keep & ok
     for n, mx in sorted(dup_ngram_max.items()):
         st = _ngram_run_stats(words, n)
         frac = F.round(st["dup_chars"].cast("double") / denom, 4)
         ok = frac <= mx
-        cols += [frac.alias(f"dup_{n}gram_frac"), ok.alias(f"ok_dup_{n}gram")]
+        out[f"dup_{n}gram_frac"] = frac
+        out[f"ok_dup_{n}gram"] = ok
         keep = keep & ok
-    return df.select(*cols, keep.alias("keep"))
+    out["keep"] = keep
+    return out
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    standard LLM training-data prep step (context-window packing input).
+    Tokens are whitespace words; window i starts at i*stride
+    (stride = chunk_tokens - overlap) and carries up to chunk_tokens
+    words. A tail window whose content lies entirely inside the previous
+    window's overlap is not emitted:
+    n_chunks = 1 if n <= chunk_tokens else ceil((n - overlap) / stride).
+
+    Emits (doc_id, chunk_id, chunk_text, n_tokens). Pure column
+    expressions + one posexplode — a narrow map at any scale (output rows
+    ≈ input tokens / stride, no shuffle)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride))
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * stride + 1, chunk_tokens), " "),
+    )
+    out = df.select(F.col(id_col), n.alias("_n"), F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+    n_tokens = F.least(F.lit(chunk_tokens), F.col("_n") - F.col("chunk_id") * stride).cast("long")
+    return out.select(id_col, "chunk_id", "chunk_text", n_tokens.alias("n_tokens"))
