@@ -554,6 +554,39 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"))
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII sweep over a deterministic synthetic PII-bearing column (the
+    testdata carries no PII, so the query plants emails / IPs / SSNs
+    derived from doc_id with IDENTICAL expressions on both engines, then
+    counts + redacts them)."""
+    from vector_spark.datapipe import pii_scrub
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("reach u"), F.col("doc_id").cast("string"),
+            F.lit("@mail"), (F.col("doc_id") % 7).cast("string"), F.lit(".com from 10."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".0."),
+            (F.col("doc_id") % 100).cast("string"), F.lit(" "),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("ssn 123-45-6789 ")).otherwise(F.lit("")),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return pii_scrub(planted)
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-stratum quota: 5 docs per (lang, source)
+    stratum, md5-rank selection with id tie-break (stratum sizes in the
+    testdata run 1-16, so the quota genuinely cuts)."""
+    from vector_spark.datapipe import sample_stratified
+
+    return sample_stratified(
+        _t(spark, sf_dir, "documents"), ["lang", "source"], 5
+    ).select("doc_id", "lang", "source")
+
+
 def q_curation_pipeline(spark, sf_dir):
     """The composed curation recipe as ONE plan: Gopher quality gates
     (contract thresholds) -> repetition gates -> corpus-wide span dedup
@@ -1608,6 +1641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_repetition": q_quality_repetition,
         "chunk_documents": q_chunk_documents,
         "curation_pipeline": q_curation_pipeline,
+        "pii_scrub": q_pii_scrub,
+        "sample_stratified": q_sample_stratified,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "langid": q_langid,
@@ -3006,6 +3041,44 @@ SELECT event_id, user_id AS u, event_type AS t FROM events
     # pages_pipeline, demo_logs_roundtrip, multimodal_features, frame_sample:
     # intentionally no oracle (generated input / md5-float + sha1 stubs) ->
     # driver records rows-only checks
+
+    # PII patterns duplicated literally (Java-regex ∩ RE2 subset; see
+    # datapipe/text.py::PII_PATTERNS) — counts on the planted original,
+    # redaction applied in the same order.
+    _pii_text = ("'reach u' || CAST(doc_id AS VARCHAR) || '@mail' || CAST(doc_id % 7 AS VARCHAR)"
+                 " || '.com from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'"
+                 " || CAST(doc_id % 100 AS VARCHAR) || ' '"
+                 " || CASE WHEN doc_id % 3 = 0 THEN 'ssn 123-45-6789 ' ELSE '' END || text")
+    _pii_pats = [
+        ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+        ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+        ("phone", r"(?:\+\d{7,15}|\b\d{3}-\d{3}-\d{4})\b", "[PHONE]"),
+        ("ccn", r"\b\d{13,16}\b", "[CCN]"),
+        ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    ]
+    _counts = ",\n       ".join(
+        "CAST(len(regexp_extract_all(t, '" + p.replace("'", "''") + "')) AS BIGINT) AS n_" + n
+        for n, p, _ in _pii_pats
+    )
+    _red = "t"
+    for n, p, r in _pii_pats:
+        _red = "regexp_replace(" + _red + ", '" + p.replace("'", "''") + "', '" + r + "', 'g')"
+    sql["pii_scrub"] = f"""
+WITH planted AS (SELECT doc_id, {_pii_text} AS t FROM documents)
+SELECT doc_id,
+       {_counts},
+       {_red} AS text_redacted
+FROM planted
+"""
+
+    sql["sample_stratified"] = """
+SELECT doc_id, lang, source
+FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY lang, source
+  ORDER BY md5(lang || '|' || source || '|' || CAST(doc_id AS VARCHAR)), doc_id
+) <= 5
+"""
 
     # composed curation oracle: quality + repetition as gating joins, the
     # span-dedup SQL re-rooted onto the gated subset (dedup after gating,

@@ -351,3 +351,37 @@ def test_chunk_documents_windows_and_tail_rule(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_pii_scrub_counts_and_redaction_order(spark):
+    """Counts are per-pattern on the original text; redaction applies in
+    dict order so a phone also matching the ccn digit-run counts for both
+    but redacts as [PHONE]."""
+    from vector_spark.datapipe import pii_scrub
+
+    df = spark.createDataFrame(
+        [(0, "mail bob@x.com or call +4915112345678, card 4111111111111111 at 10.0.0.1"),
+         (1, "nothing here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pii_scrub(df).collect()}
+    r0 = out[0]
+    assert (r0.n_email, r0.n_phone, r0.n_ipv4) == (1, 1, 1)
+    assert r0.n_ccn == 2  # the 16-digit card AND the phone's digit run
+    assert r0.text_redacted == "mail [EMAIL] or call [PHONE], card [CCN] at [IP]"
+    assert out[1].text_redacted == "nothing here" and out[1].n_email == 0
+
+
+def test_sample_stratified_quota_and_determinism(spark):
+    """Exactly min(k, |stratum|) rows per stratum; selection identical
+    across runs (md5 rank, id tie-break)."""
+    from vector_spark.datapipe import sample_stratified
+
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 3)) for i in range(30)], "doc_id long, src string"
+    )
+    a = sorted(r.doc_id for r in sample_stratified(df, ["src"], 4).collect())
+    b = sorted(r.doc_id for r in sample_stratified(df, ["src"], 4).collect())
+    assert a == b and len(a) == 12
+    tiny = spark.createDataFrame([(1, "only")], "doc_id long, src string")
+    assert sample_stratified(tiny, ["src"], 4).count() == 1

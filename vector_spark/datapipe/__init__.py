@@ -5,7 +5,7 @@ from .similarity import (
     ivf_ann_topk,
     lsh_ann_topk,
 )
-from .text import text_quality, token_count, doc_fingerprint, langid, quality_filter_gopher, repetition_filter_gopher, chunk_documents
+from .text import text_quality, token_count, doc_fingerprint, langid, quality_filter_gopher, repetition_filter_gopher, chunk_documents, pii_scrub, sample_stratified
 from .curation import curation_pipeline
 from .multimodal import binary_meta, extract_features, frame_sample, resize_image
 
@@ -14,5 +14,5 @@ __all__ = [
     "cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "embedding_near_dup_pairs",
     "text_quality", "quality_filter_gopher", "repetition_filter_gopher", "token_count", "doc_fingerprint", "langid",
     "binary_meta", "extract_features", "frame_sample", "resize_image",
-    "chunk_documents", "curation_pipeline",
+    "chunk_documents", "curation_pipeline", "pii_scrub", "sample_stratified",
 ]

@@ -476,3 +476,71 @@ def chunk_documents(
     out = df.select(F.col(id_col), n.alias("_n"), F.posexplode(chunks).alias("chunk_id", "chunk_text"))
     n_tokens = F.least(F.lit(chunk_tokens), F.col("_n") - F.col("chunk_id") * stride).cast("long")
     return out.select(id_col, "chunk_id", "chunk_text", n_tokens.alias("n_tokens"))
+
+
+# PII patterns restricted to the Java-regex ∩ RE2 common subset (no
+# lookarounds, ASCII \d and \b in both engines) so the DuckDB oracle can
+# run the identical expressions. Redaction order matters only for
+# overlaps; counts are per-pattern on the ORIGINAL text.
+PII_PATTERNS = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    "phone": (r"(?:\+\d{7,15}|\b\d{3}-\d{3}-\d{4})\b", "[PHONE]"),
+    "ccn": (r"\b\d{13,16}\b", "[CCN]"),
+    "ipv4": (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+}
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: dict[str, tuple[str, str]] | None = None,
+) -> DataFrame:
+    """PII detection + redaction for training-data curation: per document,
+    the count of each PII pattern (email / SSN / phone / credit-card-like
+    digit run / IPv4) on the original text, and the text with every match
+    replaced by its placeholder, applied in dict order (the datapipe-level
+    sweep over VRL's single-pattern `redact`,
+    website/cue/reference/remap/functions/redact.cue).
+
+    Pure regexp_count/regexp_replace column expressions — scan-speed, no
+    shuffle, no Python."""
+    pats = PII_PATTERNS if patterns is None else patterns
+    cols = [F.col(id_col)]
+    red = F.col(text_col)
+    for name, (pat, repl) in pats.items():
+        cols.append(F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{name}"))
+        red = F.regexp_replace(red, pat, repl.replace("$", r"\$"))
+    cols.append(red.alias("text_redacted"))
+    return df.select(*cols)
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic quota sampling: keep exactly min(k, |stratum|) rows
+    per stratum, chosen by md5(stratum || id) rank (id tie-break) — the
+    data-mixing primitive (fixed per-source / per-language budgets) whose
+    selection is reproducible across runs and engines.
+
+    Scale: one shuffle on the strata columns + a per-stratum window
+    bounded by the stratum's row count; hot strata are bounded by k in the
+    OUTPUT but still sort their full input partition — for corpus-scale
+    strata (e.g. one language = 40% of 100 TB), pre-filter with a cheap
+    hash-threshold pass (sample_hash at ~2k/|stratum|) before ranking."""
+    from pyspark.sql import Window
+
+    rank_key = F.md5(
+        F.concat_ws("|", *[F.col(c).cast("string") for c in strata_cols],
+                    F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(*strata_cols).orderBy(rank_key, F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
