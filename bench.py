@@ -65,6 +65,14 @@ HEADLINE = [
     "aggregate_sketch",
     "parse_dnstap",
     "vrl_misc",
+    # round 3 continuation: relational shapes + curation ops
+    "tpch_q4",
+    "tpch_q13",
+    "dedup_spans",
+    "quality_repetition",
+    "chunk_documents",
+    "curation_pipeline",
+    "pii_scrub",
 ]
 
 

@@ -402,3 +402,90 @@ def test_influxdb_line_roundtrip_any_values(spark, tagval, fval, ts):
     ).collect()[0]
     assert r.m == "m" and r.t == tagval and r.ts == ts
     assert abs(r.v - float(fval)) <= 1e-9 * max(1.0, abs(fval))
+
+
+texts = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=1, max_size=20)
+    .map(" ".join),
+    min_size=1,
+    max_size=12,
+).map(lambda ts: [(i, t) for i, t in enumerate(ts)])
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+@given(docs=texts, k=st.integers(1, 4))
+@settings(**SETTINGS)
+def test_dedup_spans_conservation_and_first_wins(spark, docs, k):
+    """For ANY corpus: every doc comes back exactly once; per doc
+    n_removed + kept spans == n_spans; the multiset of kept spans equals
+    the DISTINCT spans of the corpus (min_chars=0 removes every
+    repeat, exactly one survivor per distinct span content)."""
+    from vector_spark.datapipe import dedup_spans
+
+    df = spark.createDataFrame(docs, DOC_SCHEMA)
+    out = dedup_spans(df, span_words=k).collect()
+    assert sorted(r.doc_id for r in out) == [d for d, _ in docs]
+    # recompute spans in plain Python
+    def spans(t):
+        w = t.split(" ")
+        nb = max(1, -(-len(w) // k))
+        return [" ".join(w[i * k : i * k + k]) for i in range(nb)]
+
+    all_spans = [s for _, t in docs for s in spans(t)]
+    for r in out:
+        assert r.n_spans == len(spans(dict(docs)[r.doc_id]))
+        assert 0 <= r.n_removed <= r.n_spans
+    total_kept = sum(r.n_spans - r.n_removed for r in out)
+    assert total_kept == len(set(all_spans))
+
+
+@given(docs=texts, chunk=st.integers(2, 6), overlap=st.integers(0, 4))
+@settings(**SETTINGS)
+def test_chunk_documents_coverage_any_input(spark, docs, chunk, overlap):
+    """For ANY doc and any valid (chunk, overlap): concatenating each
+    chunk's fresh tail (tokens past the overlap) reconstructs the doc
+    exactly — no token lost, none duplicated beyond the declared
+    overlap."""
+    if overlap >= chunk:
+        overlap = chunk - 1
+    from vector_spark.datapipe import chunk_documents
+
+    df = spark.createDataFrame(docs, DOC_SCHEMA)
+    out = chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+    stride = chunk - overlap
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text, r.n_tokens))
+    for doc_id, text in docs:
+        words = text.split(" ")
+        chunks = sorted(by_doc[doc_id])
+        assert chunks[0][0] == 0
+        rebuilt = chunks[0][1].split(" ")
+        for cid, ctext, ntok in chunks[1:]:
+            toks = ctext.split(" ")
+            assert toks[:overlap] == rebuilt[cid * stride : cid * stride + overlap]
+            rebuilt.extend(toks[overlap:])
+        assert rebuilt == words
+        for cid, ctext, ntok in chunks:
+            assert ntok == len(ctext.split(" "))
+
+
+@given(docs=texts)
+@settings(**SETTINGS)
+def test_repetition_zero_iff_no_repeats(spark, docs):
+    """A doc whose words are all distinct has every repetition fraction
+    exactly 0; duplicating any doc's word sequence twice drives its
+    top-n-gram fractions positive."""
+    from vector_spark.datapipe import repetition_filter_gopher
+
+    distinct_docs = [(i, " ".join(f"u{i}w{j}" for j in range(5))) for i in range(3)]
+    df = spark.createDataFrame(distinct_docs, DOC_SCHEMA)
+    for r in repetition_filter_gopher(df).collect():
+        assert r.top_2gram_frac == 0.0 and r.dup_5gram_frac == 0.0 and r.keep
+
+    doubled = [(i, t + " " + t) for i, t in docs if len(t.split(" ")) >= 2]
+    if doubled:
+        df2 = spark.createDataFrame(doubled, DOC_SCHEMA)
+        for r in repetition_filter_gopher(df2).collect():
+            assert r.top_2gram_frac > 0.0
