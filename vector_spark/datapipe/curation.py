@@ -42,19 +42,40 @@ def curation_pipeline(
 
     Dedup runs AFTER gating (the standard order: don't let junk docs
     claim first occurrence of spans that good docs carry)."""
-    q = gopher_quality_exprs(text_col, **(quality or {}))
-    r = gopher_repetition_exprs(text_col)
+    from ..session import ensure_parallelism
+
+    df = ensure_parallelism(df)  # interpreted folds + 20 regex scans/row
+    # stage the tokenization ONCE: HOFs evaluate interpreted (no codegen
+    # subexpression elimination), so a fused filter would otherwise
+    # re-split the text once per repetition rule
+    wcol = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    staged = df.select(F.col(id_col), F.col(text_col), wcol.alias("_w"))
+    q = gopher_quality_exprs(text_col, words=F.col("_w"), **(quality or {}))
+    r = gopher_repetition_exprs(text_col, words=F.col("_w"))
+    # Pushdown barrier: PushDownPredicate is cost-unaware — it would split
+    # the conjunction, substitute _w back to the split expression, and
+    # push the 9 interpreted folds below ensure_parallelism's repartition
+    # into the single scan partition (measured 22x slower). Wrapping the
+    # predicate in a spark_partition_id()-guarded branch (always true)
+    # marks it nondeterministic as a UNIT, pinning it above the exchange
+    # with the staged tokenization intact. Result is unchanged.
+    keep = F.when(F.spark_partition_id() >= 0, q["keep"] & r["keep"]).otherwise(F.lit(True))
+    gated = staged.filter(keep)
+    # langid rides only the survivor-metadata side — the span-dedup
+    # subtree (evaluated twice: lines + firsts) must not pay for it
     li = langid_exprs(text_col, languages)
-    gated = df.filter(q["keep"] & r["keep"]).select(
+    meta = gated.select(
         F.col(id_col),
-        F.col(text_col),
         li["predicted_lang"].alias("predicted_lang"),
         q["n_words"].alias("n_words"),
     )
-    spans = dedup_spans(gated, text_col=text_col, id_col=id_col, span_words=span_words)
+    spans = dedup_spans(
+        gated.select(id_col, text_col), text_col=text_col, id_col=id_col,
+        span_words=span_words,
+    )
     survivors = spans.filter(
         F.col("n_removed") <= F.lit(max_removed_frac) * F.col("n_spans")
     )
-    return survivors.join(gated.drop(text_col), id_col).select(
+    return survivors.join(meta, id_col).select(
         id_col, "predicted_lang", "n_words", "n_spans", "n_removed", "text_dedup"
     )

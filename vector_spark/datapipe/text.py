@@ -196,6 +196,7 @@ def langid(
     language); `languages` restricts scoring to a subset so a pipeline that
     only cares about, say, en/de/fr pays for 3 scans, not 20."""
     exprs = langid_exprs(text_col, languages)
+    df = ensure_parallelism(df)  # one regex scan per profile per row
     return df.select(F.col(id_col), *[v.alias(k) for k, v in exprs.items()])
 
 
@@ -281,10 +282,15 @@ def gopher_quality_exprs(
     max_avg_word_len: float = 10.0,
     max_symbol_ratio: float = 0.1,
     min_stopword_hits: int = 2,
+    words: Column | None = None,
 ) -> dict[str, Column]:
     """quality_filter_gopher's output as an ordered name->Column dict, for
-    fusing into a wider single-scan projection (curation_pipeline)."""
-    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    fusing into a wider single-scan projection (curation_pipeline). Pass
+    `words` to reuse a pre-staged tokenization column (splitting is
+    otherwise re-embedded in every expression — HOFs don't codegen, so a
+    fused filter would re-split per rule)."""
+    if words is None:
+        words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
     n_words = F.size(words).cast("long")
     total_word_chars = F.aggregate(
         words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
@@ -322,13 +328,20 @@ GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 
 def _ngram_run_stats(words: Column, n: int) -> Column:
     """Fold a doc's sorted word-n-gram array into
-    struct(top_cnt, top_gram, dup_chars) in ONE pass — no explode, no
-    shuffle; repetition stats run at scan speed inside the same stage as
-    the parquet read even on million-word documents (sort is O(g log g)
-    per row). top = highest count, ties to the lexicographically smallest
-    gram; dup_chars = sum over grams occurring >= 2 times of
-    count * len(gram) (overlap-ignoring charge, the common public
-    reimplementation of the Gopher appendix)."""
+    struct(top_chars, dup_chars) in ONE pass — no explode, no shuffle.
+    top_chars = top_count * len(top_gram) for the most frequent n-gram if
+    it occurs >= 2 times else 0 (ties -> lexicographically smallest gram);
+    dup_chars = sum over grams occurring >= 2 times of count * len(gram)
+    (overlap-ignoring charge, the common public reimplementation of the
+    Gopher appendix).
+
+    Built for INTERPRETED evaluation: higher-order functions never enter
+    whole-stage codegen, so the merge lambda runs tree-walk per element —
+    the state is lean and every heavy reference is a lambda variable
+    (a struct-rebuilding finalize embedded per field cost ~7x this
+    formulation on 54-word docs). The tie-break needs only strict '>':
+    runs close in ascending gram order, so on a tie the incumbent is
+    already the lexicographically smaller gram."""
     grams = F.when(
         F.size(words) >= n,
         F.transform(
@@ -337,41 +350,45 @@ def _ngram_run_stats(words: Column, n: int) -> Column:
         ),
     ).otherwise(F.array().cast("array<string>"))
     srt = F.array_sort(grams)
+    zero = F.lit(0).cast("long")
 
-    def _finalize(acc):
-        # close the open run: fold it into top/dup tallies
-        better = (acc["run"] > acc["top_cnt"]) | (
-            (acc["run"] == acc["top_cnt"]) & (acc["prev"] < acc["top_gram"])
-        )
+    init = F.struct(
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        zero.alias("top_cnt"),
+        F.lit("").alias("top_gram"),
+        zero.alias("dup_chars"),
+    )
+
+    def merge(acc, g):
+        same = acc["prev"] == g
+        better = (~same) & (acc["run"] > acc["top_cnt"])
         return F.struct(
+            g.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
             F.when(better, acc["run"]).otherwise(acc["top_cnt"]).alias("top_cnt"),
             F.when(better, acc["prev"]).otherwise(acc["top_gram"]).alias("top_gram"),
             (
                 acc["dup_chars"]
-                + F.when(acc["run"] >= 2, acc["run"] * F.length(acc["prev"])).otherwise(F.lit(0))
+                + F.when(
+                    (~same) & (acc["run"] >= 2), acc["run"] * F.length(acc["prev"])
+                ).otherwise(zero)
             ).alias("dup_chars"),
         )
 
-    init = F.struct(
-        F.lit("").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("top_cnt"),
-        F.lit("").alias("top_gram"),
-        F.lit(0).cast("long").alias("dup_chars"),
-    )
-
-    def merge(acc, g):
-        closed = _finalize(acc)
-        same = acc["prev"] == g
+    def finish(acc):
+        last_better = acc["run"] > acc["top_cnt"]
+        top_cnt = F.when(last_better, acc["run"]).otherwise(acc["top_cnt"])
+        top_gram = F.when(last_better, acc["prev"]).otherwise(acc["top_gram"])
+        dup = acc["dup_chars"] + F.when(
+            acc["run"] >= 2, acc["run"] * F.length(acc["prev"])
+        ).otherwise(zero)
         return F.struct(
-            g.alias("prev"),
-            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
-            F.when(same, acc["top_cnt"]).otherwise(closed["top_cnt"]).alias("top_cnt"),
-            F.when(same, acc["top_gram"]).otherwise(closed["top_gram"]).alias("top_gram"),
-            F.when(same, acc["dup_chars"]).otherwise(closed["dup_chars"]).alias("dup_chars"),
+            F.when(top_cnt >= 2, top_cnt * F.length(top_gram)).otherwise(zero).alias("top_chars"),
+            dup.alias("dup_chars"),
         )
 
-    return F.aggregate(srt, init, merge, _finalize)
+    return F.aggregate(srt, init, merge, finish)
 
 
 def repetition_filter_gopher(
@@ -397,37 +414,66 @@ def repetition_filter_gopher(
     n-grams — pure JVM expressions, zero Python, zero shuffle; the whole
     filter runs inside the scan stage at 100 TB. The DuckDB oracle uses
     the opposite formulation (unnest -> GROUP BY -> max/sum) on purpose.
-    """
-    exprs = gopher_repetition_exprs(text_col, top_ngram_max, dup_ngram_max)
-    return df.select(F.col(id_col), *[v.alias(k) for k, v in exprs.items()])
+
+    Implementation: three STAGED projections (words -> one fold struct per
+    rule -> fracs/flags). HOF folds evaluate interpreted, so each fold
+    must run exactly once per row; Catalyst's CollapseProject keeps the
+    stages apart because the intermediate aliases are referenced more
+    than once."""
+    top_ngram_max = GOPHER_TOP_NGRAM_MAX if top_ngram_max is None else top_ngram_max
+    dup_ngram_max = GOPHER_DUP_NGRAM_MAX if dup_ngram_max is None else dup_ngram_max
+    all_ns = sorted(set(top_ngram_max) | set(dup_ngram_max))
+    df = ensure_parallelism(df)  # ~1 ms/doc of interpreted folds: spread it
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    s1 = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        words.alias("_w"),
+    )
+    s2 = s1.select(
+        id_col,
+        "n_chars",
+        *[_ngram_run_stats(F.col("_w"), n).alias(f"_st{n}") for n in all_ns],
+    )
+    denom = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    cols = [F.col(id_col), F.col("n_chars")]
+    keep = F.lit(True)
+    for n, mx in sorted(top_ngram_max.items()):
+        frac = F.round(F.col(f"_st{n}.top_chars").cast("double") / denom, 4)
+        ok = frac <= mx
+        cols += [frac.alias(f"top_{n}gram_frac"), ok.alias(f"ok_top_{n}gram")]
+        keep = keep & ok
+    for n, mx in sorted(dup_ngram_max.items()):
+        frac = F.round(F.col(f"_st{n}.dup_chars").cast("double") / denom, 4)
+        ok = frac <= mx
+        cols += [frac.alias(f"dup_{n}gram_frac"), ok.alias(f"ok_dup_{n}gram")]
+        keep = keep & ok
+    return s2.select(*cols, keep.alias("keep"))
 
 
 def gopher_repetition_exprs(
     text_col: str = "text",
     top_ngram_max: dict[int, float] | None = None,
     dup_ngram_max: dict[int, float] | None = None,
+    words: Column | None = None,
 ) -> dict[str, Column]:
     """repetition_filter_gopher's output as an ordered name->Column dict,
-    for fusing into a wider single-scan projection (curation_pipeline)."""
+    for fusing into a wider single-scan projection (curation_pipeline).
+    Selecting ALL entries evaluates each rule's fold up to twice (frac +
+    ok); prefer selecting only what the fusion needs (`keep` costs one
+    fold per rule) and pass a pre-staged `words` column — the staged
+    repetition_filter_gopher is the every-column path."""
     top_ngram_max = GOPHER_TOP_NGRAM_MAX if top_ngram_max is None else top_ngram_max
     dup_ngram_max = GOPHER_DUP_NGRAM_MAX if dup_ngram_max is None else dup_ngram_max
-    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    if words is None:
+        words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
     n_chars = F.length(F.col(text_col)).cast("long")
     denom = F.greatest(n_chars, F.lit(1)).cast("double")
     out: dict[str, Column] = {"n_chars": n_chars}
     keep = F.lit(True)
     for n, mx in sorted(top_ngram_max.items()):
         st = _ngram_run_stats(words, n)
-        # a top gram that occurs once is no repetition — charge 0 (matches
-        # the public reimplementations; otherwise any short clean doc
-        # fails on its own longest n-gram)
-        frac = F.round(
-            F.when(
-                st["top_cnt"] >= 2,
-                (st["top_cnt"] * F.length(st["top_gram"])).cast("double") / denom,
-            ).otherwise(F.lit(0.0)),
-            4,
-        )
+        frac = F.round(st["top_chars"].cast("double") / denom, 4)
         ok = frac <= mx
         out[f"top_{n}gram_frac"] = frac
         out[f"ok_top_{n}gram"] = ok
