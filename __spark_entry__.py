@@ -587,6 +587,36 @@ def q_sample_stratified(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+def q_decontaminate(spark, sf_dir):
+    """GPT-3-style benchmark decontamination: docs sharing any word
+    n-gram with the held-out set are dropped. The synthetic benchmark is
+    every 101st doc (deterministic, ~1% like a real eval suite); n=4
+    instead of the published 13 because the testdata docs are ~25-word
+    synthetic lines — at sf0.01 this flags ~11 genuinely-overlapping
+    non-benchmark docs, so the oracle checks real discrimination, not a
+    constant column."""
+    from vector_spark.datapipe import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 101 == 7)
+    return decontaminate(d, bench, n=4)
+
+
+def q_shuffle_corpus(spark, sf_dir):
+    """Deterministic global corpus shuffle into 8 shards, seed 42 —
+    (shard, pos) must be identical for any input partitioning (the
+    resume/reproducibility invariant); the oracle recomputes the same
+    md5-derived shard + rank in SQL."""
+    from vector_spark.datapipe import shuffle_corpus
+
+    return shuffle_corpus(
+        _t(spark, sf_dir, "documents"),
+        n_shards=8,
+        seed=42,
+        payload_cols=["text", "lang", "source", "n_chars"],
+    )
+
+
 def q_curation_pipeline(spark, sf_dir):
     """The composed curation recipe as ONE plan: Gopher quality gates
     (contract thresholds) -> repetition gates -> corpus-wide span dedup
@@ -1643,6 +1673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "pii_scrub": q_pii_scrub,
         "sample_stratified": q_sample_stratified,
+        "decontaminate": q_decontaminate,
+        "shuffle_corpus": q_shuffle_corpus,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "langid": q_langid,
@@ -3078,6 +3110,47 @@ QUALIFY row_number() OVER (
   PARTITION BY lang, source
   ORDER BY md5(lang || '|' || source || '|' || CAST(doc_id AS VARCHAR)), doc_id
 ) <= 5
+"""
+
+    sql["decontaminate"] = """
+WITH wd AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+docs AS (
+  SELECT doc_id, list_distinct(
+    [array_to_string(w[i+1:i+4], ' ') for i in range(0, greatest(len(w)-4+1, 0))]
+  ) AS g
+  FROM wd
+),
+bench AS (SELECT DISTINCT unnest(g) AS bg FROM docs WHERE doc_id % 101 = 7),
+hits AS (
+  SELECT e.doc_id, count(*) AS n_hits
+  FROM (SELECT doc_id, unnest(g) AS g FROM docs) e
+  JOIN bench b ON b.bg = e.g
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(len(d.g) AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / greatest(len(d.g), 1), 4) AS contam_frac,
+       round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / greatest(len(d.g), 1), 4) <= 0.0 AS keep
+FROM docs d LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
+
+    _shard_hex = "md5('42:' || CAST(doc_id AS VARCHAR))"
+    _shard_val = "(" + " + ".join(
+        f"CAST({_hexval_sql(f'substr({_shard_hex}, {i + 1}, 1)')} AS BIGINT) * {16 ** (7 - i)}"
+        for i in range(8)
+    ) + ")"
+    sql["shuffle_corpus"] = f"""
+SELECT doc_id, text, lang, source, n_chars,
+       {_shard_val} % 8 AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY {_shard_val} % 8
+         ORDER BY {_shard_hex}, doc_id
+       ) AS BIGINT) AS pos
+FROM documents
 """
 
     # composed curation oracle: quality + repetition as gating joins, the

@@ -73,6 +73,8 @@ HEADLINE = [
     "chunk_documents",
     "curation_pipeline",
     "pii_scrub",
+    "decontaminate",
+    "shuffle_corpus",
 ]
 
 

@@ -385,3 +385,51 @@ def test_sample_stratified_quota_and_determinism(spark):
     assert a == b and len(a) == 12
     tiny = spark.createDataFrame([(1, "only")], "doc_id long, src string")
     assert sample_stratified(tiny, ["src"], 4).count() == 1
+
+
+def test_decontaminate_flags_overlap_and_short_docs(spark):
+    """Any shared word-n-gram with the benchmark drops the doc
+    (max_frac=0.0); docs shorter than n words have 0 grams and keep=True;
+    matching is case-insensitive."""
+    from vector_spark.datapipe import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),   # contains bench 4-gram
+            (1, "one two three"),                         # < n words -> 0 grams
+            (2, "totally unrelated content right here"),  # clean
+            (3, "ALPHA BETA GAMMA DELTA trailing words"), # case-folded hit
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in decontaminate(docs, bench, n=4).collect()}
+    assert not out[0].keep and out[0].n_hits == 2      # 2 of its 3 grams hit
+    assert out[1].keep and out[1].n_grams == 0 and out[1].n_hits == 0
+    assert out[2].keep and out[2].n_hits == 0
+    assert not out[3].keep and out[3].n_hits == 1
+    assert out[0].contam_frac == round(2 / 3, 4)
+
+
+def test_shuffle_corpus_deterministic_and_complete(spark):
+    """(shard, pos) is a bijection onto the input, positions are
+    1..shard_size within each shard, and the assignment is byte-identical
+    for different input partitionings (the resume invariant)."""
+    from vector_spark.datapipe import shuffle_corpus
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = shuffle_corpus(df, n_shards=4, seed=7)
+    rows_a = {(r.shard, r.pos): r.doc_id for r in a.collect()}
+    assert len(rows_a) == 200
+    by_shard = {}
+    for (s, p), _ in rows_a.items():
+        by_shard.setdefault(s, []).append(p)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    b = shuffle_corpus(df.repartition(13), n_shards=4, seed=7)
+    assert {(r.shard, r.pos): r.doc_id for r in b.collect()} == rows_a
+    c = shuffle_corpus(df, n_shards=4, seed=8)
+    assert {(r.shard, r.pos): r.doc_id for r in c.collect()} != rows_a

@@ -1,0 +1,131 @@
+"""Corpus-assembly operations for training-data pipelines: benchmark
+decontamination and deterministic corpus shuffling.
+
+These have no reference-engine counterpart (Vector is an event pipeline);
+they are the corpus-level ops a 100 TB web-text curation run needs after
+filtering/dedup, built shuffle-disciplined:
+
+  * decontaminate  — GPT-3-style n-gram overlap decontamination against a
+                     held-out benchmark table. The benchmark n-gram set is
+                     tiny (benchmarks are MBs) and is BROADCAST; the only
+                     shuffled rows are (doc_id, matched-gram) hits, which
+                     the partial agg collapses to one row per contaminated
+                     doc before the exchange.
+  * shuffle_corpus — seed-deterministic global reshuffle into n_shards
+                     output shards (the training-data "global shuffle"
+                     step): ONE exchange keyed by the md5-derived shard,
+                     in-shard order by the same hash. Size n_shards so a
+                     shard fits an output file (~1 GB): at 100 TB that is
+                     ~10^5 shards, far above any executor count, so the
+                     exchange is balanced by construction.
+
+Engine-portable (md5 as the hash family) so a SQL oracle reproduces both
+bit-for-bit; no Python anywhere — n-gram construction is higher-order
+column functions, hashing/ranking are built-ins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _word_ngrams(text: Column, n: int) -> Column:
+    """Distinct lowercase word-n-grams of `text` (whitespace tokens,
+    space-joined), as an array<string>; empty when the doc has < n words."""
+    words = F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+    return F.array_distinct(
+        F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    max_frac: float = 0.0,
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Flag training documents that overlap a held-out benchmark/eval set
+    on word n-grams (the GPT-3 appendix-C decontamination rule; 13-grams
+    are the published default). Output per input doc:
+
+      n_grams     — distinct n-grams in the doc (0 if < n words)
+      n_hits      — of those, how many appear anywhere in the benchmark
+      contam_frac — n_hits / max(n_grams, 1), rounded to 4 dp
+      keep        — contam_frac <= max_frac (default 0.0: ANY collision
+                    drops, the conservative published setting)
+
+    Plan shape for 100 TB: the benchmark's distinct-gram set is built once
+    (benchmark tables are small — broadcast), the doc side's exploded
+    grams hash-join against it WITHOUT shuffling (broadcast join), the
+    surviving hit rows partial-aggregate per doc before the single
+    exchange, and the final left join carries only (id, n_grams) — ids,
+    never text."""
+    from ..session import ensure_parallelism
+
+    tcol = bench_text_col or text_col
+    df = ensure_parallelism(df)  # interpreted n-gram folds: spread the scan
+    bench_grams = (
+        benchmark.select(F.explode(_word_ngrams(F.col(tcol), n)).alias("g")).distinct()
+    )
+    stats = df.select(
+        F.col(id_col), F.size(_word_ngrams(F.col(text_col), n)).cast("long").alias("n_grams")
+    )
+    hits = (
+        df.select(F.col(id_col), F.explode(_word_ngrams(F.col(text_col), n)).alias("g"))
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    frac = F.round(
+        F.col("n_hits").cast("double") / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"),
+        4,
+    )
+    return (
+        stats.join(hits, id_col, "left")
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)).cast("long"))
+        .select(
+            id_col,
+            "n_grams",
+            "n_hits",
+            frac.alias("contam_frac"),
+            (frac <= F.lit(max_frac)).alias("keep"),
+        )
+    )
+
+
+def shuffle_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: int = 42,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic global corpus shuffle: every row gets a stable
+    (shard, pos) from md5(seed || id) — shard = first-8-hex-digits mod
+    n_shards, pos = 1-based rank within the shard by (hash, id). Identical
+    output for any input partitioning or cluster size (the property a
+    resumable training-data job needs: re-running the shuffle after a
+    failure reproduces the same shard files byte-for-byte).
+
+    ONE exchange (the window's partitionBy) + an in-shard sort — the
+    minimum any global shuffle pays. Rank is computed per shard, so skew
+    is bounded by the hash's uniformity; size n_shards to output-file
+    granularity, not executor count."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    shard = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards).alias("shard")
+    keep = [F.col(id_col)] + [F.col(c) for c in (payload_cols or [])]
+    staged = df.select(*keep, shard, h.alias("_h"))
+    w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(id_col))
+    return staged.withColumn("pos", F.row_number().over(w).cast("long")).drop("_h")
