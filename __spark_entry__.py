@@ -587,6 +587,48 @@ def q_sample_stratified(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+def q_url_filter(spark, sf_dir):
+    """C4-style URL pass over deterministically planted crawl URLs
+    (upper/lower-cased schemes and hosts, default and non-default ports,
+    utm/gclid tracking params, fragments, bare-slash paths, .co.uk
+    registrable domains; consecutive doc pairs collide after
+    normalization 1/3 of the time so is_canonical genuinely cuts). The
+    Spark side parses the ASSEMBLED url with parse_url; the oracle
+    recomputes the normalization from the component columns — opposite
+    formulations on purpose."""
+    from vector_spark.datapipe import url_filter
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.expr(
+            """
+            concat(
+              CASE WHEN doc_id % 5 = 0
+                   THEN upper(CASE WHEN (doc_id div 2) % 3 = 0 THEN 'https' ELSE 'http' END)
+                   ELSE CASE WHEN (doc_id div 2) % 3 = 0 THEN 'https' ELSE 'http' END END,
+              '://',
+              CASE WHEN doc_id % 2 = 0
+                   THEN upper(concat('www.site', CAST((doc_id div 2) % 13 AS STRING),
+                        CASE WHEN (doc_id div 2) % 4 = 0 THEN '.co.uk' ELSE '.com' END))
+                   ELSE concat('www.site', CAST((doc_id div 2) % 13 AS STRING),
+                        CASE WHEN (doc_id div 2) % 4 = 0 THEN '.co.uk' ELSE '.com' END) END,
+              CASE WHEN doc_id % 2 = 1
+                   THEN CASE WHEN (doc_id div 2) % 3 = 0 THEN ':443' ELSE ':80' END
+                   WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END,
+              CASE WHEN (doc_id div 2) % 5 = 0 THEN '/'
+                   ELSE concat('/p/', CAST((doc_id div 2) % 9 AS STRING)) END,
+              CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1'
+                   WHEN doc_id % 3 = 1 THEN '?b=2&a=1&gclid=x'
+                   ELSE '' END,
+              CASE WHEN doc_id % 2 = 1 THEN concat('#sec', CAST(doc_id % 4 AS STRING)) ELSE '' END
+            )"""
+        ).alias("url"),
+    )
+    block = spark.createDataFrame([("site3.com",), ("site7.co.uk",)], "domain string")
+    return url_filter(planted, block)
+
+
 def q_decontaminate(spark, sf_dir):
     """GPT-3-style benchmark decontamination: docs sharing any word
     n-gram with the held-out set are dropped. The synthetic benchmark is
@@ -1675,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "decontaminate": q_decontaminate,
         "shuffle_corpus": q_shuffle_corpus,
+        "url_filter": q_url_filter,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "langid": q_langid,
@@ -3110,6 +3153,55 @@ QUALIFY row_number() OVER (
   PARTITION BY lang, source
   ORDER BY md5(lang || '|' || source || '|' || CAST(doc_id AS VARCHAR)), doc_id
 ) <= 5
+"""
+
+    sql["url_filter"] = """
+WITH parts AS (
+  SELECT doc_id,
+         CASE WHEN (doc_id // 2) % 3 = 0 THEN 'https' ELSE 'http' END AS scheme,
+         'www.site' || CAST((doc_id // 2) % 13 AS VARCHAR)
+           || CASE WHEN (doc_id // 2) % 4 = 0 THEN '.co.uk' ELSE '.com' END AS host,
+         CASE WHEN doc_id % 2 = 1
+              THEN CASE WHEN (doc_id // 2) % 3 = 0 THEN '443' ELSE '80' END
+              WHEN doc_id % 7 = 0 THEN '8080' ELSE '' END AS rawport,
+         CASE WHEN (doc_id // 2) % 5 = 0 THEN '/'
+              ELSE '/p/' || CAST((doc_id // 2) % 9 AS VARCHAR) END AS path,
+         CASE WHEN doc_id % 3 = 0 THEN 'utm_source=feed&b=2&a=1'
+              WHEN doc_id % 3 = 1 THEN 'b=2&a=1&gclid=x'
+              ELSE '' END AS q
+  FROM documents
+),
+norm AS (
+  SELECT doc_id, scheme, host,
+         CASE WHEN rawport = (CASE WHEN scheme = 'https' THEN '443' ELSE '80' END)
+              THEN '' ELSE rawport END AS port,
+         CASE WHEN path = '/' THEN '' ELSE path END AS npath,
+         list_sort(list_filter(string_split(q, '&'),
+           p -> p <> ''
+                AND NOT starts_with(split_part(p, '=', 1), 'utm_')
+                AND split_part(p, '=', 1) NOT IN ('gclid','fbclid','msclkid','mc_cid','mc_eid')
+         )) AS kept,
+         string_split(host, '.') AS labels
+  FROM parts
+),
+flat AS (
+  SELECT doc_id, host,
+         scheme || '://' || host
+           || CASE WHEN port <> '' THEN ':' || port ELSE '' END
+           || npath
+           || CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END
+           AS url_norm,
+         CASE WHEN len(labels) >= 3 AND length(labels[-1]) = 2
+                   AND labels[-2] IN ('co','com','net','org','gov','ac','edu')
+              THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+              WHEN len(labels) >= 2 THEN labels[-2] || '.' || labels[-1]
+              ELSE host END AS domain
+  FROM norm
+)
+SELECT doc_id, url_norm, host, domain,
+       domain IN ('site3.com', 'site7.co.uk') AS blocked,
+       row_number() OVER (PARTITION BY url_norm ORDER BY doc_id) = 1 AS is_canonical
+FROM flat
 """
 
     sql["decontaminate"] = """

@@ -75,6 +75,7 @@ HEADLINE = [
     "pii_scrub",
     "decontaminate",
     "shuffle_corpus",
+    "url_filter",
 ]
 
 

@@ -433,3 +433,30 @@ def test_shuffle_corpus_deterministic_and_complete(spark):
     assert {(r.shard, r.pos): r.doc_id for r in b.collect()} == rows_a
     c = shuffle_corpus(df, n_shards=4, seed=8)
     assert {(r.shard, r.pos): r.doc_id for r in c.collect()} != rows_a
+
+
+def test_url_filter_normalization_blocklist_and_dedup(spark):
+    """Default port + fragment + tracking params + case all collapse to
+    one canonical url; non-default ports survive; .co.uk registrable
+    domains; blocklist flags by domain."""
+    from vector_spark.datapipe import url_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "HTTP://WWW.Ex.COM:80/a?utm_source=f&b=2&a=1#frag"),
+            (2, "http://www.ex.com/a?a=1&b=2"),              # same canonical as 1
+            (3, "http://www.ex.com:8080/a?a=1&b=2"),          # port kept -> distinct
+            (4, "https://news.ex.co.uk/"),                    # bare slash dropped, 3-label domain
+            (5, "https://bad.site.org/x?gclid=z"),            # blocklisted
+        ],
+        "doc_id long, url string",
+    )
+    block = spark.createDataFrame([("site.org",)], "domain string")
+    out = {r.doc_id: r for r in url_filter(docs, block).collect()}
+    assert out[1].url_norm == "http://www.ex.com/a?a=1&b=2"
+    assert out[1].url_norm == out[2].url_norm
+    assert out[1].is_canonical and not out[2].is_canonical
+    assert out[3].url_norm == "http://www.ex.com:8080/a?a=1&b=2" and out[3].is_canonical
+    assert out[4].url_norm == "https://news.ex.co.uk" and out[4].domain == "ex.co.uk"
+    assert out[5].blocked and out[5].url_norm == "https://bad.site.org/x"
+    assert not out[1].blocked and out[1].domain == "ex.com"

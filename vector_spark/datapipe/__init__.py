@@ -8,6 +8,7 @@ from .similarity import (
 from .text import text_quality, token_count, doc_fingerprint, langid, quality_filter_gopher, repetition_filter_gopher, chunk_documents, pii_scrub, sample_stratified
 from .curation import curation_pipeline
 from .corpus import decontaminate, shuffle_corpus
+from .urls import url_filter, url_normalize_exprs
 from .multimodal import binary_meta, extract_features, frame_sample, resize_image
 
 __all__ = [
@@ -16,5 +17,5 @@ __all__ = [
     "text_quality", "quality_filter_gopher", "repetition_filter_gopher", "token_count", "doc_fingerprint", "langid",
     "binary_meta", "extract_features", "frame_sample", "resize_image",
     "chunk_documents", "curation_pipeline", "pii_scrub", "sample_stratified",
-    "decontaminate", "shuffle_corpus",
+    "decontaminate", "shuffle_corpus", "url_filter", "url_normalize_exprs",
 ]
