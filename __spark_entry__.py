@@ -587,6 +587,18 @@ def q_sample_stratified(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+def q_perplexity_bucket(spark, sf_dir):
+    """CCNet-style LM quality scoring (unigram analogue, disclosed in
+    lm.py): self-trained token counts, Laplace log10-probs, per-doc mean
+    NLL, head/middle/tail buckets. Thresholds are the sf0.01 terciles so
+    the bucket column genuinely three-ways the corpus at driver scale."""
+    from vector_spark.datapipe import perplexity_score
+
+    return perplexity_score(
+        _t(spark, sf_dir, "documents"), head=1.4765, middle=1.4784
+    )
+
+
 def q_url_filter(spark, sf_dir):
     """C4-style URL pass over deterministically planted crawl URLs
     (upper/lower-cased schemes and hosts, default and non-default ports,
@@ -1718,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "shuffle_corpus": q_shuffle_corpus,
         "url_filter": q_url_filter,
+        "perplexity_bucket": q_perplexity_bucket,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "langid": q_langid,
@@ -3153,6 +3166,35 @@ QUALIFY row_number() OVER (
   PARTITION BY lang, source
   ORDER BY md5(lang || '|' || source || '|' || CAST(doc_id AS VARCHAR)), doc_id
 ) <= 5
+"""
+
+    sql["perplexity_bucket"] = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+  FROM documents
+),
+lm AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),
+tot AS (SELECT sum(cnt) AS t, count(*) AS v FROM lm),
+terms AS (
+  SELECT doc_id,
+         CAST(round(log10(CAST(cnt + 1 AS DOUBLE)) - log10(CAST(t + v AS DOUBLE)), 6)
+              AS DECIMAL(25,6)) AS term
+  FROM tok JOIN lm USING (w), tot
+),
+sc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         round(-(CAST(sum(term) AS DOUBLE)) / count(*), 4) AS nll
+  FROM terms GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(sc.n_words, 0) AS n_words,
+       sc.nll AS nll,
+       CASE WHEN sc.nll IS NULL THEN NULL
+            WHEN sc.nll <= 1.4765 THEN 'head'
+            WHEN sc.nll <= 1.4784 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
 """
 
     sql["url_filter"] = """

@@ -76,6 +76,7 @@ HEADLINE = [
     "decontaminate",
     "shuffle_corpus",
     "url_filter",
+    "perplexity_bucket",
 ]
 
 

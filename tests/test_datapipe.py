@@ -460,3 +460,31 @@ def test_url_filter_normalization_blocklist_and_dedup(spark):
     assert out[4].url_norm == "https://news.ex.co.uk" and out[4].domain == "ex.co.uk"
     assert out[5].blocked and out[5].url_norm == "https://bad.site.org/x"
     assert not out[1].blocked and out[1].domain == "ex.com"
+
+
+def test_perplexity_score_buckets_and_external_lm(spark):
+    """Common-word docs score lower NLL than rare-word docs; an external
+    LM handles OOV via smoothing; zero-token docs get null nll/bucket."""
+    from vector_spark.datapipe import perplexity_score, unigram_lm
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the the the the"),          # most common token
+            (1, "the the rare the"),
+            (2, "zebra quartz fjord vex"),   # all rare
+            (3, "   "),                      # no tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in perplexity_score(docs, head=0.4, middle=0.8).collect()}
+    assert out[0].nll < out[1].nll < out[2].nll
+    assert out[0].bucket == "head" and out[2].bucket == "tail"
+    assert out[3].n_words == 0 and out[3].nll is None and out[3].bucket is None
+
+    lm = unigram_lm(spark.createDataFrame([(0, "a a a b")], "i long, text string"))
+    ext = perplexity_score(
+        spark.createDataFrame([(0, "a b"), (1, "zzz zzz")], "doc_id long, text string"),
+        lm=lm, head=0.7, middle=0.75,
+    )
+    got = {r.doc_id: r for r in ext.collect()}
+    assert got[0].nll < got[1].nll  # OOV doc scores worse, not crashes

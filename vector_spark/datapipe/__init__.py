@@ -9,6 +9,7 @@ from .text import text_quality, token_count, doc_fingerprint, langid, quality_fi
 from .curation import curation_pipeline
 from .corpus import decontaminate, shuffle_corpus
 from .urls import url_filter, url_normalize_exprs
+from .lm import perplexity_score, unigram_lm
 from .multimodal import binary_meta, extract_features, frame_sample, resize_image
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "binary_meta", "extract_features", "frame_sample", "resize_image",
     "chunk_documents", "curation_pipeline", "pii_scrub", "sample_stratified",
     "decontaminate", "shuffle_corpus", "url_filter", "url_normalize_exprs",
+    "perplexity_score", "unigram_lm",
 ]
