@@ -393,9 +393,16 @@ def q_tpch_q5(spark, sf_dir):
             & (F.col("o_orderdate") < "1998-01-01")
         )
         .groupBy("n_name")
-        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(25,6)"
+                )
+            ).alias("_r")
+        )
     )
-    return out.select("n_name", F.round("revenue", 2).alias("revenue"))
+    # decimal-domain round: .xx5 ties round HALF_UP in both engines
+    return out.select("n_name", F.round(F.col("_r"), 2).cast("double").alias("revenue"))
 
 
 def q_tpch_q6(spark, sf_dir):
@@ -407,8 +414,12 @@ def q_tpch_q6(spark, sf_dir):
         & (F.col("l_shipdate") < "1997-01-01")
         & (F.col("l_discount").between(0.05, 0.07))
         & (F.col("l_quantity") < 24)
-    ).agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
-    return out.select(F.round("revenue", 2).alias("revenue"))
+    ).agg(
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(25,6)")
+        ).alias("_r")
+    )
+    return out.select(F.round(F.col("_r"), 2).cast("double").alias("revenue"))
 
 
 def q_tpch_q18(spark, sf_dir):
@@ -530,6 +541,449 @@ def q_tpch_q22(spark, sf_dir):
         .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(F.count(F.lit(1)).alias("numcust"), _dsum(F.col("c_acctbal"), "totacctbal"))
+    )
+
+
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier): correlated extremum subquery.
+    Adapted to the trimmed schema: the part-supplier relation comes from
+    DISTINCT lineitem pairs (no partsupp), the correlated extremum is
+    max(s_acctbal) per part (no ps_supplycost), parts are p_type='ECONOMY'
+    and suppliers sit in region EUROPE. Everything but lineitem is
+    broadcast; lineitem contributes only its distinct (partkey, suppkey)
+    pairs. Deterministic top-100 with full tie-breaks."""
+    ps = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cand = (
+        ps.join(broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("p_partkey", "p_type", "s_name", "n_name", "s_acctbal")
+    )
+    best = cand.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.max("s_acctbal").alias("_best")
+    )
+    return (
+        cand.join(
+            broadcast(best),
+            (cand.p_partkey == best._pk) & (cand.s_acctbal == best._best),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): two nation-dim joins on different keys
+    (supplier nation vs customer nation) with a symmetric nation-pair
+    predicate, yearly revenue rollup. NATION_15/NATION_19 replace
+    FRANCE/GERMANY. Both nation dims broadcast under distinct aliases."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_cnk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_15") & (F.col("cust_nation") == "NATION_19")
+    ) | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_15"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast(n1), F.col("s_nationkey") == F.col("_snk"))
+        .join(broadcast(n2), F.col("c_nationkey") == F.col("_cnk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+        )
+        # round in the DECIMAL domain (HALF_UP both engines) — round(double)
+        # resolves .xx5 ties differently in Spark vs DuckDB
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(25,6)"
+                )
+            ).alias("_r")
+        )
+        .select(
+            "supp_nation", "cust_nation", "l_year",
+            F.round(F.col("_r"), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (national market share): conditional-aggregate ratio —
+    share of NATION_21-supplied revenue among AMERICA-region customers for
+    ECONOMY parts, per order year. Both sums are exact decimal sums cast
+    to double, so the ratio is the same IEEE division in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    ncust = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    nsupp = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(p), li.l_partkey == p.p_partkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(ncust), F.col("c_nationkey") == ncust.n_nationkey)
+        .join(broadcast(r), ncust.n_regionkey == r.r_regionkey)
+        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast(nsupp), F.col("s_nationkey") == F.col("_snk"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            _dsum(F.when(F.col("supp_nation") == "NATION_21", vol).otherwise(0.0), "_nat"),
+            _dsum(vol, "_tot"),
+        )
+        .select(
+            "o_year", F.round(F.col("_nat") / F.col("_tot"), 6).alias("mkt_share")
+        )
+    )
+
+
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 (product-type profit): LIKE-filtered part dim fanned across
+    every supplier nation and order year. Adapted: profit =
+    revenue − 0.1·p_retailprice·l_quantity (no ps_supplycost); parts are
+    '%widget%'. The profit expression is one IEEE double per row, cast to
+    DECIMAL(25,6) before the sum on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    n = _t(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit.cast("decimal(25,6)")).alias("_p"))
+        # 2-dp rounding happens in the DECIMAL domain (HALF_UP in both
+        # engines: Spark round-on-decimal == DuckDB round-on-decimal),
+        # never on the double — round(double, 2) resolves .xx5 ties by
+        # decimal-string in Spark but by binary value in DuckDB.
+        .select(
+            "nation", "o_year",
+            F.round(F.col("_p"), 2).cast("double").alias("sum_profit"),
+        )
+    )
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting): quarter of orders × returned
+    lineitems, grouped per customer with the nation dim, deterministic
+    top-20 by unrounded revenue (identical doubles in both engines) with a
+    c_custkey tie-break."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(25,6)"
+                )
+            ).alias("_rev")
+        )
+        .orderBy(F.desc("_rev"), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey", "c_name",
+            F.round(F.col("_rev"), 2).cast("double").alias("revenue"),
+            "c_acctbal", "n_name",
+        )
+    )
+
+
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 (important stock): per-part value with a HAVING threshold
+    that is a scalar subquery over the SAME filtered set (broadcast 1-row
+    cross join). Adapted: value = revenue shipped by EUROPE-region
+    suppliers (no partsupp); threshold = 1.3x the mean per-part value
+    (total / distinct parts — scale-free, unlike TPC-H's 0.0001/SF
+    fraction, so the query keeps selecting rows at every SF). Both sides
+    of the comparison are decimal-sum doubles scaled by the same
+    literal."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    base = (
+        li.join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select(
+            "l_partkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_v"),
+        )
+    )
+    per_part = base.groupBy(F.col("l_partkey").alias("ps_partkey")).agg(
+        F.sum(F.col("_v").cast("decimal(25,6)")).alias("_val")
+    )
+    total = base.agg(
+        _dsum(F.col("_v"), "_tot"),
+        F.countDistinct("l_partkey").alias("_np"),
+    )
+    return (
+        per_part.join(broadcast(total))
+        .filter(
+            F.col("_val").cast("double") > F.lit(1.3) * F.col("_tot") / F.col("_np")
+        )
+        .select("ps_partkey", F.round(F.col("_val"), 2).cast("double").alias("value"))
+    )
+
+
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 (shipping modes / priority): join + dual conditional
+    counts. Adapted: l_returnflag stands in for l_shipmode and "late" is
+    l_shipdate > o_orderdate (no commit/receipt dates); counts split by
+    URGENT/HIGH vs the rest, FILTER-style on both engines (BIGINT)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy(F.col("l_returnflag").alias("shipmode"))
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): conditional-revenue ratio over a
+    two-month ship window — 100·PROMO revenue / total revenue, both exact
+    decimal sums cast to double before one IEEE division."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-03-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            _dsum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0), "_promo"),
+            _dsum(vol, "_tot"),
+        )
+        .select(
+            F.round(F.lit(100.0) * F.col("_promo") / F.col("_tot"), 6).alias(
+                "promo_revenue"
+            )
+        )
+    )
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier): revenue-per-supplier view over a quarter,
+    filtered to the max via a broadcast 1-row scalar subquery — the
+    equality is on unrounded decimal-sum doubles, identical in both
+    engines, so ties (all qualifying suppliers) surface in both."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("_sk")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)")
+        ).alias("_rev")
+    )
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    return (
+        rev.join(broadcast(mx))
+        .filter(F.col("_rev") == F.col("_mx"))
+        .join(broadcast(s), F.col("_sk") == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name",
+            F.round(F.col("_rev"), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): correlated per-part AVG
+    threshold — lineitems under 20% of their part's mean quantity, summed
+    and divided by 7. Adapted part filter: Brand#13 MEDIUM (no
+    p_container). The per-part average is an exact decimal sum / count in
+    double; the 0.2 scaling is the same IEEE multiply on both engines."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#13") & (F.col("p_type") == "MEDIUM")
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    avg_q = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avg")
+    )
+    return (
+        li.join(broadcast(avg_q), F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("_avg"))
+        .agg(_dsum(F.col("l_extendedprice"), "_s"))
+        .select((F.round(F.col("_s") / 7.0, 2)).alias("avg_yearly"))
+    )
+
+
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue): disjunction-of-conjunctions
+    predicate spanning both join sides — the OR-of-ANDs pushdown probe.
+    Adapted: p_size bands replace p_container/shipmode."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(10, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(20, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        j.filter(cond)
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(25,6)"
+                )
+            ).alias("_r")
+        )
+        .select(F.round(F.col("_r"), 2).cast("double").alias("revenue"))
+    )
+
+
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 (potential part promotion): double-nested semi-join —
+    EUROPE suppliers whose 1996 shipped quantity of any 'small%' part
+    exceeds 30% of that part's total (correlated aggregate threshold; no
+    ps_availqty). Candidate supplier ids are distinct before the final
+    semi-join, so the shuffle carries ids only."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_suppkey", "l_partkey", "l_quantity")
+    )
+    per_sp = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double").alias("_sq")
+    )
+    per_p = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double").alias("_tq")
+    )
+    cand = (
+        per_sp.join(broadcast(per_p), F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("_sq") > F.lit(0.3) * F.col("_tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        s.join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .join(cand, s.s_suppkey == cand.l_suppkey, "leftsemi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting): the EXISTS +
+    NOT-EXISTS self-join pair on lineitem — multi-supplier 'F' orders
+    where ONLY this supplier was late. Adapted: late means shipped >30
+    days after o_orderdate (no receipt/commit dates); supplier scope is
+    region EUROPE. The order join happens once; both the semi and the
+    anti side reuse the same (orderkey, suppkey, late) projection, so the
+    self-joins carry three columns."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    lo = (
+        _t(spark, sf_dir, "lineitem")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+            ).alias("_late"),
+        )
+    )
+    l1 = lo.filter(F.col("_late"))
+    l2 = lo.select(F.col("l_orderkey").alias("_k2"), F.col("l_suppkey").alias("_s2"))
+    l3 = lo.filter(F.col("_late")).select(
+        F.col("l_orderkey").alias("_k3"), F.col("l_suppkey").alias("_s3")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("_k2")) & (F.col("l_suppkey") != F.col("_s2")),
+            "leftsemi",
+        ).join(
+            l3,
+            (F.col("l_orderkey") == F.col("_k3")) & (F.col("l_suppkey") != F.col("_s3")),
+            "leftanti",
+        )
+    )
+    return (
+        waiting.join(broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
     )
 
 
@@ -1715,6 +2169,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": q_tpch_q13,
         "tpch_q16": q_tpch_q16,
         "tpch_q22": q_tpch_q22,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
         "dedup_exact_text": q_dedup_exact_text,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ladder": q_dedup_ladder,
@@ -2374,7 +2841,7 @@ LIMIT 10
 
     sql["tpch_q5"] = """
 SELECT n_name,
-       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -2388,7 +2855,7 @@ GROUP BY n_name
 """
 
     sql["tpch_q6"] = """
-SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE), 2) AS revenue
+SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -2463,6 +2930,227 @@ WHERE c_acctbal > (
     WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
   )
 GROUP BY c_nationkey
+"""
+
+    sql["tpch_q2"] = """
+WITH cand AS (
+  SELECT p_partkey, p_type, s_name, n_name, s_acctbal
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+  JOIN part     ON ps.l_partkey = p_partkey
+  JOIN supplier ON ps.l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+FROM cand c
+WHERE s_acctbal = (SELECT max(s_acctbal) FROM cand c2 WHERE c2.p_partkey = c.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+    sql["tpch_q7"] = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_15' AND n2.n_name = 'NATION_19')
+   OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_15')
+GROUP BY 1, 2, 3
+"""
+
+    sql["tpch_q8"] = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(
+         CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_21'
+                            THEN l_extendedprice * (1 - l_discount)
+                            ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE),
+         6) AS mkt_share
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN part      ON l_partkey = p_partkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region    ON n1.n_regionkey = r_regionkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+    sql["tpch_q9"] = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           - 0.1 * p_retailprice * l_quantity
+                           AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+    sql["tpch_q10"] = """
+SELECT c_custkey, c_name,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue,
+       c_acctbal, n_name
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) DESC,
+         c_custkey
+LIMIT 20
+"""
+
+    sql["tpch_q11"] = """
+WITH base AS (
+  SELECT l_partkey, l_extendedprice * (1 - l_discount) AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT l_partkey AS ps_partkey,
+       CAST(round(sum(CAST(v AS DECIMAL(25,6))), 2) AS DOUBLE) AS value
+FROM base
+GROUP BY 1
+HAVING CAST(sum(CAST(v AS DECIMAL(25,6))) AS DOUBLE) >
+       (SELECT 1.3 * CAST(sum(CAST(v AS DECIMAL(25,6))) AS DOUBLE)
+               / count(DISTINCT l_partkey) FROM base)
+"""
+
+    sql["tpch_q12"] = """
+SELECT l_returnflag AS shipmode,
+       CAST(count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS BIGINT) AS high_line_count,
+       CAST(count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_shipdate > o_orderdate
+GROUP BY 1
+"""
+
+    sql["tpch_q14"] = """
+SELECT round(
+         100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                                    THEN l_extendedprice * (1 - l_discount)
+                                    ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE),
+         6) AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-03-01'
+"""
+
+    sql["tpch_q15"] = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, CAST(round(r, 2) AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE r = (SELECT max(r) FROM rev)
+"""
+
+    sql["tpch_q17"] = """
+WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#13' AND p_type = 'MEDIUM'
+),
+avg_q AS (
+  SELECT l_partkey AS pk,
+         CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS a
+  FROM li GROUP BY 1
+)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+FROM li JOIN avg_q ON l_partkey = pk
+WHERE l_quantity < 0.2 * a
+"""
+
+    sql["tpch_q19"] = """
+SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+    sql["tpch_q20"] = """
+WITH li AS (
+  SELECT l_suppkey, l_partkey, l_quantity
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+),
+sp AS (
+  SELECT l_suppkey, l_partkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sq
+  FROM li GROUP BY 1, 2
+),
+tp AS (
+  SELECT l_partkey AS pk,
+         CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS tq
+  FROM li GROUP BY 1
+)
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM sp JOIN tp ON sp.l_partkey = tp.pk WHERE sq > 0.3 * tq
+  )
+"""
+
+    sql["tpch_q21"] = """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 30 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_name, count(*) AS numwait
+FROM lo l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE' AND l1.late
+  AND EXISTS (
+    SELECT 1 FROM lo l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lo l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.late
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
 """
 
     sql["dedup_exact_text"] = """

@@ -77,6 +77,10 @@ HEADLINE = [
     "shuffle_corpus",
     "url_filter",
     "perplexity_bucket",
+    # full-22 TPC-H sweep representatives: widest join tree + the
+    # EXISTS/NOT-EXISTS lineitem self-join pair
+    "tpch_q9",
+    "tpch_q21",
 ]
 
 
