@@ -1053,6 +1053,86 @@ def q_perplexity_bucket(spark, sf_dir):
     )
 
 
+def q_html_text(spark, sf_dir):
+    """C4-style HTML -> text extraction over deterministically planted
+    page markup (title/style/script/comments/entities/block structure
+    wrapped around documents.text with IDENTICAL concat expressions on
+    both engines). The oracle replays the exact regex chain — generated
+    from vector_spark.datapipe.html's pattern constants, so the two
+    engines cannot drift."""
+    from vector_spark.datapipe import extract_html_text
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            "</title><style>p {color: red}</style>"
+            "<script>var t = 1 < 2;</script></head>"
+            "<body><!-- crawler metadata -->"
+            "<h1>Doc&nbsp;"
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><div>tail &amp;lt; end</div></body></html>"),
+    )
+    return extract_html_text(
+        d.select("doc_id", html.alias("html")), id_cols=("doc_id",)
+    )
+
+
+def q_codec_warc(spark, sf_dir):
+    """WARC (ISO 28500) framing + record parse: each events row becomes a
+    two-record WARC stream (response carrying props as the payload,
+    metadata carrying event_type), framed by Content-Length byte counts
+    and parsed back field-exact. The oracle reconstructs the expected
+    records directly from the source columns (the codec_framing_octet
+    pattern)."""
+    from vector_spark.functions import frame_warc, parse_warc_record
+
+    e = _t(spark, sf_dir, "events")
+    date_str = F.date_format(
+        F.date_trunc("second", F.col("ts").cast("timestamp")),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'",
+    )
+    buf = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://crawl.example/"),
+        F.col("event_id").cast("string"),
+        F.lit("\r\nWARC-Date: "),
+        date_str,
+        F.lit("\r\nWARC-Record-ID: <urn:uuid:id-"),
+        F.col("event_id").cast("string"),
+        F.lit(">\r\nContent-Type: application/json\r\nContent-Length: "),
+        F.octet_length("props").cast("string"),
+        F.lit("\r\n\r\n"),
+        F.col("props"),
+        F.lit("\r\n\r\nWARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: "),
+        F.octet_length("event_type").cast("string"),
+        F.lit("\r\n\r\n"),
+        F.col("event_type"),
+        F.lit("\r\n\r\n"),
+    )
+    recs = e.select(
+        "event_id", F.posexplode(frame_warc(buf)).alias("idx", "rec")
+    )
+    return recs.select(
+        "event_id",
+        "idx",
+        parse_warc_record(F.col("rec")).alias("w"),
+    ).select(
+        "event_id",
+        "idx",
+        F.col("w.warc_type").alias("warc_type"),
+        F.col("w.target_uri").alias("target_uri"),
+        F.unix_micros(F.col("w.warc_date")).alias("warc_date_us"),
+        F.col("w.record_id").alias("record_id"),
+        F.col("w.content_type").alias("content_type"),
+        F.col("w.content_length").alias("content_length"),
+        F.col("w.payload").alias("payload"),
+    )
+
+
 def q_url_filter(spark, sf_dir):
     """C4-style URL pass over deterministically planted crawl URLs
     (upper/lower-cased schemes and hosts, default and non-default ports,
@@ -2198,6 +2278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_corpus": q_shuffle_corpus,
         "url_filter": q_url_filter,
         "perplexity_bucket": q_perplexity_bucket,
+        "html_text": q_html_text,
+        "codec_warc": q_codec_warc,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "langid": q_langid,
@@ -2577,6 +2659,48 @@ SELECT c.id_a, c.id_b,
        round(list_dot_product(x.v, y.v) / (x.nm * y.nm), 6) AS cosine
 FROM cand c JOIN n x ON x.id = c.id_a JOIN n y ON y.id = c.id_b
 WHERE round(list_dot_product(x.v, y.v) / (x.nm * y.nm), 6) >= {threshold}
+"""
+
+
+def _html_text_sql() -> str:
+    """DuckDB twin of q_html_text: the page build + the FULL extraction
+    chain, generated from vector_spark.datapipe.html's pattern constants
+    (the aggregate_sketch shared-constant rule — one source of truth)."""
+    from vector_spark.datapipe.html import (
+        BLOCK_TAG_PATTERN,
+        DROP_PATTERNS,
+        ENTITIES,
+        HSPACE_PATTERN,
+        NEWLINE_PATTERN,
+        TAG_PATTERN,
+    )
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    expr = (
+        "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || "
+        "'</title><style>p {color: red}</style>"
+        "<script>var t = 1 < 2;</script></head>"
+        "<body><!-- crawler metadata --><h1>Doc&nbsp;' || "
+        "CAST(doc_id AS VARCHAR) || '</h1><p>' || text || "
+        "'</p><div>tail &amp;lt; end</div></body></html>'"
+    )
+    for pat in DROP_PATTERNS:
+        expr = f"regexp_replace({expr}, {q(pat)}, '', 'g')"
+    expr = f"regexp_replace({expr}, {q(BLOCK_TAG_PATTERN)}, chr(10), 'g')"
+    expr = f"regexp_replace({expr}, {q(TAG_PATTERN)}, '', 'g')"
+    for ent, rep in ENTITIES:
+        expr = f"replace({expr}, {q(ent)}, {q(rep)})"
+    expr = f"regexp_replace({expr}, {q(HSPACE_PATTERN)}, ' ', 'g')"
+    expr = f"regexp_replace({expr}, {q(NEWLINE_PATTERN)}, chr(10), 'g')"
+    expr = f"trim({expr}, ' ' || chr(10))"
+    return f"""
+WITH ext AS (SELECT doc_id, {expr} AS text FROM documents)
+SELECT doc_id, text, length(text) AS n_chars,
+       CAST(CASE WHEN length(text) = 0 THEN 0
+                 ELSE len(string_split(text, chr(10))) END AS INTEGER) AS n_lines
+FROM ext
 """
 
 
@@ -3883,6 +4007,23 @@ SELECT d.doc_id,
             WHEN sc.nll <= 1.4784 THEN 'middle'
             ELSE 'tail' END AS bucket
 FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+"""
+
+    sql["html_text"] = _html_text_sql()
+
+    sql["codec_warc"] = """
+SELECT event_id, 0 AS idx, 'response' AS warc_type,
+       'https://crawl.example/' || CAST(event_id AS VARCHAR) AS target_uri,
+       epoch_us(date_trunc('second', ts)) AS warc_date_us,
+       'urn:uuid:id-' || CAST(event_id AS VARCHAR) AS record_id,
+       'application/json' AS content_type,
+       CAST(strlen(props) AS BIGINT) AS content_length,
+       props AS payload
+FROM events
+UNION ALL
+SELECT event_id, 1, 'metadata', NULL, NULL, NULL, NULL,
+       CAST(strlen(event_type) AS BIGINT), event_type
+FROM events
 """
 
     sql["url_filter"] = """

@@ -77,6 +77,8 @@ HEADLINE = [
     "shuffle_corpus",
     "url_filter",
     "perplexity_bucket",
+    "html_text",
+    "codec_warc",
     # full-22 TPC-H sweep representatives: widest join tree + the
     # EXISTS/NOT-EXISTS lineitem self-join pair
     "tpch_q9",

@@ -488,3 +488,70 @@ def test_perplexity_score_buckets_and_external_lm(spark):
     )
     got = {r.doc_id: r for r in ext.collect()}
     assert got[0].nll < got[1].nll  # OOV doc scores worse, not crashes
+
+
+def test_extract_html_text(spark):
+    """Scripts/styles/comments vanish, block tags become line breaks,
+    entities decode single-pass (&amp;lt; -> &lt;), whitespace collapses;
+    invalid UTF-8 html decodes with replacement chars instead of raising."""
+    from vector_spark.datapipe import extract_html_text
+
+    html = (
+        "<html><head><title>T</title><style>p{color:red}</style>"
+        "<script type='text/js'>var x = '<p>not text</p>';</script></head>"
+        "<body><!-- hidden --><h1>Head&nbsp;line</h1>"
+        "<p>First   para with &amp;lt; literal &quot;quoted&#39;</p>"
+        "<div>Second<br>third</div>  trailing</body></html>"
+    )
+    docs = spark.createDataFrame(
+        [("u1", html.encode()), ("u2", b"plain \xff\xfe bytes"), ("u3", None)],
+        "url string, html binary",
+    )
+    out = {r.url: r for r in extract_html_text(docs).collect()}
+    assert out["u1"].text == (
+        "T\nHead line\nFirst para with &lt; literal \"quoted'\nSecond\nthird\ntrailing"
+    )
+    assert out["u1"].n_lines == 6
+    assert "�" in out["u2"].text  # replacement chars, no raise
+    assert out["u3"].text is None and out["u3"].n_lines is None
+
+
+def test_frame_and_parse_warc(spark):
+    """A two-record WARC stream frames into both records (Content-Length
+    counts BYTES — the first payload is non-ASCII); header structs parse
+    field-exact; a truncated tail yields only complete records."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.functions import frame_warc, parse_warc_record
+
+    p1 = "héllo wörld"          # 13 bytes utf-8, 11 chars
+    p2 = "<html>x</html>"
+    rec = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: http://ex.com/a\r\n"
+        "WARC-Date: 2024-05-01T12:00:00Z\r\n"
+        "WARC-Record-ID: <urn:uuid:aaaa-bbbb>\r\n"
+        "Content-Type: application/http\r\n"
+        f"Content-Length: {len(p1.encode())}\r\n"
+        "\r\n" + p1 + "\r\n\r\n"
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"Content-Length: {len(p2)}\r\n"
+        "\r\n" + p2 + "\r\n\r\n"
+        "WARC/1.0\r\nWARC-Type: truncated\r\nContent-Length: 999\r\n\r\nshort"
+    )
+    df = spark.createDataFrame([(rec,)], "buf string")
+    recs = df.select(F.posexplode(frame_warc(F.col("buf"))).alias("i", "rec"))
+    parsed = recs.select("i", parse_warc_record(F.col("rec")).alias("w")).select(
+        "i", "w.*"
+    )
+    rows = {r.i: r for r in parsed.collect()}
+    assert len(rows) == 2  # truncated third record dropped
+    r0, r1 = rows[0], rows[1]
+    assert r0.warc_type == "response" and r0.target_uri == "http://ex.com/a"
+    assert r0.record_id == "urn:uuid:aaaa-bbbb"
+    assert r0.content_length == 13 and r0.payload == p1
+    assert str(r0.warc_date) == "2024-05-01 12:00:00"
+    assert r1.warc_type == "conversion" and r1.payload == p2
+    assert r1.target_uri is None and r1.record_id is None

@@ -10,6 +10,7 @@ from .curation import curation_pipeline
 from .corpus import decontaminate, shuffle_corpus
 from .urls import url_filter, url_normalize_exprs
 from .lm import perplexity_score, unigram_lm
+from .html import extract_html_text, html_text_expr
 from .multimodal import binary_meta, extract_features, frame_sample, resize_image
 
 __all__ = [
@@ -19,5 +20,5 @@ __all__ = [
     "binary_meta", "extract_features", "frame_sample", "resize_image",
     "chunk_documents", "curation_pipeline", "pii_scrub", "sample_stratified",
     "decontaminate", "shuffle_corpus", "url_filter", "url_normalize_exprs",
-    "perplexity_score", "unigram_lm",
+    "perplexity_score", "unigram_lm", "extract_html_text", "html_text_expr",
 ]

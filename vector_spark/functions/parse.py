@@ -594,6 +594,92 @@ def frame_length_delimited(col: Column, prefix_bytes: int = 4) -> Column:
     return pandas_udf(frames, "array<binary>")(col)
 
 
+def frame_warc(col: Column) -> Column:
+    """WARC (ISO 28500) record framing — the Common-Crawl container
+    format, the web-text sibling of the reference's framing decoders
+    (lib/codecs/src/decoding/framing/, octet_counting.rs pattern). A
+    stream is 'WARC/1.0\\r\\n<headers>\\r\\n\\r\\n<payload>\\r\\n\\r\\n'
+    repeated, payload length = the Content-Length header (BYTES — walked
+    on the UTF-8 encoding, like frame_octet_counting). Sequential buffer
+    walk -> Arrow-batched pandas UDF returning array<string> of whole
+    records (version line + headers + payload, separators stripped);
+    malformed tails yield the records parsed so far. Per-buffer
+    independent -> embarrassingly parallel across WARC files at 100 TB."""
+    from pyspark.sql.functions import pandas_udf
+
+    _clen = re.compile(rb"(?mi)^Content-Length:[ \t]*(\d+)\r?$")
+
+    def parse_buf(s: str | None):
+        if s is None:
+            return None
+        b = s.encode("utf-8")
+        out = []
+        i = 0
+        while True:
+            start = b.find(b"WARC/", i)
+            if start < 0:
+                break
+            hdr_end = b.find(b"\r\n\r\n", start)
+            if hdr_end < 0:
+                break
+            m = _clen.search(b[start:hdr_end])
+            if not m:
+                i = hdr_end + 4
+                continue
+            n = int(m.group(1))
+            payload_end = hdr_end + 4 + n
+            if payload_end > len(b):
+                break
+            out.append(b[start:payload_end].decode("utf-8", errors="replace"))
+            i = payload_end
+        return out
+
+    def frames(data):
+        return data.map(parse_buf)
+
+    return pandas_udf(frames, "array<string>")(col)
+
+
+def parse_warc_record(col: Column) -> Column:
+    """Parse ONE framed WARC record (from frame_warc) into a struct of the
+    standard headers + payload — pure regexp_extract column expressions
+    (JVM whole-stage codegen; patterns held to the Java ∩ RE2 subset so
+    the DuckDB oracle runs them verbatim):
+
+      warc_type      — WARC-Type (response/request/warcinfo/metadata/...)
+      target_uri     — WARC-Target-URI
+      warc_date      — WARC-Date as timestamp (ISO 8601 Z)
+      record_id      — WARC-Record-ID (<urn:uuid:...> brackets stripped)
+      content_type   — Content-Type of the block
+      content_length — Content-Length (bytes, long)
+      payload        — everything after the first blank line
+
+    Missing headers parse to null (empty regex match -> nullif), matching
+    the house null-on-unmatched parser rule."""
+    def hdr(name: str) -> Column:
+        return F.nullif(
+            F.regexp_extract(col, rf"(?mi)^{name}:[ \t]*([^\r\n]+)", 1), F.lit("")
+        )
+
+    payload = F.nullif(
+        F.regexp_extract(col, r"(?s)\r\n\r\n(.*)$", 1), F.lit("")
+    )
+    return F.struct(
+        hdr("WARC-Type").alias("warc_type"),
+        hdr("WARC-Target-URI").alias("target_uri"),
+        F.try_to_timestamp(
+            hdr("WARC-Date"), F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")
+        ).alias("warc_date"),
+        F.nullif(
+            F.regexp_replace(F.coalesce(hdr("WARC-Record-ID"), F.lit("")), r"[<>]", ""),
+            F.lit(""),
+        ).alias("record_id"),
+        hdr("Content-Type").alias("content_type"),
+        hdr("Content-Length").try_cast("long").alias("content_length"),
+        payload.alias("payload"),
+    )
+
+
 def serialize_protobuf(col: Column, message_name: str, desc_file_path: str,
                        options: dict | None = None) -> Column:
     """Protobuf serializer via native to_protobuf (pairs with
