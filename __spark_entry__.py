@@ -1133,6 +1133,42 @@ def q_codec_warc(spark, sf_dir):
     )
 
 
+def q_crawl_pipeline(spark, sf_dir):
+    """Crawl -> corpus topology over WET-style WARC buffers built from
+    documents (one 'conversion' record per doc, Content-Length =
+    byte-exact): frame -> parse -> fused Gopher-quality + langid gates ->
+    exclusive route (rejected_quality | rejected_lang | corpus). The
+    oracle composes the quality_gopher and langid SQL fragments over the
+    same documents — the WARC trip must be lossless for the row hashes to
+    meet. Thresholds match the quality_gopher contract (20 words, 1
+    stopword)."""
+    from vector_spark.plans import crawl_pipeline
+
+    d = _t(spark, sf_dir, "documents")
+    buf = F.concat(
+        F.lit(
+            "WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: https://crawl.example/"
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\nWARC-Date: 2024-05-01T00:00:00Z\r\nContent-Length: "),
+        F.octet_length("text").cast("string"),
+        F.lit("\r\n\r\n"),
+        F.col("text"),
+        F.lit("\r\n\r\n"),
+    )
+    out = crawl_pipeline(
+        d.select(buf.alias("buf")),
+        quality={"min_words": 20, "min_stopword_hits": 1},
+    )["curated"]
+    return out.select(
+        F.regexp_extract("target_uri", r"(\d+)$", 1).cast("long").alias("doc_id"),
+        "content_length",
+        "n_words",
+        "predicted_lang",
+        "route",
+    )
+
+
 def q_url_filter(spark, sf_dir):
     """C4-style URL pass over deterministically planted crawl URLs
     (upper/lower-cased schemes and hosts, default and non-default ports,
@@ -2280,6 +2316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_bucket": q_perplexity_bucket,
         "html_text": q_html_text,
         "codec_warc": q_codec_warc,
+        "crawl_pipeline": q_crawl_pipeline,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "langid": q_langid,
@@ -4134,6 +4171,22 @@ SELECT g.doc_id, l.predicted_lang, g.n_words, s.n_spans, s.n_removed, s.text_ded
 FROM surv s
 JOIN gated g ON g.doc_id = s.doc_id
 JOIN ({sql['langid']}) l ON l.doc_id = g.doc_id
+"""
+
+    # crawl -> corpus oracle: the WARC trip is lossless, so the expected
+    # route assignment composes the same quality/langid fragments straight
+    # over documents (exclusive first-match-wins as a CASE chain).
+    sql["crawl_pipeline"] = f"""
+SELECT d.doc_id,
+       CAST(strlen(d.text) AS BIGINT) AS content_length,
+       q.n_words,
+       l.predicted_lang,
+       CASE WHEN NOT q.keep THEN 'rejected_quality'
+            WHEN l.predicted_lang <> 'en' THEN 'rejected_lang'
+            ELSE 'corpus' END AS route
+FROM documents d
+JOIN ({sql['quality_gopher']}) q ON q.doc_id = d.doc_id
+JOIN ({sql['langid']}) l ON l.doc_id = d.doc_id
 """
 
     return sql

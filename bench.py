@@ -79,6 +79,7 @@ HEADLINE = [
     "perplexity_bucket",
     "html_text",
     "codec_warc",
+    "crawl_pipeline",
     # full-22 TPC-H sweep representatives: widest join tree + the
     # EXISTS/NOT-EXISTS lineitem self-join pair
     "tpch_q9",

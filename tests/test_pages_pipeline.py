@@ -82,3 +82,57 @@ def test_pipeline_deterministic_across_parallelism(spark):
     ra = sorted(map(tuple, a["sink_counts"].collect()), key=key)
     rb = sorted(map(tuple, b["sink_counts"].collect()), key=key)
     assert ra == rb
+
+
+def _warc_record(wtype, uri, payload, extra=""):
+    body = payload.encode("utf-8")
+    return (
+        f"WARC/1.0\r\nWARC-Type: {wtype}\r\nWARC-Target-URI: {uri}\r\n"
+        f"{extra}Content-Length: {len(body)}\r\n\r\n{payload}\r\n\r\n"
+    )
+
+
+def test_crawl_pipeline_routes_and_html_path(spark):
+    """End-to-end crawl topology: a 'response' record goes through HTML
+    extraction before gating, a 'conversion' (WET) record passes its
+    payload through verbatim, junk routes to rejected_quality, a German
+    page to rejected_lang, and the rollup counts agree with the routed
+    rows. warcinfo records drop out before curation."""
+    from vector_spark.plans import crawl_pipeline
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and the cat sat "
+        "with the happy children while the sun was high and the wind "
+        "kept the trees moving all day long in the quiet town"
+    )
+    # "the" keeps the (English) Gopher stopword gate satisfied so the doc
+    # reaches the LANGUAGE gate — quality rejection wins the route order
+    german = (
+        "der schnelle braune fuchs springt und die katze sitzt mit den "
+        "kindern in der sonne und der wind bewegt die alten schoenen "
+        "gruenen lindenbaeume der kleinen ruhigen stadt den ganzen tag "
+        "und die leute sind mit der welt the und dem leben zufrieden"
+    )
+    html = f"<html><head><script>var x=1;</script></head><body><p>{good}</p></body></html>"
+    buf = (
+        _warc_record("warcinfo", "meta:none", "software: test")
+        + _warc_record("response", "http://a.example/1", html)
+        + _warc_record("conversion", "http://b.example/2", good)
+        + _warc_record("conversion", "http://c.example/3", "### ### ###")
+        + _warc_record("conversion", "http://d.example/4", german)
+    )
+    out = crawl_pipeline(
+        spark.createDataFrame([(buf,)], "buf string"),
+        quality={"min_words": 20, "min_stopword_hits": 1},
+    )
+    cur = {r.target_uri: r for r in out["curated"].collect()}
+    assert len(cur) == 4  # warcinfo excluded
+    assert cur["http://a.example/1"].route == "corpus"
+    assert cur["http://a.example/1"].text == good  # html stripped to the prose
+    assert cur["http://b.example/2"].route == "corpus"
+    assert cur["http://c.example/3"].route == "rejected_quality"
+    assert cur["http://d.example/4"].route == "rejected_lang"
+    assert cur["http://d.example/4"].predicted_lang == "de"
+    counts = {(r.route, r.predicted_lang): r.docs for r in out["route_counts"].collect()}
+    assert counts[("corpus", "en")] == 2
+    assert sum(counts.values()) == 4

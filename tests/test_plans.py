@@ -292,3 +292,35 @@ def test_exists_not_exists_self_join_pair(spark):
         if others and not any(l2_ for _, l2_ in others):
             expect.add((k, s))
     assert got == expect
+
+
+def test_langid_scores_staged_once(spark):
+    """Each language profile's lookahead regex must appear exactly ONCE in
+    the optimized plan — the argmax tie-break references staged score
+    ATTRIBUTES. Built inline, the chain embeds every regex ~2n times
+    (measured 461 KB plan, 1520 regex nodes, codegen bailout) — the
+    langid_pick composition rule, pinned here for langid() and
+    crawl_pipeline()."""
+    from vector_spark.datapipe import langid
+    from vector_spark.datapipe.text import LANG_TRIGRAMS
+    from vector_spark.plans import crawl_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the hat went to the market with the dog")],
+        "doc_id long, text string",
+    )
+    # the 26-column score projection exceeds the default 25-field
+    # plan-print truncation, which would hide (not remove) one regex
+    spark.conf.set("spark.sql.debug.maxToStringFields", 200)
+    try:
+        plan = langid(df)._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("(?=(?:") == len(LANG_TRIGRAMS)
+
+        warc = spark.createDataFrame([("x",)], "buf string")
+        plan = (
+            crawl_pipeline(warc)["curated"]
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert plan.count("(?=(?:") == len(LANG_TRIGRAMS)
+    finally:
+        spark.conf.unset("spark.sql.debug.maxToStringFields")

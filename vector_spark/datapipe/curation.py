@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import dedup_spans
-from .text import gopher_quality_exprs, gopher_repetition_exprs, langid_exprs
+from .text import gopher_quality_exprs, gopher_repetition_exprs
 
 
 def curation_pipeline(
@@ -62,13 +62,22 @@ def curation_pipeline(
     keep = F.when(F.spark_partition_id() >= 0, q["keep"] & r["keep"]).otherwise(F.lit(True))
     gated = staged.filter(keep)
     # langid rides only the survivor-metadata side — the span-dedup
-    # subtree (evaluated twice: lines + firsts) must not pay for it
-    li = langid_exprs(text_col, languages)
+    # subtree (evaluated twice: lines + firsts) must not pay for it.
+    # Scores stage as attributes before the argmax chain (langid_pick's
+    # composition rule — inline, each regex would embed ~40x).
+    from .text import _langid_profiles, langid_pick, langid_scores
+
+    langs = sorted(_langid_profiles(languages))
+    scores = langid_scores(text_col, languages)
     meta = gated.select(
         F.col(id_col),
-        li["predicted_lang"].alias("predicted_lang"),
         q["n_words"].alias("n_words"),
-    )
+        *[scores[l].alias(f"_s_{l}") for l in langs],
+    ).select(
+        F.col(id_col),
+        "n_words",
+        langid_pick(langs, lambda l: F.col(f"_s_{l}")).alias("predicted_lang"),
+    ).select(id_col, "predicted_lang", "n_words")
     spans = dedup_spans(
         gated.select(id_col, text_col), text_col=text_col, id_col=id_col,
         span_words=span_words,

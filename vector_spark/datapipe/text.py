@@ -195,29 +195,45 @@ def langid(
     Cost is linear in the number of profiles (one lookahead-regex scan per
     language); `languages` restricts scoring to a subset so a pipeline that
     only cares about, say, en/de/fr pays for 3 scans, not 20."""
-    exprs = langid_exprs(text_col, languages)
+    langs = sorted(_langid_profiles(languages))
+    scores = langid_scores(text_col, languages)
     df = ensure_parallelism(df)  # one regex scan per profile per row
-    return df.select(F.col(id_col), *[v.alias(k) for k, v in exprs.items()])
+    # two-stage: scores materialize as attributes, then the argmax chain
+    # references the attributes — each regex appears ONCE in the plan
+    # (CollapseProject keeps the stage split: the scores are non-cheap
+    # and multiply-referenced). See langid_pick's composition rule.
+    staged = df.select(
+        F.col(id_col), *[scores[l].alias(f"score_{l}") for l in langs]
+    )
+    return staged.select(
+        F.col(id_col),
+        *[F.col(f"score_{l}") for l in langs],
+        langid_pick(langs, lambda l: F.col(f"score_{l}")).alias("predicted_lang"),
+    )
 
 
-def langid_exprs(text_col: str = "text", languages: list[str] | None = None) -> dict[str, Column]:
-    """The langid output as an ordered name->Column dict, for fusing into a
-    wider single-scan projection (curation_pipeline)."""
+def _langid_profiles(languages: list[str] | None) -> dict[str, list[str]]:
     if languages is not None:
         unknown = set(languages) - set(LANG_TRIGRAMS)
         if unknown:
             raise ValueError(f"unknown language profiles: {sorted(unknown)}")
-        profiles = {k: LANG_TRIGRAMS[k] for k in languages}
-    else:
-        profiles = LANG_TRIGRAMS
+        return {k: LANG_TRIGRAMS[k] for k in languages}
+    return LANG_TRIGRAMS
+
+
+def langid_scores(
+    text_col: str = "text", languages: list[str] | None = None
+) -> dict[str, Column]:
+    """Per-language trigram-hit-ratio score expressions, lang -> Column.
+    hits = positions where any profile trigram starts. A zero-width
+    lookahead alternation counts OVERLAPPING occurrences in one regex
+    scan (the engine advances one char per zero-width match) — ~20x
+    faster than materializing the n-2 trigram array per doc and
+    filtering it, and exactly equal to that count."""
+    profiles = _langid_profiles(languages)
     norm = F.lower(F.col(text_col))
     n_tri = F.length(norm) - 2
-    # hits = positions where any profile trigram starts. A zero-width
-    # lookahead alternation counts OVERLAPPING occurrences in one regex
-    # scan (the engine advances one char per zero-width match) — ~20x
-    # faster than materializing the n-2 trigram array per doc and
-    # filtering it, and exactly equal to that count.
-    scores = {
+    return {
         lang: F.when(
             n_tri >= 1,
             F.round(
@@ -230,18 +246,42 @@ def langid_exprs(text_col: str = "text", languages: list[str] | None = None) -> 
         ).otherwise(F.lit(0.0))
         for lang, profile in profiles.items()
     }
+
+
+def langid_pick(langs: list[str], score) -> Column:
+    """Argmax with lexicographic tie-break (first sorted lang wins on >=)
+    over per-language score columns; `score` maps lang -> Column.
+
+    COMPOSITION RULE: pass ATTRIBUTE references (stage the raw score
+    expressions in their own projection first, as langid()/crawl_pipeline
+    do). The tie-break chain references every score 2*(n-1) times — built
+    over the raw regexp expressions it duplicates each regex ~40x into
+    the plan (measured: a 461 KB physical plan with 1520 embedded regex
+    scans and whole-stage codegen bailing out)."""
+    order = sorted(langs)
     best = None
-    for lang in sorted(profiles):  # lexicographic tie-break: first wins on >=
+    for lang in order:
         cond = None
-        for other in sorted(profiles):
+        for other in order:
             if other == lang:
                 continue
-            c = (scores[lang] > scores[other]) if other < lang else (scores[lang] >= scores[other])
+            c = (score(lang) > score(other)) if other < lang else (score(lang) >= score(other))
             cond = c if cond is None else (cond & c)
         best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
-    predicted = best.otherwise(F.lit(sorted(profiles)[0]))
+    return best.otherwise(F.lit(order[0]))
+
+
+def langid_exprs(text_col: str = "text", languages: list[str] | None = None) -> dict[str, Column]:
+    """The langid output as an ordered name->Column dict for SINGLE-
+    projection fusion. The predicted_lang chain embeds every score
+    expression ~2n times — fine for few languages, pathological for all
+    20 (see langid_pick); wide-profile composers should stage
+    langid_scores() as columns and apply langid_pick over the attributes
+    instead (langid()/curation_pipeline/crawl_pipeline do)."""
+    profiles = _langid_profiles(languages)
+    scores = langid_scores(text_col, languages)
     out: dict[str, Column] = {f"score_{lang}": scores[lang] for lang in sorted(profiles)}
-    out["predicted_lang"] = predicted
+    out["predicted_lang"] = langid_pick(sorted(profiles), lambda l: scores[l])
     return out
 
 
