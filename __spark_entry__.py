@@ -1053,6 +1053,20 @@ def q_perplexity_bucket(spark, sf_dir):
     )
 
 
+def q_dsir_resample(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): target unigram LM
+    self-trained on the doc_id%7==0 "curated" slice, source LM on the full
+    corpus, per-doc log importance ratio, then Gumbel-top-k (k=200, T=2.0)
+    with md5-seeded uniforms — both engines draw the identical sample at
+    any parallelism. Oracle replays counts, 6-dp DECIMAL term sums, and
+    the Gumbel key exactly."""
+    from vector_spark.datapipe import importance_resample, unigram_lm
+
+    d = _t(spark, sf_dir, "documents")
+    target = unigram_lm(d.filter(F.col("doc_id") % 7 == 0))
+    return importance_resample(d, 200, target, temperature=2.0)
+
+
 def q_html_text(spark, sf_dir):
     """C4-style HTML -> text extraction over deterministically planted
     page markup (title/style/script/comments/entities/block structure
@@ -2314,6 +2328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_corpus": q_shuffle_corpus,
         "url_filter": q_url_filter,
         "perplexity_bucket": q_perplexity_bucket,
+        "dsir_resample": q_dsir_resample,
         "html_text": q_html_text,
         "codec_warc": q_codec_warc,
         "crawl_pipeline": q_crawl_pipeline,
@@ -4044,6 +4059,40 @@ SELECT d.doc_id,
             WHEN sc.nll <= 1.4784 THEN 'middle'
             ELSE 'tail' END AS bucket
 FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+"""
+
+    _dsir_hex = "md5('dsir|' || CAST(doc_id AS VARCHAR))"
+    _dsir_val = "(" + " + ".join(
+        f"CAST({_hexval_sql(f'substr({_dsir_hex}, {i + 1}, 1)')} AS BIGINT) * {16 ** (7 - i)}"
+        for i in range(8)
+    ) + ")"
+    sql["dsir_resample"] = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+  FROM documents
+),
+tgt AS (SELECT w, count(*) AS tc FROM tok WHERE doc_id % 7 = 0 GROUP BY 1),
+src AS (SELECT w, count(*) AS sc FROM tok GROUP BY 1),
+ttot AS (SELECT sum(tc) AS tt, count(*) AS tv FROM tgt),
+stot AS (SELECT sum(sc) AS st, count(*) AS sv FROM src),
+terms AS (
+  SELECT tok.doc_id,
+         CAST(round(
+           (log10(CAST(coalesce(tg.tc, 0) + 1 AS DOUBLE)) - log10(CAST(tt + tv AS DOUBLE)))
+           - (log10(CAST(coalesce(sr.sc, 0) + 1 AS DOUBLE)) - log10(CAST(st + sv AS DOUBLE))),
+         6) AS DECIMAL(25,6)) AS term
+  FROM tok LEFT JOIN tgt tg USING (w) LEFT JOIN src sr USING (w), ttot, stot
+),
+wt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, CAST(sum(term) AS DOUBLE) AS lr
+  FROM terms GROUP BY 1
+)
+SELECT doc_id, n_words, round(lr, 4) AS log_ratio,
+       round(lr / 2.0 - ln(-ln(({_dsir_val} + 0.5) / 4294967296.0)), 6) AS sample_key
+FROM wt
+ORDER BY sample_key DESC, doc_id
+LIMIT 200
 """
 
     sql["html_text"] = _html_text_sql()

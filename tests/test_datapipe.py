@@ -490,6 +490,40 @@ def test_perplexity_score_buckets_and_external_lm(spark):
     assert got[0].nll < got[1].nll  # OOV doc scores worse, not crashes
 
 
+def test_dsir_importance_weights_and_resample(spark):
+    """Target-like docs get positive log-ratio, source-only docs negative;
+    Gumbel-top-k is deterministic across partitionings and never samples
+    token-less docs."""
+    from vector_spark.datapipe import (
+        importance_resample, importance_weights, unigram_lm,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "clean prose clean prose"),   # pure target vocabulary
+            (1, "clean spam prose spam"),     # mixed
+            (2, "spam spam spam spam"),       # pure source-junk
+            (3, ""),                          # no tokens -> never sampled
+        ],
+        "doc_id long, text string",
+    )
+    target = unigram_lm(
+        spark.createDataFrame([(0, "clean prose clean prose")], "i long, text string")
+    )
+    w = {r.doc_id: r for r in importance_weights(docs, target).collect()}
+    assert w[0].log_ratio > w[1].log_ratio > w[2].log_ratio
+    assert w[0].log_ratio > 0 > w[2].log_ratio
+    assert w[3].n_words == 0 and w[3].log_ratio is None
+
+    top = importance_resample(docs, 3, target, temperature=0.01)
+    ids = [r.doc_id for r in top.collect()]
+    # near-zero temperature -> pure exploitation: ranked by log_ratio
+    assert ids == [0, 1, 2]
+    again = [r.doc_id for r in importance_resample(
+        docs.repartition(7), 3, target, temperature=0.01).collect()]
+    assert again == ids
+
+
 def test_extract_html_text(spark):
     """Scripts/styles/comments vanish, block tags become line breaks,
     entities decode single-pass (&amp;lt; -> &lt;), whitespace collapses;

@@ -9,7 +9,7 @@ from .text import text_quality, token_count, doc_fingerprint, langid, quality_fi
 from .curation import curation_pipeline
 from .corpus import decontaminate, shuffle_corpus
 from .urls import url_filter, url_normalize_exprs
-from .lm import perplexity_score, unigram_lm
+from .lm import importance_resample, importance_weights, perplexity_score, unigram_lm
 from .html import extract_html_text, html_text_expr
 from .multimodal import binary_meta, extract_features, frame_sample, resize_image
 
@@ -21,4 +21,5 @@ __all__ = [
     "chunk_documents", "curation_pipeline", "pii_scrub", "sample_stratified",
     "decontaminate", "shuffle_corpus", "url_filter", "url_normalize_exprs",
     "perplexity_score", "unigram_lm", "extract_html_text", "html_text_expr",
+    "importance_weights", "importance_resample",
 ]

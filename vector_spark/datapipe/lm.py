@@ -44,6 +44,116 @@ def unigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def importance_weights(
+    df: DataFrame,
+    target_lm: DataFrame,
+    source_lm: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per-doc log importance
+    ratio under two unigram models,
+
+      log w(x) = sum_tokens [ log p_target(tok) - log p_source(tok) ]
+
+    with Laplace smoothing on both sides (DSIR's hashed-ngram features
+    reduce to unigram counts at n=1; log10 instead of ln scales every
+    weight by the constant 1/ln 10 — absorbed by the sampler's
+    temperature, disclosed here). `source_lm` defaults to self-training
+    on `df` (the standard setup: raw-corpus source vs curated target).
+
+    Output: (id_col, n_words, log_ratio) — log_ratio is the engine-exact
+    DECIMAL(25,6) sum of 6-dp-rounded per-token terms cast to double;
+    docs with no tokens get null. Plan: both LMs broadcast, the only
+    exchange carries one row per doc (the perplexity_score shape)."""
+    from ..session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    if source_lm is None:
+        source_lm = unigram_lm(df, text_col)
+    t_tot = target_lm.agg(
+        F.sum("cnt").cast("long").alias("_tt"), F.count(F.lit(1)).cast("long").alias("_tv")
+    )
+    s_tot = source_lm.agg(
+        F.sum("cnt").cast("long").alias("_st"), F.count(F.lit(1)).cast("long").alias("_sv")
+    )
+    toks = df.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("w"))
+    lp = lambda c, tot: F.log10(
+        F.coalesce(c, F.lit(0)).cast("double") + F.lit(1.0)
+    ) - F.log10(tot.cast("double"))
+    scored = (
+        toks.join(F.broadcast(target_lm.select("w", F.col("cnt").alias("_tc"))), "w", "left")
+        .join(F.broadcast(source_lm.select("w", F.col("cnt").alias("_sc"))), "w", "left")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(s_tot))
+        .select(
+            F.col(id_col),
+            F.round(
+                lp(F.col("_tc"), F.col("_tt") + F.col("_tv"))
+                - lp(F.col("_sc"), F.col("_st") + F.col("_sv")),
+                6,
+            )
+            .cast("decimal(25,6)")
+            .alias("term"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("term").cast("double").alias("log_ratio"),
+        )
+    )
+    return df.select(F.col(id_col)).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_words"), F.lit(0).cast("long")).alias("n_words"),
+        F.col("log_ratio"),
+    )
+
+
+def importance_resample(
+    df: DataFrame,
+    k: int,
+    target_lm: DataFrame,
+    source_lm: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    temperature: float = 1.0,
+    seed: str = "dsir",
+) -> DataFrame:
+    """DSIR's sampling step: Gumbel-top-k over the importance weights —
+    equivalent to drawing k docs without replacement with probability
+    proportional to exp(log_ratio / temperature) — made REPLAYABLE with
+    md5-derived uniforms (the seeded-random house pattern): any executor
+    count, any partitioning, both engines pick the same k docs.
+
+      u    = (first-8-hex(md5(seed|id)) + 0.5) / 2^32      in (0,1)
+      key  = round(log_ratio / temperature - ln(-ln(u)), 6)
+      take top-k by (key desc, id)  — round + unique-id tie-break rule
+
+    Token-less docs (null log_ratio) never sample. Top-k is sort+limit:
+    per-partition top-k then a k-row merge on the driver side of the
+    exchange — no full sort of the corpus at 100 TB."""
+    from ..functions.strings import _rand_bits
+
+    w = importance_weights(df, target_lm, source_lm, text_col, id_col)
+    u = (
+        _rand_bits(F.col(id_col), seed).cast("double") + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    gumbel = -F.log(-F.log(u))
+    key = F.round(F.col("log_ratio") / F.lit(temperature) + gumbel, 6)
+    return (
+        w.filter(F.col("log_ratio").isNotNull())
+        .select(
+            id_col,
+            "n_words",
+            F.round("log_ratio", 4).alias("log_ratio"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), id_col)
+        .limit(k)
+    )
+
+
 def perplexity_score(
     df: DataFrame,
     text_col: str = "text",
