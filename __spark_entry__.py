@@ -995,6 +995,16 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-duplicate cluster ids: MinHash-LSH verified pairs -> distributed
+    connected components (min-label propagation + pointer jumping, O(log
+    diameter) rounds). cluster_id = min doc_id per component; the oracle is
+    an independent recursive-CTE transitive closure over the same pairs."""
+    from vector_spark.datapipe import dedup_clusters
+
+    return dedup_clusters(_t(spark, sf_dir, "documents"), jaccard_threshold=0.5)
+
+
 def q_dedup_ladder(spark, sf_dir):
     """Composed dedup ladder: exact tier (min id per md5) then MinHash-LSH
     near-dup tier (remove the higher id of every verified pair) — one
@@ -1039,6 +1049,69 @@ def q_sample_stratified(spark, sf_dir):
     return sample_stratified(
         _t(spark, sf_dir, "documents"), ["lang", "source"], 5
     ).select("doc_id", "lang", "source")
+
+
+_BP_NAV = '<div class="nav"><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></div>'
+_BP_LEAD = (
+    "the quick summary of it is that this page was written for you and "
+    "we have put it on the web as the content you are here for "
+)
+_BP_TAIL = (
+    '<p>Read more</p><div>Copyright 2020 <a href="/t">Terms</a> '
+    '<a href="/p">Privacy</a><script>var x = 1;</script></div>'
+)
+
+
+def q_boilerplate_blocks(spark, sf_dir):
+    """jusText-style boilerplate classification over deterministically
+    planted page markup: a link-farm nav (bad), a stopword-dense lead +
+    doc text content block (good/near_good/bad varies with doc length —
+    the density dilutes), a short 'Read more' (context-inherited), and a
+    copyright/link footer with an embedded script (dropped). The oracle
+    replays the page build and the whole chain from boilerplate.py's
+    pattern constants."""
+    from vector_spark.datapipe import boilerplate_blocks
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(_BP_NAV + "<p>" + _BP_LEAD),
+        F.col("text"),
+        F.lit(" &amp; more</p>" + _BP_TAIL),
+    )
+    return boilerplate_blocks(d.select("doc_id", html.alias("html")))
+
+
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style hashed-ngram linear quality classifier (GPT-3 appendix
+    A's curation gate as inference): deterministic synthetic model —
+    weight(bucket) = u32(md5('w|'||bucket)) % 2001 / 1000 - 1, an exactly
+    representable grid so both engines hold identical doubles — broadcast
+    to the exploded unigram+bigram features, DECIMAL-exact mean, sigmoid."""
+    from vector_spark.datapipe import quality_classifier
+
+    u32 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("w|"), F.col("id").cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    wdf = spark.range(4096).select(
+        F.col("id").alias("bucket"),
+        ((u32 % 2001).cast("double") / F.lit(1000.0) - F.lit(1.0)).alias("weight"),
+    )
+    return quality_classifier(_t(spark, sf_dir, "documents"), wdf, threshold=0.5)
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Token-budget mixture sampling: per-lang budgets cut the corpus in a
+    seed-deterministic md5 order via a hierarchical (bucketed) prefix sum —
+    only the boundary bucket per group pays a fine-grained sort. en is cut
+    deep, zh nearly zeroed, fr omitted (dropped); the oracle replays the
+    same draw with a naive running-sum window."""
+    from vector_spark.datapipe import mixture_sample
+
+    return mixture_sample(
+        _t(spark, sf_dir, "documents"),
+        budgets={"en": 4000, "de": 1500, "es": 2000, "zh": 100},
+    )
 
 
 def q_perplexity_bucket(spark, sf_dir):
@@ -2315,6 +2388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_text": q_dedup_exact_text,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ladder": q_dedup_ladder,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_spans": q_dedup_spans,
         "dedup_simhash": q_dedup_simhash,
         "text_quality": q_text_quality,
@@ -2329,6 +2403,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "perplexity_bucket": q_perplexity_bucket,
         "dsir_resample": q_dsir_resample,
+        "mixture_sample": q_mixture_sample,
+        "quality_classifier": q_quality_classifier,
+        "boilerplate_blocks": q_boilerplate_blocks,
         "html_text": q_html_text,
         "codec_warc": q_codec_warc,
         "crawl_pipeline": q_crawl_pipeline,
@@ -2384,6 +2461,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
+
+def _boilerplate_sql() -> str:
+    """DuckDB twin of q_boilerplate_blocks: page build + block split +
+    per-block features + context pass, generated from boilerplate.py's
+    constants (shared-constant rule — one source of truth)."""
+    from vector_spark.datapipe.boilerplate import (
+        ANCHOR_PATTERN,
+        JUSTEXT_STOPWORDS,
+        WS_PATTERN,
+    )
+    from vector_spark.datapipe.html import (
+        BLOCK_TAG_PATTERN,
+        DROP_PATTERNS,
+        ENTITIES,
+        TAG_PATTERN,
+    )
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    page = f"{q(_BP_NAV + '<p>' + _BP_LEAD)} || text || {q(' &amp; more</p>' + _BP_TAIL)}"
+    for pat in DROP_PATTERNS:
+        page = f"regexp_replace({page}, {q(pat)}, '', 'g')"
+    txt = "regexp_replace(raw, " + q(TAG_PATTERN) + ", '', 'g')"
+    for ent, rep in ENTITIES:
+        txt = f"replace({txt}, {q(ent)}, {q(rep)})"
+    txt = f"trim(regexp_replace({txt}, {q(WS_PATTERN)}, ' ', 'g'), ' ')"
+    lc = (
+        "coalesce(list_sum(list_transform("
+        f"regexp_extract_all(raw, {q(ANCHOR_PATTERN)}, 1), "
+        f"x -> length(regexp_replace(x, {q(TAG_PATTERN)}, '', 'g')))), 0)"
+    )
+    stops = "[" + ", ".join(q(s) for s in JUSTEXT_STOPWORDS) + "]"
+    return f"""
+WITH pages AS (SELECT doc_id, string_split_regex({page}, {q(BLOCK_TAG_PATTERN)}) AS b
+               FROM documents),
+blocks AS (
+  SELECT doc_id, unnest(range(0, len(b))) AS block_no, unnest(b) AS raw FROM pages
+),
+feat AS (
+  SELECT doc_id, CAST(block_no AS BIGINT) AS block_no, {txt} AS text,
+         CAST({lc} AS BIGINT) AS lc
+  FROM blocks
+),
+scored AS (
+  SELECT doc_id, block_no, text,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_words,
+         len(list_filter(string_split(text, ' '),
+                         x -> x <> '' AND list_contains({stops}, lower(x)))) AS n_stop,
+         lc
+  FROM feat WHERE length(text) > 0
+),
+cls AS (
+  SELECT doc_id, block_no, text, n_chars, n_words,
+         round(CAST(lc AS DOUBLE) / greatest(n_chars, 1), 4) AS link_density,
+         round(CAST(n_stop AS DOUBLE) / greatest(n_words, 1), 4) AS stopword_density,
+         CASE WHEN CAST(lc AS DOUBLE) / greatest(n_chars, 1) > 0.2 THEN 'bad'
+              WHEN n_chars < 70 THEN 'short'
+              WHEN CAST(n_stop AS DOUBLE) / greatest(n_words, 1) >= 0.32 THEN
+                   CASE WHEN n_chars > 200 THEN 'good' ELSE 'near_good' END
+              WHEN CAST(n_stop AS DOUBLE) / greatest(n_words, 1) >= 0.30 THEN 'near_good'
+              ELSE 'bad' END AS c
+  FROM scored
+),
+ctx AS (
+  SELECT *,
+         last_value(CASE WHEN c IN ('good','bad') THEN c END IGNORE NULLS) OVER (
+           PARTITION BY doc_id ORDER BY block_no
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev,
+         first_value(CASE WHEN c IN ('good','bad') THEN c END IGNORE NULLS) OVER (
+           PARTITION BY doc_id ORDER BY block_no
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt
+  FROM cls
+)
+SELECT doc_id, block_no, text, n_chars, n_words, link_density, stopword_density,
+       CASE WHEN c = 'good' THEN 'good'
+            WHEN c = 'bad' THEN 'bad'
+            WHEN c = 'near_good' THEN
+                 CASE WHEN prev = 'good' OR nxt = 'good' THEN 'good' ELSE 'bad' END
+            ELSE CASE WHEN prev = 'good' AND nxt = 'good' THEN 'good' ELSE 'bad' END
+       END AS label
+FROM ctx
+"""
+
 
 def _hexval_sql(c: str) -> str:
     return f"(CASE WHEN ascii({c}) <= 57 THEN ascii({c}) - 48 ELSE ascii({c}) - 87 END)"
@@ -3336,6 +3498,26 @@ FROM documents GROUP BY md5(text)
 
     sql["dedup_minhash_lsh"] = _minhash_sql()
 
+    # transitive closure over the SAME verified pairs — an independent
+    # formulation (recursive CTE) of what Spark computes iteratively
+    sql["dedup_clusters"] = f"""
+WITH RECURSIVE p AS ({_minhash_sql()}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM p
+  UNION ALL
+  SELECT doc_b, doc_a FROM p
+),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.lab
+),
+cc AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM cc
+"""
+
     ladder_pairs = _minhash_sql(source="surv").strip()
     assert ladder_pairs.startswith("WITH ")
     ladder_pairs = ladder_pairs[5:].replace(
@@ -4061,6 +4243,68 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
 """
 
+    def _md5_u32(arg: str) -> str:
+        h = f"md5({arg})"
+        return "(" + " + ".join(
+            f"CAST({_hexval_sql(f'substr({h}, {i + 1}, 1)')} AS BIGINT) * {16 ** (7 - i)}"
+            for i in range(8)
+        ) + ")"
+
+    sql["quality_classifier"] = f"""
+WITH wts AS (
+  SELECT CAST(i AS BIGINT) AS bucket,
+         CAST({_md5_u32("'w|' || CAST(i AS VARCHAR)")} % 2001 AS DOUBLE) / 1000.0 - 1.0
+           AS weight
+  FROM generate_series(0, 4095) AS t(i)
+),
+feats AS (
+  SELECT doc_id,
+         unnest(list_concat(
+           toks,
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(generate_series(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i + 1])
+                ELSE [] END
+         )) AS f
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+        FROM documents)
+),
+fb AS (SELECT doc_id, {_md5_u32("f")} % 4096 AS bucket FROM feats),
+sc AS (
+  SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+         sum(CAST(round(coalesce(w.weight, 0.0), 6) AS DECIMAL(25,6))) AS s
+  FROM fb LEFT JOIN wts w USING (bucket) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(sc.n_features, 0) AS n_features,
+       round(1.0 / (1.0 + exp(-(0.0 + CAST(sc.s AS DOUBLE) / sc.n_features))), 6) AS score,
+       coalesce(round(1.0 / (1.0 + exp(-(0.0 + CAST(sc.s AS DOUBLE) / sc.n_features))), 6)
+                >= 0.5, FALSE) AS keep
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+    sql["mixture_sample"] = """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT)
+           AS n_tokens,
+         md5('mix|' || CAST(doc_id AS VARCHAR)) AS h,
+         CASE lang WHEN 'en' THEN 4000 WHEN 'de' THEN 1500
+                   WHEN 'es' THEN 2000 WHEN 'zh' THEN 100 END AS budget
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens, budget,
+         sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM t WHERE budget IS NOT NULL
+)
+SELECT doc_id, lang, n_tokens FROM c WHERE cum <= budget
+"""
+
     _dsir_hex = "md5('dsir|' || CAST(doc_id AS VARCHAR))"
     _dsir_val = "(" + " + ".join(
         f"CAST({_hexval_sql(f'substr({_dsir_hex}, {i + 1}, 1)')} AS BIGINT) * {16 ** (7 - i)}"
@@ -4096,6 +4340,7 @@ LIMIT 200
 """
 
     sql["html_text"] = _html_text_sql()
+    sql["boilerplate_blocks"] = _boilerplate_sql()
 
     sql["codec_warc"] = """
 SELECT event_id, 0 AS idx, 'response' AS warc_type,

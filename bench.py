@@ -84,6 +84,12 @@ HEADLINE = [
     # EXISTS/NOT-EXISTS lineitem self-join pair
     "tpch_q9",
     "tpch_q21",
+    # round 3 late additions: model-based curation + cluster dedup
+    "dsir_resample",
+    "dedup_clusters",
+    "mixture_sample",
+    "quality_classifier",
+    "boilerplate_blocks",
 ]
 
 

@@ -246,6 +246,47 @@ def test_dedup_ladder_two_tiers(spark):
     assert got == {0: 2, 3: 1}
 
 
+def test_connected_components_chains_and_singletons(spark):
+    """Transitive chains collapse to the min id (pointer jumping crosses
+    hops the pair list never states), disjoint clusters stay disjoint,
+    singletons are their own size-1 cluster — at any partitioning."""
+    from vector_spark.datapipe import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 10)], "doc_id long")
+    # path 1-2-3-4-5 (diameter 4 -> needs >1 round), pair 6-7, singletons 8,9
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7)], "doc_a long, doc_b long"
+    )
+    out = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in connected_components(nodes.repartition(5), pairs).collect()
+    }
+    assert out == {
+        1: (1, 5), 2: (1, 5), 3: (1, 5), 4: (1, 5), 5: (1, 5),
+        6: (6, 2), 7: (6, 2), 8: (8, 1), 9: (9, 1),
+    }
+
+
+def test_dedup_clusters_exact_duplicate_component(spark):
+    """End-to-end: identical docs land in one cluster keyed by the min id;
+    an unrelated doc is a singleton."""
+    from vector_spark.datapipe import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),
+            (11, "alpha beta gamma delta epsilon zeta"),
+            (12, "alpha beta gamma delta epsilon eta"),
+            (13, "totally unrelated words appear here only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.cluster_id, r.cluster_size)
+           for r in dedup_clusters(docs, jaccard_threshold=0.5).collect()}
+    assert out[10] == (10, 3) and out[11] == (10, 3) and out[12] == (10, 3)
+    assert out[13] == (13, 1)
+
+
 def test_quality_filter_gopher_rules(spark):
     from vector_spark.datapipe import quality_filter_gopher
 
@@ -488,6 +529,117 @@ def test_perplexity_score_buckets_and_external_lm(spark):
     )
     got = {r.doc_id: r for r in ext.collect()}
     assert got[0].nll < got[1].nll  # OOV doc scores worse, not crashes
+
+
+def test_boilerplate_blocks_justext_rules_and_context_pass(spark):
+    """Link-dense blocks are bad; stopword-dense long blocks are good; a
+    short block BETWEEN two goods promotes, a trailing short demotes; a
+    near-good block promotes next to a good; scripts and entities are
+    handled before classification."""
+    from vector_spark.datapipe import boilerplate_blocks
+
+    good = "the is of and to in it that this was " * 8
+    near = " ".join(["the"] * 10 + [f"wordy{i:02d}" for i in range(22)])
+    html = (
+        f"<p>{good}<script>var junk = 'x';</script></p>"
+        "<p>tiny &amp; note</p>"
+        f"<p>{good}</p>"
+        f"<p>{near}</p>"
+        '<p><a href="#">linky link block</a></p>'
+        "<p>tail</p>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    rows = sorted(
+        boilerplate_blocks(df).collect(), key=lambda r: r.block_no
+    )
+    texts_labels = [(r.text.split(" ")[0], r.label) for r in rows]
+    assert [lab for _, lab in texts_labels] == [
+        "good",   # stopword-dense long block (script content removed)
+        "good",   # short, promoted: good on both sides
+        "good",
+        "good",   # near_good, promoted: good on the left
+        "bad",    # all-link block
+        "bad",    # trailing short: right edge is not good
+    ]
+    assert rows[1].text == "tiny & note"          # entity decoded
+    assert "junk" not in rows[0].text             # script dropped
+    assert rows[4].link_density == 1.0
+
+
+def test_quality_classifier_matches_local_linear_model(spark):
+    """Scores equal a locally computed hashed-ngram linear model (quarter-
+    grid weights are exactly representable, so float and DECIMAL sums
+    agree); feature-less docs get null score and never keep."""
+    import hashlib
+    import math
+
+    from vector_spark.datapipe import quality_classifier
+
+    rows = [(0, "Alpha beta alpha"), (1, "gamma delta gamma delta"), (2, "   ")]
+    wmap = {b: (b % 5 - 2) / 4 for b in range(16)}
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wdf = spark.createDataFrame(
+        [(b, w) for b, w in wmap.items()], "bucket long, weight double"
+    )
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % 16
+
+    expect = {}
+    for i, text in rows:
+        toks = [w for w in text.lower().split() if w]
+        fs = toks + [f"{toks[j]} {toks[j + 1]}" for j in range(len(toks) - 1)]
+        if not fs:
+            expect[i] = (0, None, False)
+        else:
+            mean = sum(wmap[bucket(f)] for f in fs) / len(fs)
+            score = round(1.0 / (1.0 + math.exp(-mean)), 6)
+            expect[i] = (len(fs), score, score >= 0.5)
+
+    got = {
+        r.doc_id: (r.n_features, r.score, r.keep)
+        for r in quality_classifier(docs, wdf, dim=16).collect()
+    }
+    assert got == expect
+
+
+def test_mixture_sample_matches_naive_prefix_cut(spark):
+    """The hierarchical (bucketed) prefix-sum draw equals the naive
+    take-in-md5-order-while-under-budget rule computed locally; groups
+    without a budget vanish; result is partitioning-independent."""
+    import hashlib
+
+    from vector_spark.datapipe import mixture_sample
+
+    rows = [
+        (i, "g" + str(i % 3), " ".join(f"w{j}" for j in range(1 + (i * 7) % 13)))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, grp string, text string")
+    budgets = {"g0": 40, "g1": 7}          # g2 omitted -> dropped
+
+    expect = {}
+    for g, budget in budgets.items():
+        order = sorted(
+            (r for r in rows if r[1] == g),
+            key=lambda r: (hashlib.md5(f"mix|{r[0]}".encode()).hexdigest(), r[0]),
+        )
+        cum = 0
+        for i, _, text in order:
+            cum += len(text.split())
+            if cum <= budget:
+                expect[i] = (g, len(text.split()))
+
+    got = {
+        r.doc_id: (r.grp, r.n_tokens)
+        for r in mixture_sample(docs, budgets, group_col="grp").collect()
+    }
+    assert got == expect
+    got2 = {
+        r.doc_id: (r.grp, r.n_tokens)
+        for r in mixture_sample(docs.repartition(11), budgets, group_col="grp").collect()
+    }
+    assert got2 == expect
 
 
 def test_dsir_importance_weights_and_resample(spark):

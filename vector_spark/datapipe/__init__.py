@@ -1,4 +1,7 @@
-from .dedup import exact_dedup, dedup_ladder, dedup_spans, shingle_docs, minhash_lsh_pairs, simhash
+from .dedup import (
+    connected_components, dedup_clusters, dedup_ladder, dedup_spans,
+    exact_dedup, minhash_lsh_pairs, shingle_docs, simhash,
+)
 from .similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
@@ -7,7 +10,9 @@ from .similarity import (
 )
 from .text import text_quality, token_count, doc_fingerprint, langid, quality_filter_gopher, repetition_filter_gopher, chunk_documents, pii_scrub, sample_stratified
 from .curation import curation_pipeline
-from .corpus import decontaminate, shuffle_corpus
+from .boilerplate import boilerplate_blocks
+from .classifier import feature_bucket, hashed_features, quality_classifier
+from .corpus import decontaminate, mixture_sample, shuffle_corpus
 from .urls import url_filter, url_normalize_exprs
 from .lm import importance_resample, importance_weights, perplexity_score, unigram_lm
 from .html import extract_html_text, html_text_expr
@@ -15,11 +20,14 @@ from .multimodal import binary_meta, extract_features, frame_sample, resize_imag
 
 __all__ = [
     "exact_dedup", "dedup_ladder", "dedup_spans", "shingle_docs", "minhash_lsh_pairs", "simhash",
+    "connected_components", "dedup_clusters",
     "cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "embedding_near_dup_pairs",
     "text_quality", "quality_filter_gopher", "repetition_filter_gopher", "token_count", "doc_fingerprint", "langid",
     "binary_meta", "extract_features", "frame_sample", "resize_image",
     "chunk_documents", "curation_pipeline", "pii_scrub", "sample_stratified",
-    "decontaminate", "shuffle_corpus", "url_filter", "url_normalize_exprs",
+    "decontaminate", "mixture_sample", "shuffle_corpus", "url_filter", "url_normalize_exprs",
     "perplexity_score", "unigram_lm", "extract_html_text", "html_text_expr",
     "importance_weights", "importance_resample",
+    "quality_classifier", "hashed_features", "feature_bucket",
+    "boilerplate_blocks",
 ]

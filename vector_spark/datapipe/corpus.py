@@ -129,3 +129,76 @@ def shuffle_corpus(
     staged = df.select(*keep, shard, h.alias("_h"))
     w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(id_col))
     return staged.withColumn("pos", F.row_number().over(w).cast("long")).drop("_h")
+
+
+def mixture_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Token-budget mixture sampling — the "data mixing" step that cuts
+    each corpus stratum (language, source, domain) down to a target token
+    budget: a doc is kept iff the running token total up to and including
+    it — in the seed-deterministic md5 order — stays within the group's
+    budget (prefix-sum cut: the first doc to cross the budget, and
+    everything after it in the order, is dropped); groups absent from
+    `budgets` are dropped entirely. Deterministic at any parallelism, so
+    the SQL oracle replays the draw exactly.
+
+    Scale shape (the point of this implementation): the naive form is a
+    per-group running-sum window — one sort task per group, so a hot
+    group (at 100 TB, 'en' is most of the corpus) serializes into a
+    single straggler. Instead the prefix sum is computed hierarchically:
+
+      1. bucket every doc by its hash's first 2 hex digits (256 buckets),
+      2. per-(group, bucket) token totals — a map-side-combined agg whose
+         output is ≤ 256 rows per group; the bucket-prefix window runs
+         over THAT (trivial, skew-free),
+      3. buckets entirely under the budget keep all their docs with NO
+         per-row sort; buckets entirely past it drop all theirs; only the
+         ONE boundary bucket per group pays a fine-grained running-sum
+         window, over 1/256th of the group.
+
+    Both passes move only (id, group, n_tokens, hash) — never text.
+    Returns (id_col, group_col, n_tokens) for the kept docs; n_tokens is
+    the whitespace token count (the curation-standard proxy — point
+    text_col at a pre-tokenized rendering to use a real tokenizer)."""
+    from pyspark.sql import Window
+
+    budget_map = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )
+    h = F.md5(F.concat(F.lit(seed + "|"), F.col(id_col).cast("string")))
+    n_tokens = F.size(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    ).cast("long")
+    scored = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        n_tokens.alias("n_tokens"),
+        h.alias("_h"),
+        F.substring(h, 1, 2).alias("_bk"),
+        F.element_at(budget_map, F.col(group_col)).cast("long").alias("_budget"),
+    ).filter(F.col("_budget").isNotNull())
+    btot = scored.groupBy(group_col, "_bk").agg(F.sum("n_tokens").alias("_bt"))
+    wb = Window.partitionBy(group_col).orderBy("_bk")
+    bpre = btot.withColumn("_bpre", F.sum("_bt").over(wb) - F.col("_bt"))
+    joined = scored.join(F.broadcast(bpre), [group_col, "_bk"])
+    out_cols = [id_col, group_col, "n_tokens"]
+    whole = joined.filter(F.col("_bpre") + F.col("_bt") <= F.col("_budget"))
+    boundary = joined.filter(
+        (F.col("_bpre") + F.col("_bt") > F.col("_budget"))
+        & (F.col("_bpre") < F.col("_budget"))
+    )
+    wf = (
+        Window.partitionBy(group_col, "_bk")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fine = boundary.withColumn(
+        "_cum", F.col("_bpre") + F.sum("n_tokens").over(wf)
+    ).filter(F.col("_cum") <= F.col("_budget"))
+    return whole.select(*out_cols).union(fine.select(*out_cols))

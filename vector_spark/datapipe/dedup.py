@@ -194,6 +194,109 @@ def dedup_spans(
     ).select(id_col, "text_dedup", "n_spans", "n_removed")
 
 
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Distributed connected components by min-label propagation with
+    pointer jumping (the label-contraction half of Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond"): every node's label
+    converges to the MINIMUM id in its component — the canonical
+    cluster id, independent of partitioning or iteration order.
+
+    Per round: (1) label <- min(label, neighbors' labels) — one join +
+    map-side-combined min keyed by node id, ids only through the shuffle;
+    (2) label <- label(label) — pointer jump, which halves remaining
+    chain depth, so rounds = O(log diameter) instead of O(diameter);
+    near-dup graphs have tiny diameters, so 2-4 rounds in practice.
+    Convergence is probed with a LIMIT-1 existence job per round (cheap:
+    it short-circuits on the first changed label); each round's labels
+    are persisted and the previous round unpersisted, so lineage stays
+    bounded. Raises RuntimeError if max_iters rounds don't converge
+    (log2(diameter) > max_iters never happens on real dedup graphs).
+
+    Returns (id_col, cluster_id, cluster_size); singletons are their own
+    cluster of size 1.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .union(pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b")))
+        .persist()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("lab")
+    ).persist()
+    converged = False
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels.withColumnRenamed("node", "a"), "a")
+            .groupBy("b")
+            .agg(F.min("lab").alias("nlab"))
+            .withColumnRenamed("b", "node")
+        )
+        # least() skips nulls, so un-neighbored nodes keep their label
+        stepped = labels.join(nbr, "node", "left").select(
+            "node", F.least("lab", "nlab").alias("lab")
+        )
+        parents = stepped.select(F.col("node").alias("p"), F.col("lab").alias("plab"))
+        jumped = (
+            stepped.join(parents, stepped["lab"] == parents["p"])
+            .select("node", F.col("plab").alias("lab"))
+            .persist()
+        )
+        changed = (
+            jumped.join(labels.withColumnRenamed("lab", "old"), "node")
+            .filter(F.col("lab") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = jumped
+        if changed == 0:
+            converged = True
+            break
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iters} rounds")
+    sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "lab").select(
+        F.col("node").alias(id_col),
+        F.col("lab").alias("cluster_id"),
+        F.col("cluster_size"),
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    max_iters: int = 25,
+) -> DataFrame:
+    """Near-duplicate CLUSTER IDS: the union-find view of fuzzy dedup that
+    dedup_ladder deliberately avoids (its pair-membership removal keeps a
+    superset of one-per-component). Here the full equivalence classes are
+    materialized — (doc_id, cluster_id, cluster_size) with cluster_id =
+    min doc id in the component — which is what a corpus audit or a
+    "keep the best doc per cluster" policy needs, not just survivor ids.
+
+    Pipeline: MinHash+LSH verified pairs (ids-only bucket shuffle) ->
+    min-label propagation with pointer jumping (O(log diameter) rounds;
+    see connected_components). Deterministic at any parallelism, so the
+    SQL oracle reproduces it via a recursive transitive closure."""
+    pairs = minhash_lsh_pairs(
+        df, text_col=text_col, id_col=id_col, threshold=jaccard_threshold
+    ).persist()
+    out = connected_components(
+        df.select(id_col), pairs, id_col=id_col, max_iters=max_iters
+    )
+    return out
+
+
 def dedup_ladder(
     df: DataFrame,
     text_col: str = "text",
