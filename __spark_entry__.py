@@ -1100,6 +1100,16 @@ def q_quality_classifier(spark, sf_dir):
     return quality_classifier(_t(spark, sf_dir, "documents"), wdf, threshold=0.5)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concatenate-and-chunk sequence packing: the corpus in
+    shuffle_corpus order (seed 42, 8 shards), token stream chunked into
+    64-token training sequences, one row per doc-x-sequence overlap with
+    exact slice offsets. Pure integer arithmetic -> hash-exact oracle."""
+    from vector_spark.datapipe import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=64)
+
+
 def q_mixture_sample(spark, sf_dir):
     """Token-budget mixture sampling: per-lang budgets cut the corpus in a
     seed-deterministic md5 order via a hierarchical (bucketed) prefix sum —
@@ -2404,6 +2414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_bucket": q_perplexity_bucket,
         "dsir_resample": q_dsir_resample,
         "mixture_sample": q_mixture_sample,
+        "pack_sequences": q_pack_sequences,
         "quality_classifier": q_quality_classifier,
         "boilerplate_blocks": q_boilerplate_blocks,
         "html_text": q_html_text,
@@ -4445,6 +4456,33 @@ SELECT doc_id, text, lang, source, n_chars,
          ORDER BY {_shard_hex}, doc_id
        ) AS BIGINT) AS pos
 FROM documents
+"""
+
+    # same seed-42 order as shuffle_corpus; integer chunking arithmetic
+    sql["pack_sequences"] = f"""
+WITH t AS (
+  SELECT doc_id, {_shard_val} % 8 AS shard, {_shard_hex} AS h,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) + 1
+              AS BIGINT) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n,
+         CAST(sum(n) OVER (PARTITION BY shard ORDER BY h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS e
+  FROM t
+),
+s AS (
+  SELECT doc_id, shard, e - n AS st, e,
+         unnest(range((e - n) // 64, (e - 1) // 64 + 1)) AS seq_no
+  FROM c
+)
+SELECT shard, seq_no, doc_id,
+       greatest(st, seq_no * 64) - st AS doc_offset,
+       greatest(st, seq_no * 64) - seq_no * 64 AS seq_offset,
+       least(e, (seq_no + 1) * 64) - greatest(st, seq_no * 64) AS n_tokens
+FROM s
 """
 
     # composed curation oracle: quality + repetition as gating joins, the

@@ -90,6 +90,7 @@ HEADLINE = [
     "mixture_sample",
     "quality_classifier",
     "boilerplate_blocks",
+    "pack_sequences",
 ]
 
 

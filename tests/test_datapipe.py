@@ -531,6 +531,41 @@ def test_perplexity_score_buckets_and_external_lm(spark):
     assert got[0].nll < got[1].nll  # OOV doc scores worse, not crashes
 
 
+def test_pack_sequences_chunking_invariants(spark):
+    """Concat-and-chunk invariants: every sequence except each shard's
+    last is exactly seq_len tokens with contiguous tiling; every doc's
+    slices tile [0, tokens+eos); identical under repartitioning."""
+    from collections import defaultdict
+
+    from vector_spark.datapipe import pack_sequences
+
+    rows = [(i, " ".join(f"t{j}" for j in range((i * 5) % 23 + 1))) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(docs, seq_len=8, n_shards=4).collect()
+    out2 = pack_sequences(docs.repartition(7), seq_len=8, n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+    per_seq, per_doc = defaultdict(list), defaultdict(list)
+    for r in out:
+        per_seq[(r.shard, r.seq_no)].append(r)
+        per_doc[r.doc_id].append(r)
+    last_seq = {s: max(q for t, q in per_seq if t == s) for s, _ in per_seq}
+    for (shard, seq_no), parts in per_seq.items():
+        parts.sort(key=lambda r: r.seq_offset)
+        total = sum(p.n_tokens for p in parts)
+        if seq_no < last_seq[shard]:
+            assert total == 8
+        assert parts[0].seq_offset == 0
+        for a, b in zip(parts, parts[1:]):
+            assert a.seq_offset + a.n_tokens == b.seq_offset
+    for i, text in rows:
+        parts = sorted(per_doc[i], key=lambda r: r.doc_offset)
+        assert parts[0].doc_offset == 0
+        for a, b in zip(parts, parts[1:]):
+            assert a.doc_offset + a.n_tokens == b.doc_offset
+        assert sum(p.n_tokens for p in parts) == len(text.split()) + 1
+
+
 def test_boilerplate_blocks_justext_rules_and_context_pass(spark):
     """Link-dense blocks are bad; stopword-dense long blocks are good; a
     short block BETWEEN two goods promotes, a trailing short demotes; a

@@ -324,3 +324,59 @@ def test_langid_scores_staged_once(spark):
         assert plan.count("(?=(?:") == len(LANG_TRIGRAMS)
     finally:
         spark.conf.unset("spark.sql.debug.maxToStringFields")
+
+
+def test_mixture_sample_boundary_window_only(spark):
+    """The hierarchical prefix sum's invariants: bucket totals broadcast
+    (never SortMergeJoin), and the only per-ROW window partitions by
+    (group, bucket) — the full group is never a single sort partition."""
+    from vector_spark.datapipe import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, "g" + str(i % 2), "w " * (i % 9 + 1)) for i in range(200)],
+        "doc_id long, grp string, text string",
+    )
+    plan = plan_of(mixture_sample(docs, {"g0": 50, "g1": 50}, group_col="grp"))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # fine windows are keyed by (grp, _bk); bucket-prefix windows by grp
+    # alone are fine (<=256 rows per group) — only row-level sums matter
+    import re
+
+    row_windows = [
+        w for w in re.findall(r"Window \[sum\((?:n_tokens|_n)[^\]]*windowspecdefinition\(([^)]*)\)", plan)
+    ]
+    assert row_windows and all("_bk" in w for w in row_windows)
+
+
+def test_pack_sequences_single_exchange_and_narrow_payload(spark):
+    """One hash exchange (the shard window) feeds the cumsum; the span
+    explode is in-stage; text never survives past the token count."""
+    from vector_spark.datapipe import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 9 + 1)) for i in range(200)], "doc_id long, text string"
+    )
+    plan = plan_of(pack_sequences(docs, seq_len=8))
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Generate explode" in plan
+    # the window's input projection carries no text column
+    m = re.search(r"Window \[sum\(_n.*", plan)
+    assert m is not None
+
+
+def test_connected_components_labels_join_no_bnlj(spark):
+    """Every iteration's joins are hash joins — no nested-loop fallback
+    on the label/edge equi-joins."""
+    from vector_spark.datapipe import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)], "doc_a long, doc_b long"
+    )
+    out = connected_components(nodes, pairs)
+    plan = plan_of(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

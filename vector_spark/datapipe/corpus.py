@@ -202,3 +202,75 @@ def mixture_sample(
         "_cum", F.col("_bpre") + F.sum("n_tokens").over(wf)
     ).filter(F.col("_cum") <= F.col("_budget"))
     return whole.select(*out_cols).union(fine.select(*out_cols))
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: int = 42,
+    append_eos: bool = True,
+) -> DataFrame:
+    """GPT-style sequence packing — concatenate the corpus in the
+    shuffle_corpus order (same seed -> same order) and chunk the token
+    stream into fixed `seq_len` training sequences; documents spanning a
+    boundary are split across sequences. This is the classic
+    concatenate-and-chunk LM data layout (GPT-2/3): zero padding waste,
+    deterministic, and resumable (re-running reproduces identical
+    sequence assignments on any cluster size).
+
+    Returns one row per (document x sequence it overlaps):
+      (shard, seq_no, doc_id, doc_offset, seq_offset, n_tokens)
+    where seq_no is shard-local (global id = (shard, seq_no)),
+    doc_offset/seq_offset are the token offsets of the contributed slice
+    inside the doc / the sequence, and n_tokens is the slice length.
+    append_eos reserves one separator token after every document (the
+    usual <|endoftext|> convention), so even empty docs occupy a slot.
+
+    Scale shape: ONE exchange (the per-shard cumsum window) + a narrow
+    span explode. The window serializes per shard, so shard count is the
+    parallelism knob — size n_shards to ~file granularity (10^5 at
+    100 TB), never executor count; token counting and span arithmetic
+    are scan-speed expressions."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    shard = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
+    n_tok = (
+        F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != ""))
+        + (1 if append_eos else 0)
+    ).cast("long")
+    staged = df.select(
+        F.col(id_col), shard.alias("shard"), h.alias("_h"), n_tok.alias("_n")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = staged.withColumn("_end", F.sum("_n").over(w)).withColumn(
+        "_start", F.col("_end") - F.col("_n")
+    )
+    L = F.lit(seq_len).cast("long")
+    spans = F.when(
+        F.col("_end") > F.col("_start"),
+        F.sequence(
+            F.floor(F.col("_start") / L).cast("long"),
+            F.floor((F.col("_end") - 1) / L).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    ex = c.select(
+        id_col, "shard", "_start", "_end", F.explode(spans).alias("seq_no")
+    )
+    cs = F.greatest(F.col("_start"), F.col("seq_no") * L)
+    ce = F.least(F.col("_end"), (F.col("seq_no") + 1) * L)
+    return ex.select(
+        "shard",
+        "seq_no",
+        F.col(id_col),
+        (cs - F.col("_start")).alias("doc_offset"),
+        (cs - F.col("seq_no") * L).alias("seq_offset"),
+        (ce - cs).alias("n_tokens"),
+    )
