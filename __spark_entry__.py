@@ -1100,6 +1100,30 @@ def q_quality_classifier(spark, sf_dir):
     return quality_classifier(_t(spark, sf_dir, "documents"), wdf, threshold=0.5)
 
 
+def q_corpus_build(spark, sf_dir):
+    """Composed end-to-end corpus build: exact dedup -> fastText-style
+    classifier gate (the q_quality_classifier synthetic model) -> per-lang
+    token-budget mixture -> 64-token sequence packing. Ids-only semi-joins
+    between stages; the oracle re-roots each stage's SQL onto the previous
+    survivors."""
+    from vector_spark.datapipe import corpus_build
+
+    u32 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("w|"), F.col("id").cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    wdf = spark.range(4096).select(
+        F.col("id").alias("bucket"),
+        ((u32 % 2001).cast("double") / F.lit(1000.0) - F.lit(1.0)).alias("weight"),
+    )
+    return corpus_build(
+        _t(spark, sf_dir, "documents"),
+        wdf,
+        budgets={"en": 3000, "de": 1200, "es": 1500, "fr": 1500, "zh": 1500},
+        seq_len=64,
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """GPT-style concatenate-and-chunk sequence packing: the corpus in
     shuffle_corpus order (seed 42, 8 shards), token stream chunked into
@@ -2415,6 +2439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": q_dsir_resample,
         "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
+        "corpus_build": q_corpus_build,
         "quality_classifier": q_quality_classifier,
         "boilerplate_blocks": q_boilerplate_blocks,
         "html_text": q_html_text,
@@ -4261,7 +4286,8 @@ FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
             for i in range(8)
         ) + ")"
 
-    sql["quality_classifier"] = f"""
+    def _classifier_sql(source: str = "documents") -> str:
+        return f"""
 WITH wts AS (
   SELECT CAST(i AS BIGINT) AS bucket,
          CAST({_md5_u32("'w|' || CAST(i AS VARCHAR)")} % 2001 AS DOUBLE) / 1000.0 - 1.0
@@ -4279,7 +4305,7 @@ feats AS (
          )) AS f
   FROM (SELECT doc_id,
                list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
-        FROM documents)
+        FROM {source})
 ),
 fb AS (SELECT doc_id, {_md5_u32("f")} % 4096 AS bucket FROM feats),
 sc AS (
@@ -4292,18 +4318,23 @@ SELECT d.doc_id,
        round(1.0 / (1.0 + exp(-(0.0 + CAST(sc.s AS DOUBLE) / sc.n_features))), 6) AS score,
        coalesce(round(1.0 / (1.0 + exp(-(0.0 + CAST(sc.s AS DOUBLE) / sc.n_features))), 6)
                 >= 0.5, FALSE) AS keep
-FROM documents d LEFT JOIN sc USING (doc_id)
+FROM {source} d LEFT JOIN sc USING (doc_id)
 """
 
-    sql["mixture_sample"] = """
+    sql["quality_classifier"] = _classifier_sql()
+
+    def _mixture_budget_sql(budgets: dict, source: str = "documents") -> str:
+        case = " ".join(
+            f"WHEN '{g}' THEN {b}" for g, b in budgets.items()
+        )
+        return f"""
 WITH t AS (
   SELECT doc_id, lang,
          CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT)
            AS n_tokens,
          md5('mix|' || CAST(doc_id AS VARCHAR)) AS h,
-         CASE lang WHEN 'en' THEN 4000 WHEN 'de' THEN 1500
-                   WHEN 'es' THEN 2000 WHEN 'zh' THEN 100 END AS budget
-  FROM documents
+         CASE lang {case} END AS budget
+  FROM {source}
 ),
 c AS (
   SELECT doc_id, lang, n_tokens, budget,
@@ -4315,6 +4346,10 @@ c AS (
 )
 SELECT doc_id, lang, n_tokens FROM c WHERE cum <= budget
 """
+
+    sql["mixture_sample"] = _mixture_budget_sql(
+        {"en": 4000, "de": 1500, "es": 2000, "zh": 100}
+    )
 
     _dsir_hex = "md5('dsir|' || CAST(doc_id AS VARCHAR))"
     _dsir_val = "(" + " + ".join(
@@ -4459,12 +4494,13 @@ FROM documents
 """
 
     # same seed-42 order as shuffle_corpus; integer chunking arithmetic
-    sql["pack_sequences"] = f"""
+    def _pack_sql(source: str = "documents") -> str:
+        return f"""
 WITH t AS (
   SELECT doc_id, {_shard_val} % 8 AS shard, {_shard_hex} AS h,
          CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) + 1
               AS BIGINT) AS n
-  FROM documents
+  FROM {source}
 ),
 c AS (
   SELECT doc_id, shard, n,
@@ -4483,6 +4519,24 @@ SELECT shard, seq_no, doc_id,
        greatest(st, seq_no * 64) - seq_no * 64 AS seq_offset,
        least(e, (seq_no + 1) * 64) - greatest(st, seq_no * 64) AS n_tokens
 FROM s
+"""
+
+    sql["pack_sequences"] = _pack_sql()
+
+    # the composed corpus build: every stage's oracle re-rooted onto the
+    # previous stage's survivors (dedup -> classifier gate -> mixture ->
+    # packing), exactly the Spark composition in corpus.py::corpus_build
+    sql["corpus_build"] = f"""
+WITH surv AS (
+  SELECT d.* FROM documents d
+  JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) sv USING (doc_id)
+),
+cls AS ({_classifier_sql("surv")}),
+kept AS (SELECT s.* FROM surv s JOIN cls ON cls.doc_id = s.doc_id AND cls.keep),
+mix AS ({_mixture_budget_sql({"en": 3000, "de": 1200, "es": 1500, "fr": 1500, "zh": 1500}, "kept")}),
+sampled AS (SELECT k.* FROM kept k JOIN mix ON mix.doc_id = k.doc_id),
+packed AS ({_pack_sql("sampled")})
+SELECT * FROM packed
 """
 
     # composed curation oracle: quality + repetition as gating joins, the

@@ -91,6 +91,7 @@ HEADLINE = [
     "quality_classifier",
     "boilerplate_blocks",
     "pack_sequences",
+    "corpus_build",
 ]
 
 

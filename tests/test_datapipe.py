@@ -531,6 +531,33 @@ def test_perplexity_score_buckets_and_external_lm(spark):
     assert got[0].nll < got[1].nll  # OOV doc scores worse, not crashes
 
 
+def test_corpus_build_stage_gating(spark):
+    """Exact duplicates drop at stage 1 (higher id never packs), an
+    all-negative model keeps nothing, and with an all-positive model +
+    ample budgets every unique doc packs exactly tokens+eos."""
+    from vector_spark.datapipe import corpus_build
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "alpha beta gamma"),
+            (2, "en", "alpha beta gamma"),      # exact dup of 1
+            (3, "en", "delta epsilon"),
+            (4, "de", "zeta eta theta iota"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    pos = spark.createDataFrame([(b, 1.0) for b in range(4096)], "bucket long, weight double")
+    out = corpus_build(docs, pos, {"en": 100, "de": 100}, seq_len=8)
+    got = {}
+    for r in out.collect():
+        got[r.doc_id] = got.get(r.doc_id, 0) + r.n_tokens
+    assert set(got) == {1, 3, 4}            # dup id 2 gone
+    assert got[1] == 4 and got[3] == 3 and got[4] == 5   # tokens + eos
+
+    neg = spark.createDataFrame([(b, -1.0) for b in range(4096)], "bucket long, weight double")
+    assert corpus_build(docs, neg, {"en": 100, "de": 100}, seq_len=8).count() == 0
+
+
 def test_pack_sequences_chunking_invariants(spark):
     """Concat-and-chunk invariants: every sequence except each shard's
     last is exactly seq_len tokens with contiguous tiling; every doc's

@@ -12,7 +12,9 @@ from .text import text_quality, token_count, doc_fingerprint, langid, quality_fi
 from .curation import curation_pipeline
 from .boilerplate import boilerplate_blocks
 from .classifier import feature_bucket, hashed_features, quality_classifier
-from .corpus import decontaminate, mixture_sample, pack_sequences, shuffle_corpus
+from .corpus import (
+    corpus_build, decontaminate, mixture_sample, pack_sequences, shuffle_corpus,
+)
 from .urls import url_filter, url_normalize_exprs
 from .lm import importance_resample, importance_weights, perplexity_score, unigram_lm
 from .html import extract_html_text, html_text_expr
@@ -25,7 +27,7 @@ __all__ = [
     "text_quality", "quality_filter_gopher", "repetition_filter_gopher", "token_count", "doc_fingerprint", "langid",
     "binary_meta", "extract_features", "frame_sample", "resize_image",
     "chunk_documents", "curation_pipeline", "pii_scrub", "sample_stratified",
-    "decontaminate", "mixture_sample", "pack_sequences", "shuffle_corpus",
+    "corpus_build", "decontaminate", "mixture_sample", "pack_sequences", "shuffle_corpus",
     "url_filter", "url_normalize_exprs",
     "perplexity_score", "unigram_lm", "extract_html_text", "html_text_expr",
     "importance_weights", "importance_resample",

@@ -274,3 +274,44 @@ def pack_sequences(
         (cs - F.col("seq_no") * L).alias("seq_offset"),
         (ce - cs).alias("n_tokens"),
     )
+
+
+def corpus_build(
+    df: DataFrame,
+    weights: DataFrame,
+    budgets: dict[str, int],
+    seq_len: int = 64,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The composed end-to-end training-corpus build — the workflow a
+    100 TB curation run actually executes, as ONE dataflow:
+
+      exact dedup -> model-based quality gate (quality_classifier) ->
+      per-group token-budget mixture (mixture_sample) ->
+      training-sequence packing (pack_sequences)
+
+    Each stage's survivor set flows forward as an ids-only LEFT SEMI
+    join against the doc table — text is re-read from the (pruned) scan,
+    never carried through a stage's shuffle. The SQL oracle is the same
+    composition with each stage's oracle re-rooted onto the previous
+    stage's survivors, so the whole pipeline is hash-exact end to end."""
+    from .classifier import quality_classifier
+    from .dedup import exact_dedup
+
+    surv = df.join(
+        exact_dedup(df, text_col, id_col).select(F.col("keep_id").alias(id_col)),
+        id_col,
+        "left_semi",
+    )
+    kept_ids = (
+        quality_classifier(surv, weights, text_col, id_col, threshold=threshold)
+        .filter(F.col("keep"))
+        .select(id_col)
+    )
+    kept = surv.join(kept_ids, id_col, "left_semi")
+    mixed_ids = mixture_sample(kept, budgets, group_col, text_col, id_col).select(id_col)
+    sampled = kept.join(mixed_ids, id_col, "left_semi")
+    return pack_sequences(sampled, seq_len, text_col, id_col)
