@@ -1790,6 +1790,25 @@ def q_embedding_near_dup(spark, sf_dir):
     return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+def q_bpe_pair_counts(spark, sf_dir):
+    """One BPE-training merge round: corpus-wide adjacent-char pair counts
+    weighted by word frequency; rank 1 = the merge BPE performs next."""
+    from vector_spark.datapipe import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"), top_n=50)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup: nearest-of-16-deterministic-centroids clustering, then
+    within-cluster cosine pruning (lowest id survives a >=0.35 pair).
+    Every row comes back with its cluster + centroid cosine + keep flag."""
+    from vector_spark.datapipe import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_centroids=16
+    )
+
+
 def q_ann_ivf(spark, sf_dir):
     from vector_spark.datapipe import ivf_ann_topk
 
@@ -2469,6 +2488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggregate_summary_approx": q_aggregate_summary_approx,
         "sample_group_modulo": q_sample_group_modulo,
         "embedding_near_dup": q_embedding_near_dup,
+        "semantic_dedup": q_semantic_dedup,
+        "bpe_pair_counts": q_bpe_pair_counts,
         "ann_ivf": q_ann_ivf,
         "demo_logs_roundtrip": q_demo_logs_roundtrip,
         "multimodal_features": q_multimodal_features,
@@ -3912,6 +3933,57 @@ SELECT event_id, user_id, 20 AS sample_rate FROM (
 """
 
     sql["embedding_near_dup"] = _near_dup_sql(threshold=0.35)
+
+    # BPE merge-round oracle: same lower/whitespace word model, same
+    # 1..len-1 adjacent positions, same (count desc, pair asc) ranking
+    sql["bpe_pair_counts"] = """
+WITH words AS (
+  SELECT w, count(*) AS f
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY w
+),
+pairs AS (
+  SELECT substr(w, CAST(i AS INTEGER), 1) AS pair_left,
+         substr(w, CAST(i AS INTEGER) + 1, 1) AS pair_right,
+         CAST(sum(f) AS BIGINT) AS pair_count
+  FROM (SELECT w, f, unnest(range(1, length(w))) AS i FROM words WHERE length(w) >= 2)
+  GROUP BY 1, 2
+)
+SELECT rank, pair_left, pair_right, pair_count FROM (
+  SELECT CAST(row_number() OVER (ORDER BY pair_count DESC, pair_left, pair_right) AS BIGINT) AS rank, *
+  FROM pairs
+) WHERE rank <= 50
+"""
+
+    # SemDeDup oracle: same deterministic centroids (vec_id < 16), same
+    # argmax-cosine cluster assignment (tie -> lowest centroid id), same
+    # within-cluster lowest-id-survives pruning at rounded cosine >= 0.35
+    sql["semantic_dedup"] = """
+WITH n AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nm
+  FROM embeddings
+),
+c AS (SELECT id AS cid, v AS cv, nm AS cn FROM n WHERE id < 16),
+asg AS (
+  SELECT n.id, n.v, n.nm, c.cid,
+         round(list_dot_product(n.v, c.cv) / (n.nm * c.cn), 6) AS cs,
+         row_number() OVER (
+           PARTITION BY n.id
+           ORDER BY round(list_dot_product(n.v, c.cv) / (n.nm * c.cn), 6) DESC, c.cid
+         ) AS r
+  FROM n CROSS JOIN c
+),
+cells AS (SELECT id, v, nm, cid AS cluster, cs AS cos_centroid FROM asg WHERE r = 1),
+dups AS (
+  SELECT DISTINCT b.id AS id
+  FROM cells a JOIN cells b ON a.cluster = b.cluster AND a.id < b.id
+  WHERE round(list_dot_product(a.v, b.v) / (a.nm * b.nm), 6) >= 0.35
+)
+SELECT c.id AS vec_id, c.cluster, c.cos_centroid, (d.id IS NULL) AS keep
+FROM cells c LEFT JOIN dups d ON d.id = c.id
+"""
 
     # IVF-flat oracle: same deterministic centroids (vec_id < 16), same
     # argmax-cosine cell assignment (tie -> lowest centroid id), same

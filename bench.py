@@ -92,6 +92,8 @@ HEADLINE = [
     "boilerplate_blocks",
     "pack_sequences",
     "corpus_build",
+    "semantic_dedup",
+    "bpe_pair_counts",
 ]
 
 

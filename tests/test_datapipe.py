@@ -235,6 +235,55 @@ def test_embedding_near_dup_default_plan_has_no_nested_loop(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_semantic_dedup_cluster_and_prune(spark):
+    """SemDeDup semantics: docs cluster to the nearest deterministic
+    centroid; within a cluster the lowest id of any >=threshold pair
+    survives and every higher one prunes (even via different partners);
+    sub-threshold cluster-mates keep. Plan: the only nested-loop join is
+    the tiny broadcast centroid assignment — the pairwise step is a
+    cluster-keyed equi-join, never a cartesian product."""
+    from vector_spark.datapipe import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0]),    # centroid A
+        (1, [0.0, 1.0]),    # centroid B
+        (2, [1.0, 0.05]),   # cluster A, near-dup of 0 -> pruned
+        (3, [0.05, 1.0]),   # cluster B, near-dup of 1 -> pruned
+        (4, [1.0, -0.9]),   # cluster A, cos to all mates < 0.9 -> kept
+        (5, [1.0, 0.04]),   # cluster A, dup of 0 AND 2 -> pruned once
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, threshold=0.9, n_centroids=2)
+    got = {r.vec_id: (r.cluster, r.keep) for r in out.collect()}
+    assert got == {0: (0, True), 1: (1, True), 2: (0, False),
+                   3: (1, False), 4: (0, True), 5: (0, False)}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # assignment is a narrow expression fold over the broadcast centroid
+    # array — no per-id argmax window anywhere in the plan (the only _id
+    # exchange left is the final keep-flag equi-join)
+    assert "row_number" not in plan
+    assert "Window" not in plan
+
+
+def test_bpe_pair_counts_merge_round(spark):
+    """Exact BPE merge-round statistics: pair counts weight by word
+    frequency (not doc frequency), case folds, single-char words
+    contribute nothing, ranking is count desc then pair text."""
+    from vector_spark.datapipe import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "aa AB x"), (2, "ab"), (3, "  aa  ")],
+        "doc_id long, text string",
+    )
+    got = [(r.rank, r.pair_left, r.pair_right, r.pair_count)
+           for r in bpe_pair_counts(docs, top_n=10).collect()]
+    # words: aa f=2, ab f=2, x f=1 -> pairs (a,a)=2 and (a,b)=2 tie on
+    # count, (a,a) wins the text tie-break
+    assert got == [(1, "a", "a", 2), (2, "a", "b", 2)]
+
+
 def test_dedup_ladder_two_tiers(spark):
     """Exact tier collapses identical texts to the min id; near-dup tier
     then removes the higher id of each verified near-dup pair."""

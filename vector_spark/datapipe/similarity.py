@@ -281,3 +281,92 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
+    embedding clustering — cluster every vector to its nearest centroid,
+    then prune WITHIN each cluster any doc whose cosine to a lower-id
+    cluster-mate is >= threshold. Clustering makes the pairwise step
+    tractable: the all-pairs comparison is confined to a cluster, so the
+    self-join is an equi-join on the cluster key (shuffle size ~= sum of
+    cluster sizes squared / n, not n^2). Pairs across clusters are never
+    compared — that recall loss is the SemDeDup trade, same as the paper.
+
+    Deviations from the paper, for determinism + oracle replay (the repo
+    convention used by every dedup tier, see dedup.py::exact_dedup):
+    centroids are the first `n_centroids` vectors by id (no trained
+    k-means; same seeding as ivf_ann_topk), and the kept representative is
+    the LOWEST id in a duplicate relation (the paper keeps the lowest
+    centroid-similarity example). Cosines round to 6 decimals before every
+    comparison so ordering is stable across engines/float paths.
+
+    Returns (vec_id, cluster, cos_centroid, keep) for EVERY input row —
+    keep=false marks the pruned duplicates.
+
+    At 100 TB: centroid assignment is a NARROW pass — the centroid set is
+    collected into one broadcast array row and the argmax is an expression
+    fold (order-independent comparator, so collect_list order can't leak),
+    so assignment adds zero exchanges; the only data shuffle is the
+    cluster-keyed self-join, where `n_centroids` is the knob bounding
+    per-task pair work (size it so n/k ~= 10k docs/cluster); AQE skew-join
+    splits a hot cluster.
+    """
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    )
+    base = base.withColumn("_n", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+    cents_row = (
+        base.filter(F.col("_id") < n_centroids)
+        .select(F.col("_id").alias("_cid"), F.col("_v").alias("_cv"), F.col("_n").alias("_cn"))
+        .groupBy()
+        .agg(F.collect_list(F.struct("_cid", "_cv", "_cn")).alias("_cents"))
+    )
+
+    def _fold(acc, c):
+        cs = F.round(_dot(F.col("_v"), c["_cv"]) / (F.col("_n") * c["_cn"]), 6)
+        better = (cs > acc["cs"]) | ((cs == acc["cs"]) & (c["_cid"] < acc["cid"]))
+        return F.when(better, F.struct(cs.alias("cs"), c["_cid"].alias("cid"))).otherwise(acc)
+
+    best = F.aggregate(
+        F.col("_cents"),
+        F.struct(F.lit(-2.0).cast("double").alias("cs"), F.lit(-1).cast("long").alias("cid")),
+        _fold,
+    )
+    cells = (
+        base.join(broadcast(cents_row))
+        .withColumn("_best", best)
+        .select(
+            "_id", "_v", "_n",
+            F.col("_best.cid").alias("cluster"),
+            F.col("_best.cs").alias("cos_centroid"),
+        )
+    )
+    a = cells.select(F.col("cluster").alias("_ca"), F.col("_id").alias("_ida"),
+                     F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    b = cells.select(F.col("cluster").alias("_cb"), F.col("_id").alias("_idb"),
+                     F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    dup_ids = (
+        a.join(b, (F.col("_ca") == F.col("_cb")) & (F.col("_ida") < F.col("_idb")))
+        .filter(
+            F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6)
+            >= threshold
+        )
+        .select(F.col("_idb").alias("_dup"))
+        .dropDuplicates(["_dup"])
+    )
+    return (
+        cells.join(dup_ids, cells["_id"] == dup_ids["_dup"], "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster",
+            "cos_centroid",
+            F.col("_dup").isNull().alias("keep"),
+        )
+    )

@@ -7,7 +7,7 @@ these run at scan speed inside the same stage as the parquet read.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..session import ensure_parallelism
@@ -629,4 +629,56 @@ def sample_stratified(
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    top_n: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One BPE-training merge round (Sennrich et al. 2016 §3.2): count
+    adjacent character pairs across the corpus, weighted by word frequency
+    — the statistic a tokenizer trainer computes to pick the next merge.
+
+    Dataflow: explode to words -> word-frequency groupBy (map-side combine
+    collapses each partition's dictionary, so the shuffle carries DISTINCT
+    words per partition, not tokens) -> per distinct word, adjacent pairs
+    via a transform over char positions (narrow — pair expansion happens
+    AFTER frequency aggregation, on the small distinct-word set) -> pair
+    groupBy sum -> global top-n (rounded rank ties broken by pair text).
+
+    Returns (rank, pair_left, pair_right, pair_count) — rank 1 is the
+    merge BPE would perform next. At 100 TB the token explosion never
+    crosses a shuffle un-aggregated; both exchanges carry dictionaries.
+    """
+    words = (
+        ensure_parallelism(df)
+        .select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    pair_pos = F.transform(
+        F.sequence(F.lit(1), F.length("w") - 1),
+        lambda i: F.struct(
+            F.col("w").substr(i, F.lit(1)).alias("a"),
+            F.col("w").substr(i + 1, F.lit(1)).alias("b"),
+        ),
+    )
+    pairs = (
+        words.filter(F.length("w") >= 2)
+        .select(F.col("f"), F.explode(pair_pos).alias("p"))
+        .select(F.col("p.a").alias("pair_left"), F.col("p.b").alias("pair_right"), "f")
+        .groupBy("pair_left", "pair_right")
+        .agg(F.sum("f").alias("pair_count"))
+    )
+    w = Window.orderBy(
+        F.col("pair_count").desc(), F.col("pair_left").asc(), F.col("pair_right").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_n)
+        .select("rank", "pair_left", "pair_right", "pair_count")
     )
