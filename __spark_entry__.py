@@ -1790,6 +1790,44 @@ def q_embedding_near_dup(spark, sf_dir):
     return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-doc top-5 keywords by smoothed tf-idf (round-6 score, term
+    tie-break) — dictionary-sized shuffles, term join never broadcast."""
+    from vector_spark.datapipe import tfidf_keywords
+
+    return tfidf_keywords(_t(spark, sf_dir, "documents"), k=5)
+
+
+def q_pagerank(spark, sf_dir):
+    """Fixed-point integer PageRank (3 unrolled rounds, damping 85%) over a
+    synthetic 4-regular doc link graph: out-link j of doc d is
+    md5_u32('pr|d|j') % n — replayable in any engine, deterministic, skewed
+    in-degree. Integer ranks make the result bit-exact vs the oracle."""
+    from vector_spark.datapipe import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n_row = docs.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+
+    def u32(s):
+        return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+    edges = docs.join(F.broadcast(n_row)).select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        u32(F.concat(F.lit("pr|"), F.col("doc_id").cast("string"), F.lit(f"|{j}"))),
+                        F.col("_n"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("dst"),
+    )
+    return pagerank(docs, edges, iterations=3, damping_pct=85, out_deg=4, id_col="doc_id")
+
+
 def q_bpe_pair_counts(spark, sf_dir):
     """One BPE-training merge round: corpus-wide adjacent-char pair counts
     weighted by word frequency; rank 1 = the merge BPE performs next."""
@@ -2490,6 +2528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
         "bpe_pair_counts": q_bpe_pair_counts,
+        "pagerank": q_pagerank,
+        "tfidf_keywords": q_tfidf_keywords,
         "ann_ivf": q_ann_ivf,
         "demo_logs_roundtrip": q_demo_logs_roundtrip,
         "multimodal_features": q_multimodal_features,
@@ -3934,6 +3974,30 @@ SELECT event_id, user_id, 20 AS sample_rate FROM (
 
     sql["embedding_near_dup"] = _near_dup_sql(threshold=0.35)
 
+    # tf-idf oracle: same word model, same smoothed idf, same round-6
+    # score and (score desc, term) tie-break
+    sql["tfidf_keywords"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nn AS (SELECT count(*) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(CAST(tf.tf AS DOUBLE)
+               * ln((CAST((SELECT n FROM nn) AS DOUBLE) + 1.0) / (CAST(dfq.df AS DOUBLE) + 1.0)),
+               6) AS score
+  FROM tf JOIN dfq USING (term)
+)
+SELECT doc_id, rank, term, tf, score FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
     # BPE merge-round oracle: same lower/whitespace word model, same
     # 1..len-1 adjacent positions, same (count desc, pair asc) ranking
     sql["bpe_pair_counts"] = """
@@ -4357,6 +4421,37 @@ FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
             f"CAST({_hexval_sql(f'substr({h}, {i + 1}, 1)')} AS BIGINT) * {16 ** (7 - i)}"
             for i in range(8)
         ) + ")"
+
+    # fixed-point integer PageRank: identical md5-derived 4-regular edges,
+    # identical floor-division update, 3 unrolled rounds -> bit-exact
+    _pr_edges = " UNION ALL ".join(
+        "SELECT doc_id AS src, CAST("
+        + _md5_u32("'pr|' || CAST(doc_id AS VARCHAR) || '|%d'" % j)
+        + " % (SELECT n FROM nn) AS BIGINT) AS dst FROM documents"
+        for j in range(4)
+    )
+    _pr_iter = """
+{out} AS (
+  SELECT nodes.id,
+         CAST(15 * (1000000000000 // (SELECT n FROM nn)) // 100
+              + 85 * coalesce(f.s, 0) // 100 AS BIGINT) AS r
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS id, sum({prev}.r // 4) AS s
+    FROM e JOIN {prev} ON {prev}.id = e.src GROUP BY e.dst
+  ) f ON f.id = nodes.id
+)"""
+    sql["pagerank"] = (
+        f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+nodes AS (SELECT doc_id AS id FROM documents),
+e AS ({_pr_edges}),
+r0 AS (SELECT id, CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS r FROM nodes),"""
+        + ",".join(
+            _pr_iter.format(out=f"i{k}", prev=f"i{k - 1}" if k > 1 else "r0")
+            for k in (1, 2, 3)
+        )
+        + "\nSELECT id AS doc_id, r AS pagerank FROM i3\n"
+    )
 
     def _classifier_sql(source: str = "documents") -> str:
         return f"""

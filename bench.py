@@ -94,6 +94,8 @@ HEADLINE = [
     "corpus_build",
     "semantic_dedup",
     "bpe_pair_counts",
+    "pagerank",
+    "tfidf_keywords",
 ]
 
 

@@ -267,6 +267,50 @@ def test_semantic_dedup_cluster_and_prune(spark):
     assert "Window" not in plan
 
 
+def test_tfidf_keywords_hand_computed(spark):
+    """N=3 docs; 'rare' appears only in doc 1 (idf ln(4/2)), 'the' in all
+    three (idf ln(4/4)=0 -> score 0 but still rankable); tf weights the
+    repeated term; ties break on term text."""
+    import math
+
+    from vector_spark.datapipe import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "the rare rare word"), (2, "the word"), (3, "the word")],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.rank): (r.term, r.tf, r.score)
+           for r in tfidf_keywords(docs, k=2).collect()}
+    ln2 = round(2 * math.log(4.0 / 2.0), 6)      # rare: tf=2, df=1
+    lnw = round(1 * math.log(4.0 / 4.0), 6)      # word/the: df=3 -> 0.0
+    assert got[(1, 1)] == ("rare", 2, ln2)
+    assert got[(1, 2)] == ("the", 1, lnw)        # 'the' < 'word' tie-break
+    assert got[(2, 1)] == ("the", 1, 0.0) and got[(2, 2)] == ("word", 1, 0.0)
+
+
+def test_pagerank_fixed_point_hand_computed(spark):
+    """One round on a 4-node graph, hand-computed in integer micro-units:
+    scale=1000, n=4 -> r0=250, tele=(100-50)*250//100=125; inflows
+    1<-0:250//2=125, 2<-{0:125, 1:250}=375, 0<-2:250, 3 dangling.
+    Degree aggregation path (out_deg=None) exercised."""
+    from vector_spark.datapipe import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node_id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 0)], "src long, dst long"
+    )
+    out = pagerank(nodes, edges, iterations=1, damping_pct=50, scale=1000)
+    got = {r.node_id: r.pagerank for r in out.collect()}
+    assert got == {0: 250, 1: 187, 2: 312, 3: 125}
+
+    # mass never exceeds scale (floor leakage only shrinks it), any rounds
+    total = sum(
+        r.pagerank
+        for r in pagerank(nodes, edges, iterations=3, damping_pct=85, scale=10**6).collect()
+    )
+    assert 0 < total <= 10**6
+
+
 def test_bpe_pair_counts_merge_round(spark):
     """Exact BPE merge-round statistics: pair counts weight by word
     frequency (not doc frequency), case folds, single-char words

@@ -9,7 +9,7 @@ from .similarity import (
     lsh_ann_topk,
     semantic_dedup,
 )
-from .text import text_quality, token_count, doc_fingerprint, langid, quality_filter_gopher, repetition_filter_gopher, chunk_documents, pii_scrub, sample_stratified, bpe_pair_counts
+from .text import text_quality, token_count, doc_fingerprint, langid, quality_filter_gopher, repetition_filter_gopher, chunk_documents, pii_scrub, sample_stratified, bpe_pair_counts, tfidf_keywords
 from .curation import curation_pipeline
 from .boilerplate import boilerplate_blocks
 from .classifier import feature_bucket, hashed_features, quality_classifier
@@ -19,13 +19,14 @@ from .corpus import (
 from .urls import url_filter, url_normalize_exprs
 from .lm import importance_resample, importance_weights, perplexity_score, unigram_lm
 from .html import extract_html_text, html_text_expr
+from .graph import pagerank
 from .multimodal import binary_meta, extract_features, frame_sample, resize_image
 
 __all__ = [
     "exact_dedup", "dedup_ladder", "dedup_spans", "shingle_docs", "minhash_lsh_pairs", "simhash",
     "connected_components", "dedup_clusters",
     "cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "embedding_near_dup_pairs",
-    "semantic_dedup", "bpe_pair_counts",
+    "semantic_dedup", "bpe_pair_counts", "pagerank", "tfidf_keywords",
     "text_quality", "quality_filter_gopher", "repetition_filter_gopher", "token_count", "doc_fingerprint", "langid",
     "binary_meta", "extract_features", "frame_sample", "resize_image",
     "chunk_documents", "curation_pipeline", "pii_scrub", "sample_stratified",

@@ -682,3 +682,53 @@ def bpe_pair_counts(
         .filter(F.col("rank") <= top_n)
         .select("rank", "pair_left", "pair_right", "pair_count")
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k keywords by smoothed tf-idf:
+    score = tf * ln((N + 1) / (df + 1)), rounded to 6 decimals (the repo's
+    cross-engine float convention), ties broken by term text.
+
+    Dataflow: explode -> (doc, term) count with map-side combine
+    (shuffle 1 carries per-partition distinct doc-term cells) -> document
+    frequency groupBy over the term dictionary (shuffle 2, dictionary-
+    sized) -> term-keyed equi-join of the two (sort-merge at scale; the
+    term dictionary is NOT broadcastable at 100 TB) + one broadcast
+    corpus-count row -> per-doc top-k window (shuffle 3 on doc id).
+    Returns (doc_id, rank, term, tf, score)."""
+    toks = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n_row = df.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_row))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log((F.col("_n").cast("double") + 1.0) / (F.col("_df").cast("double") + 1.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "score")
+    )
