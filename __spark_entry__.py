@@ -2284,7 +2284,7 @@ def q_vrl_misc(spark, sf_dir):
     encode-then-decode around uuid_v7_deterministic — the round-trip must
     return the original uuid, whose SQL twin already exists."""
     from vector_spark.functions import (
-        format_int_vrl, friendly_id_from_uuid, parse_int_vrl,
+        format_int_vrl, friendly_id_from_uuid, parse_float_vrl, parse_int_vrl,
         random_bool_seeded, random_int_seeded, to_syslog_facility,
         to_syslog_level, to_syslog_severity, uuid_from_friendly_id,
         uuid_v7_deterministic,
@@ -2301,10 +2301,96 @@ def q_vrl_misc(spark, sf_dir):
         to_syslog_severity(level).alias("syslog_severity"),
         to_syslog_facility(eid % 24).alias("syslog_facility"),
         parse_int_vrl(hex_str).alias("parsed_hex"),
+        parse_float_vrl(F.concat(eid.cast("string"), F.lit(".5e1"))).alias("parsed_float"),
+        parse_float_vrl(F.lit("not a number")).alias("parsed_float_bad"),
         format_int_vrl(eid, 16).alias("formatted_hex"),
         random_int_seeded(eid, 0, 100).alias("rand_int"),
         random_bool_seeded(eid).alias("rand_bool"),
         uuid_from_friendly_id(friendly_id_from_uuid(u7)).alias("uuid_roundtrip"),
+    )
+
+
+def q_robots_filter(spark, sf_dir):
+    """Crawl-politeness gate: per-host robots.txt (synthesized — a star
+    group with a Disallow/Allow pair whose paths derive from md5(host),
+    plus a stricter bot group that must NOT apply) parsed to rules, then
+    longest-match URL admission per RFC 9309 §2.2.2."""
+    from vector_spark.datapipe import parse_robots_rules, robots_filter
+
+    d = _t(spark, sf_dir, "documents")
+    hosts = d.select(F.col("source").alias("host")).distinct()
+    hu = F.conv(F.substring(F.md5(F.col("host")), 1, 8), 16, 10).cast("long")
+    content = F.concat(
+        F.lit("User-agent: *\nDisallow: /p"), (hu % 8).cast("string"),
+        F.lit("\nAllow: /p"), (hu % 8).cast("string"), F.lit("/ok"),
+        F.lit("\nUser-agent: bot\nDisallow: /"),
+    )
+    robots = hosts.select("host", content.alias("robots_txt"))
+    rules = parse_robots_rules(robots, agent="*")
+    urls = d.select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.concat(
+            F.lit("/p"), (F.col("doc_id") % 8).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/ok/x")).otherwise(F.lit("/y")),
+        ).alias("path"),
+    )
+    return robots_filter(urls, rules, url_col="doc_id")
+
+
+def q_vrl_types(spark, sf_dir):
+    """Grouped VRL type-predicate/coercion sweep (is_json/is_array/
+    is_integer/is_float/is_nullish/to_bool/to_int/format_number/
+    contains_all/match_any): each row cycles through a JSON-encoded value
+    shape derived from event_id, so the oracle replays every branch."""
+    from vector_spark.functions import (
+        contains_all, format_number_vrl, is_array_str, is_boolean_str,
+        is_float_str, is_integer_str, is_json, is_null_str, is_nullish,
+        is_object_str, is_string_str, is_timestamp_str, match_any,
+        to_bool_vrl, to_int_vrl,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    v = (
+        F.when(eid % 6 == 0, F.lit("123"))
+        .when(eid % 6 == 1, F.lit("1.5e2"))
+        .when(eid % 6 == 2, F.lit('"hi"'))
+        .when(eid % 6 == 3, F.lit("[1,2]"))
+        .when(eid % 6 == 4, F.lit('{"a":1}'))
+        .otherwise(F.lit("null"))
+    )
+    nv = (
+        F.when(eid % 3 == 0, F.lit(""))
+        .when(eid % 3 == 1, F.lit(" - "))
+        .otherwise(F.lit("x"))
+    )
+    bw = (
+        F.when(eid % 5 == 0, F.lit("yes"))
+        .when(eid % 5 == 1, F.lit("NO"))
+        .when(eid % 5 == 2, F.lit("1"))
+        .when(eid % 5 == 3, F.lit("false"))
+        .otherwise(F.lit("maybe"))
+    )
+    tstr = F.when(eid % 2 == 0, F.lit("2024-01-01 00:00:00")).otherwise(F.lit("not a time"))
+    msg = F.concat(F.lit("evt-"), (eid % 10).cast("string"), F.lit("-end"))
+    return e.select(
+        "event_id",
+        is_json(v).alias("v_is_json"),
+        is_integer_str(v).alias("v_is_int"),
+        is_float_str(v).alias("v_is_float"),
+        is_string_str(v).alias("v_is_string"),
+        is_array_str(v).alias("v_is_array"),
+        is_object_str(v).alias("v_is_object"),
+        is_null_str(v).alias("v_is_null"),
+        is_boolean_str(v).alias("v_is_bool"),
+        is_timestamp_str(tstr).alias("v_is_ts"),
+        is_nullish(nv).alias("v_is_nullish"),
+        to_bool_vrl(bw).alias("v_to_bool"),
+        to_int_vrl(v).alias("v_to_int"),
+        format_number_vrl((eid % 1000).cast("double") * 1111.0 + 0.25, 2).alias("v_fmt"),
+        contains_all(msg, ["evt-", "-end"]).alias("v_contains_all"),
+        match_any(msg, [r"evt-[0-4]-", r"never"]).alias("v_match_any"),
     )
 
 
@@ -2530,6 +2616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "pagerank": q_pagerank,
         "tfidf_keywords": q_tfidf_keywords,
+        "vrl_types": q_vrl_types,
+        "robots_filter": q_robots_filter,
         "ann_ivf": q_ann_ivf,
         "demo_logs_roundtrip": q_demo_logs_roundtrip,
         "multimodal_features": q_multimodal_features,
@@ -4307,6 +4395,8 @@ SELECT event_id,
   CAST(event_id % 8 AS INT) AS syslog_severity,
   [{_facilities}][CAST(event_id % 24 AS INT) + 1] AS syslog_facility,
   event_id AS parsed_hex,
+  TRY_CAST(CAST(event_id AS VARCHAR) || '.5e1' AS DOUBLE) AS parsed_float,
+  TRY_CAST('not a number' AS DOUBLE) AS parsed_float_bad,
   lower(to_hex(event_id)) AS formatted_hex,
   CAST({_randbits_sql('ri')} % 100 AS BIGINT) AS rand_int,
   ({_randbits_sql('rb')} % 2 = 0) AS rand_bool,
@@ -4314,6 +4404,46 @@ SELECT event_id,
   substr(h, 1, 3) || '-' ||
   substr('89ab', ((strpos('0123456789abcdef', substr(h, 4, 1)) - 1) % 4) + 1, 1) ||
   substr(h, 5, 3) || '-' || substr(h, 8, 12) AS uuid_roundtrip
+FROM t
+"""
+
+    # VRL type predicates/coercions: identical value-shape derivation,
+    # json_valid for is_json, same regexes, same to_bool word table,
+    # grouped format composed from integer grouping + exact .25 fraction
+    sql["vrl_types"] = r"""
+WITH t AS (
+  SELECT event_id,
+    CASE CAST(event_id % 6 AS INT)
+      WHEN 0 THEN '123' WHEN 1 THEN '1.5e2' WHEN 2 THEN '"hi"'
+      WHEN 3 THEN '[1,2]' WHEN 4 THEN '{"a":1}' ELSE 'null' END AS v,
+    CASE CAST(event_id % 3 AS INT) WHEN 0 THEN '' WHEN 1 THEN ' - ' ELSE 'x' END AS nv,
+    CASE CAST(event_id % 5 AS INT)
+      WHEN 0 THEN 'yes' WHEN 1 THEN 'NO' WHEN 2 THEN '1'
+      WHEN 3 THEN 'false' ELSE 'maybe' END AS bw,
+    CASE WHEN event_id % 2 = 0 THEN '2024-01-01 00:00:00' ELSE 'not a time' END AS tstr,
+    'evt-' || CAST(event_id % 10 AS VARCHAR) || '-end' AS msg,
+    CAST(event_id % 1000 AS DOUBLE) * 1111.0 + 0.25 AS fx
+  FROM events
+)
+SELECT event_id,
+  json_valid(v) AS v_is_json,
+  regexp_matches(v, '^\s*-?\d+\s*$') AS v_is_int,
+  regexp_matches(v, '^\s*-?\d+(\.\d+([eE][+-]?\d+)?|[eE][+-]?\d+)\s*$') AS v_is_float,
+  (json_valid(v) AND substr(trim(v), 1, 1) = '"') AS v_is_string,
+  (json_valid(v) AND substr(trim(v), 1, 1) = '[') AS v_is_array,
+  (json_valid(v) AND substr(trim(v), 1, 1) = '{') AS v_is_object,
+  (trim(v) = 'null') AS v_is_null,
+  (trim(v) IN ('true', 'false')) AS v_is_bool,
+  (TRY_CAST(tstr AS TIMESTAMP) IS NOT NULL) AS v_is_ts,
+  (nv IS NULL OR trim(nv) = '' OR trim(nv) = '-') AS v_is_nullish,
+  CASE WHEN lower(trim(bw)) IN ('true','t','yes','y','1') THEN TRUE
+       WHEN lower(trim(bw)) IN ('false','f','no','n','0') THEN FALSE
+       ELSE NULL END AS v_to_bool,
+  CASE WHEN regexp_matches(v, '^\s*-?\d+\s*$') THEN TRY_CAST(v AS BIGINT) END AS v_to_int,
+  format('{:,}', CAST(floor(fx) AS BIGINT)) || '.' ||
+    lpad(CAST(CAST(round((fx - floor(fx)) * 100, 0) AS BIGINT) AS VARCHAR), 2, '0') AS v_fmt,
+  (contains(msg, 'evt-') AND contains(msg, '-end')) AS v_contains_all,
+  (regexp_matches(msg, 'evt-[0-4]-') OR regexp_matches(msg, 'never')) AS v_match_any
 FROM t
 """
 
@@ -4421,6 +4551,82 @@ FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
             f"CAST({_hexval_sql(f'substr({h}, {i + 1}, 1)')} AS BIGINT) * {16 ** (7 - i)}"
             for i in range(8)
         ) + ")"
+
+    # robots.txt politeness gate: identical synthesized content, identical
+    # RFC 9309 group/longest-match windows, allow-wins ties
+    _ua_re = r"'^\s*[Uu][Ss][Ee][Rr]-[Aa][Gg][Ee][Nn][Tt]\s*:\s*(\S+)'"
+    _rule_re = r"'^\s*([Dd][Ii][Ss])?[Aa][Ll][Ll][Oo][Ww]\s*:\s*(\S*)'"
+    sql["robots_filter"] = (
+        """
+WITH hosts AS (SELECT DISTINCT source AS host FROM documents),
+rb AS (
+  SELECT host,
+         'User-agent: *' || chr(10) || 'Disallow: /p' || CAST("""
+        + _md5_u32("host")
+        + """ % 8 AS VARCHAR)
+         || chr(10) || 'Allow: /p' || CAST("""
+        + _md5_u32("host")
+        + """ % 8 AS VARCHAR) || '/ok'
+         || chr(10) || 'User-agent: bot' || chr(10) || 'Disallow: /' AS content
+  FROM hosts
+),
+lines AS (
+  SELECT host, unnest(range(1, len(ls) + 1)) AS pos, unnest(ls) AS l
+  FROM (SELECT host, string_split_regex(content, '\\r?\\n') AS ls FROM rb)
+),
+ua AS (
+  SELECT host, pos, l, regexp_extract(l, """
+        + _ua_re
+        + """, 1) AS uav FROM lines
+),
+g0 AS (
+  SELECT *, (uav <> '') AS is_ua,
+         coalesce(lag(uav <> '') OVER (PARTITION BY host ORDER BY pos), FALSE) AS prev_ua
+  FROM ua
+),
+g AS (
+  SELECT *, sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+              OVER (PARTITION BY host ORDER BY pos) AS grp
+  FROM g0
+),
+h AS (
+  SELECT *, max(CASE WHEN is_ua AND lower(uav) = '*' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY host, grp) AS has_star
+  FROM g
+),
+rules AS (
+  SELECT DISTINCT host,
+         regexp_extract(l, """
+        + _rule_re
+        + """, 2) AS rule,
+         (regexp_extract(l, """
+        + _rule_re
+        + """, 1) = '') AS allow
+  FROM h
+  WHERE has_star = 1 AND NOT is_ua AND regexp_extract(l, """
+        + _rule_re
+        + """, 2) <> ''
+),
+urls AS (
+  SELECT doc_id, source AS host,
+         '/p' || CAST(doc_id % 8 AS VARCHAR)
+           || CASE WHEN doc_id % 3 = 0 THEN '/ok/x' ELSE '/y' END AS path
+  FROM documents
+),
+cand AS (
+  SELECT u.doc_id, u.host, u.path, r.rule, r.allow,
+         (r.rule IS NOT NULL AND starts_with(u.path, r.rule)) AS m
+  FROM urls u LEFT JOIN rules r USING (host)
+),
+top AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY m DESC, length(rule) DESC, allow DESC, rule
+  ) AS rn FROM cand
+)
+SELECT doc_id, host, path, CASE WHEN m THEN allow ELSE TRUE END AS allowed
+FROM top WHERE rn = 1
+"""
+    )
 
     # fixed-point integer PageRank: identical md5-derived 4-regular edges,
     # identical floor-division update, 3 unrolled rounds -> bit-exact

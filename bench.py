@@ -96,6 +96,7 @@ HEADLINE = [
     "bpe_pair_counts",
     "pagerank",
     "tfidf_keywords",
+    "robots_filter",
 ]
 
 

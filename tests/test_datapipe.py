@@ -267,6 +267,39 @@ def test_semantic_dedup_cluster_and_prune(spark):
     assert "Window" not in plan
 
 
+def test_robots_rules_and_longest_match(spark):
+    """RFC 9309 semantics: consecutive User-agent lines share one group;
+    only groups containing '*' apply; valueless Disallow and non-rule
+    lines drop; admission is longest-match with allow winning ties and
+    no-match defaulting to allowed."""
+    from vector_spark.datapipe import parse_robots_rules, robots_filter
+
+    content = (
+        "User-agent: bot\nDisallow: /\n"
+        "User-agent: *\nUser-agent: other\n"
+        "Disallow: /private\nAllow: /private/ok\nDisallow:\nSitemap: /s\n"
+    )
+    robots = spark.createDataFrame(
+        [("h1", content), ("h2", "User-agent: bot\nDisallow: /")],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots_rules(robots, agent="*")
+    got = {(r.host, r.rule, r.allow) for r in rules.collect()}
+    assert got == {("h1", "/private", False), ("h1", "/private/ok", True)}
+
+    urls = spark.createDataFrame(
+        [
+            (1, "h1", "/private/ok/page"),   # allow rule is longer -> allowed
+            (2, "h1", "/private/secret"),    # disallow matches -> blocked
+            (3, "h1", "/public"),            # no rule matches -> allowed
+            (4, "h2", "/anything"),          # no '*' group at all -> allowed
+        ],
+        "uid long, host string, path string",
+    )
+    out = {r.uid: r.allowed for r in robots_filter(urls, rules, url_col="uid").collect()}
+    assert out == {1: True, 2: False, 3: True, 4: True}
+
+
 def test_tfidf_keywords_hand_computed(spark):
     """N=3 docs; 'rare' appears only in doc 1 (idf ln(4/2)), 'the' in all
     three (idf ln(4/4)=0 -> score 0 but still rankable); tf weights the

@@ -489,3 +489,144 @@ def test_repetition_zero_iff_no_repeats(spark, docs):
         df2 = spark.createDataFrame(doubled, DOC_SCHEMA)
         for r in repetition_filter_gopher(df2).collect():
             assert r.top_2gram_frac > 0.0
+
+
+# ---- session-tail operators: bpe / tfidf / pagerank / robots / semdedup ----
+
+_docs_strategy = st.lists(
+    st.lists(st.sampled_from(["aa", "ab", "ba", "abc", "b"]), min_size=1, max_size=6),
+    min_size=1,
+    max_size=8,
+).map(lambda docs: [(i, " ".join(ws)) for i, ws in enumerate(docs)])
+
+
+@given(rows=_docs_strategy)
+@settings(**SETTINGS)
+def test_bpe_pair_counts_mass_conservation(spark, rows):
+    """Total pair mass == sum over distinct words of f * (len-1); ranks are
+    dense from 1 (the merge order is a total order)."""
+    from collections import Counter
+
+    from vector_spark.datapipe import bpe_pair_counts
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bpe_pair_counts(df, top_n=10**6).collect()
+    words = Counter(w for _, t in rows for w in t.split())
+    assert sum(r.pair_count for r in out) == sum(
+        f * (len(w) - 1) for w, f in words.items()
+    )
+    assert sorted(r.rank for r in out) == list(range(1, len(out) + 1))
+
+
+@given(rows=_docs_strategy)
+@settings(**SETTINGS)
+def test_tfidf_ubiquitous_term_scores_zero(spark, rows):
+    """A term present in EVERY doc has idf ln((N+1)/(N+1)) = 0; per-doc
+    ranks are dense from 1."""
+    from vector_spark.datapipe import tfidf_keywords
+
+    rows = [(i, t + " common") for i, t in rows]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_keywords(df, k=100).collect()
+    assert all(r.score == 0.0 for r in out if r.term == "common")
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_doc.values())
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)), min_size=1, max_size=15
+    )
+)
+@settings(**SETTINGS)
+def test_pagerank_mass_bounds(spark, edges):
+    """Every node's rank >= the teleport floor; floor leakage only shrinks
+    total mass; output covers exactly the node set."""
+    from vector_spark.datapipe import pagerank
+
+    scale, n = 10**9, 6
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node_id long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node_id: r.pagerank for r in pagerank(nodes, e, iterations=2, scale=scale).collect()}
+    tele = 15 * (scale // n) // 100
+    assert set(got) == set(range(n))
+    assert all(v >= tele for v in got.values())
+    assert sum(got.values()) <= scale
+
+
+@given(
+    rules=st.lists(
+        st.tuples(st.sampled_from(["/a", "/ab", "/abc", "/b"]), st.booleans()),
+        max_size=6,
+        unique=True,
+    ),
+    paths=st.lists(
+        st.sampled_from(["/a/x", "/abc", "/ab", "/b/y", "/c"]), min_size=1, max_size=6
+    ),
+)
+@settings(**SETTINGS)
+def test_robots_filter_matches_reference_model(spark, rules, paths):
+    """Admission equals the longest-match reference model: longest matching
+    rule wins, allow wins length ties, no match -> allowed."""
+    from vector_spark.datapipe import robots_filter
+
+    rdf = spark.createDataFrame(
+        [("h", r, a) for r, a in rules] or [("h_other", "/", False)],
+        "host string, rule string, allow boolean",
+    )
+    urls = spark.createDataFrame(
+        [(i, "h", p) for i, p in enumerate(paths)], "uid long, host string, path string"
+    )
+    got = {r.uid: r.allowed for r in robots_filter(urls, rdf, url_col="uid").collect()}
+
+    def model(path):
+        cand = [(r, a) for r, a in rules if path.startswith(r)]
+        if not cand:
+            return True
+        cand.sort(key=lambda ra: (-len(ra[0]), not ra[1], ra[0]))
+        return cand[0][1]
+
+    assert got == {i: model(p) for i, p in enumerate(paths)}
+
+
+@given(
+    vecs=st.lists(
+        st.tuples(st.integers(1, 5), st.integers(0, 5)), min_size=2, max_size=8
+    )
+)
+@settings(**SETTINGS)
+def test_semantic_dedup_matches_reference_model(spark, vecs):
+    """Cluster assignment + prune rule equal a NumPy-free python model with
+    the same round-half-up 6-decimal cosine convention."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from vector_spark.datapipe import semantic_dedup
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    rows = [(i, [float(a), float(b)]) for i, (a, b) in enumerate(vecs)]
+    k = 2
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: (r.cluster, r.keep) for r in semantic_dedup(df, 0.9, n_centroids=k).collect()}
+
+    import math
+
+    def cos(u, v):
+        d = u[0] * v[0] + u[1] * v[1]
+        return r6(d / (math.hypot(*u) * math.hypot(*v)))
+
+    cents = [(i, v) for i, v in rows if i < k]
+    cluster = {
+        i: max(cents, key=lambda c: (cos(v, c[1]), -c[0]))[0] for i, v in rows
+    }
+    keep = {
+        i: not any(
+            j < i and cluster[j] == cluster[i] and cos(rows[j][1], v) >= 0.9
+            for j, _ in rows
+        )
+        for i, v in rows
+    }
+    assert got == {i: (cluster[i], keep[i]) for i, _ in rows}

@@ -440,3 +440,68 @@ def test_unflatten_dotted_keys(spark):
     import json
 
     assert json.loads(r.j) == {"a": {"b": {"c": "1", "d": "2"}}, "x": "y"}
+
+
+def test_types_family_predicates_and_coercions(spark):
+    """The dynamic-typing tail: predicates over string-encoded values,
+    to_bool/to_int coercions with null error arms, match_array on a real
+    array column."""
+    from vector_spark.functions import (
+        is_array_str, is_integer_str, is_json, is_nullish, match_array,
+        to_bool_vrl, to_int_vrl,
+    )
+
+    df = spark.createDataFrame(
+        [("[1,2]",), ("12",), ("nope",), (None,)], "v string"
+    )
+    got = df.select(
+        is_json(F.col("v")).alias("j"),
+        is_array_str(F.col("v")).alias("a"),
+        is_integer_str(F.col("v")).alias("i"),
+        is_nullish(F.col("v")).alias("n"),
+        to_int_vrl(F.col("v")).alias("ti"),
+        to_bool_vrl(F.col("v")).alias("tb"),
+    ).collect()
+    assert [(r.j, r.a, r.i, r.n, r.ti, r.tb) for r in got] == [
+        (True, True, False, False, None, None),
+        (True, False, True, False, 12, None),    # '12' -> not a bool word
+        (False, False, False, False, None, None),
+        # SQL NULL: conjunction short-circuits is_json/is_array to False
+        # (a type check of NULL is false), bare rlike stays NULL, nullish
+        (False, False, None, True, None, None),
+    ]
+
+    arr = spark.createDataFrame([(["err-1", "ok"],), (["ok"],)], "xs array<string>")
+    m = arr.select(match_array(F.col("xs"), r"^err-").alias("m")).collect()
+    assert [r.m for r in m] == [True, False]
+
+
+def test_assert_eq_plan_embedded(spark):
+    """assert_eq returns the value when equal and errors only at action
+    time when not — compile stays lazy."""
+    import pytest
+
+    from vector_spark.functions import assert_eq
+
+    ok = spark.range(3).select(assert_eq(F.col("id"), F.col("id")).alias("v"))
+    assert [r.v for r in ok.collect()] == [0, 1, 2]
+
+    bad = spark.range(3).select(
+        assert_eq(F.col("id"), F.col("id") + 1, "ids diverged").alias("v")
+    )  # building the plan must not raise
+    with pytest.raises(Exception, match="ids diverged"):
+        bad.collect()
+
+
+def test_find_enrichment_table_records_multi_match(spark):
+    """Multi-match lookup fans out 1 -> N (unlike find_table_row) and
+    misses survive with nulls."""
+    from vector_spark.operators import find_enrichment_table_records
+
+    facts = spark.createDataFrame([(1, "a"), (2, "b")], "fid long, k string")
+    dim = spark.createDataFrame(
+        [("a", "x"), ("a", "y")], "dk string, payload string"
+    )
+    out = find_enrichment_table_records(facts, dim, [("k", "dk")])
+    rows = sorted((r.fid, r.payload) for r in out.collect())
+    assert rows == [(1, "x"), (1, "y"), (2, None)]

@@ -20,6 +20,7 @@ from .urls import url_filter, url_normalize_exprs
 from .lm import importance_resample, importance_weights, perplexity_score, unigram_lm
 from .html import extract_html_text, html_text_expr
 from .graph import pagerank
+from .robots import parse_robots_rules, robots_filter
 from .multimodal import binary_meta, extract_features, frame_sample, resize_image
 
 __all__ = [
@@ -27,6 +28,7 @@ __all__ = [
     "connected_components", "dedup_clusters",
     "cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "embedding_near_dup_pairs",
     "semantic_dedup", "bpe_pair_counts", "pagerank", "tfidf_keywords",
+    "parse_robots_rules", "robots_filter",
     "text_quality", "quality_filter_gopher", "repetition_filter_gopher", "token_count", "doc_fingerprint", "langid",
     "binary_meta", "extract_features", "frame_sample", "resize_image",
     "chunk_documents", "curation_pipeline", "pii_scrub", "sample_stratified",

@@ -788,3 +788,11 @@ def unflatten(col: Column) -> Column:
         return data.map(one)
 
     return pandas_udf(fn, "string")(col)
+
+
+def parse_float_vrl(col: Column) -> Column:
+    """VRL parse_float: string -> double, scientific notation included;
+    invalid input -> null (the caller's dropped-port reroute handles the
+    error arm). try_cast keeps the null semantics under ANSI mode.
+    (website/cue/reference/remap/functions/parse_float.cue)."""
+    return col.try_cast("double")

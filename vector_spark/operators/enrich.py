@@ -161,3 +161,18 @@ def enrich_constant(df: DataFrame, fields: dict[str, object]) -> DataFrame:
     for name, value in fields.items():
         out = out.withColumn(name, value if isinstance(value, Column) else F.lit(value))
     return out
+
+
+def find_enrichment_table_records(
+    df: DataFrame,
+    dim: DataFrame,
+    keys: list[tuple[str, str]],
+    case_insensitive: bool = False,
+) -> DataFrame:
+    """`find_enrichment_table_records` multi-match semantics: every dim row
+    matching the key joins back (1 -> N fan-out), unlike find_table_row's
+    exactly-one contract (website/cue/reference/remap/functions/
+    find_enrichment_table_records.cue). Broadcast left join — facts with no
+    match survive with null enrichment columns, matching the VRL
+    default-on-miss arm."""
+    return enrich_equi(df, dim, keys, case_insensitive=case_insensitive)
