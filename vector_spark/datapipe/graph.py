@@ -73,7 +73,10 @@ def pagerank(
         deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
         e = e.join(deg, "_src")
 
-    r = base.select("_id", F.col("_r0").alias("_r"))
+    # teleport rides along as a column so the node-count scan is read ONCE;
+    # every iteration's left join keeps the full node set (dangling nodes
+    # hold their teleport floor)
+    r = base.select("_id", F.col("_r0").alias("_r"), tele.alias("_t"))
     for _ in range(iterations):
         inflow = (
             r.join(e, r["_id"] == e["_src"])
@@ -82,15 +85,16 @@ def pagerank(
             .agg(F.sum("_c").alias("_in"))
         )
         r = (
-            base.join(inflow, base["_id"] == inflow["_dst"], "left")
+            r.join(inflow, r["_id"] == inflow["_dst"], "left")
             .select(
                 "_id",
                 (
-                    tele
+                    F.col("_t")
                     + F.expr(
                         f"CAST({damping_pct} AS BIGINT) * coalesce(_in, CAST(0 AS BIGINT)) DIV 100"
                     )
                 ).alias("_r"),
+                "_t",
             )
         )
     return r.select(F.col("_id").alias(id_col), F.col("_r").alias("pagerank"))
