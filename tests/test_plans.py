@@ -380,3 +380,81 @@ def test_connected_components_labels_join_no_bnlj(spark):
     plan = plan_of(out)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_pair_counts_shuffles_carry_dictionaries(spark):
+    """Both hash exchanges aggregate BEFORE shuffling (partial
+    HashAggregate below each Exchange): raw tokens never cross the wire;
+    the rank window runs over the pair dictionary only."""
+    import re
+
+    from vector_spark.datapipe import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(i, "ab ba abc " * (i % 3 + 1)) for i in range(100)],
+        "doc_id long, text string",
+    )
+    plan = plan_of(bpe_pair_counts(docs, top_n=5))
+    assert "CartesianProduct" not in plan
+    # each hashpartitioning exchange is fed by a partial HashAggregate
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,)]+)", plan):
+        assert m.group(1).startswith(("w#", "pair_left#")), m.group(0)
+
+
+def test_tfidf_no_nested_loop_and_term_join_keys(spark):
+    """The tf/df combine is a term-keyed equi-join; the corpus count is
+    the only nested-loop (1-row broadcast)."""
+    from vector_spark.datapipe import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [(i, "a b c common") for i in range(50)], "doc_id long, text string"
+    )
+    plan = plan_of(tfidf_keywords(docs, k=2))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the count row only
+
+
+def test_pagerank_joins_are_equi_and_plan_is_single(spark):
+    """All rank/edge joins extract equi-keys (no cartesian products); the
+    unrolled rounds stay one adaptive plan."""
+    from vector_spark.datapipe import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(40)], "node_id long")
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 40) for i in range(40)], "src long, dst long"
+    )
+    import re
+
+    out = pagerank(nodes, edges, iterations=3)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    # nested loops exist ONLY as the 1-row count broadcast (re-printed once
+    # per lineage reference; AQE's ReusedExchange dedupes it at runtime) —
+    # every data exchange is keyed by the rank/edge join columns
+    for m in re.finditer(r"Exchange hashpartitioning\((\w+)#", plan):
+        assert m.group(1) in ("_id", "_src", "_dst"), m.group(0)
+    assert plan.startswith("AdaptiveSparkPlan")
+
+
+def test_robots_windows_partition_by_host(spark):
+    """Every parse window partitions by host (the per-host-small side);
+    the admission join is a hash join on host."""
+    import re
+
+    from vector_spark.datapipe import parse_robots_rules, robots_filter
+
+    robots = spark.createDataFrame(
+        [(f"h{i}", "User-agent: *\nDisallow: /p\nAllow: /p/ok") for i in range(20)],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots_rules(robots)
+    for m in re.finditer(r"Window .*windowspecdefinition\((\w+)#", plan_of(rules)):
+        assert m.group(1) == "host", m.group(0)
+
+    urls = spark.createDataFrame(
+        [(i, f"h{i % 20}", "/p/x") for i in range(100)],
+        "uid long, host string, path string",
+    )
+    plan = plan_of(robots_filter(urls, rules, url_col="uid"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
