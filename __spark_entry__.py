@@ -2310,6 +2310,19 @@ def q_vrl_misc(spark, sf_dir):
     )
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Crawl-maintenance dedup: docs with doc_id % 4 == 0 play the new
+    snapshot, the rest the existing corpus; exact md5 tier + minhash near
+    tier (same hash family as dedup_minhash_lsh), exact precedence,
+    lowest-corpus-id attribution."""
+    from vector_spark.datapipe import incremental_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    delta = d.filter(F.col("doc_id") % 4 == 0)
+    corpus = d.filter(F.col("doc_id") % 4 != 0)
+    return incremental_dedup(delta, corpus, near=True, threshold=0.5)
+
+
 def q_robots_filter(spark, sf_dir):
     """Crawl-politeness gate: per-host robots.txt (synthesized — a star
     group with a Disallow/Allow pair whose paths derive from md5(host),
@@ -2618,6 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "vrl_types": q_vrl_types,
         "robots_filter": q_robots_filter,
+        "incremental_dedup": q_incremental_dedup,
         "ann_ivf": q_ann_ivf,
         "demo_logs_roundtrip": q_demo_logs_roundtrip,
         "multimodal_features": q_multimodal_features,
@@ -4551,6 +4565,49 @@ FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
             f"CAST({_hexval_sql(f'substr({h}, {i + 1}, 1)')} AS BIGINT) * {16 ** (7 - i)}"
             for i in range(8)
         ) + ")"
+
+    # incremental dedup: same 4-way split, same md5 exact tier, same
+    # minhash band construction as _minhash_sql, delta x corpus bucket
+    # join, exact precedence, min corpus id
+    _inc_mh = ",\n         ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS mh{i}" for i in range(6)
+    )
+    _inc_bands = ", ".join(
+        "md5(" + " || '|' || ".join(f"mh{2 * b + j}" for j in range(2)) + ")"
+        for b in range(3)
+    )
+    _inc_sh = """list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+           i -> array_to_string(string_split(text,' ')[i:i+2], ' ')
+         ))"""
+    sql["incremental_dedup"] = f"""
+WITH delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+cex AS (SELECT md5(text) AS h, min(doc_id) AS ex FROM corpus GROUP BY md5(text)),
+ddocs AS (SELECT doc_id AS doc, {_inc_sh} AS sh FROM delta),
+cdocs AS (SELECT doc_id AS doc, {_inc_sh} AS sh FROM corpus),
+dmh AS (SELECT doc, sh, {_inc_mh} FROM ddocs),
+cmh AS (SELECT doc, sh, {_inc_mh} FROM cdocs),
+db AS (SELECT doc AS did, unnest(list_distinct([{_inc_bands}])) AS band_key FROM dmh),
+cb AS (SELECT doc AS cid, unnest(list_distinct([{_inc_bands}])) AS band_key FROM cmh),
+cand AS (SELECT DISTINCT did, cid FROM db JOIN cb USING (band_key)),
+ver AS (
+  SELECT did, min(cid) AS near
+  FROM cand
+  JOIN ddocs da ON da.doc = cand.did
+  JOIN cdocs dc ON dc.doc = cand.cid
+  WHERE round(CAST(len(list_filter(da.sh, x -> list_contains(dc.sh, x))) AS DOUBLE)
+              / (len(da.sh) + len(dc.sh) - len(list_filter(da.sh, x -> list_contains(dc.sh, x)))),
+              4) >= 0.5
+  GROUP BY did
+)
+SELECT d.doc_id,
+       (coalesce(cex.ex, ver.near) IS NULL) AS novel,
+       coalesce(cex.ex, ver.near) AS dup_of
+FROM delta d
+LEFT JOIN cex ON cex.h = md5(d.text)
+LEFT JOIN ver ON ver.did = d.doc_id
+"""
 
     # robots.txt politeness gate: identical synthesized content, identical
     # RFC 9309 group/longest-match windows, allow-wins ties

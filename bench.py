@@ -97,6 +97,7 @@ HEADLINE = [
     "pagerank",
     "tfidf_keywords",
     "robots_filter",
+    "incremental_dedup",
 ]
 
 

@@ -267,6 +267,36 @@ def test_semantic_dedup_cluster_and_prune(spark):
     assert "Window" not in plan
 
 
+def test_incremental_dedup_tiers_and_delta_isolation(spark):
+    """Exact tier catches identical text (lowest corpus id); near tier
+    additionally catches a 3/4-shingle overlap (jaccard 0.6 >= 0.5);
+    unrelated text is novel; identical twins WITHIN the delta are both
+    novel (delta-vs-delta is the batch operator's job)."""
+    from vector_spark.datapipe import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "totally different corpus words entirely")],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(10, "a b c d e f"), (11, "a b c d e z"),
+         (12, "nothing like anything else"), (13, "twin text"), (14, "twin text")],
+        "doc_id long, text string",
+    )
+    exact = sorted(
+        (r.doc_id, r.novel, r.dup_of)
+        for r in incremental_dedup(delta, corpus, near=False).collect()
+    )
+    assert exact == [(10, False, 1), (11, True, None), (12, True, None),
+                     (13, True, None), (14, True, None)]
+    near = sorted(
+        (r.doc_id, r.novel, r.dup_of)
+        for r in incremental_dedup(delta, corpus, near=True, threshold=0.5).collect()
+    )
+    assert near == [(10, False, 1), (11, False, 1), (12, True, None),
+                    (13, True, None), (14, True, None)]
+
+
 def test_robots_rules_and_longest_match(spark):
     """RFC 9309 semantics: consecutive User-agent lines share one group;
     only groups containing '*' apply; valueless Disallow and non-rule

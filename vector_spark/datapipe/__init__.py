@@ -1,6 +1,6 @@
 from .dedup import (
     connected_components, dedup_clusters, dedup_ladder, dedup_spans,
-    exact_dedup, minhash_lsh_pairs, shingle_docs, simhash,
+    exact_dedup, incremental_dedup, minhash_lsh_pairs, shingle_docs, simhash,
 )
 from .similarity import (
     cosine_topk,
@@ -28,7 +28,7 @@ __all__ = [
     "connected_components", "dedup_clusters",
     "cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "embedding_near_dup_pairs",
     "semantic_dedup", "bpe_pair_counts", "pagerank", "tfidf_keywords",
-    "parse_robots_rules", "robots_filter",
+    "parse_robots_rules", "robots_filter", "incremental_dedup",
     "text_quality", "quality_filter_gopher", "repetition_filter_gopher", "token_count", "doc_fingerprint", "langid",
     "binary_meta", "extract_features", "frame_sample", "resize_image",
     "chunk_documents", "curation_pipeline", "pii_scrub", "sample_stratified",

@@ -330,3 +330,95 @@ def dedup_ladder(
         exact.join(removed, id_col, "left_anti")
         .select(id_col, "dup_count")
     )
+
+
+def _band_buckets(
+    docs: DataFrame, num_hashes: int, band_size: int
+) -> DataFrame:
+    """(doc, sh) -> (doc, band_key): the banded-LSH bucket rows, identical
+    hash family to minhash_lsh_pairs (md5('i|shingle') minhash, md5 of the
+    '|'-joined band)."""
+    mh = docs.select(
+        "doc", *[_minhash(F.col("sh"), i).alias(f"mh{i}") for i in range(num_hashes)]
+    )
+    bands = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+            ).cast("binary")
+        ).alias("band_key")
+        for b in range(num_hashes // band_size)
+    ]
+    return mh.select("doc", F.explode(F.array_distinct(F.array(*bands))).alias("band_key"))
+
+
+def incremental_dedup(
+    delta: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    near: bool = False,
+    num_hashes: int = 6,
+    band_size: int = 2,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Crawl-maintenance dedup: classify each DELTA doc against the
+    EXISTING corpus — the incremental path a 100 TB pipeline runs per
+    crawl snapshot instead of re-deduping everything. Delta-vs-delta
+    duplicates are the batch operators' job and are NOT flagged here.
+
+    Exact tier: corpus md5 -> min(id) lookup table (in production a
+    maintained table; here one map-side-combined shuffle over the corpus),
+    LEFT-joined to the delta by content hash. `near=True` adds the
+    minhash tier: band buckets for BOTH sides with the identical hash
+    family as minhash_lsh_pairs, a delta-x-corpus bucket equi-join
+    (ids only through the shuffle), exact-Jaccard verification, min
+    matching corpus id. Exact match takes precedence over near.
+
+    Returns (id_col, novel, dup_of): novel=true when no corpus doc
+    matches; dup_of = the lowest matching corpus id else null.
+
+    At scale: the delta is small relative to the corpus, so the bucket
+    join is delta-bucket-driven; corpus-side signatures are recomputed
+    here but in production persist as the LSH index table the same
+    dataflow maintains."""
+    dh = F.md5(F.col(text_col).cast("binary"))
+    c_ex = (
+        corpus.select(dh.alias("_h"), F.col(id_col).alias("_cid"))
+        .groupBy("_h")
+        .agg(F.min("_cid").alias("_ex"))
+    )
+    d = delta.select(F.col(id_col).alias("_did"), dh.alias("_h"))
+    out = d.join(c_ex, "_h", "left")
+    if near:
+        ddocs = delta.select(
+            F.col(id_col).alias("doc"), shingle_docs(delta, text_col, shingle_n).alias("sh")
+        )
+        cdocs = corpus.select(
+            F.col(id_col).alias("doc"), shingle_docs(corpus, text_col, shingle_n).alias("sh")
+        )
+        db = _band_buckets(ensure_parallelism(ddocs), num_hashes, band_size).select(
+            F.col("doc").alias("_did"), "band_key"
+        )
+        cb = _band_buckets(ensure_parallelism(cdocs), num_hashes, band_size).select(
+            F.col("doc").alias("_cid"), "band_key"
+        )
+        cand = db.join(cb, "band_key").select("_did", "_cid").distinct()
+        pairs = cand.join(
+            ddocs.select(F.col("doc").alias("_did"), F.col("sh").alias("sh_a")), "_did"
+        ).join(cdocs.select(F.col("doc").alias("_cid"), F.col("sh").alias("sh_b")), "_cid")
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+        near_min = (
+            pairs.filter(F.round(inter / union, 4) >= threshold)
+            .groupBy("_did")
+            .agg(F.min("_cid").alias("_near"))
+        )
+        out = out.join(near_min, "_did", "left")
+        dup = F.coalesce(F.col("_ex"), F.col("_near"))
+    else:
+        dup = F.col("_ex")
+    return out.select(
+        F.col("_did").alias(id_col), dup.isNull().alias("novel"), dup.alias("dup_of")
+    )
