@@ -2310,6 +2310,15 @@ def q_vrl_misc(spark, sf_dir):
     )
 
 
+def q_corpus_stats(spark, sf_dir):
+    """ROLLUP(lang, source) corpus report: docs/tokens/chars/distinct-text
+    counts and mean tokens per slice, per lang subtotal, and grand total —
+    one shuffle (grouping sets expand before the exchange)."""
+    from vector_spark.datapipe import corpus_stats
+
+    return corpus_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Crawl-maintenance dedup: docs with doc_id % 4 == 0 play the new
     snapshot, the rest the existing corpus; exact md5 tier + minhash near
@@ -2632,6 +2641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vrl_types": q_vrl_types,
         "robots_filter": q_robots_filter,
         "incremental_dedup": q_incremental_dedup,
+        "corpus_stats": q_corpus_stats,
         "ann_ivf": q_ann_ivf,
         "demo_logs_roundtrip": q_demo_logs_roundtrip,
         "multimodal_features": q_multimodal_features,
@@ -4565,6 +4575,20 @@ FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
             f"CAST({_hexval_sql(f'substr({h}, {i + 1}, 1)')} AS BIGINT) * {16 ** (7 - i)}"
             for i in range(8)
         ) + ")"
+
+    # corpus report: same ROLLUP grouping sets, same whitespace token
+    # model, md5-keyed distinct
+    sql["corpus_stats"] = r"""
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS tokens,
+       CAST(sum(length(text)) AS BIGINT) AS chars,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_texts,
+       round(CAST(sum(len(string_split_regex(text, '\s+'))) AS DOUBLE)
+             / count(*), 4) AS avg_tokens
+FROM documents
+GROUP BY ROLLUP (lang, source)
+"""
 
     # incremental dedup: same 4-way split, same md5 exact tier, same
     # minhash band construction as _minhash_sql, delta x corpus bucket

@@ -98,6 +98,7 @@ HEADLINE = [
     "tfidf_keywords",
     "robots_filter",
     "incremental_dedup",
+    "corpus_stats",
 ]
 
 

@@ -267,6 +267,36 @@ def test_semantic_dedup_cluster_and_prune(spark):
     assert "Window" not in plan
 
 
+def test_corpus_stats_rollup_levels(spark):
+    """ROLLUP emits slice, lang-subtotal, and grand-total rows with
+    hand-computed counts; dedup counts distinct texts; exactly one
+    data exchange in the plan (grouping sets expand before it)."""
+    from vector_spark.datapipe import corpus_stats
+
+    docs = spark.createDataFrame(
+        [(1, "en", "s1", "a b"), (2, "en", "s1", "a b"), (3, "en", "s2", "c"),
+         (4, "de", "s1", "d e f")],
+        "doc_id long, lang string, source string, text string",
+    )
+    out = corpus_stats(docs)
+    got = {(r.lang, r.source): (r.docs, r.tokens, r.distinct_texts, r.avg_tokens)
+           for r in out.collect()}
+    assert got[("en", "s1")] == (2, 4, 1, 2.0)       # exact dup collapses
+    assert got[("en", None)] == (3, 5, 2, round(5 / 3, 4))
+    assert got[(None, None)] == (4, 8, 3, 2.0)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # the two-phase distinct aggregate may shuffle more than once, but
+    # every exchange must be keyed by grouping cols / the md5 — dictionary
+    # traffic, never text payloads
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = re.findall(r"(\w+)#", m.group(1))
+        assert set(keys) <= {"lang", "source", "_h", "spark_grouping_id"}, m.group(0)
+
+
 def test_incremental_dedup_tiers_and_delta_isolation(spark):
     """Exact tier catches identical text (lowest corpus id); near tier
     additionally catches a 3/4-shingle overlap (jaccard 0.6 >= 0.5);

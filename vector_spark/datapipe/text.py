@@ -732,3 +732,40 @@ def tfidf_keywords(
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "term", "tf", "score")
     )
+
+
+def corpus_stats(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus observability report over ROLLUP(group_cols): per slice and
+    for every prefix total (lang, lang x source, grand total) — docs,
+    whitespace tokens, chars, distinct texts, mean tokens/doc. The thing a
+    curation run publishes after every stage.
+
+    ROLLUP expands the grouping sets map-side and partially aggregates
+    before any exchange; the exact distinct-text count makes the whole
+    thing Spark's two-phase distinct aggregate, so every shuffle carries
+    (grouping, md5) keys — 32-byte dictionary traffic, never payloads
+    (plan-asserted). Swap countDistinct for approx_count_distinct when a
+    mergeable single-pass sketch is preferred over exactness at 100 TB."""
+    toks = F.size(F.split(F.col(text_col), r"\s+")).cast("long")
+    return (
+        ensure_parallelism(df)
+        .select(
+            *group_cols,
+            toks.alias("_t"),
+            F.length(text_col).cast("long").alias("_c"),
+            F.md5(F.col(text_col).cast("binary")).alias("_h"),
+        )
+        .rollup(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("_t").alias("tokens"),
+            F.sum("_c").alias("chars"),
+            F.countDistinct("_h").alias("distinct_texts"),
+            F.round(F.sum("_t").cast("double") / F.count(F.lit(1)), 4).alias("avg_tokens"),
+        )
+    )
