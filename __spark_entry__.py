@@ -2310,6 +2310,20 @@ def q_vrl_misc(spark, sf_dir):
     )
 
 
+def q_find_table_records(spark, sf_dir):
+    """find_enrichment_table_records multi-match semantics: a dup-keyed
+    enrichment table fans matching events out 1->N; misses survive with
+    null enrichment columns."""
+    from vector_spark.operators import find_enrichment_table_records
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    dim = spark.createDataFrame(
+        [("error", "sev", "high"), ("error", "page", "oncall"), ("signup", "sev", "low")],
+        "etype string, attr string, val string",
+    )
+    return find_enrichment_table_records(e, dim, [("event_type", "etype")])
+
+
 def q_corpus_stats(spark, sf_dir):
     """ROLLUP(lang, source) corpus report: docs/tokens/chars/distinct-text
     counts and mean tokens per slice, per lang subtotal, and grand total —
@@ -2345,6 +2359,7 @@ def q_robots_filter(spark, sf_dir):
     content = F.concat(
         F.lit("User-agent: *\nDisallow: /p"), (hu % 8).cast("string"),
         F.lit("\nAllow: /p"), (hu % 8).cast("string"), F.lit("/ok"),
+        F.lit("\nDisallow: /w*/x$"),
         F.lit("\nUser-agent: bot\nDisallow: /"),
     )
     robots = hosts.select("host", content.alias("robots_txt"))
@@ -2352,10 +2367,21 @@ def q_robots_filter(spark, sf_dir):
     urls = d.select(
         "doc_id",
         F.col("source").alias("host"),
-        F.concat(
-            F.lit("/p"), (F.col("doc_id") % 8).cast("string"),
-            F.when(F.col("doc_id") % 3 == 0, F.lit("/ok/x")).otherwise(F.lit("/y")),
-        ).alias("path"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("/w"), (F.col("doc_id") % 4).cast("string"), F.lit("/x")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("/w"), (F.col("doc_id") % 4).cast("string"), F.lit("/xy")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("/p"), (F.col("doc_id") % 8).cast("string"),
+                F.when(F.col("doc_id") % 3 == 0, F.lit("/ok/x")).otherwise(F.lit("/y")),
+            )
+        )
+        .alias("path"),
     )
     return robots_filter(urls, rules, url_col="doc_id")
 
@@ -2367,9 +2393,10 @@ def q_vrl_types(spark, sf_dir):
     shape derived from event_id, so the oracle replays every branch."""
     from vector_spark.functions import (
         contains_all, format_number_vrl, is_array_str, is_boolean_str,
-        is_float_str, is_integer_str, is_json, is_null_str, is_nullish,
-        is_object_str, is_string_str, is_timestamp_str, match_any,
-        to_bool_vrl, to_int_vrl,
+        is_empty, is_float_str, is_integer_str, is_json, is_null_str,
+        is_nullish, is_object_str, is_string_str, is_timestamp_str,
+        match_any, match_array, to_bool_vrl, to_float_vrl, to_int_vrl,
+        to_string_vrl,
     )
 
     e = _t(spark, sf_dir, "events")
@@ -2413,6 +2440,10 @@ def q_vrl_types(spark, sf_dir):
         format_number_vrl((eid % 1000).cast("double") * 1111.0 + 0.25, 2).alias("v_fmt"),
         contains_all(msg, ["evt-", "-end"]).alias("v_contains_all"),
         match_any(msg, [r"evt-[0-4]-", r"never"]).alias("v_match_any"),
+        is_empty(nv).alias("v_is_empty"),
+        to_float_vrl(v).alias("v_to_float"),
+        to_string_vrl(eid % 7).alias("v_to_string"),
+        match_array(F.split(msg, "-"), r"^[0-4]$").alias("v_match_array"),
     )
 
 
@@ -2642,6 +2673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "incremental_dedup": q_incremental_dedup,
         "corpus_stats": q_corpus_stats,
+        "find_table_records": q_find_table_records,
         "ann_ivf": q_ann_ivf,
         "demo_logs_roundtrip": q_demo_logs_roundtrip,
         "multimodal_features": q_multimodal_features,
@@ -4132,7 +4164,7 @@ SELECT rank, pair_left, pair_right, pair_count FROM (
 ) WHERE rank <= 50
 """
 
-    # SemDeDup oracle: same deterministic centroids (vec_id < 16), same
+    # SemDeDup oracle: same deterministic centroids (16 lowest vec_ids), same
     # argmax-cosine cluster assignment (tie -> lowest centroid id), same
     # within-cluster lowest-id-survives pruning at rounded cosine >= 0.35
     sql["semantic_dedup"] = """
@@ -4141,7 +4173,7 @@ WITH n AS (
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nm
   FROM embeddings
 ),
-c AS (SELECT id AS cid, v AS cv, nm AS cn FROM n WHERE id < 16),
+c AS (SELECT id AS cid, v AS cv, nm AS cn FROM n ORDER BY id LIMIT 16),
 asg AS (
   SELECT n.id, n.v, n.nm, c.cid,
          round(list_dot_product(n.v, c.cv) / (n.nm * c.cn), 6) AS cs,
@@ -4161,7 +4193,7 @@ SELECT c.id AS vec_id, c.cluster, c.cos_centroid, (d.id IS NULL) AS keep
 FROM cells c LEFT JOIN dups d ON d.id = c.id
 """
 
-    # IVF-flat oracle: same deterministic centroids (vec_id < 16), same
+    # IVF-flat oracle: same deterministic centroids (16 lowest vec_ids), same
     # argmax-cosine cell assignment (tie -> lowest centroid id), same
     # 4-probe search, same (cosine desc, id) top-5
     sql["ann_ivf"] = """
@@ -4170,7 +4202,7 @@ WITH n AS (
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nm
   FROM embeddings
 ),
-cents AS (SELECT id AS cid, v AS cv, nm AS cn FROM n WHERE id < 16),
+cents AS (SELECT id AS cid, v AS cv, nm AS cn FROM n ORDER BY id LIMIT 16),
 sims AS (
   SELECT n.id, n.v, n.nm, c.cid,
          round(list_dot_product(n.v, c.cv) / (n.nm * c.cn), 6) AS cs,
@@ -4467,7 +4499,11 @@ SELECT event_id,
   format('{:,}', CAST(floor(fx) AS BIGINT)) || '.' ||
     lpad(CAST(CAST(round((fx - floor(fx)) * 100, 0) AS BIGINT) AS VARCHAR), 2, '0') AS v_fmt,
   (contains(msg, 'evt-') AND contains(msg, '-end')) AS v_contains_all,
-  (regexp_matches(msg, 'evt-[0-4]-') OR regexp_matches(msg, 'never')) AS v_match_any
+  (regexp_matches(msg, 'evt-[0-4]-') OR regexp_matches(msg, 'never')) AS v_match_any,
+  (length(nv) = 0) AS v_is_empty,
+  TRY_CAST(v AS DOUBLE) AS v_to_float,
+  CAST(event_id % 7 AS VARCHAR) AS v_to_string,
+  (len(list_filter(string_split(msg, '-'), x -> regexp_matches(x, '^[0-4]$'))) > 0) AS v_match_array
 FROM t
 """
 
@@ -4576,6 +4612,15 @@ FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
             for i in range(8)
         ) + ")"
 
+    # multi-match enrichment: same literal dup-keyed dim, LEFT JOIN fan-out
+    sql["find_table_records"] = """
+WITH dim(etype, attr, val) AS (
+  VALUES ('error', 'sev', 'high'), ('error', 'page', 'oncall'), ('signup', 'sev', 'low')
+)
+SELECT e.event_id, e.event_type, dim.attr, dim.val
+FROM events e LEFT JOIN dim ON dim.etype = e.event_type
+"""
+
     # corpus report: same ROLLUP grouping sets, same whitespace token
     # model, md5-keyed distinct
     sql["corpus_stats"] = r"""
@@ -4648,6 +4693,7 @@ rb AS (
          || chr(10) || 'Allow: /p' || CAST("""
         + _md5_u32("host")
         + """ % 8 AS VARCHAR) || '/ok'
+         || chr(10) || 'Disallow: /w*/x$'
          || chr(10) || 'User-agent: bot' || chr(10) || 'Disallow: /' AS content
   FROM hosts
 ),
@@ -4690,18 +4736,31 @@ rules AS (
 ),
 urls AS (
   SELECT doc_id, source AS host,
-         '/p' || CAST(doc_id % 8 AS VARCHAR)
-           || CASE WHEN doc_id % 3 = 0 THEN '/ok/x' ELSE '/y' END AS path
+         CASE WHEN doc_id % 5 = 0 THEN '/w' || CAST(doc_id % 4 AS VARCHAR) || '/x'
+              WHEN doc_id % 5 = 1 THEN '/w' || CAST(doc_id % 4 AS VARCHAR) || '/xy'
+              ELSE '/p' || CAST(doc_id % 8 AS VARCHAR)
+                   || CASE WHEN doc_id % 3 = 0 THEN '/ok/x' ELSE '/y' END END AS path
   FROM documents
+),
+rx AS (
+  SELECT host, rule, allow,
+         replace(regexp_replace(rule, '([\\\\.\\[\\]\\{\\}\\(\\)\\^\\$\\+\\?\\|])', '\\\\\\1', 'g'), '*', '.*') AS esc
+  FROM rules
+),
+rx2 AS (
+  SELECT host, rule, allow,
+         CASE WHEN rule LIKE '%$' THEN '^' || substr(esc, 1, length(esc) - 2) || '$'
+              ELSE '^' || esc END AS pat
+  FROM rx
 ),
 cand AS (
   SELECT u.doc_id, u.host, u.path, r.rule, r.allow,
-         (r.rule IS NOT NULL AND starts_with(u.path, r.rule)) AS m
-  FROM urls u LEFT JOIN rules r USING (host)
+         (r.rule IS NOT NULL AND regexp_matches(u.path, r.pat)) AS m
+  FROM urls u LEFT JOIN rx2 r USING (host)
 ),
 top AS (
   SELECT *, row_number() OVER (
-    PARTITION BY doc_id ORDER BY m DESC, length(rule) DESC, allow DESC, rule
+    PARTITION BY host, doc_id ORDER BY m DESC, length(rule) DESC, allow DESC, rule
   ) AS rn FROM cand
 )
 SELECT doc_id, host, path, CASE WHEN m THEN allow ELSE TRUE END AS allowed

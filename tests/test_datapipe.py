@@ -359,6 +359,36 @@ def test_robots_rules_and_longest_match(spark):
     out = {r.uid: r.allowed for r in robots_filter(urls, rules, url_col="uid").collect()}
     assert out == {1: True, 2: False, 3: True, 4: True}
 
+    # RFC 9309 2.2.3 special chars: '*' spans, trailing '$' anchors
+    wrules = spark.createDataFrame(
+        [("h", "/*.pdf$", False), ("h", "/w*/x$", False)],
+        "host string, rule string, allow boolean",
+    )
+    wurls = spark.createDataFrame(
+        [(1, "h", "/docs/a.pdf"), (2, "h", "/docs/a.pdfx"),
+         (3, "h", "/w123/x"), (4, "h", "/w123/xy")],
+        "uid long, host string, path string",
+    )
+    wout = {r.uid: r.allowed for r in robots_filter(wurls, wrules, url_col="uid").collect()}
+    assert wout == {1: False, 2: True, 3: False, 4: True}
+
+    # url ids colliding across hosts keep one decision per (host, url)
+    curls = spark.createDataFrame(
+        [(1, "h1", "/private/zz"), (1, "h2", "/private/zz")],
+        "uid long, host string, path string",
+    )
+    cout = sorted((r.host, r.allowed)
+                  for r in robots_filter(curls, rules, url_col="uid").collect())
+    assert cout == [("h1", False), ("h2", True)]
+
+    # RFC 9309 2.2.1: an agent with no group of its own falls back to '*'
+    fb = parse_robots_rules(robots, agent="mybot")
+    got_fb = {(r.host, r.rule) for r in fb.collect()}
+    # h1 falls back to its '*' group; h2 has neither mybot nor '*' -> none
+    assert got_fb == {("h1", "/private"), ("h1", "/private/ok")}
+    bot = parse_robots_rules(robots, agent="bot")
+    assert {(r.host, r.rule) for r in bot.collect()} == {("h1", "/"), ("h2", "/")}
+
 
 def test_tfidf_keywords_hand_computed(spark):
     """N=3 docs; 'rare' appears only in doc 1 (idf ln(4/2)), 'the' in all

@@ -68,16 +68,7 @@ def minhash_lsh_pairs(
     assert num_hashes % band_size == 0
     df = ensure_parallelism(df)  # minhashing is per-row expensive
     docs = df.select(F.col(id_col).alias("doc"), shingle_docs(df, text_col, shingle_n).alias("sh"))
-    mh = docs.select(
-        "doc", "sh", *[_minhash(F.col("sh"), i).alias(f"mh{i}") for i in range(num_hashes)]
-    )
-    bands = [
-        F.md5(F.concat_ws("|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]).cast("binary")).alias("band_key")
-        for b in range(num_hashes // band_size)
-    ]
-    buckets = mh.select(
-        "doc", F.explode(F.array_distinct(F.array(*bands))).alias("band_key")
-    )
+    buckets = _band_buckets(docs, num_hashes, band_size)
     # candidate pairs carry ids only through the shuffle; shingle arrays are
     # joined back afterwards (cheaper exchange at scale)
     left = buckets.select(F.col("doc").alias("doc_a"), "band_key")

@@ -6,11 +6,14 @@ enters the corpus. Two operators:
 - `parse_robots_rules`: robots.txt content -> (host, rule, allow) rows for
   one user-agent, honoring the grouping rules of RFC 9309: consecutive
   `User-agent:` lines open ONE group that owns the rules after them; a
-  group applies if any of its agent lines matches (we match one literal
-  agent, default `*`). Empty rule values are no-ops and drop.
-- `robots_filter`: per-URL admission by longest-match (RFC 9309 §2.2.2):
-  the longest rule that prefix-matches the path wins; on a length tie
-  allow wins; no matching rule -> allowed.
+  group applies if any of its agent lines matches the literal agent; when
+  the host has NO group for the requested agent, the `*` groups apply
+  instead (RFC 9309 2.2.1 fallback). Empty rule values are no-ops and drop.
+- `robots_filter`: per-URL admission by longest-match (RFC 9309 2.2.2),
+  honoring the 2.2.3 special characters: `*` matches any char sequence
+  and a TRAILING `$` anchors the end of the path; everything else is
+  literal. The longest rule (by rule-text octets) that matches wins; on a
+  length tie allow wins; no matching rule -> allowed.
 
 Both are window/join dataflows keyed by host — at 100 TB the robots side
 is per-HOST (millions of rows, not trillions) so every window partitions
@@ -36,7 +39,8 @@ def parse_robots_rules(
     key_col: str = "host",
 ) -> DataFrame:
     """Explode robots.txt to lines, group by User-agent runs, keep the
-    groups owning `agent`, emit (host, rule, allow). One shuffle (the
+    groups owning `agent` — or, when the host has none, the `*` groups
+    (RFC 9309 2.2.1) — and emit (host, rule, allow). One shuffle (the
     per-host line window)."""
     lines = ensure_parallelism(df).select(
         F.col(key_col),
@@ -54,16 +58,26 @@ def parse_robots_rules(
         ).over(w),
     )
     wg = Window.partitionBy(key_col, "_grp")
-    lines = lines.withColumn(
-        "_has_agent",
-        F.max((F.col("_is_ua") & (F.col("_ua") == agent.lower())).cast("int")).over(wg),
+    lines = (
+        lines.withColumn(
+            "_has_agent",
+            F.max((F.col("_is_ua") & (F.col("_ua") == agent.lower())).cast("int")).over(wg),
+        )
+        .withColumn(
+            "_has_star",
+            F.max((F.col("_is_ua") & (F.col("_ua") == "*")).cast("int")).over(wg),
+        )
+        .withColumn("_any_agent", F.max("_has_agent").over(Window.partitionBy(key_col)))
+    )
+    applies = (F.col("_has_agent") == 1) | (
+        (F.col("_any_agent") == 0) & (F.col("_has_star") == 1)
     )
     # non-rule lines and valueless rules ("Disallow:" = allow-all no-op)
     # both extract an empty rule value and drop on the same filter
     kind = F.regexp_extract(F.col("_line"), _RULE_RE, 1)
     rule = F.regexp_extract(F.col("_line"), _RULE_RE, 2)
     return (
-        lines.filter((F.col("_has_agent") == 1) & ~F.col("_is_ua"))
+        lines.filter(applies & ~F.col("_is_ua"))
         .select(key_col, kind.alias("_kind"), rule.alias("rule"))
         .filter(F.col("rule") != "")
         .select(key_col, "rule", (F.col("_kind") == "").alias("allow"))
@@ -78,21 +92,36 @@ def robots_filter(
     path_col: str = "path",
     key_col: str = "host",
 ) -> DataFrame:
-    """Longest-match admission: join urls to their host's rules, keep
-    prefix matches, pick (longest rule, allow-wins-tie, rule text) and
-    default allowed on no match. Returns urls + `allowed` boolean.
+    """Longest-match admission: join urls to their host's rules, match
+    each rule per RFC 9309 2.2.3 — `*` = any char sequence, a TRAILING
+    `$` anchors the end, all else literal — pick (longest rule text,
+    allow-wins-tie, rule text) and default allowed on no match. Returns
+    urls + `allowed` boolean.
+
+    The rule is translated to an anchored regex AS AN EXPRESSION (escape
+    regex metachars, `*` -> `.*`, trailing `$` kept as the anchor), so
+    matching stays JVM-side; RLIKE with a per-row pattern recompiles per
+    rule, which is fine because the rules side is per-host-small.
 
     At scale: the rules side is per-host-small — hash join on host; the
-    top-1 window partitions by the unique url, both shuffles carry
+    top-1 window partitions by (host, url), both shuffles carry
     (url, rule) pairs only."""
+    esc = F.regexp_replace(F.col("rule"), r"([\\.\[\]\{\}\(\)\^\$\+\?\|])", r"\\$1")
+    esc = F.regexp_replace(esc, r"\*", ".*")
+    rx = F.when(
+        F.col("rule").endswith("$"),
+        F.concat(F.lit("^"), F.expr("substring(_esc, 1, length(_esc) - 2)"), F.lit("$")),
+    ).otherwise(F.concat(F.lit("^"), F.col("_esc")))
     cand = (
         urls.join(rules, key_col, "left")
+        .withColumn("_esc", esc)
+        .withColumn("_rx", rx)
         .withColumn(
             "_m",
-            F.col("rule").isNotNull() & F.col(path_col).startswith(F.col("rule")),
+            F.col("rule").isNotNull() & F.expr(f"{path_col} RLIKE _rx"),
         )
     )
-    w = Window.partitionBy(url_col).orderBy(
+    w = Window.partitionBy(key_col, url_col).orderBy(
         F.col("_m").desc(),
         F.length("rule").desc(),
         F.col("allow").desc(),

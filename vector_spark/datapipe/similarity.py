@@ -152,8 +152,8 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-flat ANN: deterministic centroid seeds (the first `n_centroids`
-    vectors by id — no trained model, fully reproducible), every vector
+    """IVF-flat ANN: deterministic centroid seeds (the `n_centroids`
+    lowest-id vectors present — no trained model, fully reproducible), every vector
     assigned to its nearest centroid (one broadcast pass), queries probe
     their `n_probe` nearest cells. Recall < 1; candidate set shrinks
     ~n_probe/n_centroids. All cell assignment is JVM-side exprs; at 100 TB
@@ -161,7 +161,7 @@ def ivf_ann_topk(
     (query x probed-cell) pairs."""
     base = df.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
     base = base.withColumn("_n", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
-    cents = base.filter(F.col("_id") < n_centroids).select(
+    cents = base.orderBy("_id").limit(n_centroids).select(
         F.col("_id").alias("_cid"), F.col("_v").alias("_cv"), F.col("_n").alias("_cn")
     )
     # nearest centroid per vector: max cosine, tie-break lowest centroid id
@@ -301,8 +301,9 @@ def semantic_dedup(
 
     Deviations from the paper, for determinism + oracle replay (the repo
     convention used by every dedup tier, see dedup.py::exact_dedup):
-    centroids are the first `n_centroids` vectors by id (no trained
-    k-means; same seeding as ivf_ann_topk), and the kept representative is
+    centroids are the `n_centroids` LOWEST-id vectors actually present
+    (a global ids-only top-k — no assumption that ids start at 0; same
+    seeding as ivf_ann_topk), and the kept representative is
     the LOWEST id in a duplicate relation (the paper keeps the lowest
     centroid-similarity example). Cosines round to 6 decimals before every
     comparison so ordering is stable across engines/float paths.
@@ -323,7 +324,7 @@ def semantic_dedup(
     )
     base = base.withColumn("_n", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
     cents_row = (
-        base.filter(F.col("_id") < n_centroids)
+        base.orderBy("_id").limit(n_centroids)
         .select(F.col("_id").alias("_cid"), F.col("_v").alias("_cv"), F.col("_n").alias("_cn"))
         .groupBy()
         .agg(F.collect_list(F.struct("_cid", "_cv", "_cn")).alias("_cents"))

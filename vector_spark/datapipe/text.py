@@ -636,7 +636,6 @@ def bpe_pair_counts(
     df: DataFrame,
     top_n: int = 50,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """One BPE-training merge round (Sennrich et al. 2016 §3.2): count
     adjacent character pairs across the corpus, weighted by word frequency
@@ -738,7 +737,6 @@ def corpus_stats(
     df: DataFrame,
     group_cols: tuple[str, ...] = ("lang", "source"),
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Corpus observability report over ROLLUP(group_cols): per slice and
     for every prefix total (lang, lang x source, grand total) — docs,
