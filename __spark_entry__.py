@@ -2310,6 +2310,43 @@ def q_vrl_misc(spark, sf_dir):
     )
 
 
+def q_codec_cdx(spark, sf_dir):
+    """Common Crawl CDXJ index lines, synthesized deterministically from
+    documents then parsed with parse_cdx; the oracle produces the expected
+    fields directly from the same construction (ground truth, not a
+    parallel parser)."""
+    from vector_spark.functions import parse_cdx
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    js = F.concat(
+        F.lit('{"url": "https://example.org/p/'), did,
+        F.lit('", "mime": "text/html", "status": "200", "digest": "'),
+        F.md5(F.col("text").cast("binary")),
+        F.lit('", "length": "'), F.col("n_chars").cast("string"),
+        F.lit('", "offset": "'), (F.col("doc_id") * 100).cast("string"),
+        F.lit('", "filename": "crawl-00.warc.gz"}'),
+    )
+    line = F.concat(
+        F.lit("org,example)/p/"), did, F.lit(" "),
+        F.lit("20240101"), F.lpad((F.col("doc_id") % 1000000).cast("string"), 6, "0"),
+        F.lit(" "), js,
+    )
+    p = parse_cdx(line)
+    return d.select(
+        "doc_id",
+        p.getField("urlkey").alias("urlkey"),
+        p.getField("ts").alias("ts"),
+        p.getField("url").alias("url"),
+        p.getField("mime").alias("mime"),
+        p.getField("status").alias("status"),
+        p.getField("digest").alias("digest"),
+        p.getField("length").alias("length"),
+        p.getField("offset").alias("offset"),
+        p.getField("filename").alias("filename"),
+    )
+
+
 def q_find_table_records(spark, sf_dir):
     """find_enrichment_table_records multi-match semantics: a dup-keyed
     enrichment table fans matching events out 1->N; misses survive with
@@ -2674,6 +2711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "corpus_stats": q_corpus_stats,
         "find_table_records": q_find_table_records,
+        "codec_cdx": q_codec_cdx,
         "ann_ivf": q_ann_ivf,
         "demo_logs_roundtrip": q_demo_logs_roundtrip,
         "multimodal_features": q_multimodal_features,
@@ -4611,6 +4649,21 @@ FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
             f"CAST({_hexval_sql(f'substr({h}, {i + 1}, 1)')} AS BIGINT) * {16 ** (7 - i)}"
             for i in range(8)
         ) + ")"
+
+    # CDXJ parse oracle: ground-truth fields from the same construction
+    sql["codec_cdx"] = """
+SELECT doc_id,
+       'org,example)/p/' || CAST(doc_id AS VARCHAR) AS urlkey,
+       '20240101' || lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0') AS ts,
+       'https://example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+       'text/html' AS mime,
+       '200' AS status,
+       md5(text) AS digest,
+       CAST(n_chars AS BIGINT) AS length,
+       CAST(doc_id * 100 AS BIGINT) AS offset,
+       'crawl-00.warc.gz' AS filename
+FROM documents
+"""
 
     # multi-match enrichment: same literal dup-keyed dim, LEFT JOIN fan-out
     sql["find_table_records"] = """

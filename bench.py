@@ -99,6 +99,7 @@ HEADLINE = [
     "robots_filter",
     "incremental_dedup",
     "corpus_stats",
+    "codec_cdx",
 ]
 
 

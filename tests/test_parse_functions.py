@@ -542,3 +542,25 @@ def test_ensure_parallelism_file_source(spark, tmp_path):
     spark.range(1000).repartition(16).write.parquet(many)
     wide = spark.read.parquet(many)
     assert ensure_parallelism(wide) is wide
+
+
+def test_parse_cdx_fields_and_malformed(spark):
+    """CDXJ happy path parses every field; missing JSON keys and a
+    malformed line go null per the house parser rule."""
+    from vector_spark.functions import parse_cdx
+
+    good = ('org,example)/ 20240101123456 {"url": "https://example.org/", '
+            '"mime": "text/html", "status": "200", "digest": "ABC", '
+            '"length": "42", "offset": "7", "filename": "x.warc.gz"}')
+    sparse = 'com,site)/p 20230505000000 {"url": "https://site.com/p"}'
+    bad = "not a cdx line"
+    df = spark.createDataFrame([(good,), (sparse,), (bad,)], "line string")
+    rows = df.select(parse_cdx(F.col("line")).alias("c")).select("c.*").collect()
+    g, s, b = rows
+    assert (g.urlkey, g.ts, g.url, g.mime, g.status, g.digest,
+            g.length, g.offset, g.filename) == (
+        "org,example)/", "20240101123456", "https://example.org/",
+        "text/html", "200", "ABC", 42, 7, "x.warc.gz")
+    assert (s.urlkey, s.url, s.mime, s.length) == (
+        "com,site)/p", "https://site.com/p", None, None)
+    assert b.urlkey == "not" and b.ts is None and b.url is None

@@ -392,3 +392,36 @@ def test_stream_netflow_template_cache_survives_restart(spark, tmp_path):
     assert (r.version, r.source_id, r.template_id) == (9, 1, 256)
     assert dict(r.fields)["ipv4_src_addr"] == "10.0.0.8"
     assert dict(r.fields)["in_bytes"] == "128"
+
+
+def test_stream_incremental_dedup_equals_batch(spark, tmp_path):
+    """Stream-static exact-tier incremental dedup equals the batch
+    operator's near=False output under availableNow."""
+    from vector_spark.datapipe import incremental_dedup
+    from vector_spark.streaming import stream_incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], "doc_id long, text string"
+    )
+    delta_path = str(tmp_path / "delta_docs")
+    spark.createDataFrame(
+        [(10, "a b c"), (11, "brand new"), (12, "x y z")],
+        "doc_id long, text string",
+    ).write.parquet(delta_path)
+
+    schema = spark.read.parquet(delta_path).schema
+    sdf = stream_incremental_dedup(
+        spark.readStream.schema(schema).parquet(delta_path), corpus
+    )
+    q = (
+        sdf.writeStream.format("memory").queryName("inc_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_inc"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = rows(spark.sql("select * from inc_dedup"))
+    batch = rows(incremental_dedup(spark.read.parquet(delta_path), corpus, near=False))
+    assert got == batch
+    assert sorted((r.doc_id, r.novel, r.dup_of) for r in spark.sql(
+        "select * from inc_dedup").collect()) == [(10, False, 1), (11, True, None), (12, False, 3)]

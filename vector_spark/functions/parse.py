@@ -983,3 +983,34 @@ def encode_key_value(
         for k in sorted(cols)
     ]
     return F.concat_ws(field_delimiter, *parts)
+
+
+def parse_cdx(col: Column) -> Column:
+    """Parse a Common Crawl CDXJ index line — `urlkey timestamp {json}`
+    (the CC-INDEX format every crawl ships; see the public cdxj spec) —
+    into a struct. Pure regexp_extract + get_json_object expressions,
+    null-on-unmatched per the house parser rule:
+
+      urlkey    — SURT-canonicalized key (first space-separated field)
+      ts        — 14-digit capture timestamp as string (second field)
+      url/mime/status/digest/filename — from the JSON tail
+      length/offset                    — JSON strings cast to long
+    """
+    urlkey = F.nullif(F.regexp_extract(col, r"^(\S+) ", 1), F.lit(""))
+    ts = F.nullif(F.regexp_extract(col, r"^\S+ (\d{14}) ", 1), F.lit(""))
+    js = F.nullif(F.regexp_extract(col, r"^\S+ \d{14} (\{.*\})\s*$", 1), F.lit(""))
+
+    def jf(name: str) -> Column:
+        return F.get_json_object(js, f"$.{name}")
+
+    return F.struct(
+        urlkey.alias("urlkey"),
+        ts.alias("ts"),
+        jf("url").alias("url"),
+        jf("mime").alias("mime"),
+        jf("status").alias("status"),
+        jf("digest").alias("digest"),
+        jf("length").cast("long").alias("length"),
+        jf("offset").cast("long").alias("offset"),
+        jf("filename").alias("filename"),
+    )

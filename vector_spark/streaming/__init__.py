@@ -4,6 +4,7 @@ from .ops import (
     stream_tag_cardinality_limit,
     stream_aggregate,
     stream_dedupe,
+    stream_incremental_dedup,
     stream_pages_pipeline,
     stream_reduce_sessions,
     stream_reduce_max_events,
@@ -15,6 +16,7 @@ from .ops import (
 __all__ = [
     "stream_aggregate",
     "stream_dedupe",
+    "stream_incremental_dedup",
     "stream_pages_pipeline",
     "stream_route_to_sinks",
     "stream_hash_replace",

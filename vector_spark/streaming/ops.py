@@ -613,3 +613,35 @@ def stream_pages_pipeline(
         F.unix_timestamp(F.col("window.start")).alias("window_start"),
         "route", "geo_region", "events", "bytes",
     )
+
+
+def stream_incremental_dedup(
+    delta: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of datapipe.incremental_dedup's EXACT tier: a stream
+    of new docs LEFT-joins (stream-static, append-safe, no watermark
+    needed) the batch corpus's md5 -> min(id) lookup. The near tier's
+    global min-per-delta-doc aggregation needs the batch path — same
+    deferral pattern as stream_reduce_sessions' first/last note.
+
+    At scale the static side is the maintained dedup-lookup table; Spark
+    re-plans it per micro-batch, picking up corpus updates between
+    batches."""
+    dh = F.md5(F.col(text_col).cast("binary"))
+    lookup = (
+        corpus.select(dh.alias("_h"), F.col(id_col).alias("_cid"))
+        .groupBy("_h")
+        .agg(F.min("_cid").alias("_ex"))
+    )
+    return (
+        delta.select(F.col(id_col).alias("_did"), dh.alias("_h"))
+        .join(lookup, "_h", "left")
+        .select(
+            F.col("_did").alias(id_col),
+            F.col("_ex").isNull().alias("novel"),
+            F.col("_ex").alias("dup_of"),
+        )
+    )
