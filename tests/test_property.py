@@ -630,3 +630,75 @@ def test_semantic_dedup_matches_reference_model(spark, vecs):
         for i, v in rows
     }
     assert got == {i: (cluster[i], keep[i]) for i, _ in rows}
+
+
+@given(
+    corpus_texts=st.lists(st.sampled_from(["a b c", "d e f", "g h i"]), min_size=1, max_size=4),
+    delta_texts=st.lists(st.sampled_from(["a b c", "d e f", "new words here"]), min_size=1, max_size=5),
+)
+@settings(**SETTINGS)
+def test_incremental_dedup_exact_matches_set_model(spark, corpus_texts, delta_texts):
+    """Exact tier == set membership: novel iff the text is absent from the
+    corpus; dup_of is the lowest corpus id holding the same text; near=True
+    can only shrink the novel set (exact matches always flagged)."""
+    from vector_spark.datapipe import incremental_dedup
+
+    corpus = spark.createDataFrame(list(enumerate(corpus_texts)), "doc_id long, text string")
+    delta = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(delta_texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.novel, r.dup_of)
+           for r in incremental_dedup(delta, corpus, near=False).collect()}
+    first = {}
+    for i, t in enumerate(corpus_texts):
+        first.setdefault(t, i)
+    expect = {
+        100 + i: (t not in first, first.get(t)) for i, t in enumerate(delta_texts)
+    }
+    assert got == expect
+
+    near_novel = {r.doc_id for r in
+                  incremental_dedup(delta, corpus, near=True).collect() if r.novel}
+    assert near_novel <= {k for k, (n, _) in expect.items() if n}
+
+
+@given(rows=_docs_strategy)
+@settings(**SETTINGS)
+def test_corpus_stats_rollup_consistency(spark, rows):
+    """Grand total row equals the input size; lang subtotals sum to it;
+    every slice's docs sum to its lang subtotal."""
+    from vector_spark.datapipe import corpus_stats
+
+    docs = spark.createDataFrame(
+        [(i, ["en", "de"][i % 2], f"s{i % 3}", t) for i, (_, t) in enumerate(rows)],
+        "doc_id long, lang string, source string, text string",
+    )
+    out = corpus_stats(docs).collect()
+    total = {(r.lang, r.source): r.docs for r in out}
+    assert total[(None, None)] == len(rows)
+    langs = [k[0] for k in total if k[0] is not None and k[1] is None]
+    assert sum(total[(lg, None)] for lg in langs) == len(rows)
+    for lg in langs:
+        slices = sum(v for (l2, s2), v in total.items() if l2 == lg and s2 is not None)
+        assert slices == total[(lg, None)]
+
+
+@given(
+    key=st.sampled_from(["org,ex)/", "com,a)/p"]),
+    ts=st.integers(0, 99999999999999),
+    length=st.integers(0, 10**9),
+)
+@settings(**SETTINGS)
+def test_parse_cdx_roundtrip(spark, key, ts, length):
+    """Constructing a CDXJ line from fields and parsing it returns the
+    fields (14-digit ts zero-padded; numeric strings cast to long)."""
+    from vector_spark.functions import parse_cdx
+
+    ts14 = str(ts).zfill(14)
+    line = (f'{key} {ts14} {{"url": "https://x/", "mime": "t/h", '
+            f'"status": "200", "digest": "D", "length": "{length}", '
+            f'"offset": "0", "filename": "f.warc.gz"}}')
+    r = (spark.createDataFrame([(line,)], "line string")
+         .select(parse_cdx(F.col("line")).alias("c")).select("c.*").collect()[0])
+    assert (r.urlkey, r.ts, r.length, r.offset, r.filename) == (
+        key, ts14, length, 0, "f.warc.gz")
