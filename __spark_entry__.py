@@ -2310,6 +2310,20 @@ def q_vrl_misc(spark, sf_dir):
     )
 
 
+def q_normalize_text(spark, sf_dir):
+    """NFC normalization over text with a decomposed-accent suffix
+    appended (e + combining acute), lowercased, whitespace-collapsed —
+    the canonicalization pass before dedup hashing. The oracle uses
+    DuckDB's nfc_normalize on the identical construction."""
+    from vector_spark.datapipe import normalize_text
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit("  CAFE\u0301 caf\u00e9")).alias("text"),
+    )
+    return normalize_text(d, form="NFC", lower=True, collapse_ws=True)
+
+
 def q_codec_cdx(spark, sf_dir):
     """Common Crawl CDXJ index lines, synthesized deterministically from
     documents then parsed with parse_cdx; the oracle produces the expected
@@ -2712,6 +2726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "find_table_records": q_find_table_records,
         "codec_cdx": q_codec_cdx,
+        "normalize_text": q_normalize_text,
         "ann_ivf": q_ann_ivf,
         "demo_logs_roundtrip": q_demo_logs_roundtrip,
         "multimodal_features": q_multimodal_features,
@@ -4649,6 +4664,16 @@ FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
             f"CAST({_hexval_sql(f'substr({h}, {i + 1}, 1)')} AS BIGINT) * {16 ** (7 - i)}"
             for i in range(8)
         ) + ")"
+
+    # NFC canonicalization: identical suffix construction (E + combining
+    # acute U+0301 and precomposed e-acute U+00E9), DuckDB nfc_normalize
+    sql["normalize_text"] = """
+SELECT doc_id,
+       trim(regexp_replace(
+         lower(nfc_normalize(text || '  CAFE' || chr(769) || ' caf' || chr(233))),
+         '\\s+', ' ', 'g')) AS text
+FROM documents
+"""
 
     # CDXJ parse oracle: ground-truth fields from the same construction
     sql["codec_cdx"] = """

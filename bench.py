@@ -100,6 +100,7 @@ HEADLINE = [
     "incremental_dedup",
     "corpus_stats",
     "codec_cdx",
+    "normalize_text",
 ]
 
 

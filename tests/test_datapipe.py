@@ -267,6 +267,32 @@ def test_semantic_dedup_cluster_and_prune(spark):
     assert "Window" not in plan
 
 
+def test_normalize_text_forms_and_dedup_effect(spark):
+    """Composed and decomposed accents normalize to identical strings
+    (so exact_dedup collapses them); NFKC additionally folds
+    compatibility chars like the ligature fi; options compose."""
+    from vector_spark.datapipe import exact_dedup, normalize_text
+
+    docs = spark.createDataFrame(
+        [(1, "café"), (2, "café"), (3, "ﬁne")],
+        "doc_id long, text string",
+    )
+    nfc = {r.doc_id: r.text for r in normalize_text(docs, "NFC").collect()}
+    assert nfc[1] == nfc[2] == "café"
+    assert nfc[3] == "ﬁne"                      # NFC keeps the ligature
+    nfkc = {r.doc_id: r.text for r in normalize_text(docs, "NFKC").collect()}
+    assert nfkc[3] == "fine"                          # NFKC folds it
+
+    dedup = exact_dedup(normalize_text(docs, "NFC"))
+    assert {(r.keep_id, r.dup_count) for r in dedup.collect()} == {(1, 2), (3, 1)}
+
+    ws = normalize_text(
+        spark.createDataFrame([(1, "  A  b́  ")], "doc_id long, text string"),
+        "NFC", lower=True, collapse_ws=True,
+    ).collect()[0].text
+    assert ws == "a b́"
+
+
 def test_corpus_stats_rollup_levels(spark):
     """ROLLUP emits slice, lang-subtotal, and grand-total rows with
     hand-computed counts; dedup counts distinct texts; exactly one

@@ -9,7 +9,7 @@ from .similarity import (
     lsh_ann_topk,
     semantic_dedup,
 )
-from .text import text_quality, token_count, doc_fingerprint, langid, quality_filter_gopher, repetition_filter_gopher, chunk_documents, pii_scrub, sample_stratified, bpe_pair_counts, tfidf_keywords, corpus_stats
+from .text import text_quality, token_count, doc_fingerprint, langid, quality_filter_gopher, repetition_filter_gopher, chunk_documents, pii_scrub, sample_stratified, bpe_pair_counts, tfidf_keywords, corpus_stats, normalize_text
 from .curation import curation_pipeline
 from .boilerplate import boilerplate_blocks
 from .classifier import feature_bucket, hashed_features, quality_classifier
@@ -28,7 +28,7 @@ __all__ = [
     "connected_components", "dedup_clusters",
     "cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "embedding_near_dup_pairs",
     "semantic_dedup", "bpe_pair_counts", "pagerank", "tfidf_keywords",
-    "parse_robots_rules", "robots_filter", "incremental_dedup", "corpus_stats",
+    "parse_robots_rules", "robots_filter", "incremental_dedup", "corpus_stats", "normalize_text",
     "text_quality", "quality_filter_gopher", "repetition_filter_gopher", "token_count", "doc_fingerprint", "langid",
     "binary_meta", "extract_features", "frame_sample", "resize_image",
     "chunk_documents", "curation_pipeline", "pii_scrub", "sample_stratified",

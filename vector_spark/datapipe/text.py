@@ -767,3 +767,35 @@ def corpus_stats(
             F.round(F.sum("_t").cast("double") / F.count(F.lit(1)), 4).alias("avg_tokens"),
         )
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    form: str = "NFC",
+    lower: bool = False,
+    collapse_ws: bool = False,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unicode-normalize text (NFC/NFKC/NFD/NFKD) — the canonicalization
+    every dedup/fingerprint pipeline applies before hashing, so 'café'
+    composed and decomposed hash identically.
+
+    The JVM SQL surface has no normalizer, so this is one of the repo's
+    few justified Python paths: an Arrow-batched pandas_udf
+    (Series.str.normalize — vectorized ICU-backed C, never per-row
+    Python objects), narrow, in the scan stage. `lower`/`collapse_ws`
+    stay JVM expressions around it. Returns (id_col, text_col)."""
+    import pandas as pd  # noqa: F401  (documents the Arrow batch contract)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s):
+        return s.str.normalize(form)
+
+    out = _norm(F.col(text_col))
+    if lower:
+        out = F.lower(out)
+    if collapse_ws:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return df.select(F.col(id_col), out.alias(text_col))
