@@ -1,0 +1,1690 @@
+"""LLM training-data pipeline contract queries + oracles (dedup tiers, quality, corpus build, similarity, graph, multimodal)."""
+
+from .common import *  # noqa: F401,F403
+from .common import _t, _dsum, DSUM_SQL, ROUTES
+from .common import _BP_NAV, _BP_LEAD, _BP_TAIL  # noqa: F401
+from .oracle_helpers import (  # noqa: F401
+    _boilerplate_sql,
+    _hexval_sql,
+    _simhash_sql,
+    _minhash_sql,
+    _aggregate_sketch_sql,
+    _langid_sql,
+    _repetition_sql,
+    _ann_lsh_sql,
+    _near_dup_sql,
+    _html_text_sql,
+)
+
+def q_dedup_exact_text(spark, sf_dir):
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-duplicate cluster ids: MinHash-LSH verified pairs -> distributed
+    connected components (min-label propagation + pointer jumping, O(log
+    diameter) rounds). cluster_id = min doc_id per component; the oracle is
+    an independent recursive-CTE transitive closure over the same pairs."""
+    from vector_spark.datapipe import dedup_clusters
+
+    return dedup_clusters(_t(spark, sf_dir, "documents"), jaccard_threshold=0.5)
+
+
+def q_dedup_ladder(spark, sf_dir):
+    """Composed dedup ladder: exact tier (min id per md5) then MinHash-LSH
+    near-dup tier (remove the higher id of every verified pair) — one
+    surviving doc per duplicate neighborhood with the exact-tier dup_count."""
+    from vector_spark.datapipe import dedup_ladder
+
+    return dedup_ladder(_t(spark, sf_dir, "documents"), jaccard_threshold=0.5)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII sweep over a deterministic synthetic PII-bearing column (the
+    testdata carries no PII, so the query plants emails / IPs / SSNs
+    derived from doc_id with IDENTICAL expressions on both engines, then
+    counts + redacts them)."""
+    from vector_spark.datapipe import pii_scrub
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("reach u"), F.col("doc_id").cast("string"),
+            F.lit("@mail"), (F.col("doc_id") % 7).cast("string"), F.lit(".com from 10."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".0."),
+            (F.col("doc_id") % 100).cast("string"), F.lit(" "),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("ssn 123-45-6789 ")).otherwise(F.lit("")),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return pii_scrub(planted)
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-stratum quota: 5 docs per (lang, source)
+    stratum, md5-rank selection with id tie-break (stratum sizes in the
+    testdata run 1-16, so the quota genuinely cuts)."""
+    from vector_spark.datapipe import sample_stratified
+
+    return sample_stratified(
+        _t(spark, sf_dir, "documents"), ["lang", "source"], 5
+    ).select("doc_id", "lang", "source")
+
+
+def q_boilerplate_blocks(spark, sf_dir):
+    """jusText-style boilerplate classification over deterministically
+    planted page markup: a link-farm nav (bad), a stopword-dense lead +
+    doc text content block (good/near_good/bad varies with doc length —
+    the density dilutes), a short 'Read more' (context-inherited), and a
+    copyright/link footer with an embedded script (dropped). The oracle
+    replays the page build and the whole chain from boilerplate.py's
+    pattern constants."""
+    from vector_spark.datapipe import boilerplate_blocks
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(_BP_NAV + "<p>" + _BP_LEAD),
+        F.col("text"),
+        F.lit(" &amp; more</p>" + _BP_TAIL),
+    )
+    return boilerplate_blocks(d.select("doc_id", html.alias("html")))
+
+
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style hashed-ngram linear quality classifier (GPT-3 appendix
+    A's curation gate as inference): deterministic synthetic model —
+    weight(bucket) = u32(md5('w|'||bucket)) % 2001 / 1000 - 1, an exactly
+    representable grid so both engines hold identical doubles — broadcast
+    to the exploded unigram+bigram features, DECIMAL-exact mean, sigmoid."""
+    from vector_spark.datapipe import quality_classifier
+
+    u32 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("w|"), F.col("id").cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    wdf = spark.range(4096).select(
+        F.col("id").alias("bucket"),
+        ((u32 % 2001).cast("double") / F.lit(1000.0) - F.lit(1.0)).alias("weight"),
+    )
+    return quality_classifier(_t(spark, sf_dir, "documents"), wdf, threshold=0.5)
+
+
+def q_corpus_build(spark, sf_dir):
+    """Composed end-to-end corpus build: exact dedup -> fastText-style
+    classifier gate (the q_quality_classifier synthetic model) -> per-lang
+    token-budget mixture -> 64-token sequence packing. Ids-only semi-joins
+    between stages; the oracle re-roots each stage's SQL onto the previous
+    survivors."""
+    from vector_spark.datapipe import corpus_build
+
+    u32 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("w|"), F.col("id").cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    wdf = spark.range(4096).select(
+        F.col("id").alias("bucket"),
+        ((u32 % 2001).cast("double") / F.lit(1000.0) - F.lit(1.0)).alias("weight"),
+    )
+    return corpus_build(
+        _t(spark, sf_dir, "documents"),
+        wdf,
+        budgets={"en": 3000, "de": 1200, "es": 1500, "fr": 1500, "zh": 1500},
+        seq_len=64,
+    )
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concatenate-and-chunk sequence packing: the corpus in
+    shuffle_corpus order (seed 42, 8 shards), token stream chunked into
+    64-token training sequences, one row per doc-x-sequence overlap with
+    exact slice offsets. Pure integer arithmetic -> hash-exact oracle."""
+    from vector_spark.datapipe import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=64)
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Token-budget mixture sampling: per-lang budgets cut the corpus in a
+    seed-deterministic md5 order via a hierarchical (bucketed) prefix sum —
+    only the boundary bucket per group pays a fine-grained sort. en is cut
+    deep, zh nearly zeroed, fr omitted (dropped); the oracle replays the
+    same draw with a naive running-sum window."""
+    from vector_spark.datapipe import mixture_sample
+
+    return mixture_sample(
+        _t(spark, sf_dir, "documents"),
+        budgets={"en": 4000, "de": 1500, "es": 2000, "zh": 100},
+    )
+
+
+def q_perplexity_bucket(spark, sf_dir):
+    """CCNet-style LM quality scoring (unigram analogue, disclosed in
+    lm.py): self-trained token counts, Laplace log10-probs, per-doc mean
+    NLL, head/middle/tail buckets. Thresholds are the sf0.01 terciles so
+    the bucket column genuinely three-ways the corpus at driver scale."""
+    from vector_spark.datapipe import perplexity_score
+
+    return perplexity_score(
+        _t(spark, sf_dir, "documents"), head=1.4765, middle=1.4784
+    )
+
+
+def q_dsir_resample(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): target unigram LM
+    self-trained on the doc_id%7==0 "curated" slice, source LM on the full
+    corpus, per-doc log importance ratio, then Gumbel-top-k (k=200, T=2.0)
+    with md5-seeded uniforms — both engines draw the identical sample at
+    any parallelism. Oracle replays counts, 6-dp DECIMAL term sums, and
+    the Gumbel key exactly."""
+    from vector_spark.datapipe import importance_resample, unigram_lm
+
+    d = _t(spark, sf_dir, "documents")
+    target = unigram_lm(d.filter(F.col("doc_id") % 7 == 0))
+    return importance_resample(d, 200, target, temperature=2.0)
+
+
+def q_html_text(spark, sf_dir):
+    """C4-style HTML -> text extraction over deterministically planted
+    page markup (title/style/script/comments/entities/block structure
+    wrapped around documents.text with IDENTICAL concat expressions on
+    both engines). The oracle replays the exact regex chain — generated
+    from vector_spark.datapipe.html's pattern constants, so the two
+    engines cannot drift."""
+    from vector_spark.datapipe import extract_html_text
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            "</title><style>p {color: red}</style>"
+            "<script>var t = 1 < 2;</script></head>"
+            "<body><!-- crawler metadata -->"
+            "<h1>Doc&nbsp;"
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><div>tail &amp;lt; end</div></body></html>"),
+    )
+    return extract_html_text(
+        d.select("doc_id", html.alias("html")), id_cols=("doc_id",)
+    )
+
+
+def q_crawl_pipeline(spark, sf_dir):
+    """Crawl -> corpus topology over WET-style WARC buffers built from
+    documents (one 'conversion' record per doc, Content-Length =
+    byte-exact): frame -> parse -> fused Gopher-quality + langid gates ->
+    exclusive route (rejected_quality | rejected_lang | corpus). The
+    oracle composes the quality_gopher and langid SQL fragments over the
+    same documents — the WARC trip must be lossless for the row hashes to
+    meet. Thresholds match the quality_gopher contract (20 words, 1
+    stopword)."""
+    from vector_spark.plans import crawl_pipeline
+
+    d = _t(spark, sf_dir, "documents")
+    buf = F.concat(
+        F.lit(
+            "WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: https://crawl.example/"
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\nWARC-Date: 2024-05-01T00:00:00Z\r\nContent-Length: "),
+        F.octet_length("text").cast("string"),
+        F.lit("\r\n\r\n"),
+        F.col("text"),
+        F.lit("\r\n\r\n"),
+    )
+    out = crawl_pipeline(
+        d.select(buf.alias("buf")),
+        quality={"min_words": 20, "min_stopword_hits": 1},
+    )["curated"]
+    return out.select(
+        F.regexp_extract("target_uri", r"(\d+)$", 1).cast("long").alias("doc_id"),
+        "content_length",
+        "n_words",
+        "predicted_lang",
+        "route",
+    )
+
+
+def q_url_filter(spark, sf_dir):
+    """C4-style URL pass over deterministically planted crawl URLs
+    (upper/lower-cased schemes and hosts, default and non-default ports,
+    utm/gclid tracking params, fragments, bare-slash paths, .co.uk
+    registrable domains; consecutive doc pairs collide after
+    normalization 1/3 of the time so is_canonical genuinely cuts). The
+    Spark side parses the ASSEMBLED url with parse_url; the oracle
+    recomputes the normalization from the component columns — opposite
+    formulations on purpose."""
+    from vector_spark.datapipe import url_filter
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.expr(
+            """
+            concat(
+              CASE WHEN doc_id % 5 = 0
+                   THEN upper(CASE WHEN (doc_id div 2) % 3 = 0 THEN 'https' ELSE 'http' END)
+                   ELSE CASE WHEN (doc_id div 2) % 3 = 0 THEN 'https' ELSE 'http' END END,
+              '://',
+              CASE WHEN doc_id % 2 = 0
+                   THEN upper(concat('www.site', CAST((doc_id div 2) % 13 AS STRING),
+                        CASE WHEN (doc_id div 2) % 4 = 0 THEN '.co.uk' ELSE '.com' END))
+                   ELSE concat('www.site', CAST((doc_id div 2) % 13 AS STRING),
+                        CASE WHEN (doc_id div 2) % 4 = 0 THEN '.co.uk' ELSE '.com' END) END,
+              CASE WHEN doc_id % 2 = 1
+                   THEN CASE WHEN (doc_id div 2) % 3 = 0 THEN ':443' ELSE ':80' END
+                   WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END,
+              CASE WHEN (doc_id div 2) % 5 = 0 THEN '/'
+                   ELSE concat('/p/', CAST((doc_id div 2) % 9 AS STRING)) END,
+              CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1'
+                   WHEN doc_id % 3 = 1 THEN '?b=2&a=1&gclid=x'
+                   ELSE '' END,
+              CASE WHEN doc_id % 2 = 1 THEN concat('#sec', CAST(doc_id % 4 AS STRING)) ELSE '' END
+            )"""
+        ).alias("url"),
+    )
+    block = spark.createDataFrame([("site3.com",), ("site7.co.uk",)], "domain string")
+    return url_filter(planted, block)
+
+
+def q_decontaminate(spark, sf_dir):
+    """GPT-3-style benchmark decontamination: docs sharing any word
+    n-gram with the held-out set are dropped. The synthetic benchmark is
+    every 101st doc (deterministic, ~1% like a real eval suite); n=4
+    instead of the published 13 because the testdata docs are ~25-word
+    synthetic lines — at sf0.01 this flags ~11 genuinely-overlapping
+    non-benchmark docs, so the oracle checks real discrimination, not a
+    constant column."""
+    from vector_spark.datapipe import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 101 == 7)
+    return decontaminate(d, bench, n=4)
+
+
+def q_shuffle_corpus(spark, sf_dir):
+    """Deterministic global corpus shuffle into 8 shards, seed 42 —
+    (shard, pos) must be identical for any input partitioning (the
+    resume/reproducibility invariant); the oracle recomputes the same
+    md5-derived shard + rank in SQL."""
+    from vector_spark.datapipe import shuffle_corpus
+
+    return shuffle_corpus(
+        _t(spark, sf_dir, "documents"),
+        n_shards=8,
+        seed=42,
+        payload_cols=["text", "lang", "source", "n_chars"],
+    )
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """The composed curation recipe as ONE plan: Gopher quality gates
+    (contract thresholds) -> repetition gates -> corpus-wide span dedup
+    over the gated set -> langid, with the three row-local stages fused
+    into a single scan projection."""
+    from vector_spark.datapipe import curation_pipeline
+
+    return curation_pipeline(
+        _t(spark, sf_dir, "documents"),
+        quality={"min_words": 20, "min_stopword_hits": 1},
+        span_words=3,
+        max_removed_frac=0.5,
+    )
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Context-window packing prep: 8-token chunks with 2-token overlap
+    (stride 6) over the documents table — one posexplode, no shuffle."""
+    from vector_spark.datapipe import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"), chunk_tokens=8, overlap=2)
+
+
+def q_quality_repetition(spark, sf_dir):
+    """Gopher repetition rules (Rae et al. Table A1): top-2/3/4-gram char
+    fraction + duplicated-5..10-gram char fraction, per-rule flags + keep.
+    Spark computes each rule as an in-row sorted-run fold (scan-speed, no
+    shuffle); the oracle is the opposite unnest->GROUP BY formulation."""
+    from vector_spark.datapipe import repetition_filter_gopher
+
+    return repetition_filter_gopher(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_spans(spark, sf_dir):
+    """C4/RefinedWeb-style cross-document span dedup: 3-word blocks, first
+    occurrence (doc_id, span_no) survives, documents reassembled in order.
+    The testdata documents are single-line word streams, so the word-block
+    unit (not newline lines) is the discriminative one here."""
+    from vector_spark.datapipe import dedup_spans
+
+    return dedup_spans(_t(spark, sf_dir, "documents"), span_words=3)
+
+
+def q_quality_gopher(spark, sf_dir):
+    """Gopher-rule quality gates over documents (min_words lowered to suit
+    the synthetic docs' lengths)."""
+    from vector_spark.datapipe import quality_filter_gopher
+
+    return quality_filter_gopher(
+        _t(spark, sf_dir, "documents"), min_words=20, min_stopword_hits=1
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    return text_quality(_t(spark, sf_dir, "documents"))
+
+
+def q_token_count(spark, sf_dir):
+    return token_count(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_langid(spark, sf_dir):
+    return langid(_t(spark, sf_dir, "documents"))
+
+
+def q_cosine_topk(spark, sf_dir):
+    return cosine_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_ann_lsh(spark, sf_dir):
+    # oracle-checked: hyperplanes are plan-time md5 +/-1 literals shared
+    # verbatim with the SQL oracle (see _ann_lsh_sql)
+    return lsh_ann_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_multimodal_meta(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").withColumn("payload", F.encode("text", "UTF-8"))
+    return binary_meta(d, "payload", "doc_id")
+
+
+def q_pages_pipeline(spark, sf_dir):
+    # rows-only check: input is the deterministic generated pages table
+    # (north-rule input shape), not a testdata parquet
+    pages = generate_pages(spark, 20_000, partitions=8)
+    out = pages_pipeline(pages, geo_dim(spark), lang_dim(spark))
+    return out["sink_counts"]
+
+
+# ---- VRL function surface -------------------------------------------------
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Character-trigram Jaccard near-dup pairs (brute-force verify at this
+    scale; the LSH-banded variant is dedup_minhash_lsh)."""
+    d = _t(spark, sf_dir, "documents")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1))),
+            lambda i: F.col("text").substr(i, F.lit(3)),
+        )
+    )
+    docs = d.select(F.col("doc_id").alias("doc"), grams.alias("g"))
+    a = docs.select(F.col("doc").alias("doc_a"), F.col("g").alias("g_a"))
+    b = docs.select(F.col("doc").alias("doc_b"), F.col("g").alias("g_b"))
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
+    union = (F.size("g_a") + F.size("g_b")).cast("double") - inter
+    jac = F.round(inter / union, 4)
+    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.6
+    )
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Banded-LSH candidate generation (ids-only shuffle) + cosine verify —
+    the default, scale-safe path; the oracle replays the identical literal
+    hyperplanes so the (recall<1) candidate set matches exactly."""
+    from vector_spark.datapipe import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-doc top-5 keywords by smoothed tf-idf (round-6 score, term
+    tie-break) — dictionary-sized shuffles, term join never broadcast."""
+    from vector_spark.datapipe import tfidf_keywords
+
+    return tfidf_keywords(_t(spark, sf_dir, "documents"), k=5)
+
+
+def q_pagerank(spark, sf_dir):
+    """Fixed-point integer PageRank (3 unrolled rounds, damping 85%) over a
+    synthetic 4-regular doc link graph: out-link j of doc d is
+    md5_u32('pr|d|j') % n — replayable in any engine, deterministic, skewed
+    in-degree. Integer ranks make the result bit-exact vs the oracle."""
+    from vector_spark.datapipe import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n_row = docs.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+
+    def u32(s):
+        return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+    edges = docs.join(F.broadcast(n_row)).select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        u32(F.concat(F.lit("pr|"), F.col("doc_id").cast("string"), F.lit(f"|{j}"))),
+                        F.col("_n"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("dst"),
+    )
+    return pagerank(docs, edges, iterations=3, damping_pct=85, out_deg=4, id_col="doc_id")
+
+
+def q_bpe_pair_counts(spark, sf_dir):
+    """One BPE-training merge round: corpus-wide adjacent-char pair counts
+    weighted by word frequency; rank 1 = the merge BPE performs next."""
+    from vector_spark.datapipe import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"), top_n=50)
+
+
+# Static fixture word frequencies for the bpe_encode contract: the merge
+# table must be embeddable as literals in BOTH engines, so it is learned
+# (deterministically, by datapipe.bpe.bpe_learn_py — Sennrich §3.2 with
+# count-desc/pair-asc tie-breaks) from this fixed dictionary rather than
+# from the parquet corpus. Learning-from-corpus is covered by bpe_learn's
+# unit tests; ENCODING is what the oracle verifies end-to-end here.
+_BPE_FIXTURE_FREQS = {
+    "the": 50, "fast": 20, "faster": 8, "fastest": 4, "key": 18, "order": 15,
+    "ordered": 6, "sort": 22, "sorted": 9, "table": 25, "tables": 7,
+    "scan": 21, "scans": 5, "merge": 19, "merges": 6, "merged": 4,
+    "window": 14, "windows": 3, "stream": 16, "streams": 4, "batch": 24,
+    "batches": 5, "spark": 30, "join": 28, "joins": 6, "filter": 17,
+    "filters": 4, "group": 13, "groups": 3, "query": 12, "queries": 4,
+}
+_BPE_NUM_MERGES = 40
+
+
+def _bpe_merges() -> list[tuple[str, str]]:
+    from vector_spark.datapipe.bpe import bpe_learn_py
+
+    return bpe_learn_py(_BPE_FIXTURE_FREQS, _BPE_NUM_MERGES)
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Deterministic BPE encode (closes the tokenizer loop around
+    bpe_pair_counts): apply the fixture-learned merge table to every
+    document, emit token count + md5 of the token sequence. Zero-shuffle
+    Arrow pandas UDF with per-batch word memo (datapipe/bpe.py). Oracle:
+    an independent one-merge-per-step recursive-CTE encoder in DuckDB over
+    the same merge table (equivalent to the all-occurrences apply loop for
+    any CONSISTENT learned table — a pair containing a merged token always
+    ranks after the merge that created it)."""
+    from vector_spark.datapipe.bpe import bpe_encode
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
+    out = bpe_encode(docs, _bpe_merges())
+    return out.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws("\x1f", "tokens")).alias("tokens_md5"),
+    )
+
+
+def _bpe_encode_sql() -> str:
+    merges = _bpe_merges()
+    keys = ", ".join(f"'{a}' || chr(2) || '{b}'" for a, b in merges)
+    ranks = ", ".join(str(i) for i in range(len(merges)))
+    big = 10**9
+    cand = (
+        "list_sort(list_transform(range(1, len(toks)), i -> "
+        f"{{'rk': coalesce(map_extract(mm, toks[i] || chr(2) || toks[i+1])[1], {big}), "
+        "'p': i}))[1]"
+    )
+    return f"""
+WITH RECURSIVE
+m AS (SELECT map([{keys}], [{ranks}]) AS mm),
+docs AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+wordpos AS (
+  SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws)+1)) AS pos FROM docs
+),
+words AS (SELECT DISTINCT w FROM wordpos),
+enc(w, toks) AS (
+  SELECT w, list_transform(range(1, len(w)+1), i -> w[i]) FROM words
+  UNION ALL
+  SELECT w, toks[1:best.p-1] || [toks[best.p] || toks[best.p+1]] || toks[best.p+2:len(toks)]
+  FROM (SELECT w, toks, {cand} AS best FROM enc, m)
+  WHERE best.rk < {big}
+),
+final AS (
+  SELECT w, toks FROM (
+    SELECT w, toks, coalesce(({cand}).rk, {big}) AS brk FROM enc, m
+  ) WHERE brk >= {big}
+),
+perdoc AS (
+  SELECT wp.doc_id, flatten(list(f.toks ORDER BY wp.pos)) AS all_toks
+  FROM wordpos wp JOIN final f ON f.w = wp.w
+  GROUP BY wp.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(len(p.all_toks), 0) AS BIGINT) AS n_tokens,
+       md5(coalesce(array_to_string(p.all_toks, chr(31)), '')) AS tokens_md5
+FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+"""
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup: 16 deterministic centroids (lowest-id seeds + one
+    DECIMAL-exact Lloyd round), argmax-cosine clustering, then
+    within-cluster cosine pruning (lowest id survives a >=0.35 pair).
+    Every row comes back with its cluster + centroid cosine + keep flag."""
+    from vector_spark.datapipe import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_centroids=16
+    )
+
+
+def q_ann_ivf(spark, sf_dir):
+    from vector_spark.datapipe import ivf_ann_topk
+
+    return ivf_ann_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=[100, 101, 102],
+        k=5, n_centroids=16, n_probe=4,
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Media feature-extraction plumbing (stubbed codec, real Arrow path) ->
+    embedding column consumable by the ANN operators; rows-only."""
+    from vector_spark.datapipe import extract_features
+
+    d = _t(spark, sf_dir, "documents").withColumn("payload", F.encode("text", "UTF-8"))
+    feats = extract_features(d, dims=16)
+    return feats.select(
+        "doc_id",
+        F.size("embedding").alias("dims"),
+        F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x), 4).alias("feat_sum"),
+    )
+
+
+def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing (1->N Arrow expansion); rows-only."""
+    from vector_spark.datapipe import frame_sample
+
+    d = _t(spark, sf_dir, "documents").withColumn("payload", F.encode("text", "UTF-8"))
+    return frame_sample(d, every_ms=1000).select(
+        "doc_id", "frame_idx", "offset_ms", "frame_sha"
+    )
+
+
+def q_normalize_text(spark, sf_dir):
+    """NFC normalization over text with a decomposed-accent suffix
+    appended (e + combining acute), lowercased, whitespace-collapsed —
+    the canonicalization pass before dedup hashing. The oracle uses
+    DuckDB's nfc_normalize on the identical construction."""
+    from vector_spark.datapipe import normalize_text
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit("  CAFE\u0301 caf\u00e9")).alias("text"),
+    )
+    return normalize_text(d, form="NFC", lower=True, collapse_ws=True)
+
+
+def q_corpus_stats(spark, sf_dir):
+    """ROLLUP(lang, source) corpus report: docs/tokens/chars/distinct-text
+    counts and mean tokens per slice, per lang subtotal, and grand total —
+    one shuffle (grouping sets expand before the exchange)."""
+    from vector_spark.datapipe import corpus_stats
+
+    return corpus_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Crawl-maintenance dedup: docs with doc_id % 4 == 0 play the new
+    snapshot, the rest the existing corpus; exact md5 tier + minhash near
+    tier (same hash family as dedup_minhash_lsh), exact precedence,
+    lowest-corpus-id attribution."""
+    from vector_spark.datapipe import incremental_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    delta = d.filter(F.col("doc_id") % 4 == 0)
+    corpus = d.filter(F.col("doc_id") % 4 != 0)
+    return incremental_dedup(delta, corpus, near=True, threshold=0.5)
+
+
+def q_robots_filter(spark, sf_dir):
+    """Crawl-politeness gate: per-host robots.txt (synthesized — a star
+    group with a Disallow/Allow pair whose paths derive from md5(host),
+    plus a stricter bot group that must NOT apply) parsed to rules, then
+    longest-match URL admission per RFC 9309 §2.2.2."""
+    from vector_spark.datapipe import parse_robots_rules, robots_filter
+
+    d = _t(spark, sf_dir, "documents")
+    hosts = d.select(F.col("source").alias("host")).distinct()
+    hu = F.conv(F.substring(F.md5(F.col("host")), 1, 8), 16, 10).cast("long")
+    content = F.concat(
+        F.lit("User-agent: *\nDisallow: /p"), (hu % 8).cast("string"),
+        F.lit("\nAllow: /p"), (hu % 8).cast("string"), F.lit("/ok"),
+        F.lit("\nDisallow: /w*/x$"),
+        F.lit("\nUser-agent: bot\nDisallow: /"),
+    )
+    robots = hosts.select("host", content.alias("robots_txt"))
+    rules = parse_robots_rules(robots, agent="*")
+    urls = d.select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("/w"), (F.col("doc_id") % 4).cast("string"), F.lit("/x")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("/w"), (F.col("doc_id") % 4).cast("string"), F.lit("/xy")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("/p"), (F.col("doc_id") % 8).cast("string"),
+                F.when(F.col("doc_id") % 3 == 0, F.lit("/ok/x")).otherwise(F.lit("/y")),
+            )
+        )
+        .alias("path"),
+    )
+    return robots_filter(urls, rules, url_col="doc_id")
+
+
+
+
+def oracles() -> dict[str, str]:
+    sql: dict[str, str] = {}
+
+    sql["dedup_exact_text"] = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+    sql["dedup_minhash_lsh"] = _minhash_sql()
+
+    # transitive closure over the SAME verified pairs — an independent
+    # formulation (recursive CTE) of what Spark computes iteratively
+    sql["dedup_clusters"] = f"""
+WITH RECURSIVE p AS ({_minhash_sql()}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM p
+  UNION ALL
+  SELECT doc_b, doc_a FROM p
+),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.lab
+),
+cc AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM cc
+"""
+
+    ladder_pairs = _minhash_sql(source="surv").strip()
+    assert ladder_pairs.startswith("WITH ")
+    ladder_pairs = ladder_pairs[5:].replace(
+        ")\nSELECT doc_a, doc_b,", "),\npairs_out AS (SELECT doc_a, doc_b,", 1
+    )
+    sql["dedup_ladder"] = f"""
+WITH exact AS (
+  SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+  FROM documents GROUP BY md5(text)
+),
+surv AS (
+  SELECT d.doc_id, d.text FROM exact JOIN documents d USING (doc_id)
+),
+{ladder_pairs}
+),
+removed AS (SELECT DISTINCT doc_b AS doc_id FROM pairs_out)
+SELECT e.doc_id, e.dup_count
+FROM exact e LEFT JOIN removed r USING (doc_id)
+WHERE r.doc_id IS NULL
+"""
+    sql["dedup_simhash"] = _simhash_sql()
+
+    # independent formulation on purpose: DuckDB ranks occurrences with a
+    # window (row_number over the span), Spark detects firsts with a
+    # groupBy-min + join — same answer, different engines' idioms.
+    sql["dedup_spans"] = """
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+spans AS (
+  SELECT doc_id,
+         unnest(range(0, greatest(1, CAST(ceil(len(w) / 3.0) AS BIGINT)))) AS span_no,
+         unnest([array_to_string(w[i*3+1 : i*3+3], ' ')
+                 for i in range(0, greatest(1, CAST(ceil(len(w) / 3.0) AS BIGINT)))]) AS span
+  FROM docs
+),
+ranked AS (
+  SELECT doc_id, span_no, span,
+         row_number() OVER (PARTITION BY span ORDER BY doc_id, span_no) AS rn
+  FROM spans
+),
+keep AS (SELECT doc_id, span_no, span FROM ranked WHERE rn = 1),
+reass AS (
+  SELECT doc_id, string_agg(span, ' ' ORDER BY span_no) AS text_dedup,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM keep GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id,
+         greatest(1, CAST(ceil(len(string_split(text, ' ')) / 3.0) AS BIGINT)) AS n_spans
+  FROM documents
+)
+SELECT b.doc_id, coalesce(r.text_dedup, '') AS text_dedup, b.n_spans,
+       b.n_spans - coalesce(r.n_kept, 0) AS n_removed
+FROM base b LEFT JOIN reass r USING (doc_id)
+"""
+
+    sql["quality_repetition"] = _repetition_sql()
+
+
+    # chunk i covers words [i*6+1 .. i*6+8] (1-based inclusive, stride 6);
+    # n_chunks collapses to 1 when the doc fits one window
+    sql["chunk_documents"] = """
+WITH wd AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+nb AS (
+  SELECT doc_id, w, len(w) AS n,
+         CASE WHEN len(w) <= 8 THEN 1
+              ELSE CAST(ceil((len(w) - 2) / 6.0) AS BIGINT) END AS n_chunks
+  FROM wd
+)
+SELECT doc_id,
+       unnest(range(0, n_chunks)) AS chunk_id,
+       unnest([array_to_string(w[i*6+1 : i*6+8], ' ') for i in range(0, n_chunks)]) AS chunk_text,
+       unnest([least(8, n - i*6) for i in range(0, n_chunks)]) AS n_tokens
+FROM nb
+"""
+
+    sql["quality_gopher"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS words,
+         len(text) - len(regexp_replace(text, '#|\.\.\.', '', 'g')) AS n_sym
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         round(CAST(list_sum(list_transform(words, w -> len(w))) AS DOUBLE)
+               / greatest(len(words), 1), 4) AS avg_word_len,
+         round(CAST(n_sym AS DOUBLE) / greatest(len(words), 1), 4) AS symbol_ratio,
+         CAST(len(list_filter(words, w -> list_contains(
+           ['the','be','to','of','and','that','have','with'], lower(w)))) AS BIGINT)
+           AS stopword_hits
+  FROM t
+)
+SELECT doc_id, n_words, avg_word_len, symbol_ratio, stopword_hits,
+       n_words >= 20 AND n_words <= 100000 AS ok_word_count,
+       avg_word_len >= 3.0 AND avg_word_len <= 10.0 AS ok_word_len,
+       symbol_ratio <= 0.1 AS ok_symbols,
+       stopword_hits >= 1 AS ok_stopwords,
+       (n_words >= 20 AND n_words <= 100000)
+         AND (avg_word_len >= 3.0 AND avg_word_len <= 10.0)
+         AND symbol_ratio <= 0.1 AND stopword_hits >= 1 AS keep
+FROM m
+"""
+
+    sql["text_quality"] = """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+       round(CAST(len(list_filter(ws, w -> list_contains(['the','a','and','of','to'], w))) AS DOUBLE) / len(ws), 4) AS stopword_ratio,
+       round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) AS distinct_ratio,
+       round(CAST(length(text) - (len(ws) - 1) AS DOUBLE) / len(ws), 4) AS avg_word_len
+FROM t
+"""
+
+    sql["token_count"] = r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+    sql["doc_fingerprint"] = """
+WITH t AS (
+  SELECT doc_id, lower(trim(text)) AS norm FROM documents
+)
+SELECT doc_id,
+       md5(norm) AS content_md5,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(norm, ' '), t -> CAST(ascii(substr(t,1,1)) AS BIGINT))),
+         (a, b) -> (a * 31 + b) % 1000000007
+       ) AS rolling_hash
+FROM t
+"""
+
+    sql["langid"] = _langid_sql()
+
+    sql["cosine_topk"] = """
+WITH base AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+n AS (
+  SELECT id, v, sqrt(list_dot_product(v, v)) AS nm FROM base
+),
+q AS (
+  SELECT id AS qid, v AS qv, nm AS qn FROM n WHERE id IN (0, 1, 2, 3, 4)
+),
+sims AS (
+  SELECT q.qid AS query_id, n.id AS neighbor_id,
+         round(list_dot_product(q.qv, n.v) / (q.qn * n.nm), 6) AS cosine
+  FROM n CROSS JOIN q WHERE n.id <> q.qid
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM sims
+) WHERE rank <= 5
+"""
+
+    # text is ASCII in the fixture, so substr-then-cast equals byte slicing
+    sql["multimodal_meta"] = """
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       lower(hex(CAST(substr(text, 1, 4) AS BLOB))) AS magic,
+       CAST(64 + octet_length(CAST(text AS BLOB)) % 577 AS INTEGER) AS fake_width,
+       CAST(64 + octet_length(CAST(text AS BLOB)) % 353 AS INTEGER) AS fake_height,
+       CAST(octet_length(CAST(text AS BLOB)) % 90000 AS INTEGER) AS fake_duration_ms
+FROM documents
+"""
+
+    sql["dedup_ngram_jaccard"] = """
+WITH docs AS (
+  SELECT doc_id AS doc,
+         list_distinct(list_transform(
+           generate_series(1, greatest(length(text) - 2, 1)),
+           i -> substr(text, i, 3)
+         )) AS g
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, a.g AS g_a, b.g AS g_b
+  FROM docs a JOIN docs b ON a.doc < b.doc
+),
+j AS (
+  SELECT doc_a, doc_b,
+         round(CAST(len(list_filter(g_a, x -> list_contains(g_b, x))) AS DOUBLE)
+               / (len(g_a) + len(g_b) - len(list_filter(g_a, x -> list_contains(g_b, x)))),
+               4) AS jaccard
+  FROM pairs
+)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.6
+"""
+
+    sql["embedding_near_dup"] = _near_dup_sql(threshold=0.35)
+
+    # tf-idf oracle: same word model, same smoothed idf, same round-6
+    # score and (score desc, term) tie-break
+    sql["tfidf_keywords"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nn AS (SELECT count(*) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(CAST(tf.tf AS DOUBLE)
+               * ln((CAST((SELECT n FROM nn) AS DOUBLE) + 1.0) / (CAST(dfq.df AS DOUBLE) + 1.0)),
+               6) AS score
+  FROM tf JOIN dfq USING (term)
+)
+SELECT doc_id, rank, term, tf, score FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+    # BPE merge-round oracle: same lower/whitespace word model, same
+    # 1..len-1 adjacent positions, same (count desc, pair asc) ranking
+    sql["bpe_pair_counts"] = """
+WITH words AS (
+  SELECT w, count(*) AS f
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY w
+),
+pairs AS (
+  SELECT substr(w, CAST(i AS INTEGER), 1) AS pair_left,
+         substr(w, CAST(i AS INTEGER) + 1, 1) AS pair_right,
+         CAST(sum(f) AS BIGINT) AS pair_count
+  FROM (SELECT w, f, unnest(range(1, length(w))) AS i FROM words WHERE length(w) >= 2)
+  GROUP BY 1, 2
+)
+SELECT rank, pair_left, pair_right, pair_count FROM (
+  SELECT CAST(row_number() OVER (ORDER BY pair_count DESC, pair_left, pair_right) AS BIGINT) AS rank, *
+  FROM pairs
+) WHERE rank <= 50
+"""
+
+    sql["bpe_encode"] = _bpe_encode_sql()
+
+    # Shared by the semantic_dedup and ann_ivf oracles: seeds = n lowest
+    # ids, ONE deterministic Lloyd update — round-0 argmax assignment, then
+    # per-dimension DECIMAL-exact means (same double as Spark's
+    # decimal-sum/count), empty clusters keep their seed vector. Mirrors
+    # datapipe/similarity.py::lloyd_centroids exactly.
+    _lloyd = """
+c0 AS (SELECT id AS cid, v AS cv, nm AS cn FROM n ORDER BY id LIMIT 16),
+a0 AS (
+  SELECT n.id, n.v, c0.cid,
+         row_number() OVER (
+           PARTITION BY n.id
+           ORDER BY round(list_dot_product(n.v, c0.cv) / (n.nm * c0.cn), 6) DESC, c0.cid
+         ) AS r
+  FROM n CROSS JOIN c0
+),
+cl0 AS (SELECT id, v, cid AS cluster FROM a0 WHERE r = 1),
+lex AS (
+  SELECT cluster, unnest(v) AS val, unnest(range(1, len(v)+1)) AS pos FROM cl0
+),
+lmm AS (
+  SELECT cluster, pos,
+         CAST(sum(CAST(val AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS mval
+  FROM lex GROUP BY cluster, pos
+),
+lmv AS (SELECT cluster, list(mval ORDER BY pos) AS mv FROM lmm GROUP BY cluster),
+c AS (
+  SELECT c0.cid, coalesce(lmv.mv, c0.cv) AS cv,
+         sqrt(list_dot_product(coalesce(lmv.mv, c0.cv), coalesce(lmv.mv, c0.cv))) AS cn
+  FROM c0 LEFT JOIN lmv ON lmv.cluster = c0.cid
+)"""
+
+    # SemDeDup oracle: same deterministic Lloyd-refined centroids, same
+    # argmax-cosine cluster assignment (tie -> lowest centroid id), same
+    # within-cluster lowest-id-survives pruning at rounded cosine >= 0.35
+    sql["semantic_dedup"] = f"""
+WITH n AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nm
+  FROM embeddings
+),
+{_lloyd},
+asg AS (
+  SELECT n.id, n.v, n.nm, c.cid,
+         round(list_dot_product(n.v, c.cv) / (n.nm * c.cn), 6) AS cs,
+         row_number() OVER (
+           PARTITION BY n.id
+           ORDER BY round(list_dot_product(n.v, c.cv) / (n.nm * c.cn), 6) DESC, c.cid
+         ) AS r
+  FROM n CROSS JOIN c
+),
+cells AS (SELECT id, v, nm, cid AS cluster, cs AS cos_centroid FROM asg WHERE r = 1),
+dups AS (
+  SELECT DISTINCT b.id AS id
+  FROM cells a JOIN cells b ON a.cluster = b.cluster AND a.id < b.id
+  WHERE round(list_dot_product(a.v, b.v) / (a.nm * b.nm), 6) >= 0.35
+)
+SELECT c.id AS vec_id, c.cluster, c.cos_centroid, (d.id IS NULL) AS keep
+FROM cells c LEFT JOIN dups d ON d.id = c.id
+"""
+
+    # IVF-flat oracle: same deterministic centroids (16 lowest vec_ids), same
+    # argmax-cosine cell assignment (tie -> lowest centroid id), same
+    # 4-probe search, same (cosine desc, id) top-5
+    sql["ann_ivf"] = f"""
+WITH n AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nm
+  FROM embeddings
+),
+{_lloyd},
+sims AS (
+  SELECT n.id, n.v, n.nm, c.cid,
+         round(list_dot_product(n.v, c.cv) / (n.nm * c.cn), 6) AS cs,
+         row_number() OVER (PARTITION BY n.id ORDER BY round(list_dot_product(n.v, c.cv) / (n.nm * c.cn), 6) DESC, c.cid ASC) AS r
+  FROM n CROSS JOIN c
+),
+cells AS (SELECT id, v, nm, cid AS cell FROM sims WHERE r = 1),
+probes AS (
+  SELECT id AS query_id, cid AS cell FROM sims
+  WHERE r <= 4 AND id IN (100, 101, 102)
+),
+q AS (SELECT id AS query_id, v AS qv, nm AS qn FROM cells WHERE id IN (100, 101, 102)),
+cand AS (
+  SELECT DISTINCT p.query_id, c.id, c.v, c.nm
+  FROM cells c JOIN probes p ON c.cell = p.cell
+  WHERE c.id <> p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.id AS neighbor_id,
+         round(list_dot_product(q.qv, cand.v) / (q.qn * cand.nm), 6) AS cosine
+  FROM cand JOIN q ON cand.query_id = q.query_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+    sql["ann_lsh"] = _ann_lsh_sql()
+
+    # pages_pipeline, demo_logs_roundtrip, multimodal_features, frame_sample:
+    # intentionally no oracle (generated input / md5-float + sha1 stubs) ->
+    # driver records rows-only checks
+
+    # PII patterns duplicated literally (Java-regex ∩ RE2 subset; see
+    # datapipe/text.py::PII_PATTERNS) — counts on the planted original,
+    # redaction applied in the same order.
+    _pii_text = ("'reach u' || CAST(doc_id AS VARCHAR) || '@mail' || CAST(doc_id % 7 AS VARCHAR)"
+                 " || '.com from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'"
+                 " || CAST(doc_id % 100 AS VARCHAR) || ' '"
+                 " || CASE WHEN doc_id % 3 = 0 THEN 'ssn 123-45-6789 ' ELSE '' END || text")
+    _pii_pats = [
+        ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+        ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+        ("phone", r"(?:\+\d{7,15}|\b\d{3}-\d{3}-\d{4})\b", "[PHONE]"),
+        ("ccn", r"\b\d{13,16}\b", "[CCN]"),
+        ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    ]
+    _counts = ",\n       ".join(
+        "CAST(len(regexp_extract_all(t, '" + p.replace("'", "''") + "')) AS BIGINT) AS n_" + n
+        for n, p, _ in _pii_pats
+    )
+    _red = "t"
+    for n, p, r in _pii_pats:
+        _red = "regexp_replace(" + _red + ", '" + p.replace("'", "''") + "', '" + r + "', 'g')"
+    sql["pii_scrub"] = f"""
+WITH planted AS (SELECT doc_id, {_pii_text} AS t FROM documents)
+SELECT doc_id,
+       {_counts},
+       {_red} AS text_redacted
+FROM planted
+"""
+
+    sql["sample_stratified"] = """
+SELECT doc_id, lang, source
+FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY lang, source
+  ORDER BY md5(lang || '|' || source || '|' || CAST(doc_id AS VARCHAR)), doc_id
+) <= 5
+"""
+
+    sql["perplexity_bucket"] = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+  FROM documents
+),
+lm AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),
+tot AS (SELECT sum(cnt) AS t, count(*) AS v FROM lm),
+terms AS (
+  SELECT doc_id,
+         CAST(round(log10(CAST(cnt + 1 AS DOUBLE)) - log10(CAST(t + v AS DOUBLE)), 6)
+              AS DECIMAL(25,6)) AS term
+  FROM tok JOIN lm USING (w), tot
+),
+sc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         round(-(CAST(sum(term) AS DOUBLE)) / count(*), 4) AS nll
+  FROM terms GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(sc.n_words, 0) AS n_words,
+       sc.nll AS nll,
+       CASE WHEN sc.nll IS NULL THEN NULL
+            WHEN sc.nll <= 1.4765 THEN 'head'
+            WHEN sc.nll <= 1.4784 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+"""
+
+    def _md5_u32(arg: str) -> str:
+        h = f"md5({arg})"
+        return "(" + " + ".join(
+            f"CAST({_hexval_sql(f'substr({h}, {i + 1}, 1)')} AS BIGINT) * {16 ** (7 - i)}"
+            for i in range(8)
+        ) + ")"
+
+    # NFC canonicalization: identical suffix construction (E + combining
+    # acute U+0301 and precomposed e-acute U+00E9), DuckDB nfc_normalize
+    sql["normalize_text"] = """
+SELECT doc_id,
+       trim(regexp_replace(
+         lower(nfc_normalize(text || '  CAFE' || chr(769) || ' caf' || chr(233))),
+         '\\s+', ' ', 'g')) AS text
+FROM documents
+"""
+
+    # CDXJ parse oracle: ground-truth fields from the same construction
+    sql["corpus_stats"] = r"""
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS tokens,
+       CAST(sum(length(text)) AS BIGINT) AS chars,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_texts,
+       round(CAST(sum(len(string_split_regex(text, '\s+'))) AS DOUBLE)
+             / count(*), 4) AS avg_tokens
+FROM documents
+GROUP BY ROLLUP (lang, source)
+"""
+
+    # incremental dedup: same 4-way split, same md5 exact tier, same
+    # minhash band construction as _minhash_sql, delta x corpus bucket
+    # join, exact precedence, min corpus id
+    _inc_mh = ",\n         ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS mh{i}" for i in range(6)
+    )
+    _inc_bands = ", ".join(
+        "md5(" + " || '|' || ".join(f"mh{2 * b + j}" for j in range(2)) + ")"
+        for b in range(3)
+    )
+    _inc_sh = """list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+           i -> array_to_string(string_split(text,' ')[i:i+2], ' ')
+         ))"""
+    sql["incremental_dedup"] = f"""
+WITH delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+cex AS (SELECT md5(text) AS h, min(doc_id) AS ex FROM corpus GROUP BY md5(text)),
+ddocs AS (SELECT doc_id AS doc, {_inc_sh} AS sh FROM delta),
+cdocs AS (SELECT doc_id AS doc, {_inc_sh} AS sh FROM corpus),
+dmh AS (SELECT doc, sh, {_inc_mh} FROM ddocs),
+cmh AS (SELECT doc, sh, {_inc_mh} FROM cdocs),
+db AS (SELECT doc AS did, unnest(list_distinct([{_inc_bands}])) AS band_key FROM dmh),
+cb AS (SELECT doc AS cid, unnest(list_distinct([{_inc_bands}])) AS band_key FROM cmh),
+cand AS (SELECT DISTINCT did, cid FROM db JOIN cb USING (band_key)),
+ver AS (
+  SELECT did, min(cid) AS near
+  FROM cand
+  JOIN ddocs da ON da.doc = cand.did
+  JOIN cdocs dc ON dc.doc = cand.cid
+  WHERE round(CAST(len(list_filter(da.sh, x -> list_contains(dc.sh, x))) AS DOUBLE)
+              / (len(da.sh) + len(dc.sh) - len(list_filter(da.sh, x -> list_contains(dc.sh, x)))),
+              4) >= 0.5
+  GROUP BY did
+)
+SELECT d.doc_id,
+       (coalesce(cex.ex, ver.near) IS NULL) AS novel,
+       coalesce(cex.ex, ver.near) AS dup_of
+FROM delta d
+LEFT JOIN cex ON cex.h = md5(d.text)
+LEFT JOIN ver ON ver.did = d.doc_id
+"""
+
+    # robots.txt politeness gate: identical synthesized content, identical
+    # RFC 9309 group/longest-match windows, allow-wins ties
+    _ua_re = r"'^\s*[Uu][Ss][Ee][Rr]-[Aa][Gg][Ee][Nn][Tt]\s*:\s*(\S+)'"
+    _rule_re = r"'^\s*([Dd][Ii][Ss])?[Aa][Ll][Ll][Oo][Ww]\s*:\s*(\S*)'"
+    sql["robots_filter"] = (
+        """
+WITH hosts AS (SELECT DISTINCT source AS host FROM documents),
+rb AS (
+  SELECT host,
+         'User-agent: *' || chr(10) || 'Disallow: /p' || CAST("""
+        + _md5_u32("host")
+        + """ % 8 AS VARCHAR)
+         || chr(10) || 'Allow: /p' || CAST("""
+        + _md5_u32("host")
+        + """ % 8 AS VARCHAR) || '/ok'
+         || chr(10) || 'Disallow: /w*/x$'
+         || chr(10) || 'User-agent: bot' || chr(10) || 'Disallow: /' AS content
+  FROM hosts
+),
+lines AS (
+  SELECT host, unnest(range(1, len(ls) + 1)) AS pos, unnest(ls) AS l
+  FROM (SELECT host, string_split_regex(content, '\\r?\\n') AS ls FROM rb)
+),
+ua AS (
+  SELECT host, pos, l, regexp_extract(l, """
+        + _ua_re
+        + """, 1) AS uav FROM lines
+),
+g0 AS (
+  SELECT *, (uav <> '') AS is_ua,
+         coalesce(lag(uav <> '') OVER (PARTITION BY host ORDER BY pos), FALSE) AS prev_ua
+  FROM ua
+),
+g AS (
+  SELECT *, sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+              OVER (PARTITION BY host ORDER BY pos) AS grp
+  FROM g0
+),
+h AS (
+  SELECT *, max(CASE WHEN is_ua AND lower(uav) = '*' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY host, grp) AS has_star
+  FROM g
+),
+rules AS (
+  SELECT DISTINCT host,
+         regexp_extract(l, """
+        + _rule_re
+        + """, 2) AS rule,
+         (regexp_extract(l, """
+        + _rule_re
+        + """, 1) = '') AS allow
+  FROM h
+  WHERE has_star = 1 AND NOT is_ua AND regexp_extract(l, """
+        + _rule_re
+        + """, 2) <> ''
+),
+urls AS (
+  SELECT doc_id, source AS host,
+         CASE WHEN doc_id % 5 = 0 THEN '/w' || CAST(doc_id % 4 AS VARCHAR) || '/x'
+              WHEN doc_id % 5 = 1 THEN '/w' || CAST(doc_id % 4 AS VARCHAR) || '/xy'
+              ELSE '/p' || CAST(doc_id % 8 AS VARCHAR)
+                   || CASE WHEN doc_id % 3 = 0 THEN '/ok/x' ELSE '/y' END END AS path
+  FROM documents
+),
+rx AS (
+  SELECT host, rule, allow,
+         replace(regexp_replace(rule, '([\\\\.\\[\\]\\{\\}\\(\\)\\^\\$\\+\\?\\|])', '\\\\\\1', 'g'), '*', '.*') AS esc
+  FROM rules
+),
+rx2 AS (
+  SELECT host, rule, allow,
+         CASE WHEN rule LIKE '%$' THEN '^' || substr(esc, 1, length(esc) - 2) || '$'
+              ELSE '^' || esc END AS pat
+  FROM rx
+),
+cand AS (
+  SELECT u.doc_id, u.host, u.path, r.rule, r.allow,
+         (r.rule IS NOT NULL AND regexp_matches(u.path, r.pat)) AS m
+  FROM urls u LEFT JOIN rx2 r USING (host)
+),
+top AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY host, doc_id ORDER BY m DESC, length(rule) DESC, allow DESC, rule
+  ) AS rn FROM cand
+)
+SELECT doc_id, host, path, CASE WHEN m THEN allow ELSE TRUE END AS allowed
+FROM top WHERE rn = 1
+"""
+    )
+
+    # fixed-point integer PageRank: identical md5-derived 4-regular edges,
+    # identical floor-division update, 3 unrolled rounds -> bit-exact
+    _pr_edges = " UNION ALL ".join(
+        "SELECT doc_id AS src, CAST("
+        + _md5_u32("'pr|' || CAST(doc_id AS VARCHAR) || '|%d'" % j)
+        + " % (SELECT n FROM nn) AS BIGINT) AS dst FROM documents"
+        for j in range(4)
+    )
+    _pr_iter = """
+{out} AS (
+  SELECT nodes.id,
+         CAST(15 * (1000000000000 // (SELECT n FROM nn)) // 100
+              + 85 * coalesce(f.s, 0) // 100 AS BIGINT) AS r
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS id, sum({prev}.r // 4) AS s
+    FROM e JOIN {prev} ON {prev}.id = e.src GROUP BY e.dst
+  ) f ON f.id = nodes.id
+)"""
+    sql["pagerank"] = (
+        f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+nodes AS (SELECT doc_id AS id FROM documents),
+e AS ({_pr_edges}),
+r0 AS (SELECT id, CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS r FROM nodes),"""
+        + ",".join(
+            _pr_iter.format(out=f"i{k}", prev=f"i{k - 1}" if k > 1 else "r0")
+            for k in (1, 2, 3)
+        )
+        + "\nSELECT id AS doc_id, r AS pagerank FROM i3\n"
+    )
+
+    def _classifier_sql(source: str = "documents") -> str:
+        return f"""
+WITH wts AS (
+  SELECT CAST(i AS BIGINT) AS bucket,
+         CAST({_md5_u32("'w|' || CAST(i AS VARCHAR)")} % 2001 AS DOUBLE) / 1000.0 - 1.0
+           AS weight
+  FROM generate_series(0, 4095) AS t(i)
+),
+feats AS (
+  SELECT doc_id,
+         unnest(list_concat(
+           toks,
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(generate_series(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i + 1])
+                ELSE [] END
+         )) AS f
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+        FROM {source})
+),
+fb AS (SELECT doc_id, {_md5_u32("f")} % 4096 AS bucket FROM feats),
+sc AS (
+  SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+         sum(CAST(round(coalesce(w.weight, 0.0), 6) AS DECIMAL(25,6))) AS s
+  FROM fb LEFT JOIN wts w USING (bucket) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(sc.n_features, 0) AS n_features,
+       round(1.0 / (1.0 + exp(-(0.0 + CAST(sc.s AS DOUBLE) / sc.n_features))), 6) AS score,
+       coalesce(round(1.0 / (1.0 + exp(-(0.0 + CAST(sc.s AS DOUBLE) / sc.n_features))), 6)
+                >= 0.5, FALSE) AS keep
+FROM {source} d LEFT JOIN sc USING (doc_id)
+"""
+
+    sql["quality_classifier"] = _classifier_sql()
+
+    def _mixture_budget_sql(budgets: dict, source: str = "documents") -> str:
+        case = " ".join(
+            f"WHEN '{g}' THEN {b}" for g, b in budgets.items()
+        )
+        return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT)
+           AS n_tokens,
+         md5('mix|' || CAST(doc_id AS VARCHAR)) AS h,
+         CASE lang {case} END AS budget
+  FROM {source}
+),
+c AS (
+  SELECT doc_id, lang, n_tokens, budget,
+         sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM t WHERE budget IS NOT NULL
+)
+SELECT doc_id, lang, n_tokens FROM c WHERE cum <= budget
+"""
+
+    sql["mixture_sample"] = _mixture_budget_sql(
+        {"en": 4000, "de": 1500, "es": 2000, "zh": 100}
+    )
+
+    _dsir_hex = "md5('dsir|' || CAST(doc_id AS VARCHAR))"
+    _dsir_val = "(" + " + ".join(
+        f"CAST({_hexval_sql(f'substr({_dsir_hex}, {i + 1}, 1)')} AS BIGINT) * {16 ** (7 - i)}"
+        for i in range(8)
+    ) + ")"
+    sql["dsir_resample"] = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+  FROM documents
+),
+tgt AS (SELECT w, count(*) AS tc FROM tok WHERE doc_id % 7 = 0 GROUP BY 1),
+src AS (SELECT w, count(*) AS sc FROM tok GROUP BY 1),
+ttot AS (SELECT sum(tc) AS tt, count(*) AS tv FROM tgt),
+stot AS (SELECT sum(sc) AS st, count(*) AS sv FROM src),
+terms AS (
+  SELECT tok.doc_id,
+         CAST(round(
+           (log10(CAST(coalesce(tg.tc, 0) + 1 AS DOUBLE)) - log10(CAST(tt + tv AS DOUBLE)))
+           - (log10(CAST(coalesce(sr.sc, 0) + 1 AS DOUBLE)) - log10(CAST(st + sv AS DOUBLE))),
+         6) AS DECIMAL(25,6)) AS term
+  FROM tok LEFT JOIN tgt tg USING (w) LEFT JOIN src sr USING (w), ttot, stot
+),
+wt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, CAST(sum(term) AS DOUBLE) AS lr
+  FROM terms GROUP BY 1
+)
+SELECT doc_id, n_words, round(lr, 4) AS log_ratio,
+       round(lr / 2.0 - ln(-ln(({_dsir_val} + 0.5) / 4294967296.0)), 6) AS sample_key
+FROM wt
+ORDER BY sample_key DESC, doc_id
+LIMIT 200
+"""
+
+    sql["html_text"] = _html_text_sql()
+    sql["boilerplate_blocks"] = _boilerplate_sql()
+
+    sql["url_filter"] = """
+WITH parts AS (
+  SELECT doc_id,
+         CASE WHEN (doc_id // 2) % 3 = 0 THEN 'https' ELSE 'http' END AS scheme,
+         'www.site' || CAST((doc_id // 2) % 13 AS VARCHAR)
+           || CASE WHEN (doc_id // 2) % 4 = 0 THEN '.co.uk' ELSE '.com' END AS host,
+         CASE WHEN doc_id % 2 = 1
+              THEN CASE WHEN (doc_id // 2) % 3 = 0 THEN '443' ELSE '80' END
+              WHEN doc_id % 7 = 0 THEN '8080' ELSE '' END AS rawport,
+         CASE WHEN (doc_id // 2) % 5 = 0 THEN '/'
+              ELSE '/p/' || CAST((doc_id // 2) % 9 AS VARCHAR) END AS path,
+         CASE WHEN doc_id % 3 = 0 THEN 'utm_source=feed&b=2&a=1'
+              WHEN doc_id % 3 = 1 THEN 'b=2&a=1&gclid=x'
+              ELSE '' END AS q
+  FROM documents
+),
+norm AS (
+  SELECT doc_id, scheme, host,
+         CASE WHEN rawport = (CASE WHEN scheme = 'https' THEN '443' ELSE '80' END)
+              THEN '' ELSE rawport END AS port,
+         CASE WHEN path = '/' THEN '' ELSE path END AS npath,
+         list_sort(list_filter(string_split(q, '&'),
+           p -> p <> ''
+                AND NOT starts_with(split_part(p, '=', 1), 'utm_')
+                AND split_part(p, '=', 1) NOT IN ('gclid','fbclid','msclkid','mc_cid','mc_eid')
+         )) AS kept,
+         string_split(host, '.') AS labels
+  FROM parts
+),
+flat AS (
+  SELECT doc_id, host,
+         scheme || '://' || host
+           || CASE WHEN port <> '' THEN ':' || port ELSE '' END
+           || npath
+           || CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END
+           AS url_norm,
+         CASE WHEN len(labels) >= 3 AND length(labels[-1]) = 2
+                   AND labels[-2] IN ('co','com','net','org','gov','ac','edu')
+              THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+              WHEN len(labels) >= 2 THEN labels[-2] || '.' || labels[-1]
+              ELSE host END AS domain
+  FROM norm
+)
+SELECT doc_id, url_norm, host, domain,
+       domain IN ('site3.com', 'site7.co.uk') AS blocked,
+       row_number() OVER (PARTITION BY url_norm ORDER BY doc_id) = 1 AS is_canonical
+FROM flat
+"""
+
+    sql["decontaminate"] = """
+WITH wd AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+docs AS (
+  SELECT doc_id, list_distinct(
+    [array_to_string(w[i+1:i+4], ' ') for i in range(0, greatest(len(w)-4+1, 0))]
+  ) AS g
+  FROM wd
+),
+bench AS (SELECT DISTINCT unnest(g) AS bg FROM docs WHERE doc_id % 101 = 7),
+hits AS (
+  SELECT e.doc_id, count(*) AS n_hits
+  FROM (SELECT doc_id, unnest(g) AS g FROM docs) e
+  JOIN bench b ON b.bg = e.g
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(len(d.g) AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / greatest(len(d.g), 1), 4) AS contam_frac,
+       round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / greatest(len(d.g), 1), 4) <= 0.0 AS keep
+FROM docs d LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
+
+    _shard_hex = "md5('42:' || CAST(doc_id AS VARCHAR))"
+    _shard_val = "(" + " + ".join(
+        f"CAST({_hexval_sql(f'substr({_shard_hex}, {i + 1}, 1)')} AS BIGINT) * {16 ** (7 - i)}"
+        for i in range(8)
+    ) + ")"
+    sql["shuffle_corpus"] = f"""
+SELECT doc_id, text, lang, source, n_chars,
+       {_shard_val} % 8 AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY {_shard_val} % 8
+         ORDER BY {_shard_hex}, doc_id
+       ) AS BIGINT) AS pos
+FROM documents
+"""
+
+    # same seed-42 order as shuffle_corpus; integer chunking arithmetic
+    def _pack_sql(source: str = "documents") -> str:
+        return f"""
+WITH t AS (
+  SELECT doc_id, {_shard_val} % 8 AS shard, {_shard_hex} AS h,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) + 1
+              AS BIGINT) AS n
+  FROM {source}
+),
+c AS (
+  SELECT doc_id, shard, n,
+         CAST(sum(n) OVER (PARTITION BY shard ORDER BY h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS e
+  FROM t
+),
+s AS (
+  SELECT doc_id, shard, e - n AS st, e,
+         unnest(range((e - n) // 64, (e - 1) // 64 + 1)) AS seq_no
+  FROM c
+)
+SELECT shard, seq_no, doc_id,
+       greatest(st, seq_no * 64) - st AS doc_offset,
+       greatest(st, seq_no * 64) - seq_no * 64 AS seq_offset,
+       least(e, (seq_no + 1) * 64) - greatest(st, seq_no * 64) AS n_tokens
+FROM s
+"""
+
+    sql["pack_sequences"] = _pack_sql()
+
+    # the composed corpus build: every stage's oracle re-rooted onto the
+    # previous stage's survivors (dedup -> classifier gate -> mixture ->
+    # packing), exactly the Spark composition in corpus.py::corpus_build
+    sql["corpus_build"] = f"""
+WITH surv AS (
+  SELECT d.* FROM documents d
+  JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) sv USING (doc_id)
+),
+cls AS ({_classifier_sql("surv")}),
+kept AS (SELECT s.* FROM surv s JOIN cls ON cls.doc_id = s.doc_id AND cls.keep),
+mix AS ({_mixture_budget_sql({"en": 3000, "de": 1200, "es": 1500, "fr": 1500, "zh": 1500}, "kept")}),
+sampled AS (SELECT k.* FROM kept k JOIN mix ON mix.doc_id = k.doc_id),
+packed AS ({_pack_sql("sampled")})
+SELECT * FROM packed
+"""
+
+    # composed curation oracle: quality + repetition as gating joins, the
+    # span-dedup SQL re-rooted onto the gated subset (dedup after gating,
+    # same as the Spark plan), langid joined row-locally.
+    _spans_gated = sql["dedup_spans"].replace("FROM documents", "FROM gated")
+    assert _spans_gated.count("FROM gated") == 2
+    sql["curation_pipeline"] = f"""
+WITH gated AS (
+  SELECT d.doc_id, d.text, q.n_words
+  FROM documents d
+  JOIN ({sql['quality_gopher']}) q ON q.doc_id = d.doc_id AND q.keep
+  JOIN ({sql['quality_repetition']}) r ON r.doc_id = d.doc_id AND r.keep
+),
+sp AS ({_spans_gated}),
+surv AS (SELECT * FROM sp WHERE n_removed <= 0.5 * n_spans)
+SELECT g.doc_id, l.predicted_lang, g.n_words, s.n_spans, s.n_removed, s.text_dedup
+FROM surv s
+JOIN gated g ON g.doc_id = s.doc_id
+JOIN ({sql['langid']}) l ON l.doc_id = g.doc_id
+"""
+
+    # crawl -> corpus oracle: the WARC trip is lossless, so the expected
+    # route assignment composes the same quality/langid fragments straight
+    # over documents (exclusive first-match-wins as a CASE chain).
+    sql["crawl_pipeline"] = f"""
+SELECT d.doc_id,
+       CAST(strlen(d.text) AS BIGINT) AS content_length,
+       q.n_words,
+       l.predicted_lang,
+       CASE WHEN NOT q.keep THEN 'rejected_quality'
+            WHEN l.predicted_lang <> 'en' THEN 'rejected_lang'
+            ELSE 'corpus' END AS route
+FROM documents d
+JOIN ({sql['quality_gopher']}) q ON q.doc_id = d.doc_id
+JOIN ({sql['langid']}) l ON l.doc_id = d.doc_id
+"""
+
+
+    return sql
+
+
+QUERIES = {
+    "ann_ivf": q_ann_ivf,
+    "ann_lsh": q_ann_lsh,
+    "boilerplate_blocks": q_boilerplate_blocks,
+    "bpe_encode": q_bpe_encode,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "chunk_documents": q_chunk_documents,
+    "corpus_build": q_corpus_build,
+    "corpus_stats": q_corpus_stats,
+    "cosine_topk": q_cosine_topk,
+    "crawl_pipeline": q_crawl_pipeline,
+    "curation_pipeline": q_curation_pipeline,
+    "decontaminate": q_decontaminate,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_exact_text": q_dedup_exact_text,
+    "dedup_ladder": q_dedup_ladder,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_spans": q_dedup_spans,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dsir_resample": q_dsir_resample,
+    "embedding_near_dup": q_embedding_near_dup,
+    "frame_sample": q_frame_sample,
+    "html_text": q_html_text,
+    "incremental_dedup": q_incremental_dedup,
+    "langid": q_langid,
+    "mixture_sample": q_mixture_sample,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_meta": q_multimodal_meta,
+    "normalize_text": q_normalize_text,
+    "pack_sequences": q_pack_sequences,
+    "pagerank": q_pagerank,
+    "pages_pipeline": q_pages_pipeline,
+    "perplexity_bucket": q_perplexity_bucket,
+    "pii_scrub": q_pii_scrub,
+    "quality_classifier": q_quality_classifier,
+    "quality_gopher": q_quality_gopher,
+    "quality_repetition": q_quality_repetition,
+    "robots_filter": q_robots_filter,
+    "sample_stratified": q_sample_stratified,
+    "semantic_dedup": q_semantic_dedup,
+    "shuffle_corpus": q_shuffle_corpus,
+    "text_quality": q_text_quality,
+    "tfidf_keywords": q_tfidf_keywords,
+    "token_count": q_token_count,
+    "url_filter": q_url_filter,
+}

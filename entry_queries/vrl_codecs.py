@@ -1,0 +1,1249 @@
+"""VRL function surface + codec (framing/serde) contract queries + oracles."""
+
+from .common import *  # noqa: F401,F403
+from .common import _t, _dsum, DSUM_SQL, ROUTES
+from .common import _BP_NAV, _BP_LEAD, _BP_TAIL  # noqa: F401
+from .oracle_helpers import (  # noqa: F401
+    _boilerplate_sql,
+    _hexval_sql,
+    _simhash_sql,
+    _minhash_sql,
+    _aggregate_sketch_sql,
+    _langid_sql,
+    _repetition_sql,
+    _ann_lsh_sql,
+    _near_dup_sql,
+    _html_text_sql,
+)
+
+def q_codec_warc(spark, sf_dir):
+    """WARC (ISO 28500) framing + record parse: each events row becomes a
+    two-record WARC stream (response carrying props as the payload,
+    metadata carrying event_type), framed by Content-Length byte counts
+    and parsed back field-exact. The oracle reconstructs the expected
+    records directly from the source columns (the codec_framing_octet
+    pattern)."""
+    from vector_spark.functions import frame_warc, parse_warc_record
+
+    e = _t(spark, sf_dir, "events")
+    date_str = F.date_format(
+        F.date_trunc("second", F.col("ts").cast("timestamp")),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'",
+    )
+    buf = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://crawl.example/"),
+        F.col("event_id").cast("string"),
+        F.lit("\r\nWARC-Date: "),
+        date_str,
+        F.lit("\r\nWARC-Record-ID: <urn:uuid:id-"),
+        F.col("event_id").cast("string"),
+        F.lit(">\r\nContent-Type: application/json\r\nContent-Length: "),
+        F.octet_length("props").cast("string"),
+        F.lit("\r\n\r\n"),
+        F.col("props"),
+        F.lit("\r\n\r\nWARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: "),
+        F.octet_length("event_type").cast("string"),
+        F.lit("\r\n\r\n"),
+        F.col("event_type"),
+        F.lit("\r\n\r\n"),
+    )
+    recs = e.select(
+        "event_id", F.posexplode(frame_warc(buf)).alias("idx", "rec")
+    )
+    return recs.select(
+        "event_id",
+        "idx",
+        parse_warc_record(F.col("rec")).alias("w"),
+    ).select(
+        "event_id",
+        "idx",
+        F.col("w.warc_type").alias("warc_type"),
+        F.col("w.target_uri").alias("target_uri"),
+        F.unix_micros(F.col("w.warc_date")).alias("warc_date_us"),
+        F.col("w.record_id").alias("record_id"),
+        F.col("w.content_type").alias("content_type"),
+        F.col("w.content_length").alias("content_length"),
+        F.col("w.payload").alias("payload"),
+    )
+
+
+def q_vrl_parse_syslog(spark, sf_dir):
+    """Round-trip: build RFC3164 lines from event columns, parse them back.
+    The oracle computes the expected fields directly from the columns, so a
+    parse bug cannot cancel out."""
+    from vector_spark.functions import parse_syslog
+
+    e = _t(spark, sf_dir, "events")
+    line = F.format_string(
+        "<%d>Oct 11 22:14:15 host%d app%d[%d]: event %s",
+        (F.col("event_id") % 192).cast("int"),
+        F.col("user_id"),
+        (F.col("user_id") % 7).cast("int"),
+        F.col("event_id"),
+        F.col("event_type"),
+    )
+    parsed = parse_syslog(line)
+    return e.select(
+        "event_id",
+        parsed["facility"].alias("facility"),
+        parsed["severity"].alias("severity"),
+        parsed["hostname"].alias("hostname"),
+        parsed["appname"].alias("appname"),
+        parsed["procid"].cast("long").alias("procid"),
+        parsed["message"].alias("message"),
+    )
+
+
+def q_vrl_parse_grok(spark, sf_dir):
+    """Grok parse of synthesized access-log lines — inline refs with a
+    `:float` type suffix (%{NUMBER:millis:float}) AND the vendored-core
+    aliased %{COMBINEDAPACHELOG} (recursive expansion through
+    COMMONAPACHELOG -> HTTPDUSER -> EMAILADDRESS); oracle constructs
+    expected fields directly."""
+    from vector_spark.functions import parse_grok
+
+    e = _t(spark, sf_dir, "events")
+    line = F.format_string(
+        "10.0.%d.%d GET_%s /api/u%d %d.5 trailing",
+        (F.col("user_id") % 256).cast("int"),
+        (F.col("event_id") % 256).cast("int"),
+        F.col("event_type"),
+        F.col("user_id"),
+        F.col("event_id"),
+    )
+    p = parse_grok(
+        line, "%{IP:client} %{WORD:method} %{URIPATH:path} %{NUMBER:millis:float}"
+    )
+    apache = F.format_string(
+        '10.1.%d.%d - user%d [10/Oct/2000:13:55:36 -0700] "GET /r%d HTTP/1.1" %d %d "http://e/ref" "ua/1.0"',
+        (F.col("user_id") % 200).cast("int"),
+        (F.col("event_id") % 256).cast("int"),
+        F.col("user_id"),
+        F.col("event_id"),
+        (F.lit(200) + (F.col("event_id") % 3) * 100).cast("int"),
+        (F.col("event_id") % 1000).cast("int"),
+    )
+    a = parse_grok(apache, "%{COMBINEDAPACHELOG}")
+    return e.select(
+        "event_id",
+        p["client"].alias("client"),
+        p["method"].alias("method"),
+        p["path"].alias("path"),
+        p["millis"].alias("millis"),  # already double via the :float suffix
+        a["clientip"].alias("clientip"),
+        a["auth"].alias("auth"),
+        a["verb"].alias("verb"),
+        a["request"].alias("request"),
+        a["response"].cast("long").alias("response"),
+        a["bytes"].cast("long").alias("bytes"),
+        a["referrer"].alias("referrer"),
+        a["agent"].alias("agent"),
+    )
+
+
+def q_vrl_case_strings(spark, sf_dir):
+    from vector_spark.functions import kebabcase, pascalcase, snakecase, truncate
+
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        snakecase(F.col("c_name")).alias("snake"),
+        kebabcase(F.col("c_name")).alias("kebab"),
+        pascalcase(F.col("c_mktsegment")).alias("pascal_seg"),
+        truncate(F.col("c_name"), 12, "...").alias("short_name"),
+    )
+
+
+def q_vrl_ip_functions(spark, sf_dir):
+    from vector_spark.functions import ip_aton, ip_cidr_contains, ip_ntoa, ip_subnet
+
+    e = _t(spark, sf_dir, "events")
+    ip = F.format_string(
+        "10.%d.%d.%d",
+        (F.col("user_id") % 128).cast("int"),
+        (F.col("event_id") % 256).cast("int"),
+        ((F.col("event_id") * 7) % 256).cast("int"),
+    )
+    return e.select(
+        "event_id",
+        ip.alias("ip"),
+        ip_aton(ip).alias("ip_num"),
+        ip_ntoa(ip_aton(ip)).alias("ip_roundtrip"),
+        ip_cidr_contains("10.0.0.0/10", ip).alias("in_lower_half"),
+        ip_subnet(ip, 16).alias("subnet16"),
+    )
+
+
+def q_vrl_ipv6_functions(spark, sf_dir):
+    """IPv6 family: expand-to-canonical of a compressed hex address,
+    IPv4 -> mapped-IPv6, mapped-IPv6 -> IPv4 (dotted-tail form)."""
+    from vector_spark.functions import ip_to_ipv6, ipv6_expand, ipv6_to_ipv4
+
+    e = _t(spark, sf_dir, "events")
+    ip4 = F.format_string(
+        "10.%d.%d.%d",
+        (F.col("user_id") % 128).cast("int"),
+        (F.col("event_id") % 256).cast("int"),
+        ((F.col("event_id") * 7) % 256).cast("int"),
+    )
+    v6 = F.format_string(
+        "2001:db8::%x:%x",
+        (F.col("user_id") % 65536).cast("int"),
+        (F.col("event_id") % 65536).cast("int"),
+    )
+    mapped = F.concat(F.lit("::ffff:"), ip4)
+    return e.select(
+        "event_id",
+        v6.alias("v6"),
+        ipv6_expand(v6).alias("v6_full"),
+        ip_to_ipv6(ip4).alias("mapped"),
+        ipv6_to_ipv4(mapped).alias("unmapped"),
+    )
+
+
+def q_vrl_encode(spark, sf_dir):
+    from vector_spark.functions import encode_base16, encode_base64, redact
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        encode_base64(F.substring("text", 1, 24)).alias("head_b64"),
+        encode_base16(F.substring("text", 1, 8)).alias("head_hex"),
+        redact(F.col("text"), [r"[0-9]+"], "#").alias("redacted"),
+    )
+
+
+def q_demo_logs_roundtrip(spark, sf_dir):
+    """demo_logs generator -> parse_syslog round-trip (rows-only: generated
+    input, not an sf table). Nonzero parse rate is asserted structurally."""
+    from vector_spark.functions import parse_syslog
+    from vector_spark.sources import demo_logs
+
+    logs = demo_logs(spark, 5000, fmt="bsd_syslog", partitions=8)
+    p = parse_syslog(F.col("line"))
+    return logs.select(
+        "id",
+        p["hostname"].alias("hostname"),
+        p["appname"].alias("appname"),
+        p["severity"].alias("severity"),
+        p["message"].alias("message"),
+    ).filter(F.col("hostname") != "")
+
+
+def q_parse_aws_vpc_flow(spark, sf_dir):
+    """parse_aws_vpc_flow_log round-trip: build a deterministic v2 flow-log
+    line per event (error events get '-' srcport/action to exercise the
+    null path), parse it, emit the typed fields. The oracle reconstructs
+    the expected fields directly from the source columns."""
+    from vector_spark.functions import parse_aws_vpc_flow_log
+
+    e = _t(spark, sf_dir, "events")
+    srcaddr = F.format_string(
+        "10.%d.%d.1", (F.col("user_id") % 128).cast("int"), (F.col("event_id") % 250).cast("int")
+    )
+    is_err = F.col("event_type") == "error"
+    srcport = F.when(is_err, F.lit("-")).otherwise((F.col("event_id") % 60000).cast("string"))
+    action = F.when(is_err, F.lit("-")).otherwise(F.lit("ACCEPT"))
+    start_s = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000).cast("long")
+    line = F.format_string(
+        "2 %d eni-%d %s 10.0.0.1 %s 443 6 %d %d %d %d %s OK",
+        F.col("user_id"), F.col("event_id"), srcaddr, srcport,
+        (F.col("event_id") % 100).cast("long"),
+        F.round(F.col("value") * 100).cast("long"),
+        start_s, start_s + F.lit(60), action,
+    )
+    p = parse_aws_vpc_flow_log(line)
+    return e.select(
+        "event_id",
+        p["version"].alias("version"),
+        p["account_id"].alias("account_id"),
+        p["interface_id"].alias("interface_id"),
+        p["srcaddr"].alias("srcaddr"),
+        p["srcport"].alias("srcport"),
+        p["protocol"].alias("protocol"),
+        p["packets"].alias("packets"),
+        p["bytes"].alias("bytes"),
+        p["start"].alias("start_ts"),
+        p["end"].alias("end_ts"),
+        p["action"].alias("action"),
+        p["log_status"].alias("log_status"),
+    )
+
+
+def q_parse_aws_alb(spark, sf_dir):
+    """parse_aws_alb_log round-trip: deterministic ALB access line per
+    event; '-' target/ssl fields exercise nulls; processing time is an
+    exact-3-decimal literal so the double parses identically everywhere."""
+    from vector_spark.functions import parse_aws_alb_log
+
+    e = _t(spark, sf_dir, "events")
+    tpt = F.format_string("0.%03d", (F.col("event_id") % 1000).cast("int"))
+    status = F.when(F.col("event_type") == "error", F.lit("500")).otherwise(F.lit("200"))
+    line = F.format_string(
+        'http 2024-01-01T00:00:00.000000Z app/lb/%d 192.168.1.%d:%d - 0.001 %s 0.000 '
+        '%s %s %d %d "GET http://example.com/u/%d HTTP/1.1" "agent-%d" - - '
+        'arn:aws:elb:tg/%d "Root=1-%d"',
+        F.col("user_id"), (F.col("user_id") % 250).cast("int"),
+        (F.col("event_id") % 60000).cast("int") + F.lit(1024), tpt, status, status,
+        F.col("event_id") % 4096, F.col("event_id") % 8192,
+        F.col("user_id"), F.col("user_id"), F.col("user_id"), F.col("event_id"),
+    )
+    p = parse_aws_alb_log(line)
+    return e.select(
+        "event_id",
+        p["type"].alias("type"),
+        p["elb"].alias("elb"),
+        p["client_host"].alias("client_host"),
+        p["target_host"].alias("target_host"),
+        p["target_processing_time"].alias("target_processing_time"),
+        p["elb_status_code"].alias("elb_status_code"),
+        p["received_bytes"].alias("received_bytes"),
+        p["sent_bytes"].alias("sent_bytes"),
+        p["request_method"].alias("request_method"),
+        p["request_url"].alias("request_url"),
+        p["user_agent"].alias("user_agent"),
+        p["ssl_cipher"].alias("ssl_cipher"),
+        p["trace_id"].alias("trace_id"),
+    )
+
+
+def q_parse_xml(spark, sf_dir):
+    """parse_xml via Spark's built-in xpath_* expressions: build a
+    deterministic XML doc per event, extract typed fields; the oracle
+    reconstructs the fields from the source columns."""
+    from vector_spark.functions import parse_xml_fields
+
+    e = _t(spark, sf_dir, "events")
+    doc = F.format_string(
+        "<event><id>%d</id><user>%d</user><type>%s</type><v>%.2f</v></event>",
+        F.col("event_id"), F.col("user_id"), F.col("event_type"), F.col("value"),
+    )
+    p = parse_xml_fields(
+        doc,
+        {
+            "xid": ("long", "/event/id/text()"),
+            "xuser": ("long", "/event/user/text()"),
+            "xtype": ("string", "/event/type/text()"),
+            "xv": ("double", "/event/v/text()"),
+        },
+    )
+    return e.select(
+        "event_id",
+        p["xid"].alias("xid"),
+        p["xuser"].alias("xuser"),
+        p["xtype"].alias("xtype"),
+        p["xv"].alias("xv"),
+    )
+
+
+def q_codec_framing_chardelim(spark, sf_dir):
+    """CharacterDelimited framing: one buffer holds 3 '|'-separated frames;
+    posexplode emits (event_id, idx, frame) — the 1->N framing shape."""
+    from vector_spark.functions import frame_character_delimited
+
+    e = _t(spark, sf_dir, "events")
+    buf = F.concat_ws(
+        "|", F.col("event_type"), F.col("user_id").cast("string"),
+        F.col("event_id").cast("string"),
+    )
+    return e.select(
+        "event_id", F.posexplode(frame_character_delimited(buf, "|")).alias("idx", "frame")
+    )
+
+
+def q_codec_framing_octet(spark, sf_dir):
+    """OctetCounting framing (RFC 6587): '<LEN> <MSG>' repeated; the
+    Arrow-batched frame parser must recover exactly the two messages."""
+    from vector_spark.functions import frame_octet_counting
+
+    e = _t(spark, sf_dir, "events")
+    buf = F.format_string(
+        "%d %s%d %s",
+        F.length("event_type"), F.col("event_type"),
+        F.length("props"), F.col("props"),
+    )
+    return e.select(
+        "event_id", F.posexplode(frame_octet_counting(buf)).alias("idx", "frame")
+    )
+
+
+def q_codec_netflow_v9(spark, sf_dir):
+    """NetFlow v9 template-based decode (netflow.rs:8-13): each event is
+    encoded as a v9 packet (20-byte header + one 21-byte data record in
+    flowset 256, padded to 4 bytes) with pure hex exprs; the template
+    arrives in a SEPARATE packet, so decoding exercises the two-pass
+    template-broadcast machinery. The oracle recomputes the expected flow
+    tuples straight from the events table — field-exact round-trip."""
+    from vector_spark.functions import parse_netflow
+
+    e = _t(spark, sf_dir, "events")
+
+    def hexn(col, nbytes):
+        return F.lpad(F.lower(F.hex(col)), nbytes * 2, "0")
+
+    secs = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000
+    ).cast("long")
+    eid = F.col("event_id")
+    src_hex = F.concat(
+        hexn(F.lit(10), 1),
+        hexn(F.expr("CAST((event_id div 65536) % 256 AS INT)"), 1),
+        hexn(F.expr("CAST((event_id div 256) % 256 AS INT)"), 1),
+        hexn(F.expr("CAST(event_id % 256 AS INT)"), 1),
+    )
+    dst_hex = F.concat(
+        hexn(F.lit(192), 1), hexn(F.lit(168), 1), hexn(F.lit(1), 1),
+        hexn(F.expr("CAST(event_id % 200 + 1 AS INT)"), 1),
+    )
+    srcport = (eid % 50000 + 1024).cast("long")
+    dstport = F.when(eid % 2 == 0, F.lit(443)).otherwise(F.lit(80)).cast("long")
+    pkts = (eid % 1000 + 1).cast("long")
+    octets = ((eid % 1000 + 1) * 64).cast("long")
+    proto = F.when(eid % 3 == 0, F.lit(17)).otherwise(F.lit(6)).cast("long")
+
+    header = F.concat(
+        hexn(F.lit(9), 2), hexn(F.lit(1), 2), hexn(F.lit(0), 4),
+        hexn(secs, 4), hexn(F.lit(0), 4), hexn(F.lit(1), 4),
+    )
+    record = F.concat(
+        src_hex, dst_hex, hexn(srcport, 2), hexn(dstport, 2),
+        hexn(pkts, 4), hexn(octets, 4), hexn(proto, 1),
+    )
+    flowset = F.concat(
+        hexn(F.lit(256), 2), hexn(F.lit(28), 2), record, F.lit("000000")
+    )
+    data_pkts = e.select(F.unhex(F.concat(header, flowset)).alias("packet"))
+
+    # the template packet: v9 header + flowset 0 defining template 256
+    def _u(v, n):
+        return int(v).to_bytes(n, "big")
+
+    t_fields = [(8, 4), (12, 4), (7, 2), (11, 2), (2, 4), (1, 4), (4, 1)]
+    t_body = _u(256, 2) + _u(len(t_fields), 2) + b"".join(
+        _u(f, 2) + _u(l, 2) for f, l in t_fields
+    )
+    tpl_packet = (
+        _u(9, 2) + _u(1, 2) + _u(0, 4) + _u(0, 4) + _u(0, 4) + _u(1, 4)
+        + _u(0, 2) + _u(4 + len(t_body), 2) + t_body
+    )
+    tpl_df = spark.createDataFrame([(bytearray(tpl_packet),)], "packet binary")
+
+    out = parse_netflow(tpl_df.unionByName(data_pkts))
+    f = F.col("fields")
+    return out.filter(f.isNotNull()).select(
+        F.col("export_time"),
+        f.getItem("ipv4_src_addr").alias("srcaddr"),
+        f.getItem("ipv4_dst_addr").alias("dstaddr"),
+        f.getItem("l4_src_port").cast("long").alias("srcport"),
+        f.getItem("l4_dst_port").cast("long").alias("dstport"),
+        f.getItem("in_pkts").cast("long").alias("packets"),
+        f.getItem("in_bytes").cast("long").alias("octets"),
+        f.getItem("protocol").cast("long").alias("proto"),
+    )
+
+
+def _dnstap_fixture_frames() -> list[str]:
+    """Four deterministic dnstap frames (public dnstap.proto wire format),
+    hand-encoded at plan time — the parse side must recover exactly what
+    was encoded, so the oracle enumerates these constants by event_id%4."""
+    import base64
+
+    def u(v, n):
+        return int(v).to_bytes(n, "big")
+
+    def pb(fno, wt, payload):
+        tag = bytes([(fno << 3) | wt])
+        if wt == 2:
+            return tag + bytes([len(payload)]) + payload
+        if wt == 5:
+            return tag + payload
+        return tag + payload  # wt 0: payload is pre-encoded varint bytes
+
+    def varint(v):
+        out = b""
+        while True:
+            b7 = v & 0x7F
+            v >>= 7
+            out += bytes([b7 | (0x80 if v else 0)])
+            if not v:
+                return out
+
+    def dns(qid, qr, labels, qtype):
+        name = b"".join(bytes([len(l)]) + l.encode() for l in labels) + b"\x00"
+        flags = 0x8000 if qr else 0
+        return (u(qid, 2) + u(flags, 2) + u(1, 2) + u(0, 2) + u(0, 2) + u(0, 2)
+                + name + u(qtype, 2) + u(1, 2))
+
+    variants = [
+        # (mtype, family, proto, src, sport, resp, rport, t_sec, t_nsec, labels, qtype, qr)
+        (5, 1, 1, bytes([10, 0, 0, 1]), 1053, None, None,
+         1700000000, 11, ["a0", "example", "com"], 1, 0),
+        (6, 1, 1, None, None, bytes([10, 0, 0, 2]), 53,
+         1700000001, 22, ["a1", "example", "org"], 28, 1),
+        (3, 2, 2, b"\x00" * 15 + b"\x01", 2053, None, None,
+         1700000002, 33, ["a2", "example", "net"], 16, 0),
+        (7, 1, 1, bytes([192, 168, 5, 5]), 5353, None, None,
+         1700000003, 44, ["a3", "example", "io"], 15, 0),
+    ]
+    frames = []
+    for i, (mt, fam, proto, src, sport, resp, rport, tsec, tnsec, labels,
+            qtype, qr) in enumerate(variants):
+        m = pb(1, 0, varint(mt)) + pb(2, 0, varint(fam)) + pb(3, 0, varint(proto))
+        if src is not None:
+            m += pb(4, 2, src) + pb(6, 0, varint(sport))
+        if resp is not None:
+            m += pb(5, 2, resp) + pb(7, 0, varint(rport))
+        if mt % 2 == 0:  # response: response_time (11 varint? no: 12/13)
+            m += pb(12, 0, varint(tsec)) + pb(13, 5, int(tnsec).to_bytes(4, "little"))
+            m += pb(14, 2, dns(100 + i, qr, labels, qtype))
+        else:
+            m += pb(8, 0, varint(tsec)) + pb(9, 5, int(tnsec).to_bytes(4, "little"))
+            m += pb(10, 2, dns(100 + i, qr, labels, qtype))
+        frame = (pb(1, 2, b"vs-test") + pb(2, 2, b"v1")
+                 + pb(15, 0, varint(1)) + pb(14, 2, m))
+        frames.append(base64.b64encode(frame).decode())
+    return frames
+
+
+def q_parse_dnstap(spark, sf_dir):
+    """VRL parse_dnstap (parse_dnstap.cue): pure-Python protobuf
+    wire-format walker over the public dnstap schema, Arrow-batched.
+    Each event gets one of four hand-encoded frames (event_id%4); the
+    oracle enumerates the encoded constants — field-exact decode check."""
+    from vector_spark.functions import parse_dnstap
+
+    e = _t(spark, sf_dir, "events")
+    frames = _dnstap_fixture_frames()
+    frame = F.element_at(
+        F.array(*[F.lit(x) for x in frames]), (F.col("event_id") % 4 + 1).cast("int")
+    )
+    d = parse_dnstap(frame)
+    return e.select(
+        "event_id",
+        d.getField("messageType").alias("message_type"),
+        d.getField("messageTypeId").alias("message_type_id"),
+        d.getField("socketFamily").alias("socket_family"),
+        d.getField("socketProtocol").alias("socket_protocol"),
+        d.getField("sourceAddress").alias("source_address"),
+        d.getField("sourcePort").alias("source_port"),
+        d.getField("responseAddress").alias("response_address"),
+        d.getField("responsePort").alias("response_port"),
+        d.getField("time").alias("time_ns"),
+        d.getField("header_id").alias("header_id"),
+        d.getField("header_qr").alias("header_qr"),
+        d.getField("question_name").alias("question_name"),
+        d.getField("question_type").alias("question_type"),
+        d.getField("serverId").alias("server_id"),
+    )
+
+
+def q_vrl_misc(spark, sf_dir):
+    """Grouped VRL straggler sweep (to_syslog_level/severity/facility,
+    parse_int with prefixes, format_int, deterministic random_*, friendly
+    id round-trip): every output is a pure function of event_id/ts so the
+    oracle re-derives each one. The friendly-id pair is exercised as
+    encode-then-decode around uuid_v7_deterministic — the round-trip must
+    return the original uuid, whose SQL twin already exists."""
+    from vector_spark.functions import (
+        format_int_vrl, friendly_id_from_uuid, parse_float_vrl, parse_int_vrl,
+        random_bool_seeded, random_int_seeded, to_syslog_facility,
+        to_syslog_level, to_syslog_severity, uuid_from_friendly_id,
+        uuid_v7_deterministic,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    level = to_syslog_level(eid % 8)
+    hex_str = F.concat(F.lit("0x"), F.lower(F.hex(eid)))
+    u7 = uuid_v7_deterministic(F.col("ts"), eid)
+    return e.select(
+        "event_id",
+        level.alias("syslog_level"),
+        to_syslog_severity(level).alias("syslog_severity"),
+        to_syslog_facility(eid % 24).alias("syslog_facility"),
+        parse_int_vrl(hex_str).alias("parsed_hex"),
+        parse_float_vrl(F.concat(eid.cast("string"), F.lit(".5e1"))).alias("parsed_float"),
+        parse_float_vrl(F.lit("not a number")).alias("parsed_float_bad"),
+        format_int_vrl(eid, 16).alias("formatted_hex"),
+        random_int_seeded(eid, 0, 100).alias("rand_int"),
+        random_bool_seeded(eid).alias("rand_bool"),
+        uuid_from_friendly_id(friendly_id_from_uuid(u7)).alias("uuid_roundtrip"),
+    )
+
+
+def q_codec_cdx(spark, sf_dir):
+    """Common Crawl CDXJ index lines, synthesized deterministically from
+    documents then parsed with parse_cdx; the oracle produces the expected
+    fields directly from the same construction (ground truth, not a
+    parallel parser)."""
+    from vector_spark.functions import parse_cdx
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    js = F.concat(
+        F.lit('{"url": "https://example.org/p/'), did,
+        F.lit('", "mime": "text/html", "status": "200", "digest": "'),
+        F.md5(F.col("text").cast("binary")),
+        F.lit('", "length": "'), F.col("n_chars").cast("string"),
+        F.lit('", "offset": "'), (F.col("doc_id") * 100).cast("string"),
+        F.lit('", "filename": "crawl-00.warc.gz"}'),
+    )
+    line = F.concat(
+        F.lit("org,example)/p/"), did, F.lit(" "),
+        F.lit("20240101"), F.lpad((F.col("doc_id") % 1000000).cast("string"), 6, "0"),
+        F.lit(" "), js,
+    )
+    p = parse_cdx(line)
+    return d.select(
+        "doc_id",
+        p.getField("urlkey").alias("urlkey"),
+        p.getField("ts").alias("ts"),
+        p.getField("url").alias("url"),
+        p.getField("mime").alias("mime"),
+        p.getField("status").alias("status"),
+        p.getField("digest").alias("digest"),
+        p.getField("length").alias("length"),
+        p.getField("offset").alias("offset"),
+        p.getField("filename").alias("filename"),
+    )
+
+
+def q_vrl_types(spark, sf_dir):
+    """Grouped VRL type-predicate/coercion sweep (is_json/is_array/
+    is_integer/is_float/is_nullish/to_bool/to_int/format_number/
+    contains_all/match_any): each row cycles through a JSON-encoded value
+    shape derived from event_id, so the oracle replays every branch."""
+    from vector_spark.functions import (
+        contains_all, format_number_vrl, is_array_str, is_boolean_str,
+        is_empty, is_float_str, is_integer_str, is_json, is_null_str,
+        is_nullish, is_object_str, is_string_str, is_timestamp_str,
+        match_any, match_array, to_bool_vrl, to_float_vrl, to_int_vrl,
+        to_string_vrl,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    v = (
+        F.when(eid % 6 == 0, F.lit("123"))
+        .when(eid % 6 == 1, F.lit("1.5e2"))
+        .when(eid % 6 == 2, F.lit('"hi"'))
+        .when(eid % 6 == 3, F.lit("[1,2]"))
+        .when(eid % 6 == 4, F.lit('{"a":1}'))
+        .otherwise(F.lit("null"))
+    )
+    nv = (
+        F.when(eid % 3 == 0, F.lit(""))
+        .when(eid % 3 == 1, F.lit(" - "))
+        .otherwise(F.lit("x"))
+    )
+    bw = (
+        F.when(eid % 5 == 0, F.lit("yes"))
+        .when(eid % 5 == 1, F.lit("NO"))
+        .when(eid % 5 == 2, F.lit("1"))
+        .when(eid % 5 == 3, F.lit("false"))
+        .otherwise(F.lit("maybe"))
+    )
+    tstr = F.when(eid % 2 == 0, F.lit("2024-01-01 00:00:00")).otherwise(F.lit("not a time"))
+    msg = F.concat(F.lit("evt-"), (eid % 10).cast("string"), F.lit("-end"))
+    return e.select(
+        "event_id",
+        is_json(v).alias("v_is_json"),
+        is_integer_str(v).alias("v_is_int"),
+        is_float_str(v).alias("v_is_float"),
+        is_string_str(v).alias("v_is_string"),
+        is_array_str(v).alias("v_is_array"),
+        is_object_str(v).alias("v_is_object"),
+        is_null_str(v).alias("v_is_null"),
+        is_boolean_str(v).alias("v_is_bool"),
+        is_timestamp_str(tstr).alias("v_is_ts"),
+        is_nullish(nv).alias("v_is_nullish"),
+        to_bool_vrl(bw).alias("v_to_bool"),
+        to_int_vrl(v).alias("v_to_int"),
+        format_number_vrl((eid % 1000).cast("double") * 1111.0 + 0.25, 2).alias("v_fmt"),
+        contains_all(msg, ["evt-", "-end"]).alias("v_contains_all"),
+        match_any(msg, [r"evt-[0-4]-", r"never"]).alias("v_match_any"),
+        is_empty(nv).alias("v_is_empty"),
+        to_float_vrl(v).alias("v_to_float"),
+        to_string_vrl(eid % 7).alias("v_to_string"),
+        match_array(F.split(msg, "-"), r"^[0-4]$").alias("v_match_array"),
+    )
+
+
+def q_vrl_uuid_v7(spark, sf_dir):
+    """Deterministic uuid_v7: RFC 9562 layout with md5-derived random bits
+    — replayable, time-ordered, oracle-expressible (same hex math in SQL)."""
+    from vector_spark.functions import uuid_v7_deterministic
+
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        uuid_v7_deterministic(F.col("ts"), F.col("event_id")).alias("uuid7"),
+    )
+
+
+def q_vrl_hmac(spark, sf_dir):
+    """VRL hmac: keyed MAC per event message (rows-only driver check —
+    DuckDB has no HMAC; RFC 4231 vectors are asserted in
+    tests/test_vrl_functions.py)."""
+    from vector_spark.functions import hmac_hex
+
+    e = _t(spark, sf_dir, "events")
+    msg = F.concat_ws(":", F.col("event_type"), F.col("event_id").cast("string"))
+    return e.select(
+        "event_id",
+        hmac_hex(msg, "topsecret", "sha256").alias("mac_sha256"),
+        hmac_hex(msg, "topsecret", "sha1").alias("mac_sha1"),
+    )
+
+
+def q_codec_influxdb(spark, sf_dir):
+    """Influxdb line-protocol round-trip: encode each event as a line
+    (sorted tags, i-suffixed int field, epoch-ns ts), parse it back, emit
+    the parsed pieces; oracle reconstructs them from the source columns."""
+    from vector_spark.functions import parse_influxdb_line
+
+    e = _t(spark, sf_dir, "events")
+    ns = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+    line = F.format_string(
+        "events,type=%s,user=%d value=%.2f,n=%di %d",
+        F.col("event_type"), F.col("user_id"), F.col("value"),
+        (F.col("event_id") % 100).cast("int"), ns,
+    )
+    p = parse_influxdb_line(line)
+    return e.select(
+        "event_id",
+        p["measurement"].alias("measurement"),
+        p["tags"].getItem("type").alias("tag_type"),
+        p["tags"].getItem("user").cast("long").alias("tag_user"),
+        p["fields"].getItem("value").cast("double").alias("f_value"),
+        p["fields"].getItem("n").cast("long").alias("f_n"),
+        p["timestamp_ns"].alias("ts_ns"),
+    )
+
+
+def q_codec_native_json(spark, sf_dir):
+    """Vector-native JSON event round-trip: serialize each event as
+    {"log": {...}} (encode_native_json_log), deserialize with
+    parse_native_json, emit kind + extracted fields; metric events are
+    synthesized for purchase rows to exercise the metric branch."""
+    from vector_spark.functions import encode_native_json_log, parse_native_json
+
+    e = _t(spark, sf_dir, "events")
+    is_metric = F.col("event_type") == "purchase"
+    log_doc = encode_native_json_log(
+        {"etype": F.col("event_type"), "uid": F.col("user_id").cast("string")}
+    )
+    metric_doc = F.format_string(
+        '{"metric": {"name": "revenue", "kind": "incremental", "counter": {"value": %.2f}}}',
+        F.col("value"),
+    )
+    doc = F.when(is_metric, metric_doc).otherwise(log_doc)
+    p = parse_native_json(doc)
+    return e.select(
+        "event_id",
+        p["kind"].alias("kind"),
+        p["log"].getItem("etype").alias("log_etype"),
+        p["log"].getItem("uid").cast("long").alias("log_uid"),
+        p["metric_name"].alias("metric_name"),
+        p["metric_kind"].alias("metric_kind"),
+        p["counter_value"].alias("counter_value"),
+    )
+
+
+def q_codec_csv(spark, sf_dir):
+    """Csv deserializer round-trip: encode columns as a csv line, decode
+    with from_csv; oracle reconstructs the expected struct fields directly."""
+    from vector_spark.functions import parse_csv_line
+
+    e = _t(spark, sf_dir, "events")
+    line = F.concat_ws(
+        ",", F.col("event_id").cast("string"), F.col("event_type"),
+        F.format_string("%.2f", F.col("value")),
+    )
+    parsed = parse_csv_line(line, "id BIGINT, etype STRING, v DOUBLE")
+    return e.select(
+        "event_id",
+        parsed.getField("id").alias("id"),
+        parsed.getField("etype").alias("etype"),
+        parsed.getField("v").alias("v"),
+    )
+
+
+def q_codec_json(spark, sf_dir):
+    """Json deserializer with declared schema (lib/codecs decoding::Json)."""
+    from vector_spark.functions import parse_json_doc
+
+    e = _t(spark, sf_dir, "events")
+    doc = F.to_json(F.struct(F.col("user_id").alias("u"), F.col("event_type").alias("t")))
+    parsed = parse_json_doc(doc, "u BIGINT, t STRING")
+    return e.select(
+        "event_id",
+        parsed.getField("u").alias("u"),
+        parsed.getField("t").alias("t"),
+    )
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
+
+# parse_etld fixture hosts: exercises multi-label rules (ac.uk), wildcard
+# (*.ck, *.kawasaki.jp via y.x), exceptions (!www.ck, !city.kawasaki.jp),
+# private-section rules (github.io), unknown suffixes, trailing dots, case,
+# and a 5-label amazonaws.com private rule
+_ETLD_HOSTS = [
+    "sub.sussex.ac.uk",
+    "vector.acmecorp",
+    "foo.ck",
+    "www.ck",
+    "x.www.ck",
+    "example.com",
+    "com",
+    "a.b.github.io",
+    "city.kawasaki.jp",
+    "x.city.kawasaki.jp",
+    "y.x.kawasaki.jp",
+    "a.s3.dualstack.ap-southeast-2.amazonaws.com",
+    "Example.COM.",
+    "deep.sub.domain.example.org",
+    "b.co.uk",
+]
+
+
+def q_parse_etld(spark, sf_dir):
+    """VRL parse_etld over the FULL vendored public suffix list
+    (website/cue/reference/remap/functions/parse_etld.cue): eTLD / eTLD+1 /
+    known_suffix via the shuffle-free broadcast join ladder
+    (functions/psl.py). The oracle re-derives the PSL algorithm
+    independently in SQL (read_text + candidate-suffix join + longest-match
+    aggregation) from the same vendored .dat file."""
+    from vector_spark.functions.psl import parse_etld_psl, psl_dim
+
+    e = _t(spark, sf_dir, "events").select("event_id")
+    hosts = F.array(*[F.lit(h) for h in _ETLD_HOSTS])
+    df = e.withColumn(
+        "host",
+        F.element_at(hosts, (F.col("event_id") % len(_ETLD_HOSTS)).cast("int") + 1),
+    )
+    out = parse_etld_psl(df, "host", psl_dim(spark), plus_parts=1)
+    return out.select("event_id", "host", "etld", "etld_plus", "known_suffix")
+
+
+def _parse_etld_sql() -> str:
+    from vector_spark.functions.psl import PSL_PATH
+
+    host_values = ",".join(f"({i}, '{h}')" for i, h in enumerate(_ETLD_HOSTS))
+    return f"""
+WITH psl_lines AS (
+  SELECT trim(x) AS line
+  FROM (SELECT unnest(string_split(content, chr(10))) AS x
+        FROM read_text('{PSL_PATH}'))
+),
+rules AS (
+  SELECT CASE WHEN line LIKE '!%' THEN lower(substr(line, 2)) ELSE lower(line) END AS rule,
+         (line LIKE '!%') AS is_exc
+  FROM psl_lines WHERE line <> '' AND line NOT LIKE '//%'
+),
+r2 AS (
+  SELECT rule, is_exc, len(string_split(rule, '.')) AS k, rule LIKE '*.%' AS is_wild
+  FROM rules
+),
+fx(hidx, host) AS (VALUES {host_values}),
+h AS (
+  SELECT e.event_id, fx.host,
+         string_split(lower(regexp_replace(fx.host, '\\.$', '')), '.') AS labels
+  FROM events e JOIN fx ON fx.hidx = e.event_id % {len(_ETLD_HOSTS)}
+),
+cand AS (
+  SELECT h.event_id, ks.k,
+         array_to_string(labels[len(labels)-ks.k+1:len(labels)], '.') AS sfx,
+         CASE WHEN ks.k >= 2
+              THEN '*.' || array_to_string(labels[len(labels)-ks.k+2:len(labels)], '.')
+         END AS wsfx
+  FROM h, (SELECT unnest(range(1, 6)) AS k) ks
+  WHERE len(labels) >= ks.k
+),
+m AS (
+  SELECT c.event_id,
+         max(CASE WHEN r.is_exc AND NOT r.is_wild THEN c.k - 1 END) AS exc_len,
+         max(CASE WHEN NOT r.is_exc THEN c.k END) AS norm_len
+  FROM cand c
+  JOIN r2 r ON (NOT r.is_wild AND r.rule = c.sfx) OR (r.is_wild AND r.rule = c.wsfx)
+  GROUP BY c.event_id
+)
+SELECT h.event_id, h.host,
+       array_to_string(labels[len(labels) - coalesce(m.exc_len, m.norm_len, 1) + 1:len(labels)], '.') AS etld,
+       array_to_string(labels[len(labels) - least(coalesce(m.exc_len, m.norm_len, 1) + 1, len(labels)) + 1:len(labels)], '.') AS etld_plus,
+       coalesce(m.exc_len, m.norm_len) IS NOT NULL AS known_suffix
+FROM h LEFT JOIN m ON m.event_id = h.event_id
+"""
+
+
+def oracles() -> dict[str, str]:
+    sql: dict[str, str] = {}
+
+    sql["parse_etld"] = _parse_etld_sql()
+
+    sql["vrl_parse_syslog"] = """
+SELECT event_id,
+       CAST((event_id % 192) // 8 AS INTEGER) AS facility,
+       CAST((event_id % 192) % 8 AS INTEGER) AS severity,
+       'host' || CAST(user_id AS VARCHAR) AS hostname,
+       'app' || CAST(user_id % 7 AS VARCHAR) AS appname,
+       event_id AS procid,
+       'event ' || event_type AS message
+FROM events
+"""
+
+    sql["vrl_parse_grok"] = """
+SELECT event_id,
+       printf('10.0.%d.%d', user_id % 256, event_id % 256) AS client,
+       'GET_' || event_type AS method,
+       '/api/u' || CAST(user_id AS VARCHAR) AS path,
+       CAST(event_id AS DOUBLE) + 0.5 AS millis,
+       printf('10.1.%d.%d', user_id % 200, event_id % 256) AS clientip,
+       'user' || CAST(user_id AS VARCHAR) AS auth,
+       'GET' AS verb,
+       '/r' || CAST(event_id AS VARCHAR) AS request,
+       CAST(200 + (event_id % 3) * 100 AS BIGINT) AS response,
+       CAST(event_id % 1000 AS BIGINT) AS bytes,
+       '"http://e/ref"' AS referrer,
+       '"ua/1.0"' AS agent
+FROM events
+"""
+
+    # c_name is 'Customer#000000042'; c_mktsegment a single upper word
+    sql["vrl_case_strings"] = """
+SELECT c_custkey,
+       lower(replace(c_name, '#', '_')) AS snake,
+       lower(replace(c_name, '#', '-')) AS kebab,
+       upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2)) AS pascal_seg,
+       CASE WHEN length(c_name) > 12 THEN substr(c_name, 1, 12) || '...'
+            ELSE c_name END AS short_name
+FROM customer
+"""
+
+    sql["vrl_ip_functions"] = """
+WITH t AS (
+  SELECT event_id,
+         user_id % 128 AS o2, event_id % 256 AS o3, (event_id * 7) % 256 AS o4
+  FROM events
+)
+SELECT event_id,
+       printf('10.%d.%d.%d', o2, o3, o4) AS ip,
+       10 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS ip_num,
+       printf('10.%d.%d.%d', o2, o3, o4) AS ip_roundtrip,
+       o2 < 64 AS in_lower_half,
+       printf('10.%d.0.0', o2) AS subnet16
+FROM t
+"""
+
+    sql["vrl_ipv6_functions"] = """
+WITH t AS (
+  SELECT event_id,
+         user_id % 128 AS o2, event_id % 256 AS o3, (event_id * 7) % 256 AS o4,
+         user_id % 65536 AS h1, event_id % 65536 AS h2
+  FROM events
+)
+SELECT event_id,
+       printf('2001:db8::%x:%x', h1, h2) AS v6,
+       printf('2001:0db8:0000:0000:0000:0000:%04x:%04x', h1, h2) AS v6_full,
+       printf('::ffff:10.%d.%d.%d', o2, o3, o4) AS mapped,
+       printf('10.%d.%d.%d', o2, o3, o4) AS unmapped
+FROM t
+"""
+
+    sql["vrl_encode"] = """
+SELECT doc_id,
+       base64(encode(substr(text, 1, 24))) AS head_b64,
+       lower(hex(encode(substr(text, 1, 8)))) AS head_hex,
+       regexp_replace(text, '[0-9]+', '#', 'g') AS redacted
+FROM documents
+"""
+
+    sql["parse_aws_vpc_flow"] = """
+SELECT event_id,
+       2 AS version,
+       CAST(user_id AS VARCHAR) AS account_id,
+       printf('eni-%d', event_id) AS interface_id,
+       printf('10.%d.%d.1', user_id % 128, event_id % 250) AS srcaddr,
+       CASE WHEN event_type = 'error' THEN NULL ELSE event_id % 60000 END AS srcport,
+       6 AS protocol,
+       event_id % 100 AS packets,
+       CAST(round(value * 100, 0) AS BIGINT) AS bytes,
+       epoch_us(ts) // 1000000 AS start_ts,
+       epoch_us(ts) // 1000000 + 60 AS end_ts,
+       CASE WHEN event_type = 'error' THEN NULL ELSE 'ACCEPT' END AS action,
+       'OK' AS log_status
+FROM events
+"""
+
+    sql["parse_aws_alb"] = """
+SELECT event_id,
+       'http' AS type,
+       printf('app/lb/%d', user_id) AS elb,
+       printf('192.168.1.%d:%d', user_id % 250, event_id % 60000 + 1024) AS client_host,
+       NULL AS target_host,
+       CAST(printf('0.%03d', event_id % 1000) AS DOUBLE) AS target_processing_time,
+       CASE WHEN event_type = 'error' THEN '500' ELSE '200' END AS elb_status_code,
+       event_id % 4096 AS received_bytes,
+       event_id % 8192 AS sent_bytes,
+       'GET' AS request_method,
+       printf('http://example.com/u/%d', user_id) AS request_url,
+       printf('agent-%d', user_id) AS user_agent,
+       NULL AS ssl_cipher,
+       printf('Root=1-%d', event_id) AS trace_id
+FROM events
+"""
+
+    sql["parse_xml"] = """
+SELECT event_id, event_id AS xid, user_id AS xuser, event_type AS xtype,
+       CAST(printf('%.2f', value) AS DOUBLE) AS xv
+FROM events
+"""
+
+    sql["codec_framing_chardelim"] = """
+SELECT event_id, 0 AS idx, event_type AS frame FROM events
+UNION ALL
+SELECT event_id, 1, CAST(user_id AS VARCHAR) FROM events
+UNION ALL
+SELECT event_id, 2, CAST(event_id AS VARCHAR) FROM events
+"""
+
+    sql["codec_framing_octet"] = """
+SELECT event_id, 0 AS idx, event_type AS frame FROM events
+UNION ALL
+SELECT event_id, 1, props FROM events
+"""
+
+    sql["codec_netflow_v9"] = """
+SELECT epoch_us(ts) // 1000000 AS export_time,
+       printf('10.%d.%d.%d',
+              (event_id // 65536) % 256,
+              (event_id // 256) % 256,
+              event_id % 256) AS srcaddr,
+       printf('192.168.1.%d', event_id % 200 + 1) AS dstaddr,
+       event_id % 50000 + 1024 AS srcport,
+       CASE WHEN event_id % 2 = 0 THEN 443 ELSE 80 END AS dstport,
+       event_id % 1000 + 1 AS packets,
+       (event_id % 1000 + 1) * 64 AS octets,
+       CASE WHEN event_id % 3 = 0 THEN 17 ELSE 6 END AS proto
+FROM events
+"""
+
+    sql["parse_dnstap"] = """
+SELECT event_id,
+  CASE event_id % 4 WHEN 0 THEN 'ClientQuery' WHEN 1 THEN 'ClientResponse'
+       WHEN 2 THEN 'ResolverQuery' ELSE 'ForwarderQuery' END AS message_type,
+  CAST(CASE event_id % 4 WHEN 0 THEN 5 WHEN 1 THEN 6 WHEN 2 THEN 3 ELSE 7 END AS INT)
+       AS message_type_id,
+  CASE event_id % 4 WHEN 2 THEN 'INET6' ELSE 'INET' END AS socket_family,
+  CASE event_id % 4 WHEN 2 THEN 'TCP' ELSE 'UDP' END AS socket_protocol,
+  CASE event_id % 4 WHEN 0 THEN '10.0.0.1' WHEN 2 THEN '::1'
+       WHEN 3 THEN '192.168.5.5' ELSE NULL END AS source_address,
+  CAST(CASE event_id % 4 WHEN 0 THEN 1053 WHEN 2 THEN 2053 WHEN 3 THEN 5353
+       ELSE NULL END AS INT) AS source_port,
+  CASE event_id % 4 WHEN 1 THEN '10.0.0.2' ELSE NULL END AS response_address,
+  CAST(CASE event_id % 4 WHEN 1 THEN 53 ELSE NULL END AS INT) AS response_port,
+  CASE event_id % 4 WHEN 0 THEN 1700000000000000011 WHEN 1 THEN 1700000001000000022
+       WHEN 2 THEN 1700000002000000033 ELSE 1700000003000000044 END AS time_ns,
+  CAST(100 + event_id % 4 AS INT) AS header_id,
+  CAST(CASE event_id % 4 WHEN 1 THEN 1 ELSE 0 END AS INT) AS header_qr,
+  CASE event_id % 4 WHEN 0 THEN 'a0.example.com.' WHEN 1 THEN 'a1.example.org.'
+       WHEN 2 THEN 'a2.example.net.' ELSE 'a3.example.io.' END AS question_name,
+  CASE event_id % 4 WHEN 0 THEN 'A' WHEN 1 THEN 'AAAA' WHEN 2 THEN 'TXT'
+       ELSE 'MX' END AS question_type,
+  'vs-test' AS server_id
+FROM events
+"""
+
+    sql["codec_influxdb"] = """
+SELECT event_id,
+       'events' AS measurement,
+       event_type AS tag_type,
+       user_id AS tag_user,
+       CAST(printf('%.2f', value) AS DOUBLE) AS f_value,
+       event_id % 100 AS f_n,
+       epoch_us(ts) * 1000 AS ts_ns
+FROM events
+"""
+
+    sql["codec_native_json"] = """
+SELECT event_id,
+       CASE WHEN event_type = 'purchase' THEN 'metric' ELSE 'log' END AS kind,
+       CASE WHEN event_type = 'purchase' THEN NULL ELSE event_type END AS log_etype,
+       CASE WHEN event_type = 'purchase' THEN NULL ELSE user_id END AS log_uid,
+       CASE WHEN event_type = 'purchase' THEN 'revenue' END AS metric_name,
+       CASE WHEN event_type = 'purchase' THEN 'incremental' END AS metric_kind,
+       CASE WHEN event_type = 'purchase' THEN CAST(printf('%.2f', value) AS DOUBLE) END AS counter_value
+FROM events
+"""
+
+    _facilities = (
+        "'kern','user','mail','daemon','auth','syslog','lpr','news','uucp',"
+        "'cron','authpriv','ftp','ntp','security','console','solaris-cron',"
+        "'local0','local1','local2','local3','local4','local5','local6','local7'"
+    )
+
+    def _randbits_sql(tag: str) -> str:
+        md = f"md5('{tag}|' || CAST(event_id AS VARCHAR))"
+        terms = [
+            f"CAST({_hexval_sql(f'substr({md}, {i + 1}, 1)')} AS BIGINT) * {16 ** (7 - i)}"
+            for i in range(8)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    sql["vrl_misc"] = f"""
+WITH t AS (
+  SELECT event_id,
+         lpad(lower(to_hex(epoch_us(ts) // 1000)), 12, '0') AS ms_hex,
+         md5(CAST(event_id AS VARCHAR)) AS h
+  FROM events
+)
+SELECT event_id,
+  ['emerg','alert','crit','err','warning','notice','info','debug'][CAST(event_id % 8 AS INT) + 1] AS syslog_level,
+  CAST(event_id % 8 AS INT) AS syslog_severity,
+  [{_facilities}][CAST(event_id % 24 AS INT) + 1] AS syslog_facility,
+  event_id AS parsed_hex,
+  TRY_CAST(CAST(event_id AS VARCHAR) || '.5e1' AS DOUBLE) AS parsed_float,
+  TRY_CAST('not a number' AS DOUBLE) AS parsed_float_bad,
+  lower(to_hex(event_id)) AS formatted_hex,
+  CAST({_randbits_sql('ri')} % 100 AS BIGINT) AS rand_int,
+  ({_randbits_sql('rb')} % 2 = 0) AS rand_bool,
+  substr(ms_hex, 1, 8) || '-' || substr(ms_hex, 9, 4) || '-7' ||
+  substr(h, 1, 3) || '-' ||
+  substr('89ab', ((strpos('0123456789abcdef', substr(h, 4, 1)) - 1) % 4) + 1, 1) ||
+  substr(h, 5, 3) || '-' || substr(h, 8, 12) AS uuid_roundtrip
+FROM t
+"""
+
+    # VRL type predicates/coercions: identical value-shape derivation,
+    # json_valid for is_json, same regexes, same to_bool word table,
+    # grouped format composed from integer grouping + exact .25 fraction
+    sql["vrl_types"] = r"""
+WITH t AS (
+  SELECT event_id,
+    CASE CAST(event_id % 6 AS INT)
+      WHEN 0 THEN '123' WHEN 1 THEN '1.5e2' WHEN 2 THEN '"hi"'
+      WHEN 3 THEN '[1,2]' WHEN 4 THEN '{"a":1}' ELSE 'null' END AS v,
+    CASE CAST(event_id % 3 AS INT) WHEN 0 THEN '' WHEN 1 THEN ' - ' ELSE 'x' END AS nv,
+    CASE CAST(event_id % 5 AS INT)
+      WHEN 0 THEN 'yes' WHEN 1 THEN 'NO' WHEN 2 THEN '1'
+      WHEN 3 THEN 'false' ELSE 'maybe' END AS bw,
+    CASE WHEN event_id % 2 = 0 THEN '2024-01-01 00:00:00' ELSE 'not a time' END AS tstr,
+    'evt-' || CAST(event_id % 10 AS VARCHAR) || '-end' AS msg,
+    CAST(event_id % 1000 AS DOUBLE) * 1111.0 + 0.25 AS fx
+  FROM events
+)
+SELECT event_id,
+  json_valid(v) AS v_is_json,
+  regexp_matches(v, '^\s*-?\d+\s*$') AS v_is_int,
+  regexp_matches(v, '^\s*-?\d+(\.\d+([eE][+-]?\d+)?|[eE][+-]?\d+)\s*$') AS v_is_float,
+  (json_valid(v) AND substr(trim(v), 1, 1) = '"') AS v_is_string,
+  (json_valid(v) AND substr(trim(v), 1, 1) = '[') AS v_is_array,
+  (json_valid(v) AND substr(trim(v), 1, 1) = '{') AS v_is_object,
+  (trim(v) = 'null') AS v_is_null,
+  (trim(v) IN ('true', 'false')) AS v_is_bool,
+  (TRY_CAST(tstr AS TIMESTAMP) IS NOT NULL) AS v_is_ts,
+  (nv IS NULL OR trim(nv) = '' OR trim(nv) = '-') AS v_is_nullish,
+  CASE WHEN lower(trim(bw)) IN ('true','t','yes','y','1') THEN TRUE
+       WHEN lower(trim(bw)) IN ('false','f','no','n','0') THEN FALSE
+       ELSE NULL END AS v_to_bool,
+  CASE WHEN regexp_matches(v, '^\s*-?\d+\s*$') THEN TRY_CAST(v AS BIGINT) END AS v_to_int,
+  format('{:,}', CAST(floor(fx) AS BIGINT)) || '.' ||
+    lpad(CAST(CAST(round((fx - floor(fx)) * 100, 0) AS BIGINT) AS VARCHAR), 2, '0') AS v_fmt,
+  (contains(msg, 'evt-') AND contains(msg, '-end')) AS v_contains_all,
+  (regexp_matches(msg, 'evt-[0-4]-') OR regexp_matches(msg, 'never')) AS v_match_any,
+  (length(nv) = 0) AS v_is_empty,
+  TRY_CAST(v AS DOUBLE) AS v_to_float,
+  CAST(event_id % 7 AS VARCHAR) AS v_to_string,
+  (len(list_filter(string_split(msg, '-'), x -> regexp_matches(x, '^[0-4]$'))) > 0) AS v_match_array
+FROM t
+"""
+
+    sql["vrl_uuid_v7"] = """
+WITH t AS (
+  SELECT event_id,
+         lpad(lower(to_hex(epoch_us(ts) // 1000)), 12, '0') AS ms_hex,
+         md5(CAST(event_id AS VARCHAR)) AS h
+  FROM events
+)
+SELECT event_id,
+       substr(ms_hex, 1, 8) || '-' || substr(ms_hex, 9, 4) || '-7' ||
+       substr(h, 1, 3) || '-' ||
+       substr('89ab', ((strpos('0123456789abcdef', substr(h, 4, 1)) - 1) % 4) + 1, 1) ||
+       substr(h, 5, 3) || '-' || substr(h, 8, 12) AS uuid7
+FROM t
+"""
+
+    sql["codec_csv"] = """
+SELECT event_id, event_id AS id, event_type AS etype,
+       CAST(printf('%.2f', value) AS DOUBLE) AS v
+FROM events
+"""
+
+    sql["codec_json"] = """
+SELECT event_id, user_id AS u, event_type AS t FROM events
+"""
+
+    sql["codec_cdx"] = """
+SELECT doc_id,
+       'org,example)/p/' || CAST(doc_id AS VARCHAR) AS urlkey,
+       '20240101' || lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0') AS ts,
+       'https://example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+       'text/html' AS mime,
+       '200' AS status,
+       md5(text) AS digest,
+       CAST(n_chars AS BIGINT) AS length,
+       CAST(doc_id * 100 AS BIGINT) AS offset,
+       'crawl-00.warc.gz' AS filename
+FROM documents
+"""
+
+    # multi-match enrichment: same literal dup-keyed dim, LEFT JOIN fan-out
+    sql["codec_warc"] = """
+SELECT event_id, 0 AS idx, 'response' AS warc_type,
+       'https://crawl.example/' || CAST(event_id AS VARCHAR) AS target_uri,
+       epoch_us(date_trunc('second', ts)) AS warc_date_us,
+       'urn:uuid:id-' || CAST(event_id AS VARCHAR) AS record_id,
+       'application/json' AS content_type,
+       CAST(strlen(props) AS BIGINT) AS content_length,
+       props AS payload
+FROM events
+UNION ALL
+SELECT event_id, 1, 'metadata', NULL, NULL, NULL, NULL,
+       CAST(strlen(event_type) AS BIGINT), event_type
+FROM events
+"""
+
+
+    return sql
+
+
+QUERIES = {
+    "codec_cdx": q_codec_cdx,
+    "codec_csv": q_codec_csv,
+    "codec_framing_chardelim": q_codec_framing_chardelim,
+    "codec_framing_octet": q_codec_framing_octet,
+    "codec_influxdb": q_codec_influxdb,
+    "codec_json": q_codec_json,
+    "codec_native_json": q_codec_native_json,
+    "codec_netflow_v9": q_codec_netflow_v9,
+    "codec_warc": q_codec_warc,
+    "demo_logs_roundtrip": q_demo_logs_roundtrip,
+    "parse_aws_alb": q_parse_aws_alb,
+    "parse_aws_vpc_flow": q_parse_aws_vpc_flow,
+    "parse_dnstap": q_parse_dnstap,
+    "parse_xml": q_parse_xml,
+    "vrl_case_strings": q_vrl_case_strings,
+    "vrl_encode": q_vrl_encode,
+    "vrl_hmac": q_vrl_hmac,
+    "vrl_ip_functions": q_vrl_ip_functions,
+    "vrl_ipv6_functions": q_vrl_ipv6_functions,
+    "vrl_misc": q_vrl_misc,
+    "parse_etld": q_parse_etld,
+    "vrl_parse_grok": q_vrl_parse_grok,
+    "vrl_parse_syslog": q_vrl_parse_syslog,
+    "vrl_types": q_vrl_types,
+    "vrl_uuid_v7": q_vrl_uuid_v7,
+}

@@ -1,0 +1,100 @@
+"""BPE learn/encode tests (public recipe: Sennrich et al. 2016 §3.2).
+
+The hypothesis property checks the one-merge-per-step leftmost-best
+encoder (the DuckDB oracle's formulation) against the all-occurrences
+apply loop (bpe_encode_word) — the two are equivalent for any CONSISTENT
+learned table, which is what keeps the bpe_encode oracle hash-exact."""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from vector_spark.datapipe.bpe import (
+    _merge_all,
+    bpe_encode,
+    bpe_encode_word,
+    bpe_learn,
+    bpe_learn_py,
+)
+
+
+def test_learn_sennrich_example():
+    """The paper's classic vocabulary: es -> est -> lo -> low ... and
+    'lowest' (unseen) segments to low+est."""
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = bpe_learn_py(freqs, 4)
+    assert merges[:4] == [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert bpe_encode_word("lowest", ranks) == ["low", "est"]
+
+
+def test_learned_table_is_consistent():
+    """Any pair referencing a merged token must rank after the merge that
+    created it — the invariant the oracle's one-at-a-time encoder needs."""
+    freqs = {w: (i % 7) + 1 for i, w in enumerate(
+        ["spark", "sparks", "sparkle", "stream", "streams", "batch", "batches",
+         "the", "them", "then", "join", "joins", "joined"])}
+    merges = bpe_learn_py(freqs, 30)
+    created = {}
+    for i, (a, b) in enumerate(merges):
+        for tok in (a, b):
+            if len(tok) > 1:
+                assert tok in created and created[tok] < i, (tok, i)
+        created.setdefault(a + b, i)
+
+
+def _encode_one_at_a_time(word: str, ranks) -> list[str]:
+    """Independent model: merge ONE occurrence per step — lowest rank,
+    leftmost position (exactly the recursive-CTE oracle)."""
+    toks = list(word)
+    while True:
+        best = None
+        for i in range(len(toks) - 1):
+            r = ranks.get((toks[i], toks[i + 1]))
+            if r is not None and (best is None or r < best[0]):
+                best = (r, i)
+        if best is None:
+            return toks
+        i = best[1]
+        toks[i : i + 2] = [toks[i] + toks[i + 1]]
+
+
+words_st = st.text(alphabet=string.ascii_lowercase[:6], min_size=1, max_size=12)
+
+
+@settings(max_examples=200, deadline=None)
+@given(corpus=st.dictionaries(words_st, st.integers(1, 9), min_size=1, max_size=15),
+       probe=words_st, n=st.integers(1, 25))
+def test_encoders_agree_and_roundtrip(corpus, probe, n):
+    merges = bpe_learn_py(corpus, n)
+    ranks = {p: i for i, p in enumerate(merges)}
+    fast = bpe_encode_word(probe, ranks)
+    assert "".join(fast) == probe  # lossless
+    assert fast == _encode_one_at_a_time(probe, ranks)
+
+
+def test_merge_all_overlap():
+    assert _merge_all(tuple("aaa"), ("a", "a")) == ("aa", "a")
+    assert _merge_all(tuple("aaaa"), ("a", "a")) == ("aa", "aa")
+
+
+def test_spark_learn_and_encode(spark):
+    rows = [(1, "spark join join spark"), (2, "join the stream"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    merges = bpe_learn(df, num_merges=10)
+    # partitioning invariance: same table at different parallelism
+    merges8 = bpe_learn(df.repartition(8), num_merges=10)
+    assert merges == merges8
+    ranks = {p: i for i, p in enumerate(merges)}
+    out = {
+        r.doc_id: r.tokens
+        for r in bpe_encode(df, merges).select("doc_id", "tokens").collect()
+    }
+    want1 = []
+    for w in "spark join join spark".split():
+        want1 += bpe_encode_word(w, ranks)
+    assert out[1] == want1
+    assert out[3] is None  # null text passes through as null

@@ -50,6 +50,65 @@ def test_grok_unknown_pattern(spark):
         grok_to_regex("%{NOPE:x}")
 
 
+def test_grok_core_alias_recursive(spark):
+    """Vendored core set: %{COMBINEDAPACHELOG} expands recursively
+    (COMMONAPACHELOG -> HTTPDUSER -> EMAILADDRESS -> HOSTNAME)."""
+    line = (
+        '1.2.3.4 - frank [10/Oct/2000:13:55:36 -0700] '
+        '"GET /a?x=1 HTTP/1.1" 200 2326 "http://ref/" "Mozilla/5.0"'
+    )
+    r = one(
+        spark,
+        ("line string", (line,)),
+        parse_grok(F.col("line"), "%{COMBINEDAPACHELOG}"),
+    )
+    assert r["clientip"] == "1.2.3.4"
+    assert r["auth"] == "frank"
+    assert r["verb"] == "GET"
+    assert r["request"] == "/a?x=1"
+    assert r["response"] == "200"
+    assert r["bytes"] == "2326"
+    assert r["referrer"] == '"http://ref/"'
+    assert r["agent"] == '"Mozilla/5.0"'
+
+
+def test_grok_type_suffix_coercion(spark):
+    """:int/:float suffixes coerce (logstash grok semantics)."""
+    r = one(
+        spark,
+        ("line string", ("st=200 dur=1.25",)),
+        parse_grok(F.col("line"), "st=%{INT:st:int} dur=%{NUMBER:dur:float}"),
+    )
+    assert r["st"] == 200 and isinstance(r["st"], int)
+    assert r["dur"] == 1.25 and isinstance(r["dur"], float)
+
+
+def test_grok_core_assorted(spark):
+    cases = [
+        ("%{UUID:u}", "123e4567-e89b-12d3-a456-426614174000"),
+        ("%{MAC:u}", "aa:bb:cc:dd:ee:ff"),
+        ("%{URI:u}", "https://user@host.example:8080/p/q?x=1"),
+        ("%{TIMESTAMP_ISO8601:u}", "2024-01-02T03:04:05.678Z"),
+        ("%{HTTPDATE:u}", "10/Oct/2000:13:55:36 -0700"),
+        ("%{EMAILADDRESS:u}", "a.b+c@example.co.uk"),
+        ("%{DATESTAMP_RFC2822:u}", "Tue, 02 Jan 2024 03:04:05 +00:00"),
+    ]
+    for pat, s in cases:
+        r = one(spark, ("line string", (s,)), parse_grok(F.col("line"), pat))
+        assert r["u"] == s, (pat, s, r["u"])
+
+
+def test_grok_cycle_guard():
+    from vector_spark.functions.parse import GROK_PATTERNS
+
+    GROK_PATTERNS["_SELFREF"] = "x%{_SELFREF}y"
+    try:
+        with pytest.raises(ValueError, match="16 levels"):
+            grok_to_regex("%{_SELFREF}")
+    finally:
+        del GROK_PATTERNS["_SELFREF"]
+
+
 def test_parse_common_log(spark):
     line = '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /apache_pb.gif HTTP/1.0" 200 2326'
     r = one(spark, ("line string", (line,)), parse_common_log(F.col("line")))

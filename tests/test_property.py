@@ -599,7 +599,9 @@ def test_robots_filter_matches_reference_model(spark, rules, paths):
 @settings(**SETTINGS)
 def test_semantic_dedup_matches_reference_model(spark, vecs):
     """Cluster assignment + prune rule equal a NumPy-free python model with
-    the same round-half-up 6-decimal cosine convention."""
+    the same round-half-up 6-decimal cosine convention. Pinned to the
+    seed-centroid path (lloyd_rounds=0); the Lloyd-refined default is
+    covered by test_lloyd.py and the semantic_dedup oracle."""
     from decimal import ROUND_HALF_UP, Decimal
 
     from vector_spark.datapipe import semantic_dedup
@@ -610,7 +612,10 @@ def test_semantic_dedup_matches_reference_model(spark, vecs):
     rows = [(i, [float(a), float(b)]) for i, (a, b) in enumerate(vecs)]
     k = 2
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    got = {r.vec_id: (r.cluster, r.keep) for r in semantic_dedup(df, 0.9, n_centroids=k).collect()}
+    got = {
+        r.vec_id: (r.cluster, r.keep)
+        for r in semantic_dedup(df, 0.9, n_centroids=k, lloyd_rounds=0).collect()
+    }
 
     import math
 

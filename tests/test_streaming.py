@@ -425,3 +425,78 @@ def test_stream_incremental_dedup_equals_batch(spark, tmp_path):
     assert got == batch
     assert sorted((r.doc_id, r.novel, r.dup_of) for r in spark.sql(
         "select * from inc_dedup").collect()) == [(10, False, 1), (11, True, None), (12, False, 3)]
+
+
+def test_stream_incremental_dedup_near_tier(spark, tmp_path):
+    """near=True streaming twin equals the batch near tier under
+    availableNow — same minhash family, exact tier precedence — including
+    a corpus UPDATE between micro-batches (static side re-planned on
+    resume picks up the new corpus rows)."""
+    from vector_spark.datapipe import incremental_dedup
+    from vector_spark.streaming import stream_incremental_dedup
+
+    corpus_path = str(tmp_path / "corpus_docs")
+    delta_path = str(tmp_path / "near_delta")
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over dogs"), (2, "completely different words here")],
+        "doc_id long, text string",
+    ).write.parquet(corpus_path)
+    spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over dogs"),   # exact dup of 1
+            (11, "the quick brown fox jumps over cats"),   # near dup of 1
+            (12, "nothing like anything in the corpus at all"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(delta_path)
+
+    schema = spark.read.parquet(delta_path).schema
+
+    sink_path = str(tmp_path / "near_sink")
+
+    def run_stream():
+        # parquet sink: supports checkpoint RESUME (memory sink does not),
+        # which the corpus-update case below depends on
+        sdf = stream_incremental_dedup(
+            spark.readStream.schema(schema).parquet(delta_path),
+            spark.read.parquet(corpus_path),
+            near=True,
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", sink_path)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_near"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return {
+            r.doc_id: (r.novel, r.dup_of)
+            for r in spark.read.parquet(sink_path).collect()
+        }
+
+    got = run_stream()
+    batch = {
+        r.doc_id: (r.novel, r.dup_of)
+        for r in incremental_dedup(
+            spark.read.parquet(delta_path), spark.read.parquet(corpus_path), near=True
+        ).collect()
+    }
+    assert got == batch
+    assert got[10] == (False, 1)      # exact tier
+    assert got[11] == (False, 1)      # near tier
+    assert got[12] == (True, None)
+
+    # corpus update between micro-batches: a new corpus doc arrives AND a
+    # new delta file lands; resuming the same checkpoint must classify the
+    # new delta doc against the UPDATED corpus
+    spark.createDataFrame(
+        [(3, "nothing like anything in the corpus at most")],  # near of 13
+        "doc_id long, text string",
+    ).write.mode("append").parquet(corpus_path)
+    spark.createDataFrame(
+        [(13, "nothing like anything in the corpus at most")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(delta_path)
+    got2 = run_stream()  # only the NEW delta file is processed (append)
+    assert got2 == {**got, 13: (False, 3)}

@@ -481,3 +481,53 @@ def test_netflow_transform_streaming_uses_template_cache(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "nfs_out")).collect()
     assert len(out) == 1
     assert dict(out[0].fields)["ipv4_src_addr"] == "10.0.0.5"
+
+
+def test_kind_typecheck_metric_into_log_transform():
+    """log_to_metric produces metrics; feeding them into log-only
+    log_to_metric again (or any log-only transform) must fail at
+    compile(), before any Spark job — graph.rs:219-242 analogue."""
+    spec = {
+        "sources": {"e": {"type": "inline", "rows": [], "schema": "x int"}},
+        "transforms": {
+            "m": {"type": "log_to_metric", "inputs": ["e"], "metrics": []},
+            "bad": {"type": "reduce", "inputs": ["m"], "group_by": ["x"]},
+        },
+    }
+    with pytest.raises(TopologyError, match="Data type mismatch between m"):
+        compile_topology(spec)
+
+
+def test_kind_typecheck_log_into_metric_to_log():
+    spec = {
+        "sources": {"e": {"type": "inline", "rows": [], "schema": "x int"}},
+        "transforms": {"bad": {"type": "metric_to_log", "inputs": ["e"]}},
+    }
+    with pytest.raises(TopologyError, match="Data type mismatch between e"):
+        compile_topology(spec)
+
+
+def test_kind_typecheck_source_data_kind_and_intersects():
+    """A source may declare data_kind: metric; kind-preserving transforms
+    (route) pass it through, and the edge check uses INTERSECTS semantics
+    (a route fed log+metric may feed both a log-only and a metric-only
+    consumer)."""
+    spec = {
+        "sources": {
+            "logs": {"type": "inline", "rows": [], "schema": "x int"},
+            "mets": {"type": "inline", "rows": [], "schema": "x int", "data_kind": "metric"},
+        },
+        "transforms": {
+            "both": {"type": "route", "inputs": ["logs", "mets"], "routes": {}},
+            "log_side": {"type": "reduce", "inputs": ["both"], "group_by": ["x"]},
+            "met_side": {"type": "tag_cardinality_limit", "inputs": ["both"], "limit": 1},
+        },
+    }
+    compile_topology(spec)  # all edges intersect -> no error
+    # but a pure-metric source into a log-only transform still fails
+    spec_bad = {
+        "sources": {"mets": {"type": "inline", "rows": [], "schema": "x int", "data_kind": "metric"}},
+        "transforms": {"bad": {"type": "dedupe", "inputs": ["mets"], "fields": ["x"]}},
+    }
+    with pytest.raises(TopologyError, match="mismatch"):
+        compile_topology(spec_bad)

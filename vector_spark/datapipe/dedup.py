@@ -323,24 +323,31 @@ def dedup_ladder(
     )
 
 
+def band_key_cols(sh: Column, num_hashes: int, band_size: int) -> list[Column]:
+    """One md5 band key per LSH band over a shingle-array column — THE hash
+    family (md5('i|shingle') minhash, md5 of the '|'-joined band) shared by
+    minhash_lsh_pairs, incremental_dedup, and the streaming twin
+    (streaming/ops.py::stream_incremental_dedup), so their buckets are
+    interchangeable."""
+    mhs = [_minhash(sh, i) for i in range(num_hashes)]
+    return [
+        F.md5(
+            F.concat_ws("|", *[mhs[b * band_size + j] for j in range(band_size)]).cast(
+                "binary"
+            )
+        )
+        for b in range(num_hashes // band_size)
+    ]
+
+
 def _band_buckets(
     docs: DataFrame, num_hashes: int, band_size: int
 ) -> DataFrame:
-    """(doc, sh) -> (doc, band_key): the banded-LSH bucket rows, identical
-    hash family to minhash_lsh_pairs (md5('i|shingle') minhash, md5 of the
-    '|'-joined band)."""
-    mh = docs.select(
-        "doc", *[_minhash(F.col("sh"), i).alias(f"mh{i}") for i in range(num_hashes)]
+    """(doc, sh) -> (doc, band_key): the banded-LSH bucket rows."""
+    bands = band_key_cols(F.col("sh"), num_hashes, band_size)
+    return docs.select(
+        "doc", F.explode(F.array_distinct(F.array(*bands))).alias("band_key")
     )
-    bands = [
-        F.md5(
-            F.concat_ws(
-                "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
-            ).cast("binary")
-        ).alias("band_key")
-        for b in range(num_hashes // band_size)
-    ]
-    return mh.select("doc", F.explode(F.array_distinct(F.array(*bands))).alias("band_key"))
 
 
 def incremental_dedup(

@@ -10,8 +10,9 @@ Everything is a chain of regexp_replace / literal-replace COLUMN
 expressions — JVM whole-stage codegen, scan-speed, no UDF, no shuffle.
 Patterns are held to the Java-regex ∩ RE2 common subset ((?is) flags,
 non-greedy, char classes; no lookaround, no backrefs) so the DuckDB oracle
-runs the IDENTICAL pattern list verbatim; `__spark_entry__._html_text_sql`
-is generated from the constants below, so Spark and oracle cannot drift.
+runs the IDENTICAL pattern list verbatim;
+`entry_queries.oracle_helpers._html_text_sql` is generated from the
+constants below, so Spark and oracle cannot drift.
 
 Steps (each a public constant so the oracle builder imports them):
   1. DROP_PATTERNS — script/style blocks and HTML comments vanish whole.

@@ -33,6 +33,97 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _argmax_centroid(cents_row: DataFrame, base: DataFrame) -> DataFrame:
+    """Assign every `base` row (_id, _v, _n) to its nearest centroid via a
+    NARROW expression fold over the one collected centroid row (zero
+    assignment exchanges): max rounded-6 cosine, tie -> lowest cid.
+    `cents_row` is a single-row frame with `_cents: array<struct>`."""
+
+    def _fold(acc, c):
+        cs = F.round(_dot(F.col("_v"), c["_cv"]) / (F.col("_n") * c["_cn"]), 6)
+        better = (cs > acc["cs"]) | ((cs == acc["cs"]) & (c["_cid"] < acc["cid"]))
+        return F.when(better, F.struct(cs.alias("cs"), c["_cid"].alias("cid"))).otherwise(acc)
+
+    best = F.aggregate(
+        F.col("_cents"),
+        F.struct(F.lit(-2.0).cast("double").alias("cs"), F.lit(-1).cast("long").alias("cid")),
+        _fold,
+    )
+    return (
+        base.join(broadcast(cents_row))
+        .withColumn("_best", best)
+        .select(
+            "_id", "_v", "_n",
+            F.col("_best.cid").alias("cluster"),
+            F.col("_best.cs").alias("cos_centroid"),
+        )
+    )
+
+
+def _collect_cents_row(cents: DataFrame) -> DataFrame:
+    return cents.groupBy().agg(
+        F.collect_list(F.struct("_cid", "_cv", "_cn")).alias("_cents")
+    )
+
+
+def lloyd_centroids(
+    base: DataFrame, n_centroids: int, rounds: int = 1
+) -> DataFrame:
+    """Deterministic k-means centroids: seeds = the `n_centroids` LOWEST-id
+    vectors present, then `rounds` Lloyd updates — each recomputes every
+    centroid as the per-dimension mean of its assigned vectors
+    (DECIMAL(25,6)-exact sums / exact count, so both engines produce the
+    identical double) and keeps the SEED vector for a cluster that captured
+    nothing (only possible when two seeds are identical). Cluster labels
+    stay the seed ids, so downstream contracts are unchanged.
+
+    Why: lowest-id seeds can all land in one dense region; one update
+    materially improves cluster BALANCE — the quantity that bounds per-task
+    pairwise work in semantic_dedup and probe fan-in in IVF — at zero
+    determinism cost (VERDICT_r3 item 7).
+
+    Scale: per round, ONE extra exchange pair — posexplode to
+    (cluster, dim, val) with map-side partial aggregation (each partition
+    ships at most n_centroids x dims partials), then an n_centroids-row
+    rollup. Assignment itself stays a narrow fold.
+
+    `base` columns: _id, _v (array<double>), _n (norm). Returns
+    (_cid, _cv, _cn)."""
+    seeds = base.orderBy("_id").limit(n_centroids).select(
+        F.col("_id").alias("_cid"), F.col("_v").alias("_cv"), F.col("_n").alias("_cn")
+    )
+    cents = seeds
+    for _ in range(rounds):
+        cells = _argmax_centroid(_collect_cents_row(cents), base)
+        means = (
+            cells.select("cluster", F.posexplode("_v").alias("_pos", "_val"))
+            .groupBy("cluster", "_pos")
+            .agg(
+                (
+                    F.sum(F.col("_val").cast("decimal(25,6)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("_m")
+            )
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
+                    lambda s: s["_m"],
+                ).alias("_mv")
+            )
+        )
+        nv = F.coalesce(F.col("_mv"), F.col("_cv"))
+        cents = (
+            seeds.join(means, seeds["_cid"] == means["cluster"], "left")
+            .select(
+                "_cid",
+                nv.alias("_cv"),
+                F.sqrt(_dot(nv, nv)).alias("_cn"),
+            )
+        )
+    return cents
+
+
 def cosine_topk(
     df: DataFrame,
     query_ids: list[int] | Column,
@@ -151,19 +242,21 @@ def ivf_ann_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lloyd_rounds: int = 1,
 ) -> DataFrame:
-    """IVF-flat ANN: deterministic centroid seeds (the `n_centroids`
-    lowest-id vectors present — no trained model, fully reproducible), every vector
-    assigned to its nearest centroid (one broadcast pass), queries probe
-    their `n_probe` nearest cells. Recall < 1; candidate set shrinks
+    """IVF-flat ANN: deterministic centroids — the `n_centroids` lowest-id
+    vectors as seeds, refined by `lloyd_rounds` deterministic Lloyd updates
+    (lloyd_centroids: DECIMAL-exact means, fully reproducible) — every
+    vector assigned to its nearest centroid (one broadcast pass), queries
+    probe their `n_probe` nearest cells. Recall < 1; candidate set shrinks
     ~n_probe/n_centroids. All cell assignment is JVM-side exprs; at 100 TB
     the assignment pass is scan-speed and the probe join is a broadcast of
     (query x probed-cell) pairs."""
     base = df.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
     base = base.withColumn("_n", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
-    cents = base.orderBy("_id").limit(n_centroids).select(
-        F.col("_id").alias("_cid"), F.col("_v").alias("_cv"), F.col("_n").alias("_cn")
-    )
+    # seeds refined by one deterministic Lloyd round (cluster balance bounds
+    # probe fan-in; labels stay the seed ids)
+    cents = lloyd_centroids(base, n_centroids, rounds=lloyd_rounds)
     # nearest centroid per vector: max cosine, tie-break lowest centroid id
     sims = base.join(broadcast(cents), how="cross").select(
         "_id", "_v", "_n", "_cid",
@@ -289,6 +382,7 @@ def semantic_dedup(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lloyd_rounds: int = 1,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
     embedding clustering — cluster every vector to its nearest centroid,
@@ -301,9 +395,11 @@ def semantic_dedup(
 
     Deviations from the paper, for determinism + oracle replay (the repo
     convention used by every dedup tier, see dedup.py::exact_dedup):
-    centroids are the `n_centroids` LOWEST-id vectors actually present
+    centroid seeds are the `n_centroids` LOWEST-id vectors actually present
     (a global ids-only top-k — no assumption that ids start at 0; same
-    seeding as ivf_ann_topk), and the kept representative is
+    seeding as ivf_ann_topk) refined by `lloyd_rounds` deterministic Lloyd
+    updates (lloyd_centroids: DECIMAL-exact per-dimension means, replayable
+    in any engine), and the kept representative is
     the LOWEST id in a duplicate relation (the paper keeps the lowest
     centroid-similarity example). Cosines round to 6 decimals before every
     comparison so ordering is stable across engines/float paths.
@@ -323,32 +419,10 @@ def semantic_dedup(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
     )
     base = base.withColumn("_n", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
-    cents_row = (
-        base.orderBy("_id").limit(n_centroids)
-        .select(F.col("_id").alias("_cid"), F.col("_v").alias("_cv"), F.col("_n").alias("_cn"))
-        .groupBy()
-        .agg(F.collect_list(F.struct("_cid", "_cv", "_cn")).alias("_cents"))
-    )
-
-    def _fold(acc, c):
-        cs = F.round(_dot(F.col("_v"), c["_cv"]) / (F.col("_n") * c["_cn"]), 6)
-        better = (cs > acc["cs"]) | ((cs == acc["cs"]) & (c["_cid"] < acc["cid"]))
-        return F.when(better, F.struct(cs.alias("cs"), c["_cid"].alias("cid"))).otherwise(acc)
-
-    best = F.aggregate(
-        F.col("_cents"),
-        F.struct(F.lit(-2.0).cast("double").alias("cs"), F.lit(-1).cast("long").alias("cid")),
-        _fold,
-    )
-    cells = (
-        base.join(broadcast(cents_row))
-        .withColumn("_best", best)
-        .select(
-            "_id", "_v", "_n",
-            F.col("_best.cid").alias("cluster"),
-            F.col("_best.cs").alias("cos_centroid"),
-        )
-    )
+    # seeds + deterministic Lloyd refinement (cluster balance bounds the
+    # per-task pairwise work below); assignment stays a narrow fold
+    cents_row = _collect_cents_row(lloyd_centroids(base, n_centroids, rounds=lloyd_rounds))
+    cells = _argmax_centroid(cents_row, base)
     a = cells.select(F.col("cluster").alias("_ca"), F.col("_id").alias("_ida"),
                      F.col("_v").alias("_va"), F.col("_n").alias("_na"))
     b = cells.select(F.col("cluster").alias("_cb"), F.col("_id").alias("_idb"),

@@ -23,8 +23,9 @@ from pyspark.sql import functions as F
 TRACKING_KEYS = ("gclid", "fbclid", "msclkid", "mc_cid", "mc_eid")
 
 # second-level labels that make a 3-label registrable domain under a
-# 2-letter ccTLD (the common public-suffix heuristic; the full PSL is a
-# broadcast table in production — same plan shape, bigger dim)
+# 2-letter ccTLD — the zero-join fast path. For exact registrable domains
+# pass `psl=functions.psl.psl_dim(spark)` to url_filter: the FULL public
+# suffix list as a broadcast join ladder (still zero shuffles).
 _CC_SLD = ("co", "com", "net", "org", "gov", "ac", "edu")
 
 
@@ -92,6 +93,7 @@ def url_filter(
     blocklist: DataFrame | None = None,
     url_col: str = "url",
     id_col: str = "doc_id",
+    psl: DataFrame | None = None,
 ) -> DataFrame:
     """Canonicalize + flag every row:
 
@@ -110,6 +112,15 @@ def url_filter(
     out = df.select(
         F.col(id_col), *[v.alias(k) for k, v in e.items() if k in ("url_norm", "host", "domain")]
     )
+    if psl is not None:
+        # full-PSL registrable domain (eTLD+1) replaces the 2-level
+        # heuristic: the broadcast join ladder of functions/psl.py — still
+        # zero shuffles, so the plan shape below is unchanged
+        from ..functions.psl import parse_etld_psl
+
+        out = parse_etld_psl(out, "host", psl, plus_parts=1).withColumn(
+            "domain", F.col("etld_plus")
+        ).drop("etld", "etld_plus", "known_suffix")
     if blocklist is not None:
         b = blocklist.select(F.col("domain").alias("_bdom"), F.lit(True).alias("_blocked"))
         out = (

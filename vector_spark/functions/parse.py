@@ -45,34 +45,123 @@ GROK_PATTERNS: dict[str, str] = {
     "URIPARAM": r"\?\S*",
 }
 
-_GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?\}")
+# The standard grok core pattern set (public: logstash-patterns-core
+# "grok-patterns", Apache-2.0; the reference resolves the same names via
+# the grok crate's built-ins — src/transforms uses VRL parse_grok/
+# parse_groks). Bodies are faithful to the standard set, restricted to the
+# Java∩Python regex subset this repo requires (no atomic groups — plain
+# groups behave identically on these grammars). Names already present in
+# GROK_PATTERNS above keep their (simpler) bodies.
+GROK_CORE: dict[str, str] = {
+    "BASE10NUM": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
+    "BASE16NUM": r"(?:0[xX])?[0-9a-fA-F]+",
+    "NONNEGINT": r"\d+",
+    "SPACE": r"\s*",
+    "QUOTEDSTRING": r"\"[^\"]*\"|'[^']*'",
+    "UUID": r"[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",
+    "COMMONMAC": r"(?:[0-9a-fA-F]{2}:){5}[0-9a-fA-F]{2}",
+    "CISCOMAC": r"(?:[0-9a-fA-F]{4}\.){2}[0-9a-fA-F]{4}",
+    "WINDOWSMAC": r"(?:[0-9a-fA-F]{2}-){5}[0-9a-fA-F]{2}",
+    "MAC": r"%{CISCOMAC}|%{WINDOWSMAC}|%{COMMONMAC}",
+    "IPV4": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "IPV6": r"[0-9a-fA-F:.]{2,45}",
+    "HOSTPORT": r"%{IPORHOST}:%{POSINT}",
+    "UNIXPATH": r"(?:/[\w.$%+-]*)+",
+    "WINPATH": r"(?:[A-Za-z]:|\\)(?:\\[^\\?*]*)+",
+    "PATH": r"%{UNIXPATH}|%{WINPATH}",
+    "TTY": r"/dev/(?:pts|tty(?:[pq])?)(?:\w+)?/?(?:[0-9]+)",
+    "URIPROTO": r"[A-Za-z]+(?:\+[A-Za-z+]+)?",
+    "URIHOST": r"%{IPORHOST}(?::%{POSINT})?",
+    "URIPATHPARAM": r"%{URIPATH}(?:%{URIPARAM})?",
+    "URI": r"%{URIPROTO}://(?:%{USER}(?::[^@]*)?@)?(?:%{URIHOST})?(?:%{URIPATHPARAM})?",
+    "MONTH": r"\b(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|Jun(?:e)?|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|Nov(?:ember)?|Dec(?:ember)?)\b",
+    "MONTHNUM": r"0?[1-9]|1[0-2]",
+    "MONTHNUM2": r"0[1-9]|1[0-2]",
+    "MONTHDAY": r"(?:0[1-9])|(?:[12][0-9])|(?:3[01])|[1-9]",
+    "DAY": r"Mon(?:day)?|Tue(?:sday)?|Wed(?:nesday)?|Thu(?:rsday)?|Fri(?:day)?|Sat(?:urday)?|Sun(?:day)?",
+    "YEAR": r"(?:\d\d){1,2}",
+    "HOUR": r"2[0123]|[01]?[0-9]",
+    "MINUTE": r"[0-5][0-9]",
+    "SECOND": r"(?:[0-5][0-9]|60)(?:[:.,][0-9]+)?",
+    "TIME": r"%{HOUR}:%{MINUTE}(?::%{SECOND})?",
+    "DATE_US": r"%{MONTHNUM}[/-]%{MONTHDAY}[/-]%{YEAR}",
+    "DATE_EU": r"%{MONTHDAY}[./-]%{MONTHNUM}[./-]%{YEAR}",
+    "ISO8601_TIMEZONE": r"Z|[+-]%{HOUR}(?::?%{MINUTE})",
+    "ISO8601_SECOND": r"%{SECOND}",
+    "DATE": r"%{DATE_US}|%{DATE_EU}",
+    "DATESTAMP": r"%{DATE}[- ]%{TIME}",
+    "TZ": r"[A-Z]{3,4}",
+    "DATESTAMP_RFC822": r"%{DAY} %{MONTH} %{MONTHDAY} %{YEAR} %{TIME} %{TZ}",
+    "DATESTAMP_RFC2822": r"%{DAY}, %{MONTHDAY} %{MONTH} %{YEAR} %{TIME} %{ISO8601_TIMEZONE}",
+    "DATESTAMP_OTHER": r"%{DAY} %{MONTH} %{MONTHDAY} %{TIME} %{TZ} %{YEAR}",
+    "DATESTAMP_EVENTLOG": r"\d{14}",
+    "PROG": r"[\x21-\x5a\x5c\x5e-\x7e]+",
+    "SYSLOGPROG": r"%{PROG:program}(?:\[%{POSINT:pid}\])?",
+    "SYSLOGHOST": r"%{IPORHOST}",
+    "SYSLOGFACILITY": r"<%{NONNEGINT:facility}.%{NONNEGINT:priority}>",
+    "EMAILLOCALPART": r"[a-zA-Z0-9!#$%&'*+\-/=?^_`{|}~]{1,64}(?:\.[a-zA-Z0-9!#$%&'*+\-/=?^_`{|}~]{1,62}){0,63}",
+    "EMAILADDRESS": r"%{EMAILLOCALPART}@%{HOSTNAME}",
+    "HTTPDUSER": r"%{EMAILADDRESS}|%{USER}",
+    "COMMONAPACHELOG": (
+        r"%{IPORHOST:clientip} %{HTTPDUSER:ident} %{HTTPDUSER:auth} "
+        r"\[%{HTTPDATE:timestamp}\] \"(?:%{WORD:verb} %{NOTSPACE:request}"
+        r"(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})\" "
+        r"%{NUMBER:response} (?:%{NUMBER:bytes}|-)"
+    ),
+    "COMBINEDAPACHELOG": r"%{COMMONAPACHELOG} %{QS:referrer} %{QS:agent}",
+    "HTTPD_ERRORLOG": (
+        r"\[%{DAY} %{MONTH} %{MONTHDAY} %{TIME} %{YEAR}\] "
+        r"\[%{LOGLEVEL:loglevel}\] (?:\[client %{IPORHOST:clientip}\] )?%{GREEDYDATA:message}"
+    ),
+}
+GROK_PATTERNS.update({k: v for k, v in GROK_CORE.items() if k not in GROK_PATTERNS})
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?(?::(int|float))?\}")
+_GROK_MAX_DEPTH = 16
 
 
-def grok_to_regex(pattern: str) -> str:
-    """Expand %{NAME:field} / %{NAME} references into a single regex with
-    named capture groups (the reference compiles grok the same way)."""
+def grok_to_regex(pattern: str, types: dict[str, str] | None = None) -> str:
+    """Expand %{NAME:field} / %{NAME} / %{NAME:field:int|float} references
+    into a single regex with named capture groups, recursively (core
+    patterns reference each other, e.g. COMBINEDAPACHELOG ->
+    COMMONAPACHELOG -> HTTPDUSER -> EMAILADDRESS). `types` (optional dict)
+    collects field -> coercion suffix for the caller. The reference
+    compiles grok the same way (grok crate)."""
 
     def sub(m: re.Match) -> str:
-        name, field = m.group(1), m.group(2)
+        name, field, typ = m.group(1), m.group(2), m.group(3)
         if name not in GROK_PATTERNS:
             raise ValueError(f"unknown grok pattern %{{{name}}}")
         body = GROK_PATTERNS[name]
+        if field and types is not None and typ:
+            types[field] = typ
         return f"(?P<{field}>{body})" if field else f"(?:{body})"
 
-    return _GROK_REF.sub(sub, pattern)
+    for _ in range(_GROK_MAX_DEPTH):
+        expanded = _GROK_REF.sub(sub, pattern)
+        if expanded == pattern:
+            return expanded
+        pattern = expanded
+    raise ValueError("grok pattern nests deeper than 16 levels (cycle?)")
 
 
 def parse_grok(col: Column, pattern: str) -> dict[str, Column]:
-    """VRL parse_grok: grok pattern -> {field: Column}."""
+    """VRL parse_grok: grok pattern -> {field: Column}; `:int`/`:float`
+    type suffixes coerce the extracted column."""
     from .vrl import java_regex
 
-    regex = grok_to_regex(pattern)
+    types: dict[str, str] = {}
+    regex = grok_to_regex(pattern, types)
     compiled = re.compile(regex)
     jp = java_regex(regex)
-    return {
-        name: F.regexp_extract(col, jp, idx)
-        for name, idx in compiled.groupindex.items()
-    }
+    casts = {"int": "long", "float": "double"}
+    out = {}
+    for name, idx in compiled.groupindex.items():
+        c = F.regexp_extract(col, jp, idx)
+        if name in types:
+            c = c.cast(casts[types[name]])
+        out[name] = c
+    return out
 
 
 # --- well-known log formats ------------------------------------------------

@@ -1,0 +1,160 @@
+"""Public Suffix List — full-PSL registrable-domain / eTLD extraction.
+
+The reference's VRL ``parse_etld`` resolves eTLD / eTLD+N against the
+public suffix list (website/cue/reference/remap/functions/parse_etld.cue;
+default list publicsuffix.org/list/public_suffix_list.dat, overridable via
+the ``psl`` argument). This module implements the published PSL algorithm
+(publicsuffix.org/list/ — longest matching rule wins; ``*`` matches exactly
+one label; ``!exception`` rules beat wildcards and strip their leftmost
+label; no match ⇒ implicit ``*`` default) over the vendored list at
+``vector_spark/data/public_suffix_list.dat`` (public domain data, MPL-2.0,
+fetched from the Debian ``publicsuffix`` package — NOT from the reference).
+
+Spark-first shape — a broadcast JOIN LADDER, not a UDF and not an explode:
+for each rule depth k (PSL max is 5) the fact side derives one suffix key
+(``substring_index(host, '.', -k)``) and one wildcard key
+(``'*.' || substring_index(host, '.', -(k-1))``) and left-joins the
+broadcast rules dim filtered to depth k. Every join is a map-side broadcast
+hash join inside the scan stage: ZERO shuffles, zero Python, O(depths)
+probes per row. The alternative (explode candidates + groupBy max) costs a
+full fact-side shuffle at 100 TB; the ladder costs none.
+
+Hosts are matched as lowercase label strings; IDN hosts must be in the same
+form as the list (unicode). Punycode hosts can be pre-decoded with
+``functions.strings.decode_punycode``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+PSL_PATH = Path(__file__).resolve().parent.parent / "data" / "public_suffix_list.dat"
+
+
+def load_psl_rules(
+    path: str | Path | None = None,
+    sections: tuple[str, ...] = ("icann", "private"),
+) -> list[tuple[str, int, bool]]:
+    """Parse a public_suffix_list.dat into [(rule, labels, is_exception)].
+    ``rule`` keeps its ``*.`` prefix for wildcards but drops the ``!`` of
+    exceptions; ``labels`` is the rule depth (``*`` counts as one label).
+    ``sections`` selects the ICANN and/or PRIVATE blocks of the file."""
+    text = Path(path or PSL_PATH).read_text(encoding="utf-8")
+    rules: list[tuple[str, int, bool]] = []
+    section = None
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        if line.startswith("//"):
+            if "===BEGIN ICANN DOMAINS===" in line:
+                section = "icann"
+            elif "===BEGIN PRIVATE DOMAINS===" in line:
+                section = "private"
+            elif "===END" in line:
+                section = None
+            continue
+        if section not in sections:
+            continue
+        is_exc = line.startswith("!")
+        rule = line[1:] if is_exc else line
+        rule = rule.lower()
+        rules.append((rule, rule.count(".") + 1, is_exc))
+    return rules
+
+
+def psl_dim(
+    spark: SparkSession,
+    path: str | Path | None = None,
+    sections: tuple[str, ...] = ("icann", "private"),
+) -> DataFrame:
+    """The PSL as a broadcastable rules dim: (rule, labels, is_exception,
+    is_wildcard). ~9.7k rows — kilobytes on the wire at any scale."""
+    rows = [(r, n, e, r.startswith("*.")) for r, n, e in load_psl_rules(path, sections)]
+    return spark.createDataFrame(
+        rows, "rule string, labels int, is_exception boolean, is_wildcard boolean"
+    )
+
+
+def parse_etld_psl(
+    df: DataFrame,
+    host_col: str,
+    psl: DataFrame,
+    plus_parts: int = 0,
+    out_prefix: str = "",
+) -> DataFrame:
+    """VRL parse_etld over the full PSL: adds ``etld``, ``etld_plus`` and
+    ``known_suffix`` columns (cue semantics: unknown suffix falls back to
+    the implicit ``*`` rule — last label — with known_suffix=false;
+    ``plus_parts=N`` keeps N extra labels, clipped to the host length).
+
+    Implementation: the broadcast join ladder described in the module
+    docstring. The rules dim is collapsed driver-side into per-depth
+    subsets so each rung broadcasts only its depth's rows."""
+    rules = psl.select("rule", "labels", "is_exception", "is_wildcard")
+    depths = [r.labels for r in rules.select("labels").distinct().collect()]
+    host = F.lower(F.regexp_replace(F.col(host_col), r"\.$", ""))
+    out = df.withColumn("_psl_host", host).withColumn(
+        "_psl_n", F.size(F.split(F.col("_psl_host"), r"\."))
+    )
+    exc_cols: list[Column] = []
+    norm_cols: list[Column] = []
+    for k in sorted(depths):
+        sub = broadcast(
+            rules.filter(F.col("labels") == k).select(
+                F.col("rule").alias(f"_r{k}"), F.col("is_exception").alias(f"_e{k}")
+            )
+        )
+        exact_key = F.when(
+            F.col("_psl_n") >= k, F.substring_index("_psl_host", ".", -k)
+        )
+        out = out.join(sub, exact_key == F.col(f"_r{k}"), "left")
+        # wildcard rung: '*' consumes one real host label, so the host needs
+        # >= k labels and the key is '*.'+ the trailing k-1
+        sub_w = broadcast(
+            rules.filter((F.col("labels") == k) & F.col("is_wildcard")).select(
+                F.col("rule").alias(f"_w{k}")
+            )
+        )
+        if k >= 2:
+            wild_key = F.when(
+                F.col("_psl_n") >= k,
+                F.concat(F.lit("*."), F.substring_index("_psl_host", ".", -(k - 1))),
+            )
+            out = out.join(sub_w, wild_key == F.col(f"_w{k}"), "left")
+            norm_cols.append(F.when(F.col(f"_w{k}").isNotNull(), F.lit(k)))
+        exc_cols.append(
+            F.when(F.col(f"_r{k}").isNotNull() & F.col(f"_e{k}"), F.lit(k - 1))
+        )
+        norm_cols.append(
+            F.when(F.col(f"_r{k}").isNotNull() & ~F.col(f"_e{k}"), F.lit(k))
+        )
+    # exceptions beat wildcards; otherwise longest match; else default '*'
+    exc_len = F.greatest(*exc_cols) if len(exc_cols) > 1 else exc_cols[0]
+    norm_len = F.greatest(*norm_cols) if len(norm_cols) > 1 else norm_cols[0]
+    known = exc_len.isNotNull() | norm_len.isNotNull()
+    ps_len = F.coalesce(exc_len, norm_len, F.lit(1))
+    # dynamic label counts -> slice the label array (substring_index only
+    # takes a literal count)
+    labels = F.split(F.col("_psl_host"), r"\.")
+    n = F.col("_psl_n")
+    plus_len = F.least(ps_len + F.lit(plus_parts), n)
+    p = out_prefix
+    out = (
+        out.withColumn(p + "etld", F.array_join(F.slice(labels, n - ps_len + 1, ps_len), "."))
+        .withColumn(
+            p + "etld_plus",
+            F.array_join(F.slice(labels, n - plus_len + 1, plus_len), "."),
+        )
+        .withColumn(p + "known_suffix", known)
+    )
+    drop = ["_psl_host", "_psl_n"]
+    for k in sorted(depths):
+        drop += [f"_r{k}", f"_e{k}"]
+        if k >= 2:
+            drop.append(f"_w{k}")
+    return out.drop(*drop)

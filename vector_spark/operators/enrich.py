@@ -109,6 +109,7 @@ def enrich_ip_range(
     prefix_bits: int = 16,
     numeric: bool = False,
     select: list[str] | None = None,
+    fact_numeric: bool | None = None,
 ) -> DataFrame:
     """GeoIP-style IP-range lookup — the broadcast analogue of the
     reference's geoip/mmdb enrichment tables
@@ -142,8 +143,13 @@ def enrich_ip_range(
         "_blk", F.explode(F.sequence(F.shiftright("_s", shift), F.shiftright("_e", shift)))
     )
     f = df.alias("f")
+    # fact_numeric lets a numeric dim (e.g. decoded .mmdb leaves) join a
+    # dotted-string fact column without materializing a converted dim
+    fact_numeric = numeric if fact_numeric is None else fact_numeric
     ip_int = (
-        F.col(f"f.{ip_col}").cast("long") if numeric else ip_aton(F.col(f"f.{ip_col}"))
+        F.col(f"f.{ip_col}").cast("long")
+        if fact_numeric
+        else ip_aton(F.col(f"f.{ip_col}"))
     )
     cond = (F.shiftright(ip_int, shift) == F.col("_blk")) & ip_int.between(
         F.col("_s"), F.col("_e")

@@ -620,28 +620,96 @@ def stream_incremental_dedup(
     corpus: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    near: bool = False,
+    num_hashes: int = 6,
+    band_size: int = 2,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
 ) -> DataFrame:
-    """Streaming twin of datapipe.incremental_dedup's EXACT tier: a stream
-    of new docs LEFT-joins (stream-static, append-safe, no watermark
-    needed) the batch corpus's md5 -> min(id) lookup. The near tier's
-    global min-per-delta-doc aggregation needs the batch path — same
-    deferral pattern as stream_reduce_sessions' first/last note.
+    """Streaming twin of datapipe.incremental_dedup: a stream of new docs
+    LEFT-joins (stream-static, append-safe, no watermark needed) the batch
+    corpus's md5 -> min(id) lookup; `near=True` adds the MINHASH tier with
+    the identical hash family (dedup.band_key_cols), exact tier taking
+    precedence — closing VERDICT_r3 item 4.
 
-    At scale the static side is the maintained dedup-lookup table; Spark
-    re-plans it per micro-batch, picking up corpus updates between
+    The near tier avoids any streaming-side aggregation (which would need
+    watermark state): the STATIC side pre-aggregates each LSH bucket into
+    a candidate list (band_key -> [(corpus id, shingles)...], the LSH
+    index table a production pipeline maintains), the stream row does one
+    stateless stream-static LEFT join PER BAND on its band-key column, and
+    the per-doc "min matching corpus id" collapses to a narrow expression
+    fold over the concatenated candidate arrays — exact-Jaccard verify and
+    argmin inside the row, ZERO streaming state. Hot buckets inflate the
+    static index rows, not stream state; production caps them when
+    building the index (same knob as minhash_lsh_pairs' AQE note).
+
+    At scale the static side is the maintained dedup-lookup/index table;
+    Spark re-plans it per micro-batch, picking up corpus updates between
     batches."""
+    from ..datapipe.dedup import band_key_cols, shingle_docs
+
     dh = F.md5(F.col(text_col).cast("binary"))
     lookup = (
         corpus.select(dh.alias("_h"), F.col(id_col).alias("_cid"))
         .groupBy("_h")
         .agg(F.min("_cid").alias("_ex"))
     )
-    return (
-        delta.select(F.col(id_col).alias("_did"), dh.alias("_h"))
-        .join(lookup, "_h", "left")
-        .select(
-            F.col("_did").alias(id_col),
-            F.col("_ex").isNull().alias("novel"),
-            F.col("_ex").alias("dup_of"),
+    if not near:
+        return (
+            delta.select(F.col(id_col).alias("_did"), dh.alias("_h"))
+            .join(lookup, "_h", "left")
+            .select(
+                F.col("_did").alias(id_col),
+                F.col("_ex").isNull().alias("novel"),
+                F.col("_ex").alias("dup_of"),
+            )
         )
+
+    n_bands = num_hashes // band_size
+    c_sh = shingle_docs(corpus, text_col, shingle_n)
+    c_bands = band_key_cols(c_sh, num_hashes, band_size)
+    # the static LSH index: one row per (band_key) with its candidate list;
+    # array_distinct on the key side mirrors _band_buckets (a doc whose
+    # bands collide lands in the bucket once)
+    index = (
+        corpus.select(
+            F.col(id_col).alias("_cid"),
+            c_sh.alias("_csh"),
+            F.explode(F.array_distinct(F.array(*c_bands))).alias("_bk"),
+        )
+        .groupBy("_bk")
+        .agg(F.collect_list(F.struct("_cid", "_csh")).alias("_cands"))
+    )
+
+    d_sh = shingle_docs(delta, text_col, shingle_n)
+    d_bands = band_key_cols(d_sh, num_hashes, band_size)
+    out = delta.select(
+        F.col(id_col).alias("_did"),
+        dh.alias("_h"),
+        d_sh.alias("_sh"),
+        *[b.alias(f"_k{i}") for i, b in enumerate(d_bands)],
+    ).join(lookup, "_h", "left")
+    for i in range(n_bands):
+        idx_i = index.select(
+            F.col("_bk").alias(f"_k{i}"), F.col("_cands").alias(f"_cands{i}")
+        )
+        out = out.join(idx_i, f"_k{i}", "left")
+    all_cands = F.flatten(
+        F.filter(
+            F.array(*[F.col(f"_cands{i}") for i in range(n_bands)]),
+            lambda c: c.isNotNull(),
+        )
+    )
+
+    def _verify_min(acc, c):
+        inter = F.size(F.array_intersect(F.col("_sh"), c["_csh"])).cast("double")
+        union = (F.size("_sh") + F.size(c["_csh"])).cast("double") - inter
+        hit = F.round(inter / union, 4) >= threshold
+        better = hit & (acc.isNull() | (c["_cid"] < acc))
+        return F.when(better, c["_cid"]).otherwise(acc)
+
+    near_min = F.aggregate(all_cands, F.lit(None).cast("long"), _verify_min)
+    dup = F.coalesce(F.col("_ex"), near_min)
+    return out.select(
+        F.col("_did").alias(id_col), dup.isNull().alias("novel"), dup.alias("dup_of")
     )

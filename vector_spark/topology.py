@@ -265,7 +265,70 @@ def compile_topology(spec: dict[str, Any]) -> Topology:
                 ready.append(m)
     if pending:
         raise TopologyError(f"cycle detected involving {sorted(pending)}")
+    _typecheck_kinds(sources, transforms, sinks, order, base)
     return Topology(spec, order)
+
+
+# Event-kind signatures per transform type: (accepted input kinds, output).
+# Mirrors each reference transform's Input/outputs declaration; the edge
+# check itself mirrors Graph::typecheck (src/config/graph.rs:219-242):
+# an edge is valid iff the upstream's output kinds INTERSECT the
+# downstream's accepted kinds. Output "same" = kind-preserving.
+_ALL_KINDS = frozenset({"log", "metric", "trace"})
+_TRANSFORM_KINDS: dict[str, tuple[frozenset, object]] = {
+    "remap": (_ALL_KINDS, "same"),
+    "filter": (_ALL_KINDS, "same"),
+    "route": (_ALL_KINDS, "same"),
+    "exclusive_route": (_ALL_KINDS, "same"),
+    "parse": (frozenset({"log"}), "log"),
+    "netflow": (frozenset({"log"}), "log"),
+    "enrich": (frozenset({"log"}), "log"),
+    "dedupe": (frozenset({"log"}), "log"),
+    "sample": (frozenset({"log", "trace"}), "same"),
+    "reduce": (frozenset({"log"}), "log"),
+    "throttle": (frozenset({"log"}), "log"),
+    "hash_replace": (frozenset({"log"}), "log"),
+    # our aggregate also implements the windowed log rollup, so unlike the
+    # reference's metric-only aggregate.rs it accepts both kinds
+    "aggregate": (frozenset({"log", "metric"}), "metric"),
+    "log_to_metric": (frozenset({"log"}), "metric"),
+    "metric_to_log": (frozenset({"metric"}), "log"),
+    "tag_cardinality_limit": (frozenset({"metric"}), "metric"),
+}
+
+
+def _typecheck_kinds(sources, transforms, sinks, order, base) -> None:
+    """Compile-time Log/Metric/Trace edge compatibility — errors BEFORE any
+    Spark job, like the reference's graph typecheck, instead of a later
+    (and noisier) Catalyst column-resolution failure. All incompatible
+    edges are collected, sorted, deduped, and reported together
+    (graph.rs:219-242 semantics)."""
+    out_kinds: dict[str, frozenset] = {}
+    for name, cfg in sources.items():
+        out_kinds[name] = frozenset({cfg.get("data_kind", "log")})
+    errors: list[str] = []
+    for name in order:
+        if name not in transforms:
+            continue
+        cfg = transforms[name]
+        accepted, produces = _TRANSFORM_KINDS.get(cfg.get("type"), (_ALL_KINDS, "same"))
+        in_kinds: set[str] = set()
+        for ref in cfg.get("inputs", []):
+            from_ty = out_kinds.get(base(ref), _ALL_KINDS)
+            if not from_ty & accepted:
+                errors.append(
+                    f"Data type mismatch between {ref} ({'+'.join(sorted(from_ty))})"
+                    f" and {name} ({'+'.join(sorted(accepted))})"
+                )
+            in_kinds |= from_ty & accepted
+        if produces == "same":
+            out_kinds[name] = frozenset(in_kinds) or frozenset({"log"})
+        else:
+            out_kinds[name] = frozenset({produces})
+    # sinks accept every kind, as in the reference's Node::Sink — no check
+    if errors:
+        errors = sorted(set(errors))
+        raise TopologyError("; ".join(errors))
 
 
 def load_yaml(path_or_text: str) -> dict[str, Any]:
