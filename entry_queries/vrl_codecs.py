@@ -818,8 +818,9 @@ def q_parse_etld(spark, sf_dir):
     independently in SQL (read_text + candidate-suffix join + longest-match
     aggregation) from the same vendored .dat file."""
     from vector_spark.functions.psl import parse_etld_psl, psl_dim
+    from vector_spark.session import ensure_parallelism
 
-    e = _t(spark, sf_dir, "events").select("event_id")
+    e = ensure_parallelism(_t(spark, sf_dir, "events")).select("event_id")
     hosts = F.array(*[F.lit(h) for h in _ETLD_HOSTS])
     df = e.withColumn(
         "host",

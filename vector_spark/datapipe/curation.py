@@ -33,6 +33,7 @@ def curation_pipeline(
     span_words: int = 3,
     max_removed_frac: float = 0.5,
     languages: list[str] | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """One doc in -> (doc_id, predicted_lang, n_words, n_spans, n_removed,
     text_dedup) out, for docs that (a) pass the Gopher quality gates
@@ -52,15 +53,43 @@ def curation_pipeline(
     staged = df.select(F.col(id_col), F.col(text_col), wcol.alias("_w"))
     q = gopher_quality_exprs(text_col, words=F.col("_w"), **(quality or {}))
     r = gopher_repetition_exprs(text_col, words=F.col("_w"))
-    # Pushdown barrier: PushDownPredicate is cost-unaware — it would split
-    # the conjunction, substitute _w back to the split expression, and
-    # push the 9 interpreted folds below ensure_parallelism's repartition
-    # into the single scan partition (measured 22x slower). Wrapping the
-    # predicate in a spark_partition_id()-guarded branch (always true)
-    # marks it nondeterministic as a UNIT, pinning it above the exchange
-    # with the staged tokenization intact. Result is unchanged.
-    keep = F.when(F.spark_partition_id() >= 0, q["keep"] & r["keep"]).otherwise(F.lit(True))
-    gated = staged.filter(keep)
+    # Gate WITHOUT a Filter node: the gate verdict is a PROJECTED column
+    # and gated-out docs are dropped by nulling their text (posexplode of
+    # null emits no rows) plus the survivors' inner join. Why no Filter:
+    # PushDownPredicate is cost-unaware — it would split the conjunction,
+    # substitute `_w` back to the split expression, and push the 9
+    # interpreted folds below ensure_parallelism's repartition into the
+    # single scan partition (measured 22x slower in r3). Projects are never
+    # pushed below exchanges, so no spark_partition_id() barrier hack is
+    # needed and the whole subtree stays deterministic.
+    flags = staged.select(
+        F.col(id_col),
+        F.col(text_col),
+        q["n_words"].alias("n_words"),
+        (q["keep"] & r["keep"]).alias("_keep"),
+    ).repartition(F.col(id_col))
+    gated = flags.select(
+        F.col(id_col),
+        F.when(F.col("_keep"), F.col(text_col)).alias(text_col),
+        "n_words",
+    )
+    # `gated` is a DIAMOND: three consumers (dedup_spans' first-occurrence
+    # groupBy, its keep-join probe, and the langid meta side). Spark 4.1's
+    # AQE was MEASURED here to never fire ReusedExchange even for identical
+    # deterministic shuffle subtrees (a minimal diamond repro shows 0
+    # reuses; only BroadcastExchange dedupes), so without materialization
+    # every consumer re-runs the full 20-regex gate — measured 3x the gate
+    # cost at sf0.1. persist(MEMORY_AND_DISK) is the mechanism Spark
+    # actually offers for this: the gate evaluates ONCE into the cache and
+    # all three subtrees read it. At 100 TB this caches the survivors'
+    # (id, text, n_words) projection across executors (disk-backed, the
+    # same data a staged production pipeline would write between passes);
+    # the id-hash repartition above the gate doubles as the reassembly
+    # groupBy's partitioning, so it adds no extra exchange of its own.
+    if cache:
+        from pyspark import StorageLevel
+
+        gated = gated.persist(StorageLevel.MEMORY_AND_DISK)
     # langid rides only the survivor-metadata side — the span-dedup
     # subtree (evaluated twice: lines + firsts) must not pay for it.
     # Scores stage as attributes before the argmax chain (langid_pick's
@@ -71,7 +100,7 @@ def curation_pipeline(
     scores = langid_scores(text_col, languages)
     meta = gated.select(
         F.col(id_col),
-        q["n_words"].alias("n_words"),
+        F.col("n_words"),
         *[scores[l].alias(f"_s_{l}") for l in langs],
     ).select(
         F.col(id_col),
