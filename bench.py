@@ -103,8 +103,10 @@ HEADLINE = [
     "normalize_text",
     # round 4 additions
     "enrich_geoip_mmdb",
+    "enrich_geoip6_mmdb",
     "parse_etld",
     "bpe_encode",
+    "pack_sequences_bpe",
 ]
 
 

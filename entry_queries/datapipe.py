@@ -594,6 +594,25 @@ FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
 """
 
 
+def q_pack_sequences_bpe(spark, sf_dir):
+    """Token-EXACT sequence packing: bpe_encode's real subword counts feed
+    pack_sequences (n_tokens_col) instead of the whitespace approximation —
+    the composed tokenizer->packing loop a training pipeline runs. Oracle:
+    the recursive-CTE BPE encoder's per-doc counts composed into the same
+    packing SQL."""
+    from vector_spark.datapipe import bpe_encode, pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
+    enc = bpe_encode(docs, _bpe_merges()).withColumn(
+        "n_bpe", F.size("tokens").cast("long")
+    )
+    return pack_sequences(
+        enc.select("doc_id", "text", "n_bpe"), seq_len=64, n_tokens_col="n_bpe"
+    )
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup: 16 deterministic centroids (lowest-id seeds + one
     DECIMAL-exact Lloyd round), argmax-cosine clustering, then
@@ -1555,12 +1574,12 @@ FROM documents
 """
 
     # same seed-42 order as shuffle_corpus; integer chunking arithmetic
-    def _pack_sql(source: str = "documents") -> str:
+    def _pack_sql(source: str = "documents", n_expr: str | None = None) -> str:
+        n_expr = n_expr or "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) + 1"
         return f"""
 WITH t AS (
   SELECT doc_id, {_shard_val} % 8 AS shard, {_shard_hex} AS h,
-         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) + 1
-              AS BIGINT) AS n
+         CAST({n_expr} AS BIGINT) AS n
   FROM {source}
 ),
 c AS (
@@ -1583,6 +1602,14 @@ FROM s
 """
 
     sql["pack_sequences"] = _pack_sql()
+
+    # token-exact packing: the BPE recursive encoder's counts drive the
+    # identical packing arithmetic (+1 = the eos slot)
+    sql["pack_sequences_bpe"] = _pack_sql(
+        source=f"(SELECT d.doc_id, b.n_tokens AS n_bpe FROM documents d "
+        f"JOIN ({_bpe_encode_sql()}) b USING (doc_id)) bsrc",
+        n_expr="n_bpe + 1",
+    )
 
     # the composed corpus build: every stage's oracle re-rooted onto the
     # previous stage's survivors (dedup -> classifier gate -> mixture ->
@@ -1646,6 +1673,7 @@ QUERIES = {
     "boilerplate_blocks": q_boilerplate_blocks,
     "bpe_encode": q_bpe_encode,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "pack_sequences_bpe": q_pack_sequences_bpe,
     "chunk_documents": q_chunk_documents,
     "corpus_build": q_corpus_build,
     "corpus_stats": q_corpus_stats,

@@ -270,6 +270,50 @@ def q_enrich_geoip_mmdb(spark, sf_dir):
     return out.select("event_id", "ip", "country", "region")
 
 
+def _geoip6_ranges() -> list[tuple[int, int, dict]]:
+    """Deterministic IPv6 fixture: 8 ranges under 2001:db8::/32, each
+    covering four /48s (3rd hextet 4i..4i+3); hextets 32..39 uncovered
+    (left-join null path)."""
+    base = 0x20010DB8 << 96
+    out = []
+    for i in range(8):
+        lo = base | (i * 4) << 80
+        hi = base | ((i * 4 + 3) << 80) | ((1 << 80) - 1)
+        out.append((lo, hi, {"country": f"C6{i}", "region": f"R{i % 3}"}))
+    return out
+
+
+def q_enrich_geoip6_mmdb(spark, sf_dir):
+    """IPv6 geoip from an actual ip_version=6 .mmdb artifact: native
+    128-bit ranges written by build_mmdb(v6_ranges=True), decoded by the
+    parse_mmdb6 Arrow walker into fixed-width hex bounds, then
+    enrich_ip6_range's block-exploded broadcast hash join (lexicographic
+    hex compare == uint128 compare). Oracle: the same hex arithmetic as
+    VALUES + printf-constructed fact hex."""
+    from vector_spark.functions.mmdb import build_mmdb, parse_mmdb6
+    from vector_spark.operators import enrich_ip6_range
+
+    blob = build_mmdb(_geoip6_ranges(), record_size=28, ip_version=6, v6_ranges=True)
+    dim = parse_mmdb6(
+        spark.createDataFrame([(bytearray(blob),)], "content binary")
+    ).select(
+        "ip_start_hex",
+        "ip_end_hex",
+        F.get_json_object("data_json", "$.country").alias("country"),
+        F.get_json_object("data_json", "$.region").alias("region"),
+    )
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.format_string(
+            "2001:db8:%x::%x",
+            (F.col("user_id") % 40).cast("int"),
+            (F.col("event_id") % 65536).cast("int"),
+        ).alias("ip"),
+    )
+    out = enrich_ip6_range(e, dim, "ip")
+    return out.select("event_id", "ip", "country", "region")
+
+
 def q_pipeline_events_e2e(spark, sf_dir):
     """Flagship: parse -> enrich -> route -> aggregate on the events table
     (the testdata analogue of the pages topology)."""
@@ -780,6 +824,23 @@ LEFT JOIN g
     # the mmdb artifact roundtrip must be value-invisible: identical oracle
     sql["enrich_geoip_mmdb"] = sql["enrich_geoip"]
 
+    g6 = ",\n  ".join(
+        f"('{lo:032x}', '{hi:032x}', '{d['country']}', '{d['region']}')"
+        for lo, hi, d in _geoip6_ranges()
+    )
+    sql["enrich_geoip6_mmdb"] = f"""
+WITH g(s, e, country, region) AS (VALUES
+  {g6}
+),
+t AS (SELECT event_id, user_id % 40 AS h, event_id % 65536 AS ee FROM events)
+SELECT t.event_id,
+       printf('2001:db8:%x::%x', h, ee) AS ip,
+       g.country, g.region
+FROM t
+LEFT JOIN g
+  ON printf('20010db8%04x0000000000000000%04x', h, ee) BETWEEN g.s AND g.e
+"""
+
     sql["pipeline_events_e2e"] = f"""
 WITH enriched AS (
   SELECT e.*, CAST(json_extract_string(e.props, '$.k') AS INTEGER) AS k, r.r_name
@@ -999,6 +1060,7 @@ QUERIES = {
     "enrich_customer": q_enrich_customer,
     "enrich_geoip": q_enrich_geoip,
     "enrich_geoip_mmdb": q_enrich_geoip_mmdb,
+    "enrich_geoip6_mmdb": q_enrich_geoip6_mmdb,
     "filter_errors": q_filter_errors,
     "find_table_records": q_find_table_records,
     "hash_replace": q_hash_replace,

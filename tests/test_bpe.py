@@ -98,3 +98,27 @@ def test_spark_learn_and_encode(spark):
         want1 += bpe_encode_word(w, ranks)
     assert out[1] == want1
     assert out[3] is None  # null text passes through as null
+
+
+def test_pack_sequences_token_exact(spark):
+    """n_tokens_col drives packing with tokenizer-exact counts: totals per
+    doc must equal size(bpe tokens)+1 (eos), not the whitespace count."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.datapipe import pack_sequences
+
+    rows = [(1, "spark spark spark"), (2, "join the stream")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_learn(df, num_merges=3)
+    ranks = {p: i for i, p in enumerate(merges)}
+    enc = bpe_encode(df, merges).withColumn("n_bpe", F.size("tokens").cast("long"))
+    packed = pack_sequences(
+        enc.select("doc_id", "text", "n_bpe"), seq_len=8, n_tokens_col="n_bpe"
+    )
+    per_doc = {
+        r.doc_id: r.total
+        for r in packed.groupBy("doc_id").agg(F.sum("n_tokens").alias("total")).collect()
+    }
+    for doc_id, text in rows:
+        want = sum(len(bpe_encode_word(w, ranks)) for w in text.lower().split()) + 1
+        assert per_doc[doc_id] == want, (doc_id, per_doc, want)

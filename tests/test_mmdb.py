@@ -187,3 +187,64 @@ def test_parse_mmdb_spark(spark):
         (0x0A000000, 0x0A0000FF, "AA"),
         (0x0B000000, 0x0B00FFFF, "BB"),
     ]
+
+
+def test_v6_native_ranges_roundtrip():
+    base = 0x20010DB8 << 96
+    ranges = [
+        (base, base | ((1 << 80) - 1), {"c": "A"}),
+        (base | (5 << 80), base | (6 << 80) | ((1 << 80) - 1), {"c": "B"}),
+    ]
+    blob = build_mmdb(ranges, record_size=28, ip_version=6, v6_ranges=True)
+    from vector_spark.functions.mmdb import mmdb_to_ranges6
+
+    leaves = list(mmdb_to_ranges6(blob))
+    # ascending + disjoint over the 128-bit space
+    for (l1, h1, _, _), (l2, _, _, _) in zip(leaves, leaves[1:]):
+        assert h1 < l2
+    for ip, want in [
+        (base, "A"),
+        (base | ((1 << 80) - 1), "A"),
+        (base | (1 << 80), None),
+        (base | (5 << 80) + 7, "B"),
+        (base | (6 << 80) | 123, "B"),
+        (base | (7 << 80), None),
+        (0, None),
+    ]:
+        got = next((d["c"] for lo, hi, _, d in leaves if lo <= ip <= hi), None)
+        assert got == want, hex(ip)
+
+
+def test_parse_mmdb6_and_enrich_ip6_range(spark):
+    from pyspark.sql import functions as F
+
+    from vector_spark.functions.mmdb import parse_mmdb6
+    from vector_spark.operators import enrich_ip6_range
+
+    base = 0x20010DB8 << 96
+    ranges = [
+        (base, base | ((1 << 80) - 1), {"country": "AA"}),
+        (base | (2 << 80), base | (3 << 80) | ((1 << 80) - 1), {"country": "BB"}),
+    ]
+    blob = build_mmdb(ranges, ip_version=6, v6_ranges=True)
+    dim = parse_mmdb6(
+        spark.createDataFrame([(bytearray(blob),)], "content binary")
+    ).select(
+        "ip_start_hex",
+        "ip_end_hex",
+        F.get_json_object("data_json", "$.country").alias("country"),
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, "2001:db8::1"),          # AA
+            (2, "2001:0DB8:0:ffff::9"),  # AA (case + padding)
+            (3, "2001:db8:2::"),         # BB
+            (4, "2001:db8:4::1"),        # no match
+            (5, "not-an-ip"),            # invalid -> null
+        ],
+        "id int, ip string",
+    )
+    out = {r.id: r.country for r in enrich_ip6_range(facts, dim, "ip").collect()}
+    assert out == {1: "AA", 2: "AA", 3: "BB", 4: None, 5: None}
+    plan = enrich_ip6_range(facts, dim, "ip")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -212,6 +212,7 @@ def pack_sequences(
     n_shards: int = 8,
     seed: int = 42,
     append_eos: bool = True,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """GPT-style sequence packing — concatenate the corpus in the
     shuffle_corpus order (same seed -> same order) and chunk the token
@@ -238,10 +239,15 @@ def pack_sequences(
 
     h = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
     shard = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
-    n_tok = (
-        F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != ""))
-        + (1 if append_eos else 0)
-    ).cast("long")
+    # token counting: whitespace words by default, or a precomputed
+    # tokenizer-exact count column (e.g. size(bpe_encode(...).tokens) —
+    # makes packing/budgets token-exact rather than regex-approximate)
+    base_count = (
+        F.col(n_tokens_col)
+        if n_tokens_col is not None
+        else F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != ""))
+    )
+    n_tok = (base_count + (1 if append_eos else 0)).cast("long")
     staged = df.select(
         F.col(id_col), shard.alias("shard"), h.alias("_h"), n_tok.alias("_n")
     )

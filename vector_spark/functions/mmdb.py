@@ -191,6 +191,42 @@ def mmdb_lookup(buf: bytes, ip: int) -> dict | None:
     return value
 
 
+def mmdb_to_ranges6(buf: bytes) -> Iterator[tuple[int, int, int, dict]]:
+    """Enumerate every leaf of an ip_version=6 database over the FULL
+    128-bit space: yields (ip_start, ip_end, prefix_len, data) with uint128
+    bounds in ascending order (the ::/96 IPv4-mapped region appears as
+    ordinary v6 ranges). Same linear walk as mmdb_to_ranges; recursion
+    depth <= 128."""
+    meta = read_metadata(buf)
+    if meta.get("ip_version", 4) != 6:
+        raise ValueError("mmdb_to_ranges6: not an ip_version=6 database")
+    node_count = meta["node_count"]
+    read, node_bytes = _record_reader(buf, meta["record_size"])
+    tree_size = node_count * node_bytes
+    data_start = tree_size + 16
+    data_cache: dict[int, dict] = {}
+
+    def walk(node: int, prefix: int, depth: int):
+        for side in (0, 1):
+            rec = read(node, side)
+            child_prefix = (prefix << 1) | side
+            if rec < node_count:
+                if depth + 1 > 128:
+                    raise ValueError("mmdb: IPv6 tree deeper than 128 bits")
+                yield from walk(rec, child_prefix, depth + 1)
+            elif rec == node_count:
+                continue
+            else:
+                off = rec - node_count + tree_size
+                if off not in data_cache:
+                    data_cache[off], _ = _decode(buf, off, data_start)
+                plen = depth + 1
+                lo = child_prefix << (128 - plen)
+                yield lo, lo | ((1 << (128 - plen)) - 1), plen, data_cache[off]
+
+    yield from walk(0, 0, 0)
+
+
 def mmdb_to_ranges(buf: bytes) -> Iterator[tuple[int, int, int, dict]]:
     """Enumerate every IPv4 leaf: yields (ip_start, ip_end, prefix_len,
     data) with uint32 bounds, in ascending ip_start order (DFS, left first).
@@ -260,6 +296,37 @@ def parse_mmdb(df, bin_col: str = "content"):
             )
 
     return df.mapInPandas(walk, schema=MMDB_RANGE_SCHEMA)
+
+
+MMDB_RANGE6_SCHEMA = (
+    "ip_start_hex string, ip_end_hex string, prefix_len int, data_json string"
+)
+
+
+def parse_mmdb6(df, bin_col: str = "content"):
+    """IPv6 twin of parse_mmdb: explodes ip_version=6 ``.mmdb`` blobs into
+    (ip_start_hex, ip_end_hex, prefix_len, data_json) rows. Bounds are
+    32-char zero-padded lowercase hex — fixed width, so LEXICOGRAPHIC
+    string comparison equals numeric uint128 comparison, which is what
+    ``operators.enrich.enrich_ip6_range`` joins on (Spark longs can't hold
+    128 bits; hex strings can, order-exactly)."""
+    import pandas as pd
+
+    def walk(batches):
+        for pdf in batches:
+            rows = []
+            for blob in pdf[bin_col]:
+                if blob is None:
+                    continue
+                for lo, hi, plen, data in mmdb_to_ranges6(bytes(blob)):
+                    rows.append(
+                        (f"{lo:032x}", f"{hi:032x}", plen, json.dumps(data, sort_keys=True))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["ip_start_hex", "ip_end_hex", "prefix_len", "data_json"]
+            )
+
+    return df.mapInPandas(walk, schema=MMDB_RANGE6_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -346,15 +413,15 @@ class _DataWriter:
         return at
 
 
-def _range_to_cidrs(lo: int, hi: int) -> Iterator[tuple[int, int]]:
+def _range_to_cidrs(lo: int, hi: int, bits: int = 32) -> Iterator[tuple[int, int]]:
     """Split [lo, hi] into minimal CIDR blocks: yields (prefix_int, plen)."""
     while lo <= hi:
         # largest block aligned at lo that fits in [lo, hi]
-        max_align = (lo & -lo).bit_length() - 1 if lo else 32
+        max_align = (lo & -lo).bit_length() - 1 if lo else bits
         max_span = (hi - lo + 1).bit_length() - 1
-        bits = min(max_align, max_span)
-        yield lo, 32 - bits
-        lo += 1 << bits
+        nbits = min(max_align, max_span)
+        yield lo, bits - nbits
+        lo += 1 << nbits
 
 
 def build_mmdb(
@@ -362,12 +429,17 @@ def build_mmdb(
     record_size: int = 24,
     database_type: str = "vector-spark-test",
     ip_version: int = 4,
+    v6_ranges: bool = False,
 ) -> bytes:
-    """Build a spec-compliant IPv4 .mmdb from disjoint uint32 ranges
+    """Build a spec-compliant .mmdb from disjoint uint ranges
     [(ip_start, ip_end, record_dict), ...]. Deterministic: fixed build
     epoch, insertion-order maps, whole-record dedupe by canonical JSON.
-    ip_version=6 roots the v4 tree under 96 zero bits (::/96 convention)
-    to exercise the reader's v6-database path."""
+    ip_version=6 roots v4 ranges under 96 zero bits (::/96 convention) to
+    exercise the reader's v6-database path; v6_ranges=True instead treats
+    the bounds as native uint128 IPv6 ranges (requires ip_version=6)."""
+    if v6_ranges and ip_version != 6:
+        raise ValueError("v6_ranges=True requires ip_version=6")
+    addr_bits = 128 if v6_ranges else 32
     root: list = [None, None, None]  # [left, right, leaf_data_index]
     records: list[dict] = []
     rec_index: dict[str, int] = {}
@@ -383,15 +455,19 @@ def build_mmdb(
                     node[side] = [None, None, None]
                 node = node[side]
 
-    v4_bits = 96 if ip_version == 6 else 0
+    v4_bits = 96 if (ip_version == 6 and not v6_ranges) else 0
     for lo, hi, data in sorted(ranges):
         key = json.dumps(data, sort_keys=True)
         if key not in rec_index:
             rec_index[key] = len(records)
             records.append(data)
-        for net, plen in _range_to_cidrs(lo, hi):
-            # insert() consumes a plen-bit prefix value, not the 32-bit base
-            insert(net >> (32 - plen) if plen else 0, plen + v4_bits, rec_index[key])
+        for net, plen in _range_to_cidrs(lo, hi, addr_bits):
+            # insert() consumes a plen-bit prefix value, not the full base
+            insert(
+                net >> (addr_bits - plen) if plen else 0,
+                plen + v4_bits,
+                rec_index[key],
+            )
 
     # number internal nodes (preorder), then lay out the data section
     nodes: list[list] = []

@@ -157,6 +157,44 @@ def enrich_ip_range(
     return f.join(broadcast(exploded), cond, "left").drop("_s", "_e", "_blk")
 
 
+def enrich_ip6_range(
+    df: DataFrame,
+    dim: DataFrame,
+    ip_col: str,
+    start_col: str = "ip_start_hex",
+    end_col: str = "ip_end_hex",
+    prefix_nibbles: int = 8,
+    select: list[str] | None = None,
+) -> DataFrame:
+    """IPv6 twin of enrich_ip_range — the reference's geoip/mmdb tables are
+    v6-capable (src/enrichment_tables/geoip.rs), so is this. The dim
+    carries 32-char zero-padded lowercase hex bounds (what
+    functions.mmdb.parse_mmdb6 emits); fixed width makes LEXICOGRAPHIC
+    string comparison equal numeric uint128 comparison, so no 128-bit
+    arithmetic is ever needed. Fact IPs are canonicalized via ipv6_expand
+    (null for invalid -> left-join nulls).
+
+    Same scale shape as the v4 operator: the dim explodes into the
+    /prefix_nibbles*4 blocks each range covers (block id = leading nibbles
+    as a long — 8 nibbles = /32 blocking, matching registry-sized v6
+    allocations), the fact joins on its block — broadcast HASH join with
+    the hex BETWEEN as a residual, never a BNLJ."""
+    from ..functions.strings import ipv6_expand
+
+    d = dim.alias("d")
+    keep = select or [c for c in dim.columns if c not in (start_col, end_col)]
+    blk = lambda c: F.conv(F.substring(c, 1, prefix_nibbles), 16, 10).cast("long")  # noqa: E731
+    exploded = d.select(
+        F.col(f"d.{start_col}").alias("_s6"),
+        F.col(f"d.{end_col}").alias("_e6"),
+        *[F.col(f"d.{c}") for c in keep],
+    ).withColumn("_blk", F.explode(F.sequence(blk(F.col("_s6")), blk(F.col("_e6")))))
+    f = df.alias("f")
+    hex32 = F.replace(ipv6_expand(F.col(f"f.{ip_col}")), F.lit(":"), F.lit(""))
+    cond = (blk(hex32) == F.col("_blk")) & hex32.between(F.col("_s6"), F.col("_e6"))
+    return f.join(broadcast(exploded), cond, "left").drop("_s6", "_e6", "_blk")
+
+
 def enrich_constant(df: DataFrame, fields: dict[str, object]) -> DataFrame:
     """Constant metadata enrichment — the aws_ec2_metadata analogue
     (/root/reference/src/transforms/aws_ec2_metadata.rs:95-230: every event
