@@ -104,6 +104,7 @@ HEADLINE = [
     # round 4 additions
     "enrich_geoip_mmdb",
     "enrich_geoip6_mmdb",
+    "dedup_substrings",
     "parse_etld",
     "bpe_encode",
     "pack_sequences_bpe",

@@ -47,6 +47,17 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_substrings(spark, sf_dir):
+    """Exact substring dedup (Lee et al. 2022): every token inside an
+    8-token window that occurs >= 2 times anywhere in the corpus is
+    deleted; docs are reassembled from the survivors. The oracle is an
+    independent DuckDB derivation (range/UNNEST + lambda interval cover)
+    of the same duplicated-k-gram coverage semantics."""
+    from vector_spark.datapipe import dedup_substrings
+
+    return dedup_substrings(_t(spark, sf_dir, "documents"), k=8)
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII sweep over a deterministic synthetic PII-bearing column (the
     testdata carries no PII, so the query plants emails / IPs / SSNs
@@ -821,6 +832,42 @@ base AS (
 SELECT b.doc_id, coalesce(r.text_dedup, '') AS text_dedup, b.n_spans,
        b.n_spans - coalesce(r.n_kept, 0) AS n_removed
 FROM base b LEFT JOIN reass r USING (doc_id)
+"""
+
+    # duplicated-8-gram coverage: a token survives iff no repeated window
+    # covers it; DuckDB formulation via UNNEST(range) + lambda list_filter
+    # (captures the outer token index) instead of Spark's exists() fold
+    sql["dedup_substrings"] = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+g AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(words[i+1:i+8], ' ')) AS gh
+  FROM w, UNNEST(range(0, greatest(len(words) - 7, 0))) AS t(i)
+),
+dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+cov AS (
+  SELECT g.doc_id, list_sort(list(DISTINCT g.pos)) AS ps
+  FROM g JOIN dup USING (gh) GROUP BY g.doc_id
+),
+tok AS (
+  SELECT w.doc_id, t.i, w.words[t.i+1] AS word,
+         coalesce(c.ps, CAST([] AS BIGINT[])) AS ps
+  FROM w LEFT JOIN cov c USING (doc_id), UNNEST(range(0, len(w.words))) AS t(i)
+),
+kept AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY i) AS text_dedup,
+         count(*) AS n_kept
+  FROM tok
+  WHERE len(list_filter(ps, p -> p <= i AND i < p + 8)) = 0
+  GROUP BY doc_id
+)
+SELECT w.doc_id,
+       coalesce(k.text_dedup, '') AS text_dedup,
+       CAST(len(w.words) AS BIGINT) AS n_tokens,
+       CAST(len(w.words) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+FROM w LEFT JOIN kept k USING (doc_id)
 """
 
     sql["quality_repetition"] = _repetition_sql()
@@ -1688,6 +1735,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "dedup_spans": q_dedup_spans,
+    "dedup_substrings": q_dedup_substrings,
     "doc_fingerprint": q_doc_fingerprint,
     "dsir_resample": q_dsir_resample,
     "embedding_near_dup": q_embedding_near_dup,

@@ -590,6 +590,32 @@ def test_dedup_spans_line_mode_and_min_chars_exemption(spark):
     assert out[1].n_removed == 1
 
 
+def test_dedup_substrings_kgram_coverage(spark):
+    """Lee et al. exact-substring semantics: tokens covered by ANY k-gram
+    occurring >=2 times corpus-wide are deleted (both occurrences — no
+    first-survivor), overlapping same-doc repeats count, sub-k docs are
+    untouched, and a fully-covered doc is emitted empty."""
+    from vector_spark.datapipe import dedup_substrings
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),   # shares 8-gram a..h with doc 2
+            (2, "a b c d e f g h x y"),
+            (3, "all these words appear here exactly one time"),
+            (4, "tiny doc"),              # < k tokens: no grams
+            (5, "r r r r r r r r r"),     # overlapping self-repeat
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_substrings(df, k=8).collect()}
+    assert len(out) == 5
+    assert out[1].text_dedup == "i j" and out[1].n_removed == 8
+    assert out[2].text_dedup == "x y" and out[2].n_removed == 8
+    assert out[3].n_removed == 0 and out[3].text_dedup.startswith("all these")
+    assert out[4].text_dedup == "tiny doc" and out[4].n_removed == 0
+    assert out[5].text_dedup == "" and out[5].n_removed == 9 and out[5].n_tokens == 9
+
+
 def test_repetition_filter_gopher_rules(spark):
     """Published Gopher repetition semantics: a doc dominated by one
     repeated 2-gram fails the top-n-gram caps; a clean doc passes every

@@ -1,5 +1,6 @@
 from .dedup import (
     connected_components, dedup_clusters, dedup_ladder, dedup_spans,
+    dedup_substrings,
     exact_dedup, incremental_dedup, minhash_lsh_pairs, shingle_docs, simhash,
 )
 from .similarity import (
@@ -25,7 +26,7 @@ from .robots import parse_robots_rules, robots_filter
 from .multimodal import binary_meta, extract_features, frame_sample, resize_image
 
 __all__ = [
-    "exact_dedup", "dedup_ladder", "dedup_spans", "shingle_docs", "minhash_lsh_pairs", "simhash",
+    "exact_dedup", "dedup_substrings", "dedup_ladder", "dedup_spans", "shingle_docs", "minhash_lsh_pairs", "simhash",
     "connected_components", "dedup_clusters",
     "cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "embedding_near_dup_pairs",
     "semantic_dedup", "bpe_pair_counts", "pagerank", "tfidf_keywords",

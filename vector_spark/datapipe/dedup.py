@@ -420,3 +420,67 @@ def incremental_dedup(
     return out.select(
         F.col("_did").alias(id_col), dup.isNull().alias("novel"), dup.alias("dup_of")
     )
+
+
+def dedup_substrings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact SUBSTRING dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): delete every token that lies inside a
+    k-token window whose exact content occurs >= min_count times anywhere
+    in the corpus (including overlapping repeats within one document).
+    This is the duplicated-k-gram-coverage formulation of the paper's
+    suffix-array pass — a position survives iff NO length-k window through
+    it repeats — the same semantics production Bloom-filter variants use,
+    re-expressed as Spark relational algebra instead of a suffix array.
+
+    Returns (doc_id, text_dedup, n_tokens, n_removed) for every input doc;
+    documents shorter than k tokens are untouched by construction.
+
+    Scale shape (100 TB): the only corpus-wide state is the k-gram
+    occurrence count — a groupBy on md5(gram) whose map-side partial agg
+    collapses corpus-hot grams per task before the exchange (same skew
+    immunity as dedup_spans). Occurrence rows carry (hash, id, pos) ONLY
+    — gram text never crosses a shuffle — and the duplicate set flows
+    back via a semi-join on the hash. Per-doc reassembly is one groupBy
+    on doc_id followed by an in-row interval-cover filter whose cost is
+    n_words x n_duplicated_positions, bounded by document length. Three
+    narrow exchanges total, no window, no all-pairs anything."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    # gram starts 0..n-k; guarded sequence (sequence() rejects empty bounds)
+    starts = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = df.select(
+        F.col(id_col),
+        F.explode(starts).alias("pos"),
+        F.md5(F.array_join(F.slice(words, F.col("pos") + 1, k), " ").cast("binary")).alias("gh"),
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("gh")
+    )
+    covered = (
+        grams.join(dup, "gh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("_ps"))
+    )
+    out = df.select(id_col, text_col).join(covered, id_col, "left")
+    ps = F.coalesce(F.col("_ps"), F.array().cast("array<int>"))
+    kept = F.filter(
+        words,
+        lambda w, i: ~F.exists(ps, lambda p: (p <= i) & (i < p + k)),
+    )
+    return out.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("text_dedup"),
+        F.size(words).cast("long").alias("n_tokens"),
+        (F.size(words) - F.size(kept)).cast("long").alias("n_removed"),
+    )
