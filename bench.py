@@ -105,6 +105,7 @@ HEADLINE = [
     "enrich_geoip_mmdb",
     "enrich_geoip6_mmdb",
     "dedup_substrings",
+    "c4_line_filter",
     "parse_etld",
     "bpe_encode",
     "pack_sequences_bpe",

@@ -47,6 +47,47 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"))
 
 
+def q_c4_line_filter(spark, sf_dir):
+    """C4 line-wise cleaning over deterministically synthesized multi-line
+    pages: the single-line testdata docs are re-lined into 5-word lines,
+    and line (doc_id+i)%3==0 gets terminal punctuation / (doc_id+i)%7==1
+    gets a 'javascript.' tail — identical plant expressions on both
+    engines, exercising the keep / terminal-punct / min-words /
+    javascript-drop paths."""
+    from vector_spark.datapipe import c4_line_filter
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    nlines = F.greatest(F.ceil(F.size(words) / F.lit(5)), F.lit(1)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nlines - 1),
+        lambda i: F.array_join(F.slice(words, i * 5 + 1, 5), " "),
+    )
+    planted = F.transform(
+        lines,
+        lambda l, i: F.concat(
+            l,
+            F.when((F.col("doc_id") + i) % 3 == 0, F.lit("."))
+            .when((F.col("doc_id") + i) % 7 == 1, F.lit(" javascript."))
+            .otherwise(F.lit("")),
+        ),
+    )
+    staged = d.select("doc_id", F.array_join(planted, "\n").alias("text"))
+    return c4_line_filter(staged)
+
+
+def q_split_corpus(spark, sf_dir):
+    """Leakage-aware train/val split, group-disjoint by `source`: every
+    doc of a source lands on one side (md5 prefix-mod arithmetic, same
+    family as shuffle_corpus — the oracle reproduces it digit-by-digit)."""
+    from vector_spark.datapipe import split_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return split_corpus(d, val_frac=0.25, group_col="source").select(
+        "doc_id", "source", "split"
+    )
+
+
 def q_dedup_substrings(spark, sf_dir):
     """Exact substring dedup (Lee et al. 2022): every token inside an
     8-token window that occurs >= 2 times anywhere in the corpus is
@@ -832,6 +873,49 @@ base AS (
 SELECT b.doc_id, coalesce(r.text_dedup, '') AS text_dedup, b.n_spans,
        b.n_spans - coalesce(r.n_kept, 0) AS n_removed
 FROM base b LEFT JOIN reass r USING (doc_id)
+"""
+
+    # C4 line rules over the same line-plant arithmetic as the Spark query
+    sql["c4_line_filter"] = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+ln AS (
+  SELECT doc_id,
+         [array_to_string(ws[i*5+1 : i*5+5], ' ') ||
+            CASE WHEN (doc_id + i) % 3 = 0 THEN '.'
+                 WHEN (doc_id + i) % 7 = 1 THEN ' javascript.'
+                 ELSE '' END
+          FOR i IN range(0, greatest(CAST(ceil(len(ws) / 5.0) AS BIGINT), 1))] AS lines
+  FROM w
+),
+k AS (
+  SELECT doc_id, lines,
+         list_filter(lines, l ->
+           regexp_matches(rtrim(l), '[.!?"”]$')
+           AND len(list_filter(string_split(l, ' '), x -> x <> '')) >= 5
+           AND NOT contains(lower(l), 'javascript')) AS kept,
+         lower(array_to_string(lines, chr(10))) AS low
+  FROM ln
+)
+SELECT doc_id,
+       coalesce(array_to_string(kept, chr(10)), '') AS text_clean,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       (len(kept) >= 3 AND NOT contains(low, 'lorem ipsum')
+         AND NOT contains(low, '{')) AS keep
+FROM k
+"""
+
+    _split_hex = "md5('42:' || source)"
+    _split_val = "(" + " + ".join(
+        f"CAST({_hexval_sql(f'substr({_split_hex}, {i + 1}, 1)')} AS BIGINT) * {16 ** (7 - i)}"
+        for i in range(8)
+    ) + ")"
+    sql["split_corpus"] = f"""
+SELECT doc_id, source,
+       CASE WHEN ({_split_val} % 1000000) < 250000 THEN 'val' ELSE 'train' END AS split
+FROM documents
 """
 
     # duplicated-8-gram coverage: a token survives iff no repeated window
@@ -1736,6 +1820,8 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_spans": q_dedup_spans,
     "dedup_substrings": q_dedup_substrings,
+    "c4_line_filter": q_c4_line_filter,
+    "split_corpus": q_split_corpus,
     "doc_fingerprint": q_doc_fingerprint,
     "dsir_resample": q_dsir_resample,
     "embedding_near_dup": q_embedding_near_dup,

@@ -616,6 +616,63 @@ def test_dedup_substrings_kgram_coverage(spark):
     assert out[5].text_dedup == "" and out[5].n_removed == 9 and out[5].n_tokens == 9
 
 
+def test_c4_line_filter_rules(spark):
+    """Published C4 line rules: terminal punctuation required, >=5 words,
+    no 'javascript' (case-insensitive); doc keep needs >=min_lines
+    survivors and no 'lorem ipsum' / '{' anywhere on the page."""
+    from vector_spark.datapipe import c4_line_filter
+
+    good = "one two three four five."
+    df = spark.createDataFrame(
+        [
+            (0, f"{good}\n{good}\nno punctuation line here\nshort line."),
+            (1, f"{good}\nuses JavaScript one two three.\n{good}"),
+            (2, f"{good}\n{good}\nvar x = {{}}"),  # brace kills the doc
+            (3, f"{good}\nlorem ipsum dolor sit amet."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in c4_line_filter(df, min_lines=2).collect()}
+    assert out[0].n_lines == 4 and out[0].n_kept == 2 and out[0].keep
+    assert out[0].text_clean == f"{good}\n{good}"
+    assert out[1].n_kept == 2 and out[1].keep  # javascript line dropped
+    assert out[2].n_kept == 2 and not out[2].keep  # brace gate
+    assert not out[3].keep  # lorem ipsum gate (and only 2 lines anyway)
+
+
+def test_split_corpus_group_disjoint_and_deterministic(spark):
+    """All rows of a group land on one side; the same seed reproduces the
+    same assignment at different parallelism; val_frac=0/1 degenerate."""
+    from vector_spark.datapipe import split_corpus
+
+    import hashlib
+
+    rows = [(i, f"text {i}", f"host{i % 19}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = split_corpus(df, val_frac=0.4, group_col="source").collect()
+    by_group: dict[str, set] = {}
+    for r in out:
+        by_group.setdefault(r.source, set()).add(r.split)
+    assert all(len(v) == 1 for v in by_group.values()), by_group
+
+    def want(group: str) -> str:
+        h = int(hashlib.md5(f"42:{group}".encode()).hexdigest()[:8], 16)
+        return "val" if h % 1_000_000 < 400_000 else "train"
+
+    for g, v in by_group.items():
+        assert v == {want(g)}, (g, v)
+    assert {want(g) for g in by_group} == {"train", "val"}  # both sides hit
+    again = {
+        r.doc_id: r.split
+        for r in split_corpus(
+            df.repartition(13), val_frac=0.4, group_col="source"
+        ).collect()
+    }
+    assert again == {r.doc_id: r.split for r in out}
+    assert {r.split for r in split_corpus(df, val_frac=0.0).collect()} == {"train"}
+    assert {r.split for r in split_corpus(df, val_frac=1.0).collect()} == {"val"}
+
+
 def test_repetition_filter_gopher_rules(spark):
     """Published Gopher repetition semantics: a doc dominated by one
     repeated 2-gram fails the top-n-gram caps; a clean doc passes every

@@ -10,13 +10,13 @@ from .similarity import (
     lsh_ann_topk,
     semantic_dedup,
 )
-from .text import text_quality, token_count, doc_fingerprint, langid, quality_filter_gopher, repetition_filter_gopher, chunk_documents, pii_scrub, sample_stratified, bpe_pair_counts, tfidf_keywords, corpus_stats, normalize_text
+from .text import text_quality, token_count, doc_fingerprint, langid, quality_filter_gopher, repetition_filter_gopher, chunk_documents, c4_line_filter, pii_scrub, sample_stratified, bpe_pair_counts, tfidf_keywords, corpus_stats, normalize_text
 from .bpe import bpe_learn, bpe_learn_py, bpe_encode, bpe_encode_word
 from .curation import curation_pipeline
 from .boilerplate import boilerplate_blocks
 from .classifier import feature_bucket, hashed_features, quality_classifier
 from .corpus import (
-    corpus_build, decontaminate, mixture_sample, pack_sequences, shuffle_corpus,
+    corpus_build, decontaminate, mixture_sample, pack_sequences, shuffle_corpus, split_corpus,
 )
 from .urls import url_filter, url_normalize_exprs
 from .lm import importance_resample, importance_weights, perplexity_score, unigram_lm
@@ -34,8 +34,8 @@ __all__ = [
     "parse_robots_rules", "robots_filter", "incremental_dedup", "corpus_stats", "normalize_text",
     "text_quality", "quality_filter_gopher", "repetition_filter_gopher", "token_count", "doc_fingerprint", "langid",
     "binary_meta", "extract_features", "frame_sample", "resize_image",
-    "chunk_documents", "curation_pipeline", "pii_scrub", "sample_stratified",
-    "corpus_build", "decontaminate", "mixture_sample", "pack_sequences", "shuffle_corpus",
+    "chunk_documents", "c4_line_filter", "curation_pipeline", "pii_scrub", "sample_stratified",
+    "corpus_build", "decontaminate", "mixture_sample", "pack_sequences", "shuffle_corpus", "split_corpus",
     "url_filter", "url_normalize_exprs",
     "perplexity_score", "unigram_lm", "extract_html_text", "html_text_expr",
     "importance_weights", "importance_resample",

@@ -131,6 +131,43 @@ def shuffle_corpus(
     return staged.withColumn("pos", F.row_number().over(w).cast("long")).drop("_h")
 
 
+def split_corpus(
+    df: DataFrame,
+    val_frac: float = 0.05,
+    group_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    granularity: int = 1_000_000,
+) -> DataFrame:
+    """Leakage-aware train/validation split. Every row gets a stable
+    `split` label ('train'/'val') from md5(seed || key) — deterministic at
+    any parallelism, resumable, and GROUP-DISJOINT when `group_col` is
+    given: all rows sharing the group (a url host, a `source`, or — the
+    strongest guard — a dedup cluster_id from dedup_clusters) land on the
+    SAME side, so near-duplicates can never straddle the split and leak
+    eval text into training. With group_col=None the key is the content
+    hash, which at least keeps exact duplicates on one side.
+
+    val iff (first-8-hex of md5) mod granularity < val_frac*granularity —
+    the same prefix-mod arithmetic as shuffle_corpus, so an oracle
+    reproduces it bit-for-bit.
+
+    Scale: a narrow projection — zero shuffles, zero lookups; the split of
+    a 10^12-row corpus costs one scan."""
+    key = (
+        F.col(group_col).cast("string")
+        if group_col is not None
+        else F.md5(F.col(text_col).cast("binary"))
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), key)), 1, 8), 16, 10
+    ).cast("long")
+    cut = int(val_frac * granularity)
+    split = F.when((h % granularity) < cut, F.lit("val")).otherwise(F.lit("train"))
+    return df.withColumn("split", split)
+
+
 def mixture_sample(
     df: DataFrame,
     budgets: dict[str, int],

@@ -564,6 +564,53 @@ def chunk_documents(
     return out.select(id_col, "chunk_id", "chunk_text", n_tokens.alias("n_tokens"))
 
 
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    min_lines: int = 3,
+    terminal_re: str = r'[.!?"”]$',
+) -> DataFrame:
+    """C4's published LINE-wise cleaning rules (Raffel et al. 2020 §2.2,
+    the pass that turned Common Crawl into C4), the per-line complement of
+    the doc-level Gopher gates: keep a line iff it ends in terminal
+    punctuation, has >= min_words words, and doesn't mention "javascript";
+    then keep the DOC iff >= min_lines lines survive and the page contains
+    neither "lorem ipsum" nor a curly brace. The reference's remap+filter
+    pair can express the doc gate but not the line surgery — this is the
+    datapipe-native op a curation topology calls between html_text and the
+    dedup tiers.
+
+    Emits (doc_id, text_clean, n_lines, n_kept, keep) for every input row
+    (gate projected, not filtered — callers compose; same convention as
+    quality_filter_gopher).
+
+    Scale: in-row array folds over split(text, '\\n') — scan-speed, zero
+    shuffle, whole-stage codegen; nothing here can skew."""
+    lines = F.split(F.col(text_col), "\n")
+    words_of = lambda l: F.size(F.filter(F.split(l, " "), lambda w: w != ""))  # noqa: E731
+    line_ok = lambda l: (  # noqa: E731
+        F.rtrim(l).rlike(terminal_re)
+        & (words_of(l) >= min_words)
+        & ~F.lower(l).contains("javascript")
+    )
+    kept = F.filter(lines, line_ok)
+    low = F.lower(F.col(text_col))
+    keep_doc = (
+        (F.size(kept) >= min_lines)
+        & ~low.contains("lorem ipsum")
+        & ~low.contains("{")
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("text_clean"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        keep_doc.alias("keep"),
+    )
+
+
 # PII patterns restricted to the Java-regex ∩ RE2 common subset (no
 # lookarounds, ASCII \d and \b in both engines) so the DuckDB oracle can
 # run the identical expressions. Redaction order matters only for
