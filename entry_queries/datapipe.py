@@ -601,7 +601,38 @@ def q_bpe_encode(spark, sf_dir):
     )
 
 
-def _bpe_encode_sql() -> str:
+_BPE_TOKENS_TAIL = """
+SELECT d.doc_id,
+       CAST(coalesce(len(p.all_toks), 0) AS BIGINT) AS n_tokens,
+       md5(coalesce(array_to_string(p.all_toks, chr(31)), '')) AS tokens_md5
+FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+"""
+
+# vocab = distinct emitted subwords, dense ids in lexicographic order; ids
+# rendered ':'-joined and md5'd — the exact arithmetic of q_bpe_token_ids
+_BPE_IDS_TAIL = """,
+vocab AS (
+  SELECT tok AS token,
+         CAST(row_number() OVER (ORDER BY tok) - 1 AS INTEGER) AS token_id
+  FROM (SELECT DISTINCT unnest(toks) AS tok FROM final)
+),
+vm AS (
+  SELECT map(list(token ORDER BY token), list(token_id ORDER BY token)) AS vmap
+  FROM vocab
+),
+ids AS (
+  SELECT p.doc_id,
+         list_transform(p.all_toks, t -> map_extract(vm.vmap, t)[1]) AS tid
+  FROM perdoc p, vm
+)
+SELECT d.doc_id,
+       CAST(coalesce(len(i.tid), 0) AS BIGINT) AS n_tokens,
+       md5(coalesce(array_to_string(i.tid, ':'), '')) AS ids_md5
+FROM documents d LEFT JOIN ids i ON i.doc_id = d.doc_id
+"""
+
+
+def _bpe_encode_sql(tail: str = _BPE_TOKENS_TAIL) -> str:
     merges = _bpe_merges()
     keys = ", ".join(f"'{a}' || chr(2) || '{b}'" for a, b in merges)
     ranks = ", ".join(str(i) for i in range(len(merges)))
@@ -638,12 +669,30 @@ perdoc AS (
   SELECT wp.doc_id, flatten(list(f.toks ORDER BY wp.pos)) AS all_toks
   FROM wordpos wp JOIN final f ON f.w = wp.w
   GROUP BY wp.doc_id
-)
-SELECT d.doc_id,
-       CAST(coalesce(len(p.all_toks), 0) AS BIGINT) AS n_tokens,
-       md5(coalesce(array_to_string(p.all_toks, chr(31)), '')) AS tokens_md5
-FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
-"""
+){tail}"""
+
+
+def q_bpe_token_ids(spark, sf_dir):
+    """Tokenize straight to training-shard TOKEN IDS: corpus-induced vocab
+    (dense lexicographic ids) + the fused encode+lookup Arrow walk. The
+    oracle re-derives the identical vocab with a row_number window over
+    the recursive-CTE encoder's distinct subwords."""
+    from vector_spark.datapipe import bpe_token_ids, bpe_vocab
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
+    merges = _bpe_merges()
+    vocab = {r.token: r.token_id for r in bpe_vocab(docs, merges).collect()}
+    ids = bpe_token_ids(docs, merges, vocab)
+    joined = F.concat_ws(
+        ":", F.transform("token_ids", lambda t: t.cast("string"))
+    )
+    return ids.select(
+        "doc_id",
+        F.size("token_ids").cast("long").alias("n_tokens"),
+        F.md5(joined.cast("binary")).alias("ids_md5"),
+    )
 
 
 def q_pack_sequences_bpe(spark, sf_dir):
@@ -1146,6 +1195,7 @@ SELECT rank, pair_left, pair_right, pair_count FROM (
 """
 
     sql["bpe_encode"] = _bpe_encode_sql()
+    sql["bpe_token_ids"] = _bpe_encode_sql(tail=_BPE_IDS_TAIL)
 
     # Shared by the semantic_dedup and ann_ivf oracles: seeds = n lowest
     # ids, ONE deterministic Lloyd update — round-0 argmax assignment, then
@@ -1804,6 +1854,7 @@ QUERIES = {
     "boilerplate_blocks": q_boilerplate_blocks,
     "bpe_encode": q_bpe_encode,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "bpe_token_ids": q_bpe_token_ids,
     "pack_sequences_bpe": q_pack_sequences_bpe,
     "chunk_documents": q_chunk_documents,
     "corpus_build": q_corpus_build,

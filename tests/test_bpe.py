@@ -100,6 +100,33 @@ def test_spark_learn_and_encode(spark):
     assert out[3] is None  # null text passes through as null
 
 
+def test_bpe_vocab_and_token_ids(spark):
+    """Vocab ids are dense 0..V-1 in lexicographic order and partitioning-
+    invariant; bpe_token_ids inverts through the vocab back to the exact
+    bpe_encode token stream; out-of-vocab subwords map to -1."""
+    from vector_spark.datapipe import bpe_encode, bpe_token_ids, bpe_vocab
+
+    rows = [(1, "spark spark spark joins"), (2, "the stream joins the batch")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_learn(df, num_merges=4)
+    vdf = bpe_vocab(df, merges)
+    vocab = {r.token: r.token_id for r in vdf.collect()}
+    toks = sorted(vocab)
+    assert [vocab[t] for t in toks] == list(range(len(toks)))  # dense, ordered
+    again = {r.token: r.token_id for r in bpe_vocab(df.repartition(7), merges).collect()}
+    assert again == vocab
+
+    enc = {r.doc_id: r.tokens for r in bpe_encode(df, merges).collect()}
+    ids = {r.doc_id: r.token_ids for r in bpe_token_ids(df, merges, vocab).collect()}
+    inv = {v: k for k, v in vocab.items()}
+    for d in (1, 2):
+        assert [inv[i] for i in ids[d]] == enc[d]
+
+    oov = spark.createDataFrame([(9, "zzzzq")], "doc_id long, text string")
+    (row,) = bpe_token_ids(oov, merges, vocab).collect()
+    assert -1 in row.token_ids  # unseen characters -> unk
+
+
 def test_pack_sequences_token_exact(spark):
     """n_tokens_col drives packing with tokenizer-exact counts: totals per
     doc must equal size(bpe tokens)+1 (eos), not the whitespace count."""

@@ -11,7 +11,7 @@ from .similarity import (
     semantic_dedup,
 )
 from .text import text_quality, token_count, doc_fingerprint, langid, quality_filter_gopher, repetition_filter_gopher, chunk_documents, c4_line_filter, pii_scrub, sample_stratified, bpe_pair_counts, tfidf_keywords, corpus_stats, normalize_text
-from .bpe import bpe_learn, bpe_learn_py, bpe_encode, bpe_encode_word
+from .bpe import bpe_learn, bpe_learn_py, bpe_encode, bpe_encode_word, bpe_token_ids, bpe_vocab
 from .curation import curation_pipeline
 from .boilerplate import boilerplate_blocks
 from .classifier import feature_bucket, hashed_features, quality_classifier
@@ -30,7 +30,7 @@ __all__ = [
     "connected_components", "dedup_clusters",
     "cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "embedding_near_dup_pairs",
     "semantic_dedup", "bpe_pair_counts", "pagerank", "tfidf_keywords",
-    "bpe_learn", "bpe_learn_py", "bpe_encode", "bpe_encode_word",
+    "bpe_learn", "bpe_learn_py", "bpe_encode", "bpe_encode_word", "bpe_token_ids", "bpe_vocab",
     "parse_robots_rules", "robots_filter", "incremental_dedup", "corpus_stats", "normalize_text",
     "text_quality", "quality_filter_gopher", "repetition_filter_gopher", "token_count", "doc_fingerprint", "langid",
     "binary_meta", "extract_features", "frame_sample", "resize_image",

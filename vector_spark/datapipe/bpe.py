@@ -171,3 +171,66 @@ def bpe_encode(
         return texts.map(one)
 
     return ensure_parallelism(df).withColumn(out_col, enc(F.col(text_col)))
+
+
+def bpe_vocab(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """The (token, token_id) vocabulary induced by the merge table over
+    this corpus: every distinct subword bpe_encode emits, ids dense
+    0..V-1 in lexicographic (binary UTF-8) token order — deterministic at
+    any parallelism, reproducible by a SQL oracle's row_number. The
+    single-partition window is justified: V is bounded by
+    |alphabet| + len(merges) (tokenizer-sized, thousands), independent of
+    corpus size — the distinct() above it is the map-side-combined heavy
+    step."""
+    from pyspark.sql import Window
+
+    enc = bpe_encode(df, merges, text_col=text_col)
+    toks = enc.select(F.explode("tokens").alias("token")).distinct()
+    w = Window.orderBy("token")
+    return toks.withColumn(
+        "token_id", (F.row_number().over(w) - 1).cast("int")
+    )
+
+
+def bpe_token_ids(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    text_col: str = "text",
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """Tokenize straight to TOKEN IDS (array<int>) — what the training
+    shards actually store. Same zero-shuffle Arrow walk and per-batch word
+    memo as bpe_encode, fused with the vocab lookup so the corpus is
+    tokenized once, not twice; `vocab` is the collected bpe_vocab mapping
+    (tokenizer-sized, broadcast in the UDF closure — the dict is V
+    entries, never corpus-scale). Unknown subwords map to -1 (unk)."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @pandas_udf("array<int>")
+    def enc(texts):
+        memo: dict[str, list[int]] = {}
+
+        def one(t):
+            if t is None:
+                return None
+            out: list[int] = []
+            for w in t.lower().split():
+                hit = memo.get(w)
+                if hit is None:
+                    hit = memo[w] = [
+                        vocab.get(tok, -1) for tok in bpe_encode_word(w, ranks)
+                    ]
+                out.extend(hit)
+            return out
+
+        return texts.map(one)
+
+    return ensure_parallelism(df).withColumn(out_col, enc(F.col(text_col)))
