@@ -133,5 +133,41 @@ def test_matches_reference_model(spark, hosts, plus):
         assert got[h] == _ref_etld(h, plus), h
 
 
+def test_package_zip_importable(tmp_path):
+    """spark-submit --py-files ships vector_spark.zip; executors import
+    from INSIDE the archive, so the package (incl. the PSL data fixture,
+    read via importlib.resources) must work under zipimport with no
+    filesystem fallback. Runs in a clean subprocess so the repo dir can't
+    shadow the zip."""
+    import pathlib
+    import subprocess
+    import sys
+    import zipfile
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    zp = tmp_path / "vector_spark.zip"
+    with zipfile.ZipFile(zp, "w") as z:
+        for f in sorted((repo / "vector_spark").rglob("*")):
+            if f.is_file() and "__pycache__" not in f.parts:
+                z.write(f, f.relative_to(repo))
+    code = (
+        "import sys; sys.path.insert(0, sys.argv[1]); "
+        "import vector_spark; "
+        "assert vector_spark.__file__.startswith(sys.argv[1]), vector_spark.__file__; "
+        "from vector_spark.functions.psl import load_psl_rules; "
+        "rs = load_psl_rules(); assert len(rs) > 5000, len(rs); "
+        "print('OK', len(rs))"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(zp)],
+        cwd=tmp_path,
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.startswith("OK ")
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])

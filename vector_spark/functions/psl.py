@@ -35,6 +35,23 @@ from pyspark.sql.functions import broadcast
 PSL_PATH = Path(__file__).resolve().parent.parent / "data" / "public_suffix_list.dat"
 
 
+def _psl_text(path: str | Path | None) -> str:
+    """Read the PSL fixture. An explicit path reads the filesystem; the
+    default goes through importlib.resources so the package stays
+    zip-importable — spark-submit --py-files ships vector_spark.zip and
+    executors import from INSIDE the archive, where __file__-relative
+    reads don't exist."""
+    if path is not None:
+        return Path(path).read_text(encoding="utf-8")
+    from importlib import resources
+
+    return (
+        resources.files("vector_spark.data")
+        .joinpath("public_suffix_list.dat")
+        .read_text(encoding="utf-8")
+    )
+
+
 def load_psl_rules(
     path: str | Path | None = None,
     sections: tuple[str, ...] = ("icann", "private"),
@@ -43,7 +60,7 @@ def load_psl_rules(
     ``rule`` keeps its ``*.`` prefix for wildcards but drops the ``!`` of
     exceptions; ``labels`` is the rule depth (``*`` counts as one label).
     ``sections`` selects the ICANN and/or PRIVATE blocks of the file."""
-    text = Path(path or PSL_PATH).read_text(encoding="utf-8")
+    text = _psl_text(path)
     rules: list[tuple[str, int, bool]] = []
     section = None
     for line in text.splitlines():
