@@ -726,6 +726,18 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_embedding_outliers(spark, sf_dir):
+    """Prototypicality gate (Sorscher et al. 2022): cosine of every vector
+    to its Lloyd-refined assigned centroid; keep=false below 0.2. Same
+    deterministic centroid arithmetic as semantic_dedup/ann_ivf, so the
+    oracle reuses the shared Lloyd CTE verbatim."""
+    from vector_spark.datapipe import embedding_outliers
+
+    return embedding_outliers(
+        _t(spark, sf_dir, "embeddings"), n_centroids=16, min_cos=0.2
+    )
+
+
 def q_ann_ivf(spark, sf_dir):
     from vector_spark.datapipe import ivf_ann_topk
 
@@ -1255,6 +1267,27 @@ dups AS (
 )
 SELECT c.id AS vec_id, c.cluster, c.cos_centroid, (d.id IS NULL) AS keep
 FROM cells c LEFT JOIN dups d ON d.id = c.id
+"""
+
+    # outlier gate: the cells CTE of the semantic_dedup oracle, thresholded
+    sql["embedding_outliers"] = f"""
+WITH n AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nm
+  FROM embeddings
+),
+{_lloyd},
+asg AS (
+  SELECT n.id, c.cid,
+         round(list_dot_product(n.v, c.cv) / (n.nm * c.cn), 6) AS cs,
+         row_number() OVER (
+           PARTITION BY n.id
+           ORDER BY round(list_dot_product(n.v, c.cv) / (n.nm * c.cn), 6) DESC, c.cid
+         ) AS r
+  FROM n CROSS JOIN c
+)
+SELECT id AS vec_id, cid AS cluster, cs AS cos_centroid, (cs >= 0.2) AS keep
+FROM asg WHERE r = 1
 """
 
     # IVF-flat oracle: same deterministic centroids (16 lowest vec_ids), same
@@ -1895,6 +1928,7 @@ QUERIES = {
     "robots_filter": q_robots_filter,
     "sample_stratified": q_sample_stratified,
     "semantic_dedup": q_semantic_dedup,
+    "embedding_outliers": q_embedding_outliers,
     "shuffle_corpus": q_shuffle_corpus,
     "text_quality": q_text_quality,
     "tfidf_keywords": q_tfidf_keywords,

@@ -292,6 +292,7 @@ def q_enrich_geoip6_mmdb(spark, sf_dir):
     VALUES + printf-constructed fact hex."""
     from vector_spark.functions.mmdb import build_mmdb, parse_mmdb6
     from vector_spark.operators import enrich_ip6_range
+    from vector_spark.session import ensure_parallelism
 
     blob = build_mmdb(_geoip6_ranges(), record_size=28, ip_version=6, v6_ranges=True)
     dim = parse_mmdb6(
@@ -302,7 +303,9 @@ def q_enrich_geoip6_mmdb(spark, sf_dir):
         F.get_json_object("data_json", "$.country").alias("country"),
         F.get_json_object("data_json", "$.region").alias("region"),
     )
-    e = _t(spark, sf_dir, "events").select(
+    # ipv6_expand's canonicalization is compute-heavy per row; a single
+    # parquet file scans as ONE split without this
+    e = ensure_parallelism(_t(spark, sf_dir, "events")).select(
         "event_id",
         F.format_string(
             "2001:db8:%x::%x",

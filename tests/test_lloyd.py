@@ -80,3 +80,21 @@ def test_empty_cluster_keeps_seed(spark):
     # cluster 0 captured ALL rows (id 2 ties at cos 0 -> lowest cid):
     # centroid = decimal-exact mean of the four vectors
     assert got[0][0] == (2.9 / 4, 1.1 / 4)
+
+
+def test_embedding_outliers_gate(spark):
+    """A vector far off the cluster manifold gets keep=false; on-manifold
+    vectors keep=true; every input row comes back exactly once and the
+    assignment matches semantic_dedup's cells for the same centroids."""
+    from vector_spark.datapipe import embedding_outliers
+
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [-0.02, 1.0, 0.0])]  # seeds: x and y
+    rows += [(i, [1.0 + 0.01 * i, 0.0, 0.0]) for i in range(2, 7)]
+    rows.append((98, [0.01, 0.98, 0.0]))
+    rows.append((99, [-0.57, -0.57, 0.59]))  # off both prototypes
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in embedding_outliers(df, n_centroids=2, min_cos=0.5).collect()}
+    assert len(out) == len(rows)
+    assert all(out[i].keep for i in range(7))
+    assert out[98].keep
+    assert not out[99].keep and out[99].cos_centroid < 0.5

@@ -6,6 +6,7 @@ from .dedup import (
 from .similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
+    embedding_outliers,
     ivf_ann_topk,
     lsh_ann_topk,
     semantic_dedup,
@@ -28,7 +29,7 @@ from .multimodal import binary_meta, extract_features, frame_sample, resize_imag
 __all__ = [
     "exact_dedup", "dedup_substrings", "dedup_ladder", "dedup_spans", "shingle_docs", "minhash_lsh_pairs", "simhash",
     "connected_components", "dedup_clusters",
-    "cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "embedding_near_dup_pairs",
+    "cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "embedding_near_dup_pairs", "embedding_outliers",
     "semantic_dedup", "bpe_pair_counts", "pagerank", "tfidf_keywords",
     "bpe_learn", "bpe_learn_py", "bpe_encode", "bpe_encode_word", "bpe_token_ids", "bpe_vocab",
     "parse_robots_rules", "robots_filter", "incremental_dedup", "corpus_stats", "normalize_text",

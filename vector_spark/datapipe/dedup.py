@@ -450,6 +450,7 @@ def dedup_substrings(
     on doc_id followed by an in-row interval-cover filter whose cost is
     n_words x n_duplicated_positions, bounded by document length. Three
     narrow exchanges total, no window, no all-pairs anything."""
+    df = ensure_parallelism(df)  # gram md5s are per-row expensive
     words = F.split(F.col(text_col), " ")
     n = F.size(words)
     # gram starts 0..n-k; guarded sequence (sequence() rejects empty bounds)

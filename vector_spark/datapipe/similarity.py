@@ -445,3 +445,44 @@ def semantic_dedup(
             F.col("_dup").isNull().alias("keep"),
         )
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    n_centroids: int = 16,
+    min_cos: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_rounds: int = 1,
+) -> DataFrame:
+    """Embedding-space OUTLIER pruning — the prototypicality filter of
+    Sorscher et al. 2022 ("Beyond neural scaling laws": rank examples by
+    distance to their cluster prototype) as a curation gate: a vector
+    whose rounded cosine to its assigned centroid falls below `min_cos`
+    sits off the corpus manifold (OCR noise, wrong-modality embeds,
+    garbage pages) and is flagged keep=false. The complement of
+    semantic_dedup: that prunes points too CLOSE to a neighbor, this
+    prunes points too FAR from every prototype; the two share the same
+    deterministic lowest-id + Lloyd-refined centroids (lloyd_centroids),
+    so a curation topology computes the centroid set once.
+
+    Returns (vec_id, cluster, cos_centroid, keep) for every input row.
+
+    At 100 TB this is the cheapest embedding gate in the suite: the
+    centroid set collapses to ONE broadcast row and the assignment is a
+    narrow expression fold — zero data exchanges beyond lloyd_centroids'
+    bounded (n_centroids x dims) partials."""
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    )
+    base = base.withColumn("_n", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+    cents_row = _collect_cents_row(
+        lloyd_centroids(base, n_centroids, rounds=lloyd_rounds)
+    )
+    cells = _argmax_centroid(cents_row, base)
+    return cells.select(
+        F.col("_id").alias(id_col),
+        "cluster",
+        "cos_centroid",
+        (F.col("cos_centroid") >= F.lit(min_cos)).alias("keep"),
+    )
