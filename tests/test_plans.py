@@ -458,3 +458,23 @@ def test_robots_windows_partition_by_host(spark):
     plan = plan_of(robots_filter(urls, rules, url_col="uid"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_substrings_plan_shape(spark):
+    """The gram count partial-aggregates before its exchange (skew
+    immunity), every exchange is keyed (no cartesian/BNLJ), and the gram
+    TEXT never crosses a shuffle — exchanges carry hash/id/pos only."""
+    import re
+
+    from vector_spark.datapipe import dedup_substrings
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(50)], "doc_id long, text string"
+    )
+    plan = plan_of(dedup_substrings(df, k=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # partial count before the gh exchange (merge_count appears after)
+    assert re.search(r"partial_count", plan), plan
+    for m in re.finditer(r"Exchange hashpartitioning\((\w+)#", plan):
+        assert m.group(1) in ("gh", "doc_id"), m.group(0)

@@ -707,3 +707,90 @@ def test_parse_cdx_roundtrip(spark, key, ts, length):
          .select(parse_cdx(F.col("line")).alias("c")).select("c.*").collect()[0])
     assert (r.urlkey, r.ts, r.length, r.offset, r.filename) == (
         key, ts14, length, 0, "f.warc.gz")
+
+
+def _substring_dedup_ref(docs: list[tuple[int, str]], k: int) -> dict[int, str]:
+    """Pure-Python reference for duplicated-k-gram coverage removal."""
+    from collections import Counter
+
+    grams: Counter = Counter()
+    toks = {i: t.split(" ") for i, t in docs}
+    for ws in toks.values():
+        for p in range(len(ws) - k + 1):
+            grams[" ".join(ws[p : p + k])] += 1
+    out = {}
+    for i, ws in toks.items():
+        covered = set()
+        for p in range(len(ws) - k + 1):
+            if grams[" ".join(ws[p : p + k])] >= 2:
+                covered.update(range(p, p + k))
+        out[i] = " ".join(w for j, w in enumerate(ws) if j not in covered)
+    return out
+
+
+@given(
+    rows=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=12),
+        min_size=1,
+        max_size=10,
+    ),
+    k=st.integers(2, 4),
+)
+@settings(**SETTINGS)
+def test_dedup_substrings_matches_reference(spark, rows, k):
+    """Spark's relational formulation == the direct Python reference for
+    any corpus over a tiny alphabet (dense with repeats, the hard case:
+    overlapping self-repeats, full-coverage docs, sub-k docs)."""
+    from vector_spark.datapipe import dedup_substrings
+
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(rows)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup_substrings(df, k=k).collect()}
+    want = _substring_dedup_ref(docs, k)
+    assert len(got) == len(docs)
+    for i, t in docs:
+        assert got[i].text_dedup == want[i], (i, t, k)
+        n_words = len(t.split(" "))
+        assert got[i].n_tokens == n_words
+        kept = len(want[i].split(" ")) if want[i] else 0
+        assert got[i].n_removed == n_words - kept
+
+
+@given(
+    rows=st.lists(
+        st.lists(
+            st.tuples(st.integers(3, 7), st.sampled_from(["", ".", "?", " javascript."])),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_c4_line_filter_matches_reference(spark, rows):
+    """Line keep/drop == the C4 rules computed directly in Python, for any
+    combination of line lengths and tails."""
+    import re
+
+    from vector_spark.datapipe import c4_line_filter
+
+    docs = []
+    for i, lines in enumerate(rows):
+        body = "\n".join(
+            " ".join(f"w{j}" for j in range(n)) + tail for n, tail in lines
+        )
+        docs.append((i, body))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in c4_line_filter(df, min_lines=2).collect()}
+    for i, body in docs:
+        lines = body.split("\n")
+        kept = [
+            l for l in lines
+            if re.search(r'[.!?"”]$', l.rstrip())
+            and len([w for w in l.split(" ") if w]) >= 5
+            and "javascript" not in l.lower()
+        ]
+        assert got[i].text_clean == "\n".join(kept), (i, body)
+        assert got[i].n_kept == len(kept) and got[i].n_lines == len(lines)
+        assert got[i].keep == (len(kept) >= 2 and "{" not in body.lower())
