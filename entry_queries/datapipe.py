@@ -632,11 +632,15 @@ FROM documents d LEFT JOIN ids i ON i.doc_id = d.doc_id
 """
 
 
-def _bpe_encode_sql(tail: str = _BPE_TOKENS_TAIL) -> str:
+def _bpe_encode_sql(tail: str = _BPE_TOKENS_TAIL, doc_source: str = "documents") -> str:
+    # doc_source: any relation (or parenthesized subquery) with (doc_id,
+    # text) — lets composed oracles (dataset_build) run the encoder over a
+    # derived stage instead of the raw table
     merges = _bpe_merges()
     keys = ", ".join(f"'{a}' || chr(2) || '{b}'" for a, b in merges)
     ranks = ", ".join(str(i) for i in range(len(merges)))
     big = 10**9
+    tail_sql = tail.replace("FROM documents d", f"FROM {doc_source} d")
     cand = (
         "list_sort(list_transform(range(1, len(toks)), i -> "
         f"{{'rk': coalesce(map_extract(mm, toks[i] || chr(2) || toks[i+1])[1], {big}), "
@@ -647,7 +651,7 @@ WITH RECURSIVE
 m AS (SELECT map([{keys}], [{ranks}]) AS mm),
 docs AS (
   SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), x -> x <> '') AS ws
-  FROM documents
+  FROM {doc_source} _src
 ),
 wordpos AS (
   SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws)+1)) AS pos FROM docs
@@ -669,7 +673,7 @@ perdoc AS (
   SELECT wp.doc_id, flatten(list(f.toks ORDER BY wp.pos)) AS all_toks
   FROM wordpos wp JOIN final f ON f.w = wp.w
   GROUP BY wp.doc_id
-){tail}"""
+){tail_sql}"""
 
 
 def q_bpe_token_ids(spark, sf_dir):
@@ -711,6 +715,26 @@ def q_pack_sequences_bpe(spark, sf_dir):
     )
     return pack_sequences(
         enc.select("doc_id", "text", "n_bpe"), seq_len=64, n_tokens_col="n_bpe"
+    )
+
+
+def q_dataset_build(spark, sf_dir):
+    """Round-4 composed dataset build: substring dedup -> group-disjoint
+    split -> BPE-exact token counts -> train-side packing, hash-exact end
+    to end (the oracle re-roots each stage's SQL onto the previous
+    stage's output, ending in the shared packing arithmetic)."""
+    from vector_spark.datapipe import dataset_build
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
+    return dataset_build(
+        docs.select("doc_id", "text", "source"),
+        _bpe_merges(),
+        k=8,
+        val_frac=0.25,
+        group_col="source",
+        seq_len=64,
     )
 
 
@@ -1825,6 +1849,27 @@ FROM s
         n_expr="n_bpe + 1",
     )
 
+    # the round-4 composed dataset build: substring-dedup text -> source-
+    # disjoint split (train side) -> recursive-CTE BPE counts over the
+    # DEDUPED text -> the shared packing arithmetic. Stages chained as
+    # CTEs; the pack SQL's own WITH is spliced into the chain.
+    _dsb_pack = _pack_sql(
+        source="(SELECT t2.doc_id, e.n_tokens AS n_bpe FROM tr t2 "
+        "JOIN enc e USING (doc_id)) ps",
+        n_expr="n_bpe + 1",
+    ).strip()
+    assert _dsb_pack.startswith("WITH ")
+    sql["dataset_build"] = f"""
+WITH dd AS ({sql["dedup_substrings"]}),
+tr AS (
+  SELECT dd.doc_id, dd.text_dedup AS text
+  FROM dd JOIN documents d USING (doc_id)
+  WHERE ({_split_val} % 1000000) >= 250000
+),
+enc AS (SELECT * FROM ({_bpe_encode_sql(doc_source="tr")}) e),
+{_dsb_pack[5:]}
+"""
+
     # the composed corpus build: every stage's oracle re-rooted onto the
     # previous stage's survivors (dedup -> classifier gate -> mixture ->
     # packing), exactly the Spark composition in corpus.py::corpus_build
@@ -1906,6 +1951,7 @@ QUERIES = {
     "dedup_substrings": q_dedup_substrings,
     "c4_line_filter": q_c4_line_filter,
     "split_corpus": q_split_corpus,
+    "dataset_build": q_dataset_build,
     "doc_fingerprint": q_doc_fingerprint,
     "dsir_resample": q_dsir_resample,
     "embedding_near_dup": q_embedding_near_dup,

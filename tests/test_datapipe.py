@@ -1130,3 +1130,44 @@ def test_frame_and_parse_warc(spark):
     assert str(r0.warc_date) == "2024-05-01 12:00:00"
     assert r1.warc_type == "conversion" and r1.payload == p2
     assert r1.target_uri is None and r1.record_id is None
+
+
+def test_dataset_build_no_val_leakage_and_conservation(spark):
+    """The packed output contains ONLY train-side docs (group-disjoint
+    split), and each doc's packed slices sum to its deduped BPE token
+    count + 1 (eos)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from vector_spark.datapipe import (
+        bpe_encode, dataset_build, dedup_substrings,
+    )
+    from vector_spark.datapipe.bpe import bpe_learn
+
+    rows = [
+        (i, f"doc {i} words alpha beta gamma delta tick tock", f"s{i % 5}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    merges = bpe_learn(df, num_merges=4)
+    out = dataset_build(df, merges, k=8, val_frac=0.5, group_col="source", seq_len=16)
+
+    def side(group):
+        h = int(hashlib.md5(f"42:{group}".encode()).hexdigest()[:8], 16)
+        return "val" if h % 1_000_000 < 500_000 else "train"
+
+    train_ids = {i for i, _, s in rows if side(s) == "train"}
+    assert 0 < len(train_ids) < len(rows)  # both sides populated
+    got = out.groupBy("doc_id").agg(F.sum("n_tokens").alias("tot")).collect()
+    assert {r.doc_id for r in got} == train_ids
+
+    dd = dedup_substrings(df, k=8)
+    enc = {
+        r.doc_id: len(r.tokens)
+        for r in bpe_encode(
+            dd.select("doc_id", F.col("text_dedup")), merges, text_col="text_dedup"
+        ).collect()
+    }
+    for r in got:
+        assert r.tot == enc[r.doc_id] + 1, (r.doc_id, r.tot, enc[r.doc_id])

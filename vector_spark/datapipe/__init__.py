@@ -17,7 +17,7 @@ from .curation import curation_pipeline
 from .boilerplate import boilerplate_blocks
 from .classifier import feature_bucket, hashed_features, quality_classifier
 from .corpus import (
-    corpus_build, decontaminate, mixture_sample, pack_sequences, shuffle_corpus, split_corpus,
+    corpus_build, decontaminate, mixture_sample, pack_sequences, shuffle_corpus, split_corpus, dataset_build,
 )
 from .urls import url_filter, url_normalize_exprs
 from .lm import importance_resample, importance_weights, perplexity_score, unigram_lm
@@ -36,7 +36,7 @@ __all__ = [
     "text_quality", "quality_filter_gopher", "repetition_filter_gopher", "token_count", "doc_fingerprint", "langid",
     "binary_meta", "extract_features", "frame_sample", "resize_image",
     "chunk_documents", "c4_line_filter", "curation_pipeline", "pii_scrub", "sample_stratified",
-    "corpus_build", "decontaminate", "mixture_sample", "pack_sequences", "shuffle_corpus", "split_corpus",
+    "corpus_build", "decontaminate", "mixture_sample", "pack_sequences", "shuffle_corpus", "split_corpus", "dataset_build",
     "url_filter", "url_normalize_exprs",
     "perplexity_score", "unigram_lm", "extract_html_text", "html_text_expr",
     "importance_weights", "importance_resample",

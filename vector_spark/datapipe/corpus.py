@@ -358,3 +358,49 @@ def corpus_build(
     mixed_ids = mixture_sample(kept, budgets, group_col, text_col, id_col).select(id_col)
     sampled = kept.join(mixed_ids, id_col, "left_semi")
     return pack_sequences(sampled, seq_len, text_col, id_col)
+
+
+def dataset_build(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    k: int = 8,
+    val_frac: float = 0.25,
+    group_col: str = "source",
+    seq_len: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The round-4 composed TRAINING-DATASET build — the post-curation
+    tail of a 100 TB pipeline as ONE dataflow:
+
+      exact-substring dedup (Lee et al. duplicated-k-gram coverage) ->
+      leakage-aware GROUP-disjoint train/val split (split_corpus) ->
+      tokenizer-exact BPE token counts (bpe_encode) ->
+      train-side GPT-style sequence packing (pack_sequences)
+
+    Complements corpus_build (which covers dedup->classify->mix->pack):
+    here the packing arithmetic runs on REAL subword counts of the
+    substring-DEDUPED text, and the split is group-disjoint so val text
+    can never leak into the packed training shards.
+
+    Scale shape: dedup_substrings' three narrow exchanges; the split is a
+    zero-shuffle projection; bpe_encode is a zero-shuffle Arrow walk; the
+    packing cumsum is one ids+counts-only exchange. Deduped text crosses
+    exactly one shuffle (the dedup reassembly) and never another."""
+    from .bpe import bpe_encode
+    from .dedup import dedup_substrings
+
+    dd = dedup_substrings(df, text_col=text_col, id_col=id_col, k=k)
+    base = dd.join(df.select(id_col, group_col), id_col)
+    sp = split_corpus(
+        base, val_frac=val_frac, group_col=group_col,
+        text_col="text_dedup", id_col=id_col,
+    )
+    train = sp.filter(F.col("split") == "train")
+    enc = bpe_encode(train, merges, text_col="text_dedup").withColumn(
+        "_nb", F.size("tokens").cast("long")
+    )
+    return pack_sequences(
+        enc.select(id_col, "_nb"), seq_len=seq_len, id_col=id_col,
+        n_tokens_col="_nb",
+    )
