@@ -109,6 +109,10 @@ HEADLINE = [
     "parse_etld",
     "bpe_encode",
     "pack_sequences_bpe",
+    "bpe_token_ids",
+    "embedding_outliers",
+    "split_corpus",
+    "dataset_build",
 ]
 
 
@@ -217,6 +221,8 @@ COMPOSITES = {
     "dedup_minhash_lsh",
     "dedup_spans",
     "incremental_dedup",
+    "dataset_build",
+    "dedup_substrings",
 }
 
 

@@ -1171,3 +1171,29 @@ def test_dataset_build_no_val_leakage_and_conservation(spark):
     }
     for r in got:
         assert r.tot == enc[r.doc_id] + 1, (r.doc_id, r.tot, enc[r.doc_id])
+
+
+def test_dedup_substrings_null_text(spark):
+    """NULL text behaves as '' — non-null outputs for every input doc
+    (review fix: matches the oracle's coalesce)."""
+    from vector_spark.datapipe import dedup_substrings
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c d e f g h")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in dedup_substrings(df, k=8).collect()}
+    assert out[1].text_dedup == "" and out[1].n_tokens == 1  # split('')=['']
+    assert out[1].n_removed == 0
+    assert out[2].n_tokens == 8
+
+
+def test_split_corpus_null_group_goes_train(spark):
+    """A NULL group key propagates (strict concat) -> deterministic
+    'train' on both engines, never a pseudo-group of the bare seed."""
+    from vector_spark.datapipe import split_corpus
+
+    df = spark.createDataFrame(
+        [(1, "t", None), (2, "t", "hostA")], "doc_id long, text string, source string"
+    )
+    out = {r.doc_id: r.split for r in split_corpus(df, val_frac=0.99, group_col="source").collect()}
+    assert out[1] == "train"  # null group: fallback side even at 99% val

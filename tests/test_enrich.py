@@ -156,3 +156,28 @@ def test_enrich_ip_range_in_topology(spark):
     res = compile_topology(spec).build(spark, tables={"geoip": dim}).run()
     got = {r.id: r.country for r in res["out"]}
     assert got == {1: "C00", 2: None}
+
+
+def test_enrich_ip6_range_rejects_overwide_range(spark):
+    """A dim range coarser than the blocking must fail with the embedded
+    assert (plan-level guard), not explode into millions of rows."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vector_spark.operators import enrich_ip6_range
+
+    wide = spark.createDataFrame(
+        [("20010000" + "0" * 24, "2001ffff" + "f" * 24, "X")],
+        "ip_start_hex string, ip_end_hex string, country string",
+    )
+    facts = spark.createDataFrame([(1, "2001:0:0:1::2")], "id int, ip string")
+    out = enrich_ip6_range(facts, wide, "ip", max_blocks_per_range=1024)
+    with pytest.raises(Exception, match="spans > 1024"):
+        out.collect()
+    # in-bound spans still enrich (spans exactly at the cap boundary pass)
+    ok = spark.createDataFrame(
+        [("20010000" + "0" * 24, "200103ff" + "f" * 24, "Y")],
+        "ip_start_hex string, ip_end_hex string, country string",
+    )
+    got = enrich_ip6_range(facts, ok, "ip", max_blocks_per_range=1024).collect()
+    assert got[0].country == "Y"

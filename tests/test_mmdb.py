@@ -248,3 +248,24 @@ def test_parse_mmdb6_and_enrich_ip6_range(spark):
     assert out == {1: "AA", 2: "AA", 3: "BB", 4: None, 5: None}
     plan = enrich_ip6_range(facts, dim, "ip")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_build_mmdb_full_space_range():
+    """A range covering the ENTIRE address space (plen=0) must round-trip,
+    not silently vanish (review fix: insert() now sets both root children)."""
+    blob = build_mmdb([(0, (1 << 32) - 1, {"c": "ALL"})])
+    from vector_spark.functions.mmdb import mmdb_to_ranges
+
+    leaves = list(mmdb_to_ranges(blob))
+    assert leaves, "full-space range was dropped"
+    assert leaves[0][0] == 0 and leaves[-1][1] == (1 << 32) - 1
+    assert all(d == {"c": "ALL"} for _, _, _, d in leaves)
+    assert mmdb_lookup(blob, 0x12345678) == {"c": "ALL"}
+
+    blob6 = build_mmdb(
+        [(0, (1 << 128) - 1, {"c": "ALL6"})], ip_version=6, v6_ranges=True
+    )
+    from vector_spark.functions.mmdb import mmdb_to_ranges6
+
+    leaves6 = list(mmdb_to_ranges6(blob6))
+    assert leaves6 and leaves6[0][0] == 0 and leaves6[-1][1] == (1 << 128) - 1

@@ -148,29 +148,41 @@ def bpe_encode(
     their BPE segments in order). Arrow-batched pandas UDF, zero shuffle;
     a per-batch memo makes the Python cost proportional to distinct words
     per batch (Zipf makes that small), not corpus tokens."""
-    import pandas as pd
+    return ensure_parallelism(df).withColumn(
+        out_col, _encode_udf(merges)(F.col(text_col))
+    )
+
+
+def _encode_udf(merges: list[tuple[str, str]], vocab: dict[str, int] | None = None):
+    """THE tokenization walk shared by bpe_encode and bpe_token_ids —
+    one body so the lower()/split()/None semantics can never drift
+    between the subword-string and token-id surfaces. `vocab` switches
+    the per-word memo from subword strings to ids (-1 = unk)."""
     from pyspark.sql.functions import pandas_udf
 
     ranks = {pair: i for i, pair in enumerate(merges)}
 
-    @pandas_udf("array<string>")
+    @pandas_udf("array<string>" if vocab is None else "array<int>")
     def enc(texts):
-        memo: dict[str, list[str]] = {}
+        memo: dict[str, list] = {}
 
         def one(t):
             if t is None:
                 return None
-            out: list[str] = []
+            out: list = []
             for w in t.lower().split():
                 hit = memo.get(w)
                 if hit is None:
-                    hit = memo[w] = bpe_encode_word(w, ranks)
+                    segs = bpe_encode_word(w, ranks)
+                    hit = memo[w] = (
+                        segs if vocab is None else [vocab.get(s, -1) for s in segs]
+                    )
                 out.extend(hit)
             return out
 
         return texts.map(one)
 
-    return ensure_parallelism(df).withColumn(out_col, enc(F.col(text_col)))
+    return enc
 
 
 def bpe_vocab(
@@ -181,14 +193,28 @@ def bpe_vocab(
     """The (token, token_id) vocabulary induced by the merge table over
     this corpus: every distinct subword bpe_encode emits, ids dense
     0..V-1 in lexicographic (binary UTF-8) token order — deterministic at
-    any parallelism, reproducible by a SQL oracle's row_number. The
-    single-partition window is justified: V is bounded by
-    |alphabet| + len(merges) (tokenizer-sized, thousands), independent of
-    corpus size — the distinct() above it is the map-side-combined heavy
-    step."""
+    any parallelism, reproducible by a SQL oracle's row_number.
+
+    Cost shape: the corpus is NOT re-encoded — distinct words are
+    extracted first (one map-side-combined shuffle over the Zipf-bounded
+    word dictionary, the same cut bpe_learn makes), and only the
+    dictionary rows run the Arrow encode. The single-partition window at
+    the end is justified: V is bounded by |alphabet| + len(merges)
+    (tokenizer-sized, thousands), independent of corpus size."""
     from pyspark.sql import Window
 
-    enc = bpe_encode(df, merges, text_col=text_col)
+    words = (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+                    lambda w: w != "",
+                )
+            ).alias("w")
+        )
+        .distinct()
+    )
+    enc = bpe_encode(words, merges, text_col="w")
     toks = enc.select(F.explode("tokens").alias("token")).distinct()
     w = Window.orderBy("token")
     return toks.withColumn(
@@ -205,32 +231,12 @@ def bpe_token_ids(
 ) -> DataFrame:
     """Tokenize straight to TOKEN IDS (array<int>) — what the training
     shards actually store. Same zero-shuffle Arrow walk and per-batch word
-    memo as bpe_encode, fused with the vocab lookup so the corpus is
-    tokenized once, not twice; `vocab` is the collected bpe_vocab mapping
-    (tokenizer-sized, broadcast in the UDF closure — the dict is V
-    entries, never corpus-scale). Unknown subwords map to -1 (unk)."""
-    import pandas as pd  # noqa: F401
-    from pyspark.sql.functions import pandas_udf
-
-    ranks = {pair: i for i, pair in enumerate(merges)}
-
-    @pandas_udf("array<int>")
-    def enc(texts):
-        memo: dict[str, list[int]] = {}
-
-        def one(t):
-            if t is None:
-                return None
-            out: list[int] = []
-            for w in t.lower().split():
-                hit = memo.get(w)
-                if hit is None:
-                    hit = memo[w] = [
-                        vocab.get(tok, -1) for tok in bpe_encode_word(w, ranks)
-                    ]
-                out.extend(hit)
-            return out
-
-        return texts.map(one)
-
-    return ensure_parallelism(df).withColumn(out_col, enc(F.col(text_col)))
+    memo as bpe_encode (the shared _encode_udf body, so tokenization can
+    never drift between the string and id surfaces), fused with the vocab
+    lookup so the corpus is tokenized once, not twice; `vocab` is the
+    collected bpe_vocab mapping (tokenizer-sized, broadcast in the UDF
+    closure — the dict is V entries, never corpus-scale). Unknown
+    subwords map to -1 (unk)."""
+    return ensure_parallelism(df).withColumn(
+        out_col, _encode_udf(merges, vocab)(F.col(text_col))
+    )

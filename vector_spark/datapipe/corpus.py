@@ -160,8 +160,12 @@ def split_corpus(
         if group_col is not None
         else F.md5(F.col(text_col).cast("binary"))
     )
+    # strict concat (NOT concat_ws): a NULL key must propagate so a null
+    # group lands on the deterministic 'train' fallback on BOTH engines
+    # (SQL '...' || NULL is NULL -> CASE falls through), instead of
+    # silently hashing the bare seed as one pseudo-group
     h = F.conv(
-        F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), key)), 1, 8), 16, 10
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), key)), 1, 8), 16, 10
     ).cast("long")
     cut = int(val_frac * granularity)
     split = F.when((h % granularity) < cut, F.lit("val")).otherwise(F.lit("train"))

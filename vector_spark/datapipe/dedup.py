@@ -451,7 +451,9 @@ def dedup_substrings(
     n_words x n_duplicated_positions, bounded by document length. Three
     narrow exchanges total, no window, no all-pairs anything."""
     df = ensure_parallelism(df)  # gram md5s are per-row expensive
-    words = F.split(F.col(text_col), " ")
+    # NULL text behaves as '' (the oracle's coalesce) so "every input doc
+    # comes back" holds with non-null outputs
+    words = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     n = F.size(words)
     # gram starts 0..n-k; guarded sequence (sequence() rejects empty bounds)
     starts = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(

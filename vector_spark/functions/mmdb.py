@@ -211,7 +211,9 @@ def mmdb_to_ranges6(buf: bytes) -> Iterator[tuple[int, int, int, dict]]:
             rec = read(node, side)
             child_prefix = (prefix << 1) | side
             if rec < node_count:
-                if depth + 1 > 128:
+                # an internal node AT depth 128 would put leaves past the
+                # address width — reject before recursing (>=, not >)
+                if depth + 1 >= 128:
                     raise ValueError("mmdb: IPv6 tree deeper than 128 bits")
                 yield from walk(rec, child_prefix, depth + 1)
             elif rec == node_count:
@@ -249,7 +251,7 @@ def mmdb_to_ranges(buf: bytes) -> Iterator[tuple[int, int, int, dict]]:
             rec = read(node, side)
             child_prefix = (prefix << 1) | side
             if rec < node_count:
-                if depth + 1 > 32:
+                if depth + 1 >= 32:
                     raise ValueError("mmdb: IPv4 tree deeper than 32 bits")
                 yield from walk(rec, child_prefix, depth + 1)
             elif rec == node_count:
@@ -445,6 +447,12 @@ def build_mmdb(
     rec_index: dict[str, int] = {}
 
     def insert(prefix: int, plen: int, data_i: int) -> None:
+        if plen == 0:
+            # full-address-space range: the root has no "self" record in
+            # the MMDB layout — set BOTH children (was silently dropped)
+            insert(0, 1, data_i)
+            insert(1, 1, data_i)
+            return
         node = root
         for d in range(plen):
             side = (prefix >> (plen - 1 - d)) & 1

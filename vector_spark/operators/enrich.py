@@ -165,6 +165,7 @@ def enrich_ip6_range(
     end_col: str = "ip_end_hex",
     prefix_nibbles: int = 8,
     select: list[str] | None = None,
+    max_blocks_per_range: int = 65536,
 ) -> DataFrame:
     """IPv6 twin of enrich_ip_range — the reference's geoip/mmdb tables are
     v6-capable (src/enrichment_tables/geoip.rs), so is this. The dim
@@ -178,17 +179,41 @@ def enrich_ip6_range(
     /prefix_nibbles*4 blocks each range covers (block id = leading nibbles
     as a long — 8 nibbles = /32 blocking, matching registry-sized v6
     allocations), the fact joins on its block — broadcast HASH join with
-    the hex BETWEEN as a residual, never a BNLJ."""
+    the hex BETWEEN as a residual, never a BNLJ. Unlike the v4 twin the
+    v6 block space is unbounded, so a range coarser than the blocking
+    (e.g. a /16 aggregate under /32 blocks) is rejected by a
+    plan-embedded assert_true at `max_blocks_per_range` blocks — lower
+    `prefix_nibbles` (coarser blocks) for databases with wide
+    aggregates instead of letting one row explode into millions."""
     from ..functions.strings import ipv6_expand
 
     d = dim.alias("d")
     keep = select or [c for c in dim.columns if c not in (start_col, end_col)]
     blk = lambda c: F.conv(F.substring(c, 1, prefix_nibbles), 16, 10).cast("long")  # noqa: E731
-    exploded = d.select(
-        F.col(f"d.{start_col}").alias("_s6"),
-        F.col(f"d.{end_col}").alias("_e6"),
-        *[F.col(f"d.{c}") for c in keep],
-    ).withColumn("_blk", F.explode(F.sequence(blk(F.col("_s6")), blk(F.col("_e6")))))
+    span = blk(F.col("_s6x")) + F.lit(max_blocks_per_range) - 1
+    guard_msg = F.concat(
+        F.lit(
+            f"enrich_ip6_range: dim range spans > {max_blocks_per_range} "
+            f"/{prefix_nibbles * 4} blocks; lower prefix_nibbles: "
+        ),
+        F.col("_s6x"),
+    )
+    # assert_true returns NULL on success; anchoring the guard on the
+    # start bound keeps Catalyst from pruning it (find_table_row pattern)
+    guarded_start = F.when(
+        F.assert_true(blk(F.col("_e6")) <= span, guard_msg).isNull(),
+        F.col("_s6x"),
+    )
+    exploded = (
+        d.select(
+            F.col(f"d.{start_col}").alias("_s6x"),
+            F.col(f"d.{end_col}").alias("_e6"),
+            *[F.col(f"d.{c}") for c in keep],
+        )
+        .withColumn("_s6", guarded_start)
+        .drop("_s6x")
+        .withColumn("_blk", F.explode(F.sequence(blk(F.col("_s6")), blk(F.col("_e6")))))
+    )
     f = df.alias("f")
     hex32 = F.replace(ipv6_expand(F.col(f"f.{ip_col}")), F.lit(":"), F.lit(""))
     cond = (blk(hex32) == F.col("_blk")) & hex32.between(F.col("_s6"), F.col("_e6"))
