@@ -4,7 +4,9 @@ Reference registry: encode_zlib / decode_zlib / encode_gzip / decode_gzip
 (website/cue/reference/remap/functions/). No JVM builtin exists for
 per-value compression, so these are the textbook case for Arrow-batched
 pandas UDFs (stdlib zlib/gzip — no external wheels): binary in, binary
-out, batch-at-a-time. Snappy/zstd would slot in identically given wheels.
+out, batch-at-a-time. Snappy/zstd slot in identically below: C wheel when
+installed, pure-Python spec-direct codec (snappy_py.py / zstd_py.py)
+otherwise — validated against the JVM's snappy-java/zstd-jni in tests.
 
 The pandas_udf objects are built lazily (pandas_udf needs an active
 SparkSession) and cached per process.
@@ -58,66 +60,63 @@ def decode_gzip(col: Column | str) -> Column:
     return _udf("decode_gzip")(col)
 
 
-# --- zstd / snappy (gated: wheels not present in every environment) --------
+# --- zstd / snappy -----------------------------------------------------------
+#
+# C wheel preferred (zstandard / python-snappy), pure-Python spec-direct
+# fallback otherwise (functions/zstd_py.py RFC 8878, functions/snappy_py.py
+# raw snappy) — so the codec path ALWAYS executes, wheel or not. The
+# fallbacks are cross-validated against the JVM's real zstd-jni/snappy-java
+# in tests/test_sinks_codecs.py. One asymmetry, disclosed: the pure-Python
+# zstd ENcoder emits spec-legal raw-block frames (ratio 1.0, any decoder
+# accepts them — zstd-jni proves it); decode handles full entropy-coded
+# frames at every level.
 
-def _optional_codec(name: str, module: str):
-    """encode/decode builders for codecs whose wheel may be absent
-    (zstandard, python-snappy). The reference ships zstd/snappy in
-    lib/codecs; here they slot into the same Arrow-batched pattern as
-    zlib/gzip, but the import is deferred and a missing wheel raises a
-    clear ImportError AT CALL TIME (tests skip-if-absent)."""
-    import importlib
 
+def _zstd_fns(level: int = 3):
+    """-> (compress, decompress) callables: wheel if present, else pure-Python."""
     try:
-        mod = importlib.import_module(module)
-    except ImportError as e:
-        raise ImportError(
-            f"{name} needs the {module!r} wheel, which is not installed in "
-            f"this environment; zlib/gzip codecs are always available"
-        ) from e
-    return mod
+        import zstandard as zstd
+
+        c = zstd.ZstdCompressor(level=level)
+        d = zstd.ZstdDecompressor()
+        return c.compress, d.decompress
+    except ImportError:
+        from . import zstd_py
+
+        return zstd_py.compress, zstd_py.decompress
+
+
+def _snappy_fns():
+    try:
+        import snappy
+
+        return snappy.compress, snappy.decompress
+    except ImportError:
+        from . import snappy_py
+
+        return snappy_py.compress, snappy_py.decompress
+
+
+def _codec_udf(f):
+    from pyspark.sql.functions import pandas_udf
+
+    def codec(data):
+        return data.map(lambda b: None if b is None else f(bytes(b)))
+
+    return pandas_udf(codec, "binary")
 
 
 def encode_zstd(col: Column, level: int = 3) -> Column:
-    zstd = _optional_codec("encode_zstd", "zstandard")
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    c = zstd.ZstdCompressor(level=level)
-
-    def codec(data):
-        return data.map(lambda b: None if b is None else c.compress(bytes(b)))
-
-    return pandas_udf(codec, "binary")(col)
+    return _codec_udf(_zstd_fns(level)[0])(col)
 
 
 def decode_zstd(col: Column) -> Column:
-    zstd = _optional_codec("decode_zstd", "zstandard")
-    from pyspark.sql.functions import pandas_udf
-
-    d = zstd.ZstdDecompressor()
-
-    def codec(data):
-        return data.map(lambda b: None if b is None else d.decompress(bytes(b)))
-
-    return pandas_udf(codec, "binary")(col)
+    return _codec_udf(_zstd_fns()[1])(col)
 
 
 def encode_snappy(col: Column) -> Column:
-    snappy = _optional_codec("encode_snappy", "snappy")
-    from pyspark.sql.functions import pandas_udf
-
-    def codec(data):
-        return data.map(lambda b: None if b is None else snappy.compress(bytes(b)))
-
-    return pandas_udf(codec, "binary")(col)
+    return _codec_udf(_snappy_fns()[0])(col)
 
 
 def decode_snappy(col: Column) -> Column:
-    snappy = _optional_codec("decode_snappy", "snappy")
-    from pyspark.sql.functions import pandas_udf
-
-    def codec(data):
-        return data.map(lambda b: None if b is None else snappy.decompress(bytes(b)))
-
-    return pandas_udf(codec, "binary")(col)
+    return _codec_udf(_snappy_fns()[1])(col)
