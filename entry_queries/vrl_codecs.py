@@ -880,8 +880,171 @@ FROM h LEFT JOIN m ON m.event_id = h.event_id
 """
 
 
+def q_codec_compress(spark, sf_dir):
+    """Compression codec family (encode_/decode_ zlib, gzip, snappy, zstd)
+    round-tripped over a compressible payload built from event columns.
+    snappy/zstd now ALWAYS execute: C wheel when installed, the pure-Python
+    spec-direct codecs otherwise (functions/snappy_py.py raw snappy;
+    functions/zstd_py.py RFC 8878) — non-identity of the coding is pinned
+    by the cross-JVM tests (snappy-java / zstd-jni byte validation in
+    tests/test_compression_codecs.py); the oracle pins the round-trip
+    identity md5-exact per event. Scale: narrow Arrow-batched map, no
+    shuffle. Reference: lib/codecs decoder stack + sink compression
+    (src/sinks/util/buffer/compression.rs)."""
+    from vector_spark.functions import (
+        decode_gzip, decode_snappy, decode_zlib, decode_zstd,
+        encode_gzip, encode_snappy, encode_zlib, encode_zstd,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    payload = F.concat(F.repeat(F.col("props"), 20), F.col("event_type")) \
+        .cast("binary")
+    return e.select(
+        "event_id",
+        F.md5(decode_zlib(encode_zlib(payload))).alias("zlib_md5"),
+        F.md5(decode_gzip(encode_gzip(payload))).alias("gzip_md5"),
+        F.md5(decode_snappy(encode_snappy(payload))).alias("snappy_md5"),
+        F.md5(decode_zstd(encode_zstd(payload))).alias("zstd_md5"),
+    )
+
+
+_AVRO_EVENT_SCHEMA = (
+    '{"type":"record","name":"Event","fields":['
+    '{"name":"event_id","type":"long"},'
+    '{"name":"event_type","type":"string"},'
+    '{"name":"user_id","type":"long"},'
+    '{"name":"note","type":["null","string"]}]}'
+)
+
+
+def q_codec_avro(spark, sf_dir):
+    """Avro binary serializer -> deserializer round-trip (the lib/codecs
+    avro format, decoding/format/avro.rs). Runs Spark-native from_avro/
+    to_avro when the spark-avro jar is present, the pure-Python binary
+    codec otherwise (functions/avro_py.py — BYTE-identical to avro-1.12.1's
+    GenericDatumWriter, pinned in tests). Nullable-union branch exercised
+    via a modulo-null note column. The oracle recomputes the fields
+    directly, so an encode/decode bug cannot cancel out shape errors.
+    Scale: narrow Arrow map, no shuffle."""
+    from vector_spark.functions import parse_avro, serialize_avro
+
+    e = _t(spark, sf_dir, "events")
+    rec = F.struct(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.when(F.col("event_id") % 3 == 0, F.col("event_type")).alias("note"),
+    )
+    enc = e.select(serialize_avro(rec, _AVRO_EVENT_SCHEMA).alias("b"))
+    dec = enc.select(parse_avro(F.col("b"), _AVRO_EVENT_SCHEMA).alias("r"))
+    return dec.select(
+        F.col("r.event_id").alias("event_id"),
+        F.col("r.event_type").alias("event_type"),
+        F.col("r.user_id").alias("user_id"),
+        F.col("r.note").alias("note"),
+    )
+
+
+def _codec_protobuf_desc_path() -> str:
+    """Write the deterministic telemetry descriptor set (protoc-free,
+    functions/protobuf_py.py::build_descriptor_set) to a temp file; the
+    same FileDescriptorSet format protoc emits, accepted by protobuf-java
+    (pinned in tests/test_avro_protobuf_py.py)."""
+    import os
+    import tempfile
+
+    from vector_spark.functions import protobuf_py as pb
+
+    fd = pb.field_dict
+    desc = pb.build_descriptor_set([{
+        "name": "contract.proto", "package": "contract", "syntax": "proto3",
+        "message_type": [{"name": "Event", "field": [
+            fd("event_id", 1, pb._T_INT64),
+            fd("event_type", 2, pb._T_STRING),
+            fd("delta", 3, pb._T_SINT64),
+            fd("counts", 4, pb._T_INT32, repeated=True)]}]}])
+    path = os.path.join(tempfile.gettempdir(),
+                        f"vs_contract_{os.getpid()}.desc")
+    with open(path, "wb") as fh:
+        fh.write(desc)
+    return path
+
+
+def q_codec_protobuf(spark, sf_dir):
+    """Protobuf wire-format encode -> parse_protobuf round-trip against a
+    real FileDescriptorSet file (the reference's descriptor-file API,
+    lib/codecs/src/decoding/format/protobuf.rs). Native from_protobuf with
+    the spark-protobuf jar, pure-Python walker otherwise (cross-validated
+    vs protobuf-java DynamicMessage incl. packed repeated). sint64 delta
+    goes negative (zigzag), counts is a repeated field. Oracle recomputes
+    fields directly. Scale: narrow Arrow map, no shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    from vector_spark.functions import parse_protobuf
+    from vector_spark.functions import protobuf_py as pb
+
+    desc_path = _codec_protobuf_desc_path()
+    with open(desc_path, "rb") as fh:
+        registry = pb.compile_descriptor_set(fh.read())
+
+    def enc(rows):
+        import pandas as pd
+
+        return pd.Series([
+            pb.encode({"event_id": r["event_id"],
+                       "event_type": r["event_type"],
+                       "delta": r["delta"],
+                       "counts": list(r["counts"])},
+                      registry, "contract.Event")
+            for r in rows.to_dict("records")])
+
+    enc_udf = pandas_udf(enc, "binary")
+    e = _t(spark, sf_dir, "events")
+    src = e.select(F.struct(
+        "event_id",
+        "event_type",
+        (F.col("user_id") - 50).alias("delta"),
+        F.array((F.col("event_id") % 256).cast("int"),
+                F.col("user_id").cast("int")).alias("counts"),
+    ).alias("s"))
+    encoded = src.select(enc_udf(F.col("s")).alias("b"))
+    dec = encoded.select(
+        parse_protobuf(F.col("b"), "Event", desc_path).alias("r"))
+    return dec.select(
+        F.col("r.event_id").alias("event_id"),
+        F.col("r.event_type").alias("event_type"),
+        F.col("r.delta").alias("delta"),
+        F.col("r.counts").alias("counts"),
+    )
+
+
 def oracles() -> dict[str, str]:
     sql: dict[str, str] = {}
+
+    sql["codec_compress"] = """
+WITH p AS (
+  SELECT event_id, repeat(props, 20) || event_type AS payload FROM events
+)
+SELECT event_id,
+       md5(payload) AS zlib_md5,
+       md5(payload) AS gzip_md5,
+       md5(payload) AS snappy_md5,
+       md5(payload) AS zstd_md5
+FROM p
+"""
+
+    sql["codec_avro"] = """
+SELECT event_id, event_type, user_id,
+       CASE WHEN event_id % 3 = 0 THEN event_type END AS note
+FROM events
+"""
+
+    sql["codec_protobuf"] = """
+SELECT event_id, event_type,
+       user_id - 50 AS delta,
+       [CAST(event_id % 256 AS INTEGER), CAST(user_id AS INTEGER)] AS counts
+FROM events
+"""
 
     sql["parse_etld"] = _parse_etld_sql()
 
@@ -1222,7 +1385,10 @@ FROM events
 
 
 QUERIES = {
+    "codec_avro": q_codec_avro,
     "codec_cdx": q_codec_cdx,
+    "codec_compress": q_codec_compress,
+    "codec_protobuf": q_codec_protobuf,
     "codec_csv": q_codec_csv,
     "codec_framing_chardelim": q_codec_framing_chardelim,
     "codec_framing_octet": q_codec_framing_octet,

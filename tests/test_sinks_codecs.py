@@ -127,9 +127,10 @@ def test_zstd_roundtrip_distributed(spark):
     assert got == [b"payload", b"a" * 5000, None]
 
 
-def test_avro_roundtrip_or_skip(spark):
-    """Avro (de)serializer wiring: real from_avro/to_avro exprs; skipped
-    (not silently passed) when the spark-avro jar is absent."""
+def test_avro_roundtrip(spark):
+    """Avro (de)serializer: native from_avro/to_avro when the spark-avro
+    jar is present, the pure-Python codec otherwise (byte-validated vs
+    avro-1.12.1 in test_avro_protobuf_py.py) — always executes."""
     import pytest
 
     from vector_spark.functions import parse_avro, serialize_avro
@@ -223,12 +224,13 @@ def _varint(v):
             return out
 
 
-def test_protobuf_descriptor_fixture_or_skip(spark, tmp_path):
+def test_protobuf_descriptor_fixture(spark, tmp_path):
     """A hand-encoded FileDescriptorSet (TestEvent{int64 id=1; string s=2})
-    plus a hand-encoded message (id=7, s='x') pin the from_protobuf wiring
-    against REAL bytes the moment the spark-protobuf jar appears; skipped
-    visibly without it. The fixture bytes themselves are validated here
-    (descriptor round-trips through our own walker)."""
+    plus a hand-encoded message (id=7, s='x') pin parse_protobuf against
+    REAL bytes: native from_protobuf when the spark-protobuf jar is
+    present, the pure-Python descriptor-compiling decoder
+    (functions/protobuf_py.py) otherwise — either way this now EXECUTES
+    (cross-JVM validation in test_avro_protobuf_py.py)."""
     import pytest
 
     from vector_spark.functions import parse_protobuf
@@ -261,10 +263,11 @@ def test_protobuf_descriptor_fixture_or_skip(spark, tmp_path):
     assert [(r.id, r.s) for r in got] == [(7, "x")]
 
 
-def test_avro_raw_body_fixture_or_skip(spark):
+def test_avro_raw_body_fixture(spark):
     """Hand-encoded raw Avro body for record{id:long, s:string} — zigzag
-    long 7 = 0x0e, string 'x' = len-1 0x02 + 'x'. from_avro must decode it
-    exactly when the spark-avro jar appears; skipped visibly without it."""
+    long 7 = 0x0e, string 'x' = len-1 0x02 + 'x'. Decoded by native
+    from_avro when the spark-avro jar is present, by the pure-Python
+    binary decoder (functions/avro_py.py) otherwise — always executes."""
     import pytest
 
     from vector_spark.functions import parse_avro

@@ -571,30 +571,122 @@ def frame_octet_counting(col: Column) -> Column:
 
 # --- avro / protobuf (lib/codecs/src/decoding/mod.rs:259-353) --------------
 
-def parse_avro(col: Column, json_schema: str, options: dict | None = None) -> Column:
-    """Avro deserializer -> struct column, delegating to Spark's native
-    from_avro (JVM, vectorized). Needs the spark-avro package on the
-    session's classpath — absent in this sandbox, so tests skip-if-absent;
-    the wiring itself is exercised wherever the jar exists."""
-    from pyspark.sql.avro.functions import from_avro
+def _spark_module_available(probe_class: str) -> bool:
+    """True when an optional Spark module jar (spark-avro / spark-protobuf)
+    is on the session's JVM classpath."""
+    from pyspark.sql import SparkSession
 
-    return from_avro(col, json_schema, options or {})
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return False
+    try:
+        spark._jvm.java.lang.Class.forName(probe_class)
+        return True
+    except Exception:
+        return False
+
+
+def parse_avro(col: Column, json_schema: str, options: dict | None = None) -> Column:
+    """Avro deserializer -> struct column. Uses Spark's native from_avro
+    (JVM, vectorized) when the spark-avro module jar is present; otherwise
+    the pure-Python spec-direct binary decoder (functions/avro_py.py,
+    byte-validated against avro-1.12.1) as an Arrow-batched UDF — so the
+    path always executes."""
+    if _spark_module_available("org.apache.spark.sql.avro.AvroDataToCatalyst"):
+        from pyspark.sql.avro.functions import from_avro
+
+        return from_avro(col, json_schema, options or {})
+    return parse_avro_py(col, json_schema)
+
+
+def parse_avro_py(col: Column, json_schema: str) -> Column:
+    """Pure-Python Avro binary -> struct (Arrow-batched)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from . import avro_py
+
+    ddl = avro_py.spark_ddl(json_schema)
+    fields = [f["name"] for f in avro_py.parse_schema(json_schema)["fields"]]
+
+    def fn(data):
+        import pandas as pd
+
+        s = avro_py.parse_schema(json_schema)
+        empty = dict.fromkeys(fields)
+        rows = [dict(empty) if b is None else avro_py.decode(bytes(b), s)
+                for b in data]
+        return pd.DataFrame(rows, columns=fields)
+
+    return pandas_udf(fn, f"struct<{ddl}>")(col)
 
 
 def serialize_avro(col: Column, json_schema: str | None = None) -> Column:
-    """Avro serializer (struct -> binary) via native to_avro."""
-    from pyspark.sql.avro.functions import to_avro
+    """Avro serializer (struct -> binary): native to_avro with the module
+    jar, pure-Python binary encoder otherwise (which requires the schema)."""
+    if _spark_module_available("org.apache.spark.sql.avro.AvroDataToCatalyst"):
+        from pyspark.sql.avro.functions import to_avro
 
-    return to_avro(col, json_schema) if json_schema else to_avro(col)
+        return to_avro(col, json_schema) if json_schema else to_avro(col)
+    if json_schema is None:
+        raise ValueError("serialize_avro without spark-avro needs json_schema")
+    return serialize_avro_py(col, json_schema)
+
+
+def serialize_avro_py(col: Column, json_schema: str) -> Column:
+    """Pure-Python struct -> Avro binary (Arrow-batched). Spark map columns
+    arrive in pandas as lists of (key, value) tuples — normalized to dicts
+    before encoding."""
+    from pyspark.sql.functions import pandas_udf
+
+    from . import avro_py
+
+    def _norm(v, s):
+        if v is None:
+            return None
+        if isinstance(s, list):
+            branch = next(b for b in s if b != "null")
+            return _norm(v, branch)
+        if isinstance(s, str):
+            return bytes(v) if s in ("bytes",) and not isinstance(v, bytes) else v
+        t = s["type"]
+        if t == "record":
+            return {f["name"]: _norm(v.get(f["name"]), f["type"])
+                    for f in s["fields"]}
+        if t == "array":
+            return [_norm(x, s["items"]) for x in v]
+        if t == "map":
+            items = v.items() if isinstance(v, dict) else v
+            return {k: _norm(x, s["values"]) for k, x in items}
+        if t == "fixed":
+            return bytes(v)
+        return v
+
+    def fn(data):
+        import pandas as pd
+
+        s = avro_py.parse_schema(json_schema)
+        out = [None if r is None
+               else avro_py.encode(_norm(dict(r), s), s)
+               for r in data.to_dict("records")]
+        return pd.Series(out)
+
+    return pandas_udf(fn, "binary")(col)
 
 
 def parse_protobuf(col: Column, message_name: str, desc_file_path: str,
                    options: dict | None = None) -> Column:
-    """Protobuf deserializer via native from_protobuf (needs the
-    spark-protobuf package + a compiled descriptor file; skip-if-absent)."""
-    from pyspark.sql.protobuf.functions import from_protobuf
+    """Protobuf deserializer: native from_protobuf when the spark-protobuf
+    module jar is present; otherwise the pure-Python wire-format decoder
+    (functions/protobuf_py.py), which compiles the SAME FileDescriptorSet
+    file — so the descriptor-file API is identical either way."""
+    if _spark_module_available(
+            "org.apache.spark.sql.protobuf.ProtobufDataToCatalyst"):
+        from pyspark.sql.protobuf.functions import from_protobuf
 
-    return from_protobuf(col, message_name, desc_file_path, options or {})
+        return from_protobuf(col, message_name, desc_file_path, options or {})
+    from .protobuf_py import parse_protobuf_py
+
+    return parse_protobuf_py(col, message_name, desc_file_path)
 
 
 # --- influxdb line protocol ------------------------------------------------
