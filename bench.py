@@ -113,6 +113,11 @@ HEADLINE = [
     "embedding_outliers",
     "split_corpus",
     "dataset_build",
+    # round 4 continuation: the codec family now always executes
+    # (pure-Python spec-direct snappy/zstd/avro/protobuf fallbacks)
+    "codec_compress",
+    "codec_avro",
+    "codec_protobuf",
 ]
 
 

@@ -895,8 +895,9 @@ def q_codec_compress(spark, sf_dir):
         decode_gzip, decode_snappy, decode_zlib, decode_zstd,
         encode_gzip, encode_snappy, encode_zlib, encode_zstd,
     )
+    from vector_spark.session import ensure_parallelism
 
-    e = _t(spark, sf_dir, "events")
+    e = ensure_parallelism(_t(spark, sf_dir, "events"))
     payload = F.concat(F.repeat(F.col("props"), 20), F.col("event_type")) \
         .cast("binary")
     return e.select(
@@ -927,8 +928,9 @@ def q_codec_avro(spark, sf_dir):
     directly, so an encode/decode bug cannot cancel out shape errors.
     Scale: narrow Arrow map, no shuffle."""
     from vector_spark.functions import parse_avro, serialize_avro
+    from vector_spark.session import ensure_parallelism
 
-    e = _t(spark, sf_dir, "events")
+    e = ensure_parallelism(_t(spark, sf_dir, "events"))
     rec = F.struct(
         "event_id",
         "event_type",
@@ -999,7 +1001,9 @@ def q_codec_protobuf(spark, sf_dir):
             for r in rows.to_dict("records")])
 
     enc_udf = pandas_udf(enc, "binary")
-    e = _t(spark, sf_dir, "events")
+    from vector_spark.session import ensure_parallelism
+
+    e = ensure_parallelism(_t(spark, sf_dir, "events"))
     src = e.select(F.struct(
         "event_id",
         "event_type",
