@@ -118,6 +118,7 @@ HEADLINE = [
     "codec_compress",
     "codec_avro",
     "codec_protobuf",
+    "dedup_bloom",
 ]
 
 

@@ -831,6 +831,24 @@ def q_incremental_dedup(spark, sf_dir):
     return incremental_dedup(delta, corpus, near=True, threshold=0.5)
 
 
+def q_dedup_bloom(spark, sf_dir):
+    """Bloom-filter membership dedup (Dolma-style): docs with
+    doc_id % 5 == 0 play the new snapshot, the rest the corpus. The filter
+    is built as a sparse (word_idx, word_bits) table — the shuffle carries
+    k=5 16-byte position rows per doc, never text — then broadcast to the
+    probe. Deterministic md5 hash family, so the oracle reproduces the
+    exact bit table and the result is hash-exact (not just a rate check).
+    No false negatives by construction (pinned in tests); false positives
+    bounded by m=2^20 bits over ~0.8k-80k corpus docs."""
+    from vector_spark.datapipe import bloom_filter_build, bloom_filter_probe
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    delta = d.filter(F.col("doc_id") % 5 == 0)
+    bloom = bloom_filter_build(corpus, "text")
+    return bloom_filter_probe(delta, bloom, "text", "doc_id")
+
+
 def q_robots_filter(spark, sf_dir):
     """Crawl-politeness gate: per-host robots.txt (synthesized — a star
     group with a Disallow/Allow pair whose paths derive from md5(host),
@@ -1469,6 +1487,35 @@ GROUP BY ROLLUP (lang, source)
            generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
            i -> array_to_string(string_split(text,' ')[i:i+2], ' ')
          ))"""
+    sql["dedup_bloom"] = """
+WITH ks AS (SELECT unnest(range(5)) AS i),
+cpos AS (
+  SELECT ('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || text), 1, 15))::BIGINT
+         % 1048576 AS pos
+  FROM documents, ks WHERE doc_id % 5 <> 0
+),
+filt AS (
+  SELECT pos // 63 AS word_idx,
+         bit_or(1::BIGINT << CAST(pos % 63 AS INTEGER)) AS word_bits
+  FROM cpos GROUP BY 1
+),
+probe AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || text), 1, 15))::BIGINT
+         % 1048576 AS pos
+  FROM documents, ks WHERE doc_id % 5 = 0
+),
+pm AS (
+  SELECT doc_id, pos // 63 AS word_idx,
+         1::BIGINT << CAST(pos % 63 AS INTEGER) AS mask
+  FROM probe
+)
+SELECT doc_id,
+       bool_and(word_bits IS NOT NULL AND (word_bits & mask) = mask) AS maybe_dup
+FROM pm LEFT JOIN filt USING (word_idx)
+GROUP BY doc_id
+"""
+
     sql["incremental_dedup"] = f"""
 WITH delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
 corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
@@ -1957,6 +2004,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "frame_sample": q_frame_sample,
     "html_text": q_html_text,
+    "dedup_bloom": q_dedup_bloom,
     "incremental_dedup": q_incremental_dedup,
     "langid": q_langid,
     "mixture_sample": q_mixture_sample,

@@ -1197,3 +1197,71 @@ def test_split_corpus_null_group_goes_train(spark):
     )
     out = {r.doc_id: r.split for r in split_corpus(df, val_frac=0.99, group_col="source").collect()}
     assert out[1] == "train"  # null group: fallback side even at 99% val
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    """Every delta text that IS in the corpus must flag maybe_dup=true —
+    Bloom filters cannot have false negatives; a miss here means the
+    build/probe hash families diverged."""
+    from vector_spark.datapipe import bloom_filter_build, bloom_filter_probe
+
+    corpus_texts = [f"shared document number {i}" for i in range(50)] + [
+        "corpus only text alpha", "corpus only text beta"]
+    corpus = spark.createDataFrame([(t,) for t in corpus_texts], "text string")
+    delta = spark.createDataFrame(
+        [(i, f"shared document number {i}") for i in range(50)],
+        "doc_id long, text string")
+    bloom = bloom_filter_build(corpus, "text")
+    got = {r.doc_id: r.maybe_dup
+           for r in bloom_filter_probe(delta, bloom, "text", "doc_id").collect()}
+    assert got == {i: True for i in range(50)}
+
+
+def test_bloom_filter_fresh_texts_pass(spark):
+    """Texts absent from the corpus come back maybe_dup=false at this
+    m/k/n operating point (2^20 bits, k=5, 52 corpus docs: FP rate ~1e-13;
+    the fixture is deterministic so this is a stable assertion, not a
+    probabilistic one)."""
+    from vector_spark.datapipe import bloom_filter_build, bloom_filter_probe
+
+    corpus = spark.createDataFrame(
+        [(f"corpus text {i}",) for i in range(52)], "text string")
+    delta = spark.createDataFrame(
+        [(i, f"novel text {i}") for i in range(20)], "doc_id long, text string")
+    bloom = bloom_filter_build(corpus, "text")
+    got = {r.doc_id: r.maybe_dup
+           for r in bloom_filter_probe(delta, bloom, "text", "doc_id").collect()}
+    assert got == {i: False for i in range(20)}
+
+
+def test_bloom_filter_matches_python_reference(spark):
+    """Bit-exact vs an independent pure-Python Bloom implementation using
+    the same md5 position family (the oracle's math, re-derived)."""
+    from vector_spark.datapipe import bloom_filter_build, bloom_filter_probe
+
+    m, k = 1 << 20, 5
+
+    def positions(text):
+        return [int(hashlib.md5(f"{i}|{text}".encode()).hexdigest()[:15], 16) % m
+                for i in range(k)]
+
+    corpus_texts = [f"doc {i} payload" for i in range(40)]
+    bits = set()
+    for t in corpus_texts:
+        bits.update(positions(t))
+    probe_texts = [(i, f"doc {i} payload" if i % 2 == 0 else f"fresh {i}")
+                   for i in range(10)]
+    expected = {i: all(p in bits for p in positions(t)) for i, t in probe_texts}
+
+    corpus = spark.createDataFrame([(t,) for t in corpus_texts], "text string")
+    delta = spark.createDataFrame(probe_texts, "doc_id long, text string")
+    bloom = bloom_filter_build(corpus, "text")
+    got = {r.doc_id: r.maybe_dup
+           for r in bloom_filter_probe(delta, bloom, "text", "doc_id").collect()}
+    assert got == expected
+    # the sparse word table matches the reference bit-for-bit
+    words = {}
+    for p in bits:
+        words[p // 63] = words.get(p // 63, 0) | (1 << (p % 63))
+    spark_words = {r.word_idx: r.word_bits for r in bloom.collect()}
+    assert spark_words == words

@@ -478,3 +478,23 @@ def test_dedup_substrings_plan_shape(spark):
     assert re.search(r"partial_count", plan), plan
     for m in re.finditer(r"Exchange hashpartitioning\((\w+)#", plan):
         assert m.group(1) in ("gh", "doc_id"), m.group(0)
+
+
+def test_bloom_probe_broadcasts_filter(spark):
+    """bloom_filter_probe must broadcast the word table (small by
+    construction: <= m/63 rows) — a sort-merge join here would shuffle the
+    full probe corpus's position rows at 100 TB."""
+    from vector_spark.datapipe import bloom_filter_build, bloom_filter_probe
+
+    corpus = spark.createDataFrame([(f"c{i}",) for i in range(30)], "text string")
+    delta = spark.createDataFrame([(i, f"d{i}") for i in range(10)],
+                                  "doc_id long, text string")
+    out = bloom_filter_probe(delta, bloom_filter_build(corpus, "text"),
+                             "text", "doc_id")
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # text never crosses an exchange: only positions/ids shuffle
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, f"text in exchange: {line}"

@@ -1,4 +1,5 @@
 from .dedup import (
+    bloom_filter_build, bloom_filter_probe,
     connected_components, dedup_clusters, dedup_ladder, dedup_spans,
     dedup_substrings,
     exact_dedup, incremental_dedup, minhash_lsh_pairs, shingle_docs, simhash,
@@ -28,6 +29,7 @@ from .multimodal import binary_meta, extract_features, frame_sample, resize_imag
 
 __all__ = [
     "exact_dedup", "dedup_substrings", "dedup_ladder", "dedup_spans", "shingle_docs", "minhash_lsh_pairs", "simhash",
+    "bloom_filter_build", "bloom_filter_probe",
     "connected_components", "dedup_clusters",
     "cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "embedding_near_dup_pairs", "embedding_outliers",
     "semantic_dedup", "bpe_pair_counts", "pagerank", "tfidf_keywords",

@@ -11,6 +11,10 @@ reproduce them bit-for-bit) and all shuffle-disciplined for 100 TB:
                         all-pairs; bucket skew is bounded by banding.
   * simhash           — 16-bit near-dup fingerprint from token hashes; a
                         narrow map (no shuffle) producing a clusterable key.
+  * bloom_filter_*    — probabilistic membership tier (Dolma-style): a
+                        sparse bit table built with positions-only shuffles
+                        and broadcast to the probe; bounded memory at any
+                        corpus size, zero false negatives.
 
 No Python in any of these: shingling/minhashing are higher-order column
 functions (transform/filter/aggregate), executed in whole-stage codegen.
@@ -487,3 +491,70 @@ def dedup_substrings(
         F.size(words).cast("long").alias("n_tokens"),
         (F.size(words) - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter membership tier (Dolma / CCNet-style dedup at corpus scale)
+
+def _bloom_positions(col: Column, k: int, m_bits: int) -> Column:
+    """k deterministic bit positions in [0, m_bits) for a text value:
+    position_i = int(md5(i || '|' || text)[:15 hex]) % m_bits. md5 keeps
+    the hash family engine-portable (DuckDB reproduces it bit-for-bit);
+    15 hex chars < 2^60 so the modulo stays in BIGINT."""
+    return F.array(*[
+        (F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}|"), col).cast("binary")), 1, 15), 16, 10)
+         .cast("long") % m_bits).alias(f"p{i}")
+        for i in range(k)
+    ])
+
+
+def bloom_filter_build(
+    df: DataFrame, text_col: str = "text", k: int = 5,
+    m_bits: int = 1 << 20,
+) -> DataFrame:
+    """Build a Bloom filter over md5-positions of a text column as a SPARSE
+    (word_idx, word_bits) table: bit b of word w is set iff some document
+    hashed to position w*64+b.
+
+    100 TB scale: the ONLY shuffle carries (word_idx, one-bit mask) pairs —
+    k rows per document, 16 bytes each — combined map-side by bit_or
+    partial aggregation; no text crosses the exchange. The result is at
+    most m_bits/64 rows (m=2^27 -> <=2 M rows ~= 32 MB), broadcastable to
+    the probe side. This is the bounded-memory membership tier the exact
+    md5 join cannot provide when the corpus no longer fits a shuffle
+    (Dolma's dedupe uses the same construction with a fixed FP budget).
+    Reference capability: dedupe transform cache semantics
+    (src/transforms/dedupe.rs) generalized to corpus membership."""
+    pos = df.select(F.explode(_bloom_positions(F.col(text_col), k, m_bits)).alias("pos"))
+    # shiftleft's Python builder takes only literal shift counts; the SQL
+    # form accepts a column
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))")
+    return (
+        pos.groupBy((F.col("pos") / 63).cast("long").alias("word_idx"))
+        .agg(F.bit_or(mask).alias("word_bits"))
+    )
+
+
+def bloom_filter_probe(
+    df: DataFrame, bloom: DataFrame, text_col: str = "text",
+    id_col: str = "doc_id", k: int = 5, m_bits: int = 1 << 20,
+) -> DataFrame:
+    """Probe each document against a built filter -> (id, maybe_dup).
+    maybe_dup = ALL k positions hit set bits (false positives possible at
+    the configured rate, false negatives impossible — pinned by test).
+
+    100 TB scale: positions explode to k ids-only rows, broadcast-hash-join
+    against the filter words (the filter is small by construction), and a
+    groupBy(id) with a bool_and partial agg; text never leaves the scan."""
+    probes = df.select(
+        F.col(id_col),
+        F.posexplode(_bloom_positions(F.col(text_col), k, m_bits)).alias("i", "pos"),
+    ).select(
+        id_col,
+        (F.col("pos") / 63).cast("long").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").alias("mask"),
+    )
+    joined = probes.join(F.broadcast(bloom), "word_idx", "left")
+    hit = (F.col("word_bits").isNotNull()
+           & (F.col("word_bits").bitwiseAND(F.col("mask")) == F.col("mask")))
+    return joined.groupBy(id_col).agg(F.bool_and(hit).alias("maybe_dup"))
