@@ -276,3 +276,26 @@ def test_protobuf_roundtrip_property(n, s, arr):
     # our encoder emits present fields explicitly (even zero values), so
     # the round-trip is exact — proto3 default-elision is a producer choice
     assert pb.decode(pb.encode(v, regy, "p.M"), regy, "p.M") == v
+
+
+def test_serialize_protobuf_fallback_roundtrip(spark, tmp_path):
+    """serialize_protobuf (encode_proto) pairs with parse_protobuf through
+    the pure-Python wire encoder when the spark-protobuf jar is absent."""
+    from vector_spark.functions import parse_protobuf, serialize_protobuf
+
+    fd = pb.field_dict
+    desc = pb.build_descriptor_set([{
+        "name": "t.proto", "package": "t", "syntax": "proto3",
+        "message_type": [{"name": "Msg", "field": [
+            fd("id", 1, pb._T_INT64), fd("s", 2, pb._T_STRING),
+            fd("vals", 3, pb._T_INT32, repeated=True)]}]}])
+    path = tmp_path / "t.desc"
+    path.write_bytes(desc)
+    df = spark.createDataFrame([(i, f"r{i}", [i, i * 3]) for i in range(4)],
+                               "id long, s string, vals array<int>")
+    enc = df.select(serialize_protobuf(
+        F.struct("id", "s", "vals"), "Msg", str(path)).alias("b"))
+    out = enc.select(parse_protobuf(F.col("b"), "Msg", str(path)).alias("r")) \
+             .select("r.*")
+    rows = sorted((r.id, r.s, list(r.vals)) for r in out.collect())
+    assert rows == [(i, f"r{i}", [i, i * 3]) for i in range(4)]

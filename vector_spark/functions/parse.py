@@ -863,11 +863,41 @@ def parse_warc_record(col: Column) -> Column:
 
 def serialize_protobuf(col: Column, message_name: str, desc_file_path: str,
                        options: dict | None = None) -> Column:
-    """Protobuf serializer via native to_protobuf (pairs with
-    parse_protobuf; needs spark-protobuf + descriptor, skip-if-absent)."""
-    from pyspark.sql.protobuf.functions import to_protobuf
+    """Protobuf serializer (pairs with parse_protobuf): native to_protobuf
+    when the spark-protobuf jar is present, the pure-Python wire encoder
+    against the same descriptor file otherwise."""
+    if _spark_module_available(
+            "org.apache.spark.sql.protobuf.CatalystDataToProtobuf"):
+        from pyspark.sql.protobuf.functions import to_protobuf
 
-    return to_protobuf(col, message_name, desc_file_path, options or {})
+        return to_protobuf(col, message_name, desc_file_path, options or {})
+    from pyspark.sql.functions import pandas_udf
+
+    from . import protobuf_py as pb
+
+    with open(desc_file_path, "rb") as fh:
+        registry = pb.compile_descriptor_set(fh.read())
+    full = pb.resolve_message(registry, message_name)
+
+    def _norm(v):
+        import numpy as np
+
+        if isinstance(v, dict):
+            return {k: _norm(x) for k, x in v.items() if x is not None}
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return [_norm(x) for x in v]
+        if isinstance(v, np.generic):  # numpy scalar -> python scalar
+            return v.item()
+        return v
+
+    def fn(rows):
+        import pandas as pd
+
+        return pd.Series([
+            None if r is None else pb.encode(_norm(dict(r)), registry, full)
+            for r in rows.to_dict("records")])
+
+    return pandas_udf(fn, "binary")(col)
 
 
 def encode_csv_line(*cols: Column) -> Column:
