@@ -500,3 +500,37 @@ def test_stream_incremental_dedup_near_tier(spark, tmp_path):
     ).write.mode("append").parquet(delta_path)
     got2 = run_stream()  # only the NEW delta file is processed (append)
     assert got2 == {**got, 13: (False, 3)}
+
+
+def test_stream_bloom_probe_equals_batch(spark, tmp_path):
+    """Stateless stream-static Bloom probe equals the batch
+    bloom_filter_probe under availableNow (same filter, same hash family),
+    true dups flagged, fresh docs passing."""
+    from vector_spark.datapipe import bloom_filter_build, bloom_filter_probe
+    from vector_spark.streaming import stream_bloom_probe
+
+    corpus = spark.createDataFrame(
+        [(f"known text {i}",) for i in range(30)], "text string")
+    bloom = bloom_filter_build(corpus, "text")
+    delta_path = str(tmp_path / "bloom_delta")
+    spark.createDataFrame(
+        [(i, f"known text {i}" if i % 2 == 0 else f"fresh {i}")
+         for i in range(10)],
+        "doc_id long, text string").write.parquet(delta_path)
+
+    schema = spark.read.parquet(delta_path).schema
+    sdf = stream_bloom_probe(
+        spark.readStream.schema(schema).parquet(delta_path), bloom)
+    q = (
+        sdf.writeStream.format("memory").queryName("bloom_probe")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_bloom"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = rows(spark.sql("select * from bloom_probe"))
+    batch = rows(bloom_filter_probe(spark.read.parquet(delta_path), bloom))
+    assert got == batch
+    assert sorted((r.doc_id, r.maybe_dup) for r in
+                  spark.sql("select * from bloom_probe").collect()) == [
+        (i, i % 2 == 0) for i in range(10)]

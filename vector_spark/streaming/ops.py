@@ -713,3 +713,48 @@ def stream_incremental_dedup(
     return out.select(
         F.col("_did").alias(id_col), dup.isNull().alias("novel"), dup.alias("dup_of")
     )
+
+
+def stream_bloom_probe(
+    delta: DataFrame,
+    bloom: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    m_bits: int = 1 << 20,
+) -> DataFrame:
+    """Streaming twin of datapipe.bloom_filter_probe: each streamed doc is
+    checked against the BATCH-built Bloom word table. The batch twin
+    explodes positions and groupBy-folds per id — a streaming aggregation
+    that would need watermark state — so the twin restructures: one
+    stateless stream-static LEFT join per hash index i (k small, default
+    5), each attaching word_bits_i to the row, with the all-k-bits-set
+    fold evaluated in-row. Zero streaming state, no watermark. Corpus
+    updates between micro-batches are picked up because Spark re-plans the
+    static side per batch (same property stream_incremental_dedup relies
+    on).
+
+    Scale: k broadcast-hash joins against a <=m/63-row static table; text
+    never leaves the scan."""
+    from ..datapipe.dedup import _bloom_positions
+
+    out = delta.select(
+        F.col(id_col), F.col(text_col),
+        _bloom_positions(F.col(text_col), k, m_bits).alias("_ps"),
+    )
+    hit_cols = []
+    for i in range(k):
+        pos = F.element_at("_ps", i + 1)
+        out = out.withColumn(f"_w{i}", (pos / 63).cast("long")) \
+                 .withColumn(f"_m{i}", F.expr(
+                     f"shiftleft(CAST(1 AS BIGINT), CAST(element_at(_ps, {i + 1}) % 63 AS INT))"))
+        side = bloom.select(F.col("word_idx").alias(f"_w{i}"),
+                            F.col("word_bits").alias(f"_b{i}"))
+        out = out.join(F.broadcast(side), f"_w{i}", "left")
+        hit_cols.append(
+            F.col(f"_b{i}").isNotNull()
+            & (F.col(f"_b{i}").bitwiseAND(F.col(f"_m{i}")) == F.col(f"_m{i}")))
+    maybe = hit_cols[0]
+    for h in hit_cols[1:]:
+        maybe = maybe & h
+    return out.select(F.col(id_col), maybe.alias("maybe_dup"))
