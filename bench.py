@@ -119,6 +119,8 @@ HEADLINE = [
     "codec_avro",
     "codec_protobuf",
     "dedup_bloom",
+    "freq_sketch",
+    "heavy_hitters",
 ]
 
 

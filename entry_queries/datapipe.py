@@ -849,6 +849,36 @@ def q_dedup_bloom(spark, sf_dir):
     return bloom_filter_probe(delta, bloom, "text", "doc_id")
 
 
+def q_freq_sketch(spark, sf_dir):
+    """Count-min frequency sketch: build over ~350 distinct
+    (event_type, user-bucket) values, then estimate every distinct value
+    and join the exact count. Deterministic md5 position family -> the
+    oracle rebuilds the identical cell table, making over-counts (hash
+    collisions) hash-exact rather than just bounded. est >= exact is the
+    count-min guarantee (pinned in tests)."""
+    from vector_spark.datapipe import count_min_build, count_min_estimate
+
+    e = _t(spark, sf_dir, "events").select(
+        F.concat("event_type", F.lit("#"),
+                 (F.col("user_id") % 50).cast("string")).alias("v"))
+    sketch = count_min_build(e, "v")
+    est = count_min_estimate(e.distinct(), sketch, "v")
+    exact = e.groupBy("v").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        est.join(exact, "v")
+        .select(F.col("v").alias("value"), "est_count", "exact_count")
+    )
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """phi-heavy-hitters over event_type (exact counts + share; the
+    partial-agg-friendly exchange shape documented in datapipe/freq.py)."""
+    from vector_spark.datapipe import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf_dir, "events"), "event_type",
+                         min_share=0.05)
+
+
 def q_robots_filter(spark, sf_dir):
     """Crawl-politeness gate: per-host robots.txt (synthesized — a star
     group with a Disallow/Allow pair whose paths derive from md5(host),
@@ -1487,6 +1517,40 @@ GROUP BY ROLLUP (lang, source)
            generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
            i -> array_to_string(string_split(text,' ')[i:i+2], ' ')
          ))"""
+    sql["freq_sketch"] = """
+WITH vals AS (
+  SELECT event_type || '#' || CAST(user_id % 50 AS VARCHAR) AS v FROM events
+),
+ks AS (SELECT unnest(range(4)) AS i),
+pos AS (
+  SELECT v, i,
+         ('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || v), 1, 15))::BIGINT
+         % 2048 AS col_idx
+  FROM vals, ks
+),
+cells AS (SELECT i AS row, col_idx, count(*) AS cnt FROM pos GROUP BY 1, 2),
+dv AS (SELECT DISTINCT v FROM vals),
+probe AS (
+  SELECT v, i AS row,
+         ('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || v), 1, 15))::BIGINT
+         % 2048 AS col_idx
+  FROM dv, ks
+),
+est AS (
+  SELECT v, min(coalesce(cnt, 0)) AS est_count
+  FROM probe LEFT JOIN cells USING (row, col_idx) GROUP BY v
+),
+ex AS (SELECT v, count(*) AS exact_count FROM vals GROUP BY v)
+SELECT v AS value, est_count, exact_count FROM est JOIN ex USING (v)
+"""
+
+    sql["heavy_hitters"] = """
+WITH c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type),
+t AS (SELECT count(*) AS n FROM events)
+SELECT event_type, cnt, round(cnt / n, 6) AS share
+FROM c, t WHERE cnt >= n * 0.05
+"""
+
     sql["dedup_bloom"] = """
 WITH ks AS (SELECT unnest(range(5)) AS i),
 cpos AS (
@@ -2005,6 +2069,8 @@ QUERIES = {
     "frame_sample": q_frame_sample,
     "html_text": q_html_text,
     "dedup_bloom": q_dedup_bloom,
+    "freq_sketch": q_freq_sketch,
+    "heavy_hitters": q_heavy_hitters,
     "incremental_dedup": q_incremental_dedup,
     "langid": q_langid,
     "mixture_sample": q_mixture_sample,

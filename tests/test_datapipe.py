@@ -1265,3 +1265,49 @@ def test_bloom_filter_matches_python_reference(spark):
         words[p // 63] = words.get(p // 63, 0) | (1 << (p % 63))
     spark_words = {r.word_idx: r.word_bits for r in bloom.collect()}
     assert spark_words == words
+
+
+def test_count_min_guarantee_and_merge(spark):
+    """est >= exact for every value (count-min one-sided error); a sketch
+    over the union equals the merged per-part sketches cell-for-cell; and
+    with a tiny width, collisions visibly overcount (the estimator is a
+    real sketch, not a disguised exact count)."""
+    from vector_spark.datapipe import (
+        count_min_build, count_min_estimate, count_min_merge)
+
+    a = spark.createDataFrame(
+        [(f"v{i % 7}",) for i in range(70)], "v string")
+    b = spark.createDataFrame(
+        [(f"v{i % 5}",) for i in range(50)], "v string")
+    both = a.union(b)
+    exact = {r.v: r.c for r in
+             both.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()}
+
+    sk = count_min_build(both, "v")
+    est = {r.v: r.est_count for r in
+           count_min_estimate(both.distinct(), sk, "v").collect()}
+    assert set(est) == set(exact)
+    assert all(est[v] >= exact[v] for v in exact)
+    assert est == exact  # width 2048 >> 7 values: no collisions
+
+    merged = count_min_merge(count_min_build(a, "v"), count_min_build(b, "v"))
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, sk.collect()))
+
+    # tiny width forces collisions -> strict overcount somewhere
+    sk2 = count_min_build(both, "v", depth=2, width=2)
+    est2 = {r.v: r.est_count for r in
+            count_min_estimate(both.distinct(), sk2, "v", depth=2, width=2)
+            .collect()}
+    assert all(est2[v] >= exact[v] for v in exact)
+    assert any(est2[v] > exact[v] for v in exact)
+
+
+def test_heavy_hitters_threshold(spark):
+    from vector_spark.datapipe import heavy_hitters
+
+    df = spark.createDataFrame(
+        [("hot",)] * 60 + [("warm",)] * 30 + [(f"cold{i}",) for i in range(10)],
+        "v string")
+    got = {r.v: (r.cnt, r.share) for r in
+           heavy_hitters(df, "v", min_share=0.2).collect()}
+    assert got == {"hot": (60, 0.6), "warm": (30, 0.3)}

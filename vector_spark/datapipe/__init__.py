@@ -1,3 +1,4 @@
+from .freq import count_min_build, count_min_estimate, count_min_merge, heavy_hitters
 from .dedup import (
     bloom_filter_build, bloom_filter_probe,
     connected_components, dedup_clusters, dedup_ladder, dedup_spans,
@@ -30,6 +31,7 @@ from .multimodal import binary_meta, extract_features, frame_sample, resize_imag
 __all__ = [
     "exact_dedup", "dedup_substrings", "dedup_ladder", "dedup_spans", "shingle_docs", "minhash_lsh_pairs", "simhash",
     "bloom_filter_build", "bloom_filter_probe",
+    "count_min_build", "count_min_estimate", "count_min_merge", "heavy_hitters",
     "connected_components", "dedup_clusters",
     "cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "embedding_near_dup_pairs", "embedding_outliers",
     "semantic_dedup", "bpe_pair_counts", "pagerank", "tfidf_keywords",

@@ -1,0 +1,96 @@
+"""Count-min frequency sketch + heavy hitters for corpus/telemetry scale.
+
+Completes the probabilistic-summary family (Bloom = membership in
+dedup.py, gamma-bucket DDSketch analogue = quantiles in
+operators/aggregate.py, count-min = frequency here). The reference's
+tag_cardinality_limit and aggregate transforms bound per-key state the
+same way this sketch bounds frequency state (src/transforms/
+tag_cardinality_limit.rs caches value sets per tag; a count-min table is
+the standard fixed-memory generalization — Cormode & Muthukrishnan 2005).
+
+Engine-portable by construction: positions come from the md5 hash family
+(row i of value v -> int(md5("i|v")[:15 hex]) % width), so a SQL oracle
+reproduces the full table and estimates bit-for-bit — the same discipline
+as dedup.py's minhash/bloom tiers.
+
+100 TB scale: the build's ONLY shuffle carries (row, col) pairs — depth
+rows per element, 16 bytes each — combined map-side by count partial agg
+into at most depth*width cells (4*2048 = 8192 rows default, trivially
+broadcastable). Estimation broadcast-joins the cell table; sketches from
+disjoint corpora MERGE by cell-wise addition (count-min is linear), so a
+global sketch never requires re-scanning, matching how a production
+pipeline maintains rolling frequency state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cm_positions(col: Column, depth: int, width: int) -> Column:
+    """depth (row, col) positions for a value: col_i = md5("i|" + v) % width
+    (15 hex chars < 2^60 keeps the modulo in BIGINT)."""
+    return F.array(*[
+        (F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}|"), col).cast("binary")), 1, 15), 16, 10)
+         .cast("long") % width).alias(f"c{i}")
+        for i in range(depth)
+    ])
+
+
+def count_min_build(
+    df: DataFrame, value_col: str, depth: int = 4, width: int = 2048,
+) -> DataFrame:
+    """Build the sketch as a sparse cell table (row, col_idx, cnt)."""
+    pos = df.select(
+        F.posexplode(_cm_positions(F.col(value_col), depth, width))
+        .alias("row", "col_idx"))
+    return pos.groupBy("row", "col_idx").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def count_min_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum of sketches built with the same (depth, width) —
+    count-min is linear, so disjoint-corpus sketches union exactly."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col_idx").agg(F.sum("cnt").alias("cnt"))
+
+
+def count_min_estimate(
+    df: DataFrame, sketch: DataFrame, value_col: str,
+    depth: int = 4, width: int = 2048,
+) -> DataFrame:
+    """Estimated frequency per input row's value: min over the depth cells
+    (the count-min guarantee: estimate >= true count, overcount bounded by
+    colliding mass e*N/width with probability 1-(1/2)^depth)."""
+    pos = df.select(
+        F.col(value_col),
+        F.posexplode(_cm_positions(F.col(value_col), depth, width))
+        .alias("row", "col_idx"))
+    joined = pos.join(F.broadcast(sketch), ["row", "col_idx"], "left")
+    return (
+        joined.groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, value_col: str, min_share: float = 0.01,
+) -> DataFrame:
+    """Values whose frequency is >= min_share of all rows, with exact
+    counts — the phi-heavy-hitter set. Two hash aggregates (value counts
+    with map-side partials, then a broadcast one-row total); hot values
+    are exactly the ones partial aggregation collapses best, so the
+    exchange carries at most one row per distinct value per task."""
+    counts = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("cnt"))
+    total = df.select(F.count(F.lit(1)).alias("_n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.col("_n") * min_share)
+        .select(
+            value_col,
+            "cnt",
+            F.round(F.col("cnt") / F.col("_n"), 6).alias("share"),
+        )
+    )
