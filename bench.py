@@ -121,6 +121,7 @@ HEADLINE = [
     "dedup_bloom",
     "freq_sketch",
     "heavy_hitters",
+    "hll_distinct",
 ]
 
 

@@ -879,6 +879,24 @@ def q_heavy_hitters(spark, sf_dir):
                          min_share=0.05)
 
 
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct count of (event_type, user) pairs next to the
+    exact count. The register table and the harmonic sum are integer-exact
+    in both engines (md5 buckets, length(bin()) rank, power-of-two BIGINT
+    sum); only the final division / linear-counting ln are floating,
+    rounded to 4 decimals. At production scale the same query maintains a
+    2^p-row register table instead of a distinct-shuffle over the corpus;
+    sketches merge by bucket-max (hll_merge, tested)."""
+    from vector_spark.datapipe import hll_estimate, hll_sketch
+
+    e = _t(spark, sf_dir, "events").select(
+        F.concat("event_type", F.lit("#"),
+                 F.col("user_id").cast("string")).alias("v"))
+    est = hll_estimate(hll_sketch(e, "v"))
+    exact = e.agg(F.countDistinct("v").alias("n_exact"))
+    return est.crossJoin(exact)
+
+
 def q_robots_filter(spark, sf_dir):
     """Crawl-politeness gate: per-host robots.txt (synthesized — a star
     group with a Disallow/Allow pair whose paths derive from md5(host),
@@ -1517,6 +1535,40 @@ GROUP BY ROLLUP (lang, source)
            generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
            i -> array_to_string(string_split(text,' ')[i:i+2], ' ')
          ))"""
+    # the alpha*m^2*2^49 numerator must be the SAME Python double in both
+    # engines (float multiplication is order-sensitive): computed here with
+    # the exact expression hll_estimate uses, embedded via repr round-trip
+    _hll_m = 1 << 12
+    _hll_alpha = 0.7213 / (1 + 1.079 / _hll_m)
+    _hll_num = _hll_alpha * _hll_m * _hll_m * float(1 << 49)
+    sql["hll_distinct"] = f"""
+WITH vals AS (
+  SELECT event_type || '#' || CAST(user_id AS VARCHAR) AS v FROM events
+),
+hs AS (SELECT ('0x' || substr(md5(v), 1, 15))::BIGINT AS h FROM vals),
+regs AS (
+  SELECT h % 4096 AS bucket,
+         max(CASE WHEN (h >> 12) > 0 THEN 49 - length(bin(h >> 12))
+                  ELSE 49 END) AS max_rho
+  FROM hs GROUP BY 1
+),
+agg AS (
+  SELECT sum(1::BIGINT << (49 - max_rho)) AS s_present,
+         count(*) AS n_present
+  FROM regs
+),
+est AS (
+  SELECT {_hll_num!r} / CAST(s_present
+           + (4096 - n_present) * (1::BIGINT << 49) AS DOUBLE) AS raw,
+         CAST(4096 - n_present AS DOUBLE) AS zeros
+  FROM agg
+)
+SELECT round(CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+                  THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END, 4) AS n_est,
+       (SELECT count(DISTINCT v) FROM vals) AS n_exact
+FROM est
+"""
+
     sql["freq_sketch"] = """
 WITH vals AS (
   SELECT event_type || '#' || CAST(user_id % 50 AS VARCHAR) AS v FROM events
@@ -2071,6 +2123,7 @@ QUERIES = {
     "dedup_bloom": q_dedup_bloom,
     "freq_sketch": q_freq_sketch,
     "heavy_hitters": q_heavy_hitters,
+    "hll_distinct": q_hll_distinct,
     "incremental_dedup": q_incremental_dedup,
     "langid": q_langid,
     "mixture_sample": q_mixture_sample,

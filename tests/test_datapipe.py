@@ -1311,3 +1311,41 @@ def test_heavy_hitters_threshold(spark):
     got = {r.v: (r.cnt, r.share) for r in
            heavy_hitters(df, "v", min_share=0.2).collect()}
     assert got == {"hot": (60, 0.6), "warm": (30, 0.3)}
+
+
+def test_hll_accuracy_and_merge(spark):
+    """HLL estimate within the 3*1.04/sqrt(m) error band at n=5000
+    (p=12 -> ~1.6% sigma), merge-by-bucket-max equals the union sketch,
+    and the tiny-n linear-counting regime is near-exact."""
+    from vector_spark.datapipe import hll_estimate, hll_merge, hll_sketch
+
+    a = spark.createDataFrame([(f"u{i}",) for i in range(3000)], "v string")
+    b = spark.createDataFrame([(f"u{i}",) for i in range(2000, 5000)], "v string")
+    union = a.union(b)  # 5000 distinct, 1000 overlapping
+    est = hll_estimate(hll_sketch(union, "v")).collect()[0].n_est
+    assert abs(est - 5000) / 5000 < 0.05
+
+    merged = hll_merge(hll_sketch(a, "v"), hll_sketch(b, "v"))
+    est_m = hll_estimate(merged).collect()[0].n_est
+    assert est_m == est  # overlap-safe lossless merge
+
+    small = spark.createDataFrame([(f"s{i}",) for i in range(40)], "v string")
+    est_s = hll_estimate(hll_sketch(small, "v")).collect()[0].n_est
+    assert abs(est_s - 40) <= 2  # linear counting regime
+
+
+def test_decode_gzip_members_warc_layout(spark):
+    """Concatenated gzip members (the Common Crawl WARC container layout)
+    split back into per-record payloads; plain single-member buffers give
+    a one-element array."""
+    import gzip
+
+    from vector_spark.functions import decode_gzip_members
+
+    recs = [b"WARC/1.0 record one", b"record two", b"tail"]
+    multi = b"".join(gzip.compress(r, mtime=0) for r in recs)
+    single = gzip.compress(b"only", mtime=0)
+    df = spark.createDataFrame([(multi,), (single,), (None,)], "b binary")
+    got = [r.m and [bytes(x) for x in r.m]
+           for r in df.select(decode_gzip_members(F.col("b")).alias("m")).collect()]
+    assert got == [recs, [b"only"], None]

@@ -1,4 +1,5 @@
-from .freq import count_min_build, count_min_estimate, count_min_merge, heavy_hitters
+from .freq import (count_min_build, count_min_estimate, count_min_merge,
+                   heavy_hitters, hll_estimate, hll_merge, hll_sketch)
 from .dedup import (
     bloom_filter_build, bloom_filter_probe,
     connected_components, dedup_clusters, dedup_ladder, dedup_spans,
@@ -32,6 +33,7 @@ __all__ = [
     "exact_dedup", "dedup_substrings", "dedup_ladder", "dedup_spans", "shingle_docs", "minhash_lsh_pairs", "simhash",
     "bloom_filter_build", "bloom_filter_probe",
     "count_min_build", "count_min_estimate", "count_min_merge", "heavy_hitters",
+    "hll_sketch", "hll_merge", "hll_estimate",
     "connected_components", "dedup_clusters",
     "cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "embedding_near_dup_pairs", "embedding_outliers",
     "semantic_dedup", "bpe_pair_counts", "pagerank", "tfidf_keywords",

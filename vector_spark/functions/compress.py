@@ -60,6 +60,34 @@ def decode_gzip(col: Column | str) -> Column:
     return _udf("decode_gzip")(col)
 
 
+def decode_gzip_members(col: Column) -> Column:
+    """Split-and-decode a MULTI-MEMBER gzip buffer -> array<binary>, one
+    element per member. This is the Common Crawl WARC container layout
+    (each WARC record is its own gzip member concatenated into one .gz, so
+    records are independently seekable); plain decode_gzip stops after the
+    first member. stdlib decompressobj(wbits=31) + unused_data walks the
+    member chain. Arrow-batched, scan-parallel, no shuffle."""
+    import zlib as _zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    def split_members(buf: bytes) -> list[bytes]:
+        out = []
+        rest = bytes(buf)
+        while rest:
+            d = _zlib.decompressobj(wbits=31)
+            out.append(d.decompress(rest))
+            if not d.eof:  # truncated trailing member
+                break
+            rest = d.unused_data
+        return out
+
+    def codec(data):
+        return data.map(lambda b: None if b is None else split_members(b))
+
+    return pandas_udf(codec, "array<binary>")(col)
+
+
 # --- zstd / snappy -----------------------------------------------------------
 #
 # C wheel preferred (zstandard / python-snappy), pure-Python spec-direct
