@@ -173,3 +173,49 @@ def test_xxh64_cross_jvm(spark):
         b = bytes(rnd.randrange(256) for _ in range(n))
         want = h.hash(bytearray(b), 0, n, 0) & ((1 << 64) - 1)
         assert zstd_py.xxh64(b) == want, f"len {n}"
+
+
+# --------------------------------------------------------------------------
+# snappy framed (streaming) format
+
+def test_snappy_framed_cross_jvm_both_directions(spark):
+    """Framed format (stream id + masked-CRC32C chunks) against
+    snappy-java's SnappyFramedOutput/InputStream, both directions,
+    including multi-chunk (>64 KiB) and empty payloads."""
+    jvm = spark._jvm
+    for i, c in enumerate(_payload_corpus()):
+        baos = jvm.java.io.ByteArrayOutputStream()
+        fo = jvm.org.xerial.snappy.SnappyFramedOutputStream(baos)
+        if c:
+            fo.write(bytearray(c))
+        fo.close()
+        assert snappy_py.decompress_framed(bytes(baos.toByteArray())) == c, \
+            f"ours<-java case {i}"
+        fi = jvm.org.xerial.snappy.SnappyFramedInputStream(
+            jvm.java.io.ByteArrayInputStream(
+                bytearray(snappy_py.compress_framed(c))))
+        assert bytes(fi.readAllBytes()) == c, f"java<-ours case {i}"
+
+
+def test_snappy_framed_crc_verified():
+    """Incompressible payload -> an UNCOMPRESSED chunk, where a flipped
+    byte still decodes cleanly and only the CRC32C can catch it."""
+    rnd = random.Random(9)
+    c = bytes(rnd.randrange(256) for _ in range(500))
+    framed = bytearray(snappy_py.compress_framed(c))
+    framed[-1] ^= 0xFF
+    with pytest.raises(snappy_py.SnappyError, match="CRC32C"):
+        snappy_py.decompress_framed(bytes(framed))
+
+
+def test_snappy_framed_spark_udf_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from vector_spark.functions import decode_snappy_framed, encode_snappy_framed
+
+    df = spark.createDataFrame(
+        [(b"chunked " * 20000,), (b"",), (None,)], "b binary")
+    out = df.select(
+        decode_snappy_framed(encode_snappy_framed(F.col("b"))).alias("rt"))
+    got = [None if r.rt is None else bytes(r.rt) for r in out.collect()]
+    assert got == [b"chunked " * 20000, b"", None]

@@ -148,3 +148,19 @@ def encode_snappy(col: Column) -> Column:
 
 def decode_snappy(col: Column) -> Column:
     return _codec_udf(_snappy_fns()[1])(col)
+
+
+def encode_snappy_framed(col: Column) -> Column:
+    """Snappy FRAMED (streaming) format — stream identifier + chunked
+    payload with masked CRC32C per chunk (google/snappy
+    framing_format.txt). Always the spec-direct codec (snappy_py);
+    cross-validated against snappy-java's SnappyFramed streams."""
+    from .snappy_py import compress_framed
+
+    return _codec_udf(compress_framed)(col)
+
+
+def decode_snappy_framed(col: Column) -> Column:
+    from .snappy_py import decompress_framed
+
+    return _codec_udf(decompress_framed)(col)

@@ -196,3 +196,89 @@ def decompress(data: bytes) -> bytes:
     if len(out) != expected:
         raise SnappyError(f"length mismatch: preamble {expected}, got {len(out)}")
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# framed (streaming) format — google/snappy framing_format.txt: a stream
+# identifier chunk then compressed/uncompressed chunks, each carrying a
+# masked CRC32C of its UNCOMPRESSED payload. This is the on-the-wire form
+# sources/sinks exchange (the raw block format above has no self-framing).
+
+_STREAM_ID = b"\xff\x06\x00\x00sNaPpY"
+_CHUNK_MAX = 65536
+
+_CRC32C_POLY = 0x82F63B78
+_crc32c_table: list[int] = []
+
+
+def _crc32c(data: bytes) -> int:
+    if not _crc32c_table:
+        for n in range(256):
+            c = n
+            for _ in range(8):
+                c = (c >> 1) ^ _CRC32C_POLY if c & 1 else c >> 1
+            _crc32c_table.append(c)
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _crc32c_table[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _mask_crc(crc: int) -> int:
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def compress_framed(data: bytes) -> bytes:
+    """Framed-format encoder: 64 KiB chunks, compressed form when it is
+    smaller, uncompressed chunk otherwise (the spec's rule)."""
+    data = bytes(data)
+    out = bytearray(_STREAM_ID)
+    # empty input = stream identifier only: zero-payload chunks are
+    # rejected by reference decoders (snappy-java: "invalid length: 4")
+    for i in range(0, len(data), _CHUNK_MAX):
+        chunk = data[i : i + _CHUNK_MAX]
+        crc = _mask_crc(_crc32c(chunk)).to_bytes(4, "little")
+        comp = compress(chunk)
+        if len(comp) < len(chunk):
+            body = crc + comp
+            out.append(0x00)
+        else:
+            body = crc + chunk
+            out.append(0x01)
+        out += len(body).to_bytes(3, "little")
+        out += body
+    return bytes(out)
+
+
+def decompress_framed(data: bytes) -> bytes:
+    data = bytes(data)
+    if not data.startswith(_STREAM_ID):
+        raise SnappyError("missing snappy stream identifier")
+    out = bytearray()
+    i = len(_STREAM_ID)
+    n = len(data)
+    while i < n:
+        if i + 4 > n:
+            raise SnappyError("truncated chunk header")
+        ctype = data[i]
+        ln = int.from_bytes(data[i + 1 : i + 4], "little")
+        i += 4
+        body = data[i : i + ln]
+        if len(body) < ln:
+            raise SnappyError("truncated chunk body")
+        i += ln
+        if ctype == 0xFF:  # repeated stream identifier
+            continue
+        if 0x80 <= ctype <= 0xFE:  # skippable
+            continue
+        if ctype == 0x00:
+            payload = decompress(body[4:])
+        elif ctype == 0x01:
+            payload = body[4:]
+        else:
+            raise SnappyError(f"unskippable reserved chunk type {ctype:#x}")
+        want = int.from_bytes(body[:4], "little")
+        if _mask_crc(_crc32c(payload)) != want:
+            raise SnappyError("chunk CRC32C mismatch")
+        out += payload
+    return bytes(out)
