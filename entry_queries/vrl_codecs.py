@@ -892,20 +892,32 @@ def q_codec_compress(spark, sf_dir):
     shuffle. Reference: lib/codecs decoder stack + sink compression
     (src/sinks/util/buffer/compression.rs)."""
     from vector_spark.functions import (
-        decode_gzip, decode_snappy, decode_zlib, decode_zstd,
-        encode_gzip, encode_snappy, encode_zlib, encode_zstd,
+        decode_gzip, decode_gzip_members, decode_snappy, decode_snappy_framed,
+        decode_zlib, decode_zstd,
+        encode_gzip, encode_snappy, encode_snappy_framed, encode_zlib,
+        encode_zstd,
     )
     from vector_spark.session import ensure_parallelism
 
     e = ensure_parallelism(_t(spark, sf_dir, "events"))
     payload = F.concat(F.repeat(F.col("props"), 20), F.col("event_type")) \
         .cast("binary")
+    # multi-member gzip (the Common Crawl WARC container layout): two
+    # members whose payloads concatenate back to the original
+    p1 = F.substring(payload, 1, 10)
+    p2 = F.substring(payload, 11, 1 << 24)
+    members = decode_gzip_members(F.concat(encode_gzip(p1), encode_gzip(p2)))
+    rejoined = F.aggregate(members, F.lit(b""),
+                           lambda acc, x: F.concat(acc, x))
     return e.select(
         "event_id",
         F.md5(decode_zlib(encode_zlib(payload))).alias("zlib_md5"),
         F.md5(decode_gzip(encode_gzip(payload))).alias("gzip_md5"),
         F.md5(decode_snappy(encode_snappy(payload))).alias("snappy_md5"),
+        F.md5(decode_snappy_framed(encode_snappy_framed(payload)))
+            .alias("snappy_framed_md5"),
         F.md5(decode_zstd(encode_zstd(payload))).alias("zstd_md5"),
+        F.md5(rejoined).alias("gzip_members_md5"),
     )
 
 
@@ -1033,7 +1045,9 @@ SELECT event_id,
        md5(payload) AS zlib_md5,
        md5(payload) AS gzip_md5,
        md5(payload) AS snappy_md5,
-       md5(payload) AS zstd_md5
+       md5(payload) AS snappy_framed_md5,
+       md5(payload) AS zstd_md5,
+       md5(payload) AS gzip_members_md5
 FROM p
 """
 

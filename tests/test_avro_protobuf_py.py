@@ -299,3 +299,63 @@ def test_serialize_protobuf_fallback_roundtrip(spark, tmp_path):
              .select("r.*")
     rows = sorted((r.id, r.s, list(r.vals)) for r in out.collect())
     assert rows == [(i, f"r{i}", [i, i * 3]) for i in range(4)]
+
+
+def test_serialize_null_struct_yields_null(spark, tmp_path):
+    """A NULL struct row must serialize to NULL bytes, not crash (avro) or
+    silently emit an empty message (protobuf). Arrow gives struct columns
+    no row-level mask in pandas, so the codecs detect the all-None row."""
+    from vector_spark.functions import (
+        parse_protobuf, serialize_avro, serialize_protobuf)
+
+    schema = json.dumps({"type": "record", "name": "R", "fields": [
+        {"name": "id", "type": "long"}, {"name": "s", "type": "string"}]})
+    df = spark.createDataFrame([(1, "x"), (2, None)], "id long, s string") \
+        .select(F.when(F.col("id") == 1,
+                       F.struct("id", "s")).alias("rec"))
+    got = df.select(serialize_avro(F.col("rec"), schema).alias("b")).collect()
+    assert got[0].b is not None and got[1].b is None
+
+    fd = pb.field_dict
+    desc = pb.build_descriptor_set([{
+        "name": "n.proto", "package": "n", "syntax": "proto3",
+        "message_type": [{"name": "M", "field": [
+            fd("id", 1, pb._T_INT64), fd("s", 2, pb._T_STRING)]}]}])
+    path = tmp_path / "n.desc"
+    path.write_bytes(desc)
+    got = df.select(
+        serialize_protobuf(F.col("rec"), "M", str(path)).alias("b")).collect()
+    assert got[0].b is not None and got[1].b is None
+    back = df.select(parse_protobuf(
+        serialize_protobuf(F.col("rec"), "M", str(path)), "M", str(path))
+        .alias("r")).select("r.id").collect()
+    assert back[0].id == 1 and back[1].id is None
+
+
+def test_protobuf_packed_repeated_enum(spark):
+    """proto3 packs repeated enums by default (wire type 2) — decode must
+    map each packed varint through the enum symbol table. Ground truth:
+    protobuf-java DynamicMessage's own packed encoding."""
+    fd = pb.field_dict
+    desc = pb.build_descriptor_set([{
+        "name": "e.proto", "package": "e", "syntax": "proto3",
+        "message_type": [{"name": "M", "field": [
+            fd("levels", 1, pb._T_ENUM, repeated=True,
+               type_name=".e.Lvl")]}],
+        "enum_type": [{"name": "Lvl", "value": [
+            {"name": "DEBUG", "number": 0}, {"name": "INFO", "number": 1},
+            {"name": "ERROR", "number": 2}]}]}])
+    regy = pb.compile_descriptor_set(desc)
+    ours = pb.encode({"levels": ["DEBUG", "ERROR", "INFO"]}, regy, "e.M")
+    msg, ev = _java_parse(spark, desc, "M", ours)
+    jbytes = bytes(msg.toByteArray())
+    assert jbytes[0] == 0x0A  # field 1, wire type 2: java packed it
+    assert pb.decode(jbytes, regy, "e.M") == {"levels": ["DEBUG", "ERROR", "INFO"]}
+
+
+def test_avro_negative_enum_index_rejected():
+    schema = json.dumps({"type": "record", "name": "R", "fields": [
+        {"name": "lvl", "type": {"type": "enum", "name": "L",
+                                 "symbols": ["A", "B", "C"]}}]})
+    with pytest.raises(avro_py.AvroError, match="enum index"):
+        avro_py.decode(b"\x01", schema)  # zigzag -1

@@ -219,3 +219,23 @@ def test_snappy_framed_spark_udf_roundtrip(spark):
         decode_snappy_framed(encode_snappy_framed(F.col("b"))).alias("rt"))
     got = [None if r.rt is None else bytes(r.rt) for r in out.collect()]
     assert got == [b"chunked " * 20000, b"", None]
+
+
+def test_zstd_match_window_is_per_frame():
+    """A corrupt frame whose sequence offset reaches before its own frame
+    start must raise, not silently copy bytes from the PREVIOUS frame's
+    output. Hand-built block: 2 raw literals + one RLE-mode sequence with
+    offset_value 8 (offset 5) when only 2 bytes exist in-frame."""
+    block = bytes([
+        0x10, 0x58, 0x59,        # raw literals size 2: "XY"
+        0x01,                    # 1 sequence
+        0x54,                    # modes: LL=RLE, OF=RLE, ML=RLE
+        0x00, 0x03, 0x00,        # RLE codes: ll=0, of=3, ml=0
+        0x08,                    # bitstream: sentinel + 3 zero bits
+    ])
+    frame = (zstd_py._MAGIC.to_bytes(4, "little") + bytes([0x20, 5])
+             + (1 | (2 << 1) | (len(block) << 3)).to_bytes(3, "little")
+             + block)
+    data = zstd_py.compress(b"ABCDE") + frame
+    with pytest.raises(zstd_py.ZstdError, match="window"):
+        zstd_py.decompress(data)

@@ -28,14 +28,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _cm_positions(col: Column, depth: int, width: int) -> Column:
-    """depth (row, col) positions for a value: col_i = md5("i|" + v) % width
-    (15 hex chars < 2^60 keeps the modulo in BIGINT)."""
-    return F.array(*[
-        (F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}|"), col).cast("binary")), 1, 15), 16, 10)
-         .cast("long") % width).alias(f"c{i}")
-        for i in range(depth)
-    ])
+# the SAME md5 position family as the Bloom tier (dedup._bloom_positions):
+# one shared implementation so the engine-portability-critical hash math
+# can never drift between the two sketches' oracles
+from .dedup import _bloom_positions as _cm_positions  # noqa: E402
 
 
 def count_min_build(
@@ -144,8 +140,12 @@ def hll_estimate(sketch: DataFrame, p: int = 12) -> DataFrame:
     scale = 60 - p + 1  # max rho value; term for rho is 2^(scale - rho)
     alpha = 0.7213 / (1 + 1.079 / m)
     agg = sketch.agg(
-        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale} - max_rho)"))
-        .alias("s_present"),
+        # coalesce: an EMPTY register table (empty corpus) must estimate
+        # 0.0 via the linear-counting branch, not propagate NULL
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale} - max_rho)")),
+            F.lit(0).cast("long"),
+        ).alias("s_present"),
         F.count(F.lit(1)).alias("n_present"),
     )
     # empty buckets contribute rho=0 -> 2^scale each

@@ -177,10 +177,11 @@ def _decode(b: bytes, i: int, s):
         return out, i
     if t == "enum":
         idx, i = _zigzag_decode(b, i)
-        try:
-            return s["symbols"][idx], i
-        except IndexError:
-            raise AvroError(f"enum index {idx} out of range") from None
+        # explicit bounds: a negative index would silently hit Python's
+        # from-the-end indexing and return the wrong symbol
+        if not 0 <= idx < len(s["symbols"]):
+            raise AvroError(f"enum index {idx} out of range")
+        return s["symbols"][idx], i
     if t == "fixed":
         n = s["size"]
         if i + n > len(b):

@@ -606,12 +606,15 @@ def parse_avro_py(col: Column, json_schema: str) -> Column:
     from . import avro_py
 
     ddl = avro_py.spark_ddl(json_schema)
-    fields = [f["name"] for f in avro_py.parse_schema(json_schema)["fields"]]
+    # parse ONCE at plan time: the tree is plain (possibly self-referential)
+    # dicts, which pickle fine into the closure — re-parsing per Arrow batch
+    # would be redundant hot-path work
+    s = avro_py.parse_schema(json_schema)
+    fields = [f["name"] for f in s["fields"]]
 
     def fn(data):
         import pandas as pd
 
-        s = avro_py.parse_schema(json_schema)
         empty = dict.fromkeys(fields)
         rows = [dict(empty) if b is None else avro_py.decode(bytes(b), s)
                 for b in data]
@@ -632,10 +635,21 @@ def serialize_avro(col: Column, json_schema: str | None = None) -> Column:
     return serialize_avro_py(col, json_schema)
 
 
+def _row_is_null(r: dict) -> bool:
+    """A NULL struct reaches a pandas UDF as a row of all-None/NaN fields
+    (Arrow gives struct columns no row-level mask in to_dict('records')) —
+    treated as NULL input. Ambiguous with a struct whose every field is
+    null, which no binary codec could encode anyway."""
+    def _na(v):
+        return v is None or (isinstance(v, float) and v != v)
+
+    return all(_na(v) for v in r.values())
+
+
 def serialize_avro_py(col: Column, json_schema: str) -> Column:
     """Pure-Python struct -> Avro binary (Arrow-batched). Spark map columns
     arrive in pandas as lists of (key, value) tuples — normalized to dicts
-    before encoding."""
+    before encoding; NULL struct rows yield NULL bytes."""
     from pyspark.sql.functions import pandas_udf
 
     from . import avro_py
@@ -661,11 +675,12 @@ def serialize_avro_py(col: Column, json_schema: str) -> Column:
             return bytes(v)
         return v
 
+    s = avro_py.parse_schema(json_schema)  # once, at plan time
+
     def fn(data):
         import pandas as pd
 
-        s = avro_py.parse_schema(json_schema)
-        out = [None if r is None
+        out = [None if _row_is_null(r)
                else avro_py.encode(_norm(dict(r), s), s)
                for r in data.to_dict("records")]
         return pd.Series(out)
@@ -894,7 +909,8 @@ def serialize_protobuf(col: Column, message_name: str, desc_file_path: str,
         import pandas as pd
 
         return pd.Series([
-            None if r is None else pb.encode(_norm(dict(r)), registry, full)
+            None if _row_is_null(r)
+            else pb.encode(_norm(dict(r)), registry, full)
             for r in rows.to_dict("records")])
 
     return pandas_udf(fn, "binary")(col)

@@ -218,7 +218,7 @@ def _convert_scalar(ftype: int, wt: int, v):
     raise ProtobufError(f"unsupported scalar type {ftype}")
 
 
-def _unpack_packed(ftype: int, blob: bytes) -> list:
+def _unpack_packed(ftype: int, blob: bytes, enum_syms: dict | None = None) -> list:
     out = []
     i, n = 0, len(blob)
     wt = _SCALAR_WIRETYPE[ftype]
@@ -229,7 +229,11 @@ def _unpack_packed(ftype: int, blob: bytes) -> list:
             v, i = blob[i : i + 8], i + 8
         else:
             v, i = blob[i : i + 4], i + 4
-        out.append(_convert_scalar(ftype, wt, v))
+        if ftype == _T_ENUM:  # packed repeated enum: proto3's default form
+            num = _signed64(v)
+            out.append((enum_syms or {}).get(num, str(num)))
+        else:
+            out.append(_convert_scalar(ftype, wt, v))
     return out
 
 
@@ -253,7 +257,8 @@ def decode(data: bytes, registry: dict, message: str) -> dict:
             syms = registry["enums"].get(f.type_name, {})
             val = syms.get(_signed64(v), str(_signed64(v)))
         elif f.repeated and wt == _LEN and f.type in _SCALAR_WIRETYPE:
-            out[f.name].extend(_unpack_packed(f.type, v))
+            out[f.name].extend(_unpack_packed(
+                f.type, v, registry["enums"].get(f.type_name)))
             continue
         else:
             val = _convert_scalar(f.type, wt, v)

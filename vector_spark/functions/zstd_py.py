@@ -443,7 +443,8 @@ def _decode_literals(block: bytes, st: _FrameState):
     return bytes(lits), hdr + comp
 
 
-def _decode_block(block: bytes, out: bytearray, st: _FrameState) -> None:
+def _decode_block(block: bytes, out: bytearray, st: _FrameState,
+                  frame_start: int = 0) -> None:
     lits, pos = _decode_literals(block, st)
     # sequence count
     if pos >= len(block):
@@ -526,7 +527,9 @@ def _decode_block(block: bytes, out: bytearray, st: _FrameState) -> None:
                 rep[0] = offset
         out += lits[lit_pos : lit_pos + ll]
         lit_pos += ll
-        if offset > len(out):
+        if offset > len(out) - frame_start:
+            # the window is per-FRAME: a corrupt later frame must not
+            # silently copy bytes from a previous frame's output
             raise ZstdError("match offset beyond window")
         if offset >= ml:
             start = len(out) - offset
@@ -600,7 +603,7 @@ def decompress(data: bytes) -> bytes:
                 out += data[i : i + 1] * bsize
                 i += 1
             elif btype == 2:
-                _decode_block(data[i : i + bsize], out, st)
+                _decode_block(data[i : i + bsize], out, st, frame_start)
                 i += bsize
             else:
                 raise ZstdError("reserved block type")
