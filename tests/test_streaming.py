@@ -534,3 +534,34 @@ def test_stream_bloom_probe_equals_batch(spark, tmp_path):
     assert sorted((r.doc_id, r.maybe_dup) for r in
                   spark.sql("select * from bloom_probe").collect()) == [
         (i, i % 2 == 0) for i in range(10)]
+
+
+def test_stream_hll_and_count_min_equal_batch(spark, tmp_path):
+    """Streaming sketch maintenance (bounded-state aggregations, no
+    watermark) equals the batch sketches over the same data under
+    availableNow + complete mode, and the streamed HLL register table
+    feeds the batch estimator unchanged."""
+    from vector_spark.datapipe import count_min_build, hll_estimate, hll_sketch
+    from vector_spark.streaming import stream_count_min, stream_hll_sketch
+
+    path = str(tmp_path / "sketch_stream")
+    spark.createDataFrame(
+        [(f"v{i % 40}",) for i in range(400)], "v string").write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    sdf = spark.readStream.schema(schema).parquet(path)
+
+    for name, op in (("hll_regs", stream_hll_sketch),
+                     ("cm_cells", stream_count_min)):
+        q = (op(sdf, "v").writeStream.format("memory").queryName(name)
+             .outputMode("complete")
+             .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    batch_df = spark.read.parquet(path)
+    assert rows(spark.sql("select * from hll_regs")) == \
+        rows(hll_sketch(batch_df, "v"))
+    assert rows(spark.sql("select * from cm_cells")) == \
+        rows(count_min_build(batch_df, "v"))
+    est = hll_estimate(spark.table("hll_regs")).collect()[0].n_est
+    assert abs(est - 40) <= 2

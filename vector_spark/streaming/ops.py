@@ -758,3 +758,32 @@ def stream_bloom_probe(
     for h in hit_cols[1:]:
         maybe = maybe & h
     return out.select(F.col(id_col), maybe.alias("maybe_dup"))
+
+
+def stream_hll_sketch(df: DataFrame, value_col: str, p: int = 12) -> DataFrame:
+    """Streaming twin of datapipe.freq.hll_sketch: maintain the 2^p-row
+    register table over an unbounded stream. State is a bounded
+    max-per-bucket aggregation — at most 2^p rows regardless of stream
+    volume (the whole point of the sketch), so no watermark is needed;
+    run with outputMode('update' or 'complete'). Registers only grow, so
+    every update is monotone and restart-safe. The batch estimator
+    (hll_estimate) reads the materialized register table as-is."""
+    from ..datapipe.freq import hll_sketch as _batch
+
+    # the batch builder is pure column expressions over one groupBy —
+    # structurally valid on a streaming DataFrame as-is; re-use it so the
+    # register math can never drift between batch and stream
+    return _batch(df, value_col, p)
+
+
+def stream_count_min(
+    df: DataFrame, value_col: str, depth: int = 4, width: int = 2048,
+) -> DataFrame:
+    """Streaming twin of datapipe.freq.count_min_build: rolling frequency
+    cells over an unbounded stream. Bounded state (<= depth*width rows),
+    no watermark; outputMode('update'/'complete'). Counts are additive, so
+    micro-batch increments fold exactly — the streaming table equals the
+    batch sketch over the same prefix (equality-tested)."""
+    from ..datapipe.freq import count_min_build as _batch
+
+    return _batch(df, value_col, depth, width)
