@@ -122,6 +122,10 @@ HEADLINE = [
     "freq_sketch",
     "heavy_hitters",
     "hll_distinct",
+    # round 4 tail: time-versioned enrichment + per-group sketch rollup
+    "enrich_asof",
+    "hll_grouped",
+    "hll_windowed",
 ]
 
 

@@ -897,6 +897,54 @@ def q_hll_distinct(spark, sf_dir):
     return est.crossJoin(exact)
 
 
+def q_hll_grouped(spark, sf_dir):
+    """Per-group HLL: distinct users per event_type next to the exact
+    count — the approx-distinct rollup a telemetry pipeline maintains per
+    dimension. One register table per group (groups x 2^p rows total),
+    map-side MAX partials, so the exchange cost is independent of corpus
+    size — the scale contrast to count_distinct, whose exchange carries
+    every distinct value. Same integer-exact register math as
+    hll_distinct (md5 buckets, length(bin()) rank, power-of-two BIGINT
+    harmonic sum), so the DuckDB oracle reproduces estimates bit-for-bit."""
+    from vector_spark.datapipe import hll_estimate, hll_sketch
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("v"))
+    est = hll_estimate(
+        hll_sketch(e, "v", group_cols=["event_type"]),
+        group_cols=["event_type"])
+    exact = e.groupBy("event_type").agg(F.countDistinct("v").alias("n_exact"))
+    return est.join(exact, "event_type")
+
+
+def q_hll_windowed(spark, sf_dir):
+    """Tumbling-window approx distinct: distinct users per 6-hour window —
+    the windowed rollup an aggregate transform maintains per metric
+    series, with HLL registers instead of a distinct-shuffle. The window
+    key is an epoch-us bucket (engine-portable per the repo's timestamp
+    convention); integer DIV keeps the bucket math exact in both engines.
+    State: (windows x 2^p) register rows — the streaming twin
+    (stream_hll_sketch group_cols=) maintains the same table with
+    bounded state."""
+    from vector_spark.datapipe import hll_estimate, hll_sketch
+
+    six_h_us = 6 * 3600 * 1_000_000
+    e = _t(spark, sf_dir, "events").select(
+        (F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+         .cast("long").alias("_us")),
+        F.col("user_id").cast("string").alias("v"),
+    ).select(
+        (F.expr(f"_us DIV {six_h_us}") * six_h_us).alias("window_start_us"),
+        "v",
+    )
+    est = hll_estimate(
+        hll_sketch(e, "v", group_cols=["window_start_us"]),
+        group_cols=["window_start_us"])
+    exact = e.groupBy("window_start_us").agg(
+        F.countDistinct("v").alias("n_exact"))
+    return est.join(exact, "window_start_us")
+
+
 def q_robots_filter(spark, sf_dir):
     """Crawl-politeness gate: per-host robots.txt (synthesized — a star
     group with a Disallow/Allow pair whose paths derive from md5(host),
@@ -1569,6 +1617,81 @@ SELECT round(CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
 FROM est
 """
 
+    sql["hll_grouped"] = f"""
+WITH vals AS (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS v FROM events
+),
+hs AS (
+  SELECT event_type, ('0x' || substr(md5(v), 1, 15))::BIGINT AS h FROM vals
+),
+regs AS (
+  SELECT event_type, h % 4096 AS bucket,
+         max(CASE WHEN (h >> 12) > 0 THEN 49 - length(bin(h >> 12))
+                  ELSE 49 END) AS max_rho
+  FROM hs GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type,
+         sum(1::BIGINT << (49 - max_rho)) AS s_present,
+         count(*) AS n_present
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT event_type,
+         {_hll_num!r} / CAST(s_present
+           + (4096 - n_present) * (1::BIGINT << 49) AS DOUBLE) AS raw,
+         CAST(4096 - n_present AS DOUBLE) AS zeros
+  FROM agg
+)
+SELECT e.event_type,
+       round(CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+                  THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END, 4) AS n_est,
+       x.n_exact
+FROM est e
+JOIN (SELECT event_type, count(DISTINCT v) AS n_exact
+      FROM vals GROUP BY 1) x USING (event_type)
+"""
+
+    sql["hll_windowed"] = f"""
+WITH vals AS (
+  SELECT (epoch_us(ts) // {6 * 3600 * 1000000}) * {6 * 3600 * 1000000}
+           AS window_start_us,
+         CAST(user_id AS VARCHAR) AS v
+  FROM events
+),
+hs AS (
+  SELECT window_start_us,
+         ('0x' || substr(md5(v), 1, 15))::BIGINT AS h
+  FROM vals
+),
+regs AS (
+  SELECT window_start_us, h % 4096 AS bucket,
+         max(CASE WHEN (h >> 12) > 0 THEN 49 - length(bin(h >> 12))
+                  ELSE 49 END) AS max_rho
+  FROM hs GROUP BY 1, 2
+),
+agg AS (
+  SELECT window_start_us,
+         sum(1::BIGINT << (49 - max_rho)) AS s_present,
+         count(*) AS n_present
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT window_start_us,
+         {_hll_num!r} / CAST(s_present
+           + (4096 - n_present) * (1::BIGINT << 49) AS DOUBLE) AS raw,
+         CAST(4096 - n_present AS DOUBLE) AS zeros
+  FROM agg
+)
+SELECT e.window_start_us,
+       round(CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+                  THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END, 4) AS n_est,
+       x.n_exact
+FROM est e
+JOIN (SELECT window_start_us, count(DISTINCT v) AS n_exact
+      FROM vals GROUP BY 1) x USING (window_start_us)
+"""
+
     sql["freq_sketch"] = """
 WITH vals AS (
   SELECT event_type || '#' || CAST(user_id % 50 AS VARCHAR) AS v FROM events
@@ -2124,6 +2247,8 @@ QUERIES = {
     "freq_sketch": q_freq_sketch,
     "heavy_hitters": q_heavy_hitters,
     "hll_distinct": q_hll_distinct,
+    "hll_grouped": q_hll_grouped,
+    "hll_windowed": q_hll_windowed,
     "incremental_dedup": q_incremental_dedup,
     "langid": q_langid,
     "mixture_sample": q_mixture_sample,

@@ -210,6 +210,34 @@ def q_enrich_between(spark, sf_dir):
     return out.select("l_orderkey", "l_linenumber", "o_orderpriority")
 
 
+def q_enrich_asof(spark, sf_dir):
+    """As-of (latest-version-at-event-time) enrichment: orders fan out into
+    3 deterministic priority versions 30 days apart; every lineitem picks
+    the newest version at its ship date via the dim-side-interval broadcast
+    hash join (operators.enrich.enrich_asof — zero fact-side shuffle). The
+    oracle derives the same intervals independently with lead() in DuckDB."""
+    from vector_spark.operators import enrich_asof
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    dim = o.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("_v"),
+        "o_orderpriority",
+    ).select(
+        "o_orderkey",
+        F.date_add("o_orderdate", F.col("_v") * 30).alias("valid_from"),
+        F.concat("o_orderpriority", F.lit("_v"),
+                 F.col("_v").cast("string")).alias("prio_version"),
+    )
+    out = enrich_asof(
+        li, dim, ("l_orderkey", "o_orderkey"),
+        ts_col="l_shipdate", dim_ts_col="valid_from",
+    )
+    return out.select("l_orderkey", "l_linenumber", "prio_version")
+
+
 def q_enrich_geoip(spark, sf_dir):
     """GeoIP-style IP-range enrichment (src/enrichment_tables/geoip.rs
     analogue): derive a deterministic IPv4 per event, range-join against the
@@ -802,6 +830,29 @@ LEFT JOIN orders o
  AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 90 DAY
 """
 
+    # independent derivation: lead()-built validity intervals (the Spark
+    # side builds the same intervals inside enrich_asof, but from the
+    # operator's own window — this SQL re-derives them from scratch)
+    sql["enrich_asof"] = """
+WITH dim AS (
+  SELECT o_orderkey,
+         CAST(o_orderdate AS DATE) + v * 30 AS valid_from,
+         o_orderpriority || '_v' || CAST(v AS VARCHAR) AS prio_version
+  FROM orders, unnest([0, 1, 2]) AS t(v)
+),
+ivl AS (
+  SELECT *, lead(valid_from) OVER (PARTITION BY o_orderkey
+                                   ORDER BY valid_from) AS valid_to
+  FROM dim
+)
+SELECT l.l_orderkey, l.l_linenumber, d.prio_version
+FROM lineitem l
+LEFT JOIN ivl d
+  ON l.l_orderkey = d.o_orderkey
+ AND l.l_shipdate >= d.valid_from
+ AND (d.valid_to IS NULL OR l.l_shipdate < d.valid_to)
+"""
+
     from vector_spark.sources import geoip_ranges
 
     geoip_values = ",\n  ".join(
@@ -1059,6 +1110,7 @@ QUERIES = {
     "datadog_search": q_datadog_search,
     "dedupe_first": q_dedupe_first,
     "dedupe_lru": q_dedupe_lru,
+    "enrich_asof": q_enrich_asof,
     "enrich_between": q_enrich_between,
     "enrich_customer": q_enrich_customer,
     "enrich_geoip": q_enrich_geoip,

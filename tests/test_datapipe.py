@@ -1349,3 +1349,27 @@ def test_decode_gzip_members_warc_layout(spark):
     got = [r.m and [bytes(x) for x in r.m]
            for r in df.select(decode_gzip_members(F.col("b")).alias("m")).collect()]
     assert got == [recs, [b"only"], None]
+
+
+def test_hll_grouped_matches_per_group_sketches(spark):
+    """Grouped register tables: hll_estimate(group_cols=[g]) per group must
+    equal running the ungrouped sketch on each group's slice — the grouped
+    path changes the shuffle key, never the math. Grouped merge keys on
+    (group, bucket)."""
+    from vector_spark.datapipe import hll_estimate, hll_merge, hll_sketch
+
+    df = spark.createDataFrame(
+        [(("a" if i % 3 else "b"), f"u{i % 700}") for i in range(2000)],
+        "g string, v string")
+    grouped = hll_estimate(
+        hll_sketch(df, "v", group_cols=["g"]), group_cols=["g"])
+    got = {r.g: r.n_est for r in grouped.collect()}
+    for g in ("a", "b"):
+        solo = hll_estimate(
+            hll_sketch(df.filter(F.col("g") == g), "v")).collect()[0].n_est
+        assert got[g] == solo
+    merged = hll_merge(hll_sketch(df, "v", group_cols=["g"]),
+                       hll_sketch(df, "v", group_cols=["g"]))
+    est_m = {r.g: r.n_est
+             for r in hll_estimate(merged, group_cols=["g"]).collect()}
+    assert est_m == got  # idempotent merge (max is idempotent)

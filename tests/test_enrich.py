@@ -181,3 +181,48 @@ def test_enrich_ip6_range_rejects_overwide_range(spark):
     )
     got = enrich_ip6_range(facts, ok, "ip", max_blocks_per_range=1024).collect()
     assert got[0].country == "Y"
+
+
+def test_enrich_asof_latest_version_wins(spark):
+    """As-of semantics: each fact row matches the LATEST dim version with
+    valid_from <= ts; facts before the first version get nulls; facts
+    after the last version get the last (open interval)."""
+    from vector_spark.operators import enrich_asof
+
+    dim = spark.createDataFrame(
+        [("k", ts(2, 0), "v1"), ("k", ts(5, 0), "v2"), ("k", ts(8, 0), "v3")],
+        "key string, valid_from timestamp, tag string",
+    )
+    df = spark.createDataFrame(
+        [(1, "k", ts(1, 0)),   # before first version -> null
+         (2, "k", ts(2, 0)),   # exactly at v1 (inclusive lower bound)
+         (3, "k", ts(4, 59)),  # still v1
+         (4, "k", ts(5, 0)),   # v2 starts (exclusive upper bound of v1)
+         (5, "k", ts(30, 0)),  # after last -> v3 (open interval)
+         (6, "x", ts(5, 0))],  # unknown key -> null
+        "id long, key string, t timestamp",
+    )
+    out = enrich_asof(df, dim, ("key", "key"), ts_col="t",
+                      dim_ts_col="valid_from")
+    assert rows(out, "id", "tag") == [
+        (1, None), (2, "v1"), (3, "v1"), (4, "v2"), (5, "v3"), (6, None)]
+    # exactly one output row per fact row — the interval construction
+    # guarantees no fan-out and no dedup pass
+    assert out.count() == df.count()
+
+
+def test_enrich_asof_is_broadcast_hash_join(spark):
+    """The plan must be a broadcast HASH join on the key (interval as a
+    residual) — never a BroadcastNestedLoopJoin, and no exchange on the
+    fact side."""
+    from vector_spark.operators import enrich_asof
+
+    dim = spark.createDataFrame(
+        [("k", ts(2, 0), "v1")], "key string, valid_from timestamp, tag string")
+    df = spark.createDataFrame(
+        [(1, "k", ts(3, 0))], "id long, key string, t timestamp")
+    out = enrich_asof(df, dim, ("key", "key"), ts_col="t",
+                      dim_ts_col="valid_from")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan

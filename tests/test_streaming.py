@@ -565,3 +565,50 @@ def test_stream_hll_and_count_min_equal_batch(spark, tmp_path):
         rows(count_min_build(batch_df, "v"))
     est = hll_estimate(spark.table("hll_regs")).collect()[0].n_est
     assert abs(est - 40) <= 2
+
+
+def test_stream_hll_grouped_and_asof_enrich(spark, tmp_path):
+    """Round-4 tail twins: (a) grouped streaming HLL registers equal the
+    batch grouped sketch (bounded groups x 2^p state); (b) enrich_asof is
+    stream-safe as-is — the dim-side interval window runs on the STATIC
+    side, so the stream-static broadcast join stays stateless."""
+    import datetime as dt
+
+    from vector_spark.datapipe import hll_sketch
+    from vector_spark.operators import enrich_asof
+
+    path = str(tmp_path / "grp_stream")
+    spark.createDataFrame(
+        [("g%d" % (i % 2), "v%d" % (i % 30),
+          dt.datetime(2024, 1, 1, i % 24)) for i in range(200)],
+        "g string, v string, t timestamp").write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    sdf = spark.readStream.schema(schema).parquet(path)
+
+    q = (hll_sketch(sdf, "v", group_cols=["g"])
+         .writeStream.format("memory").queryName("hll_grp")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ck_grp"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert rows(spark.sql("select * from hll_grp")) == \
+        rows(hll_sketch(spark.read.parquet(path), "v", group_cols=["g"]))
+
+    dim = spark.createDataFrame(
+        [("g0", dt.datetime(2024, 1, 1, 0), "seg_a"),
+         ("g0", dt.datetime(2024, 1, 1, 12), "seg_b"),
+         ("g1", dt.datetime(2024, 1, 1, 6), "seg_c")],
+        "g string, valid_from timestamp, seg string")
+    enriched = enrich_asof(sdf, dim, ("g", "g"), ts_col="t",
+                           dim_ts_col="valid_from")
+    q2 = (enriched.writeStream.format("memory").queryName("asof_stream")
+          .outputMode("append")
+          .option("checkpointLocation", str(tmp_path / "ck_asof"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    got = rows(spark.sql("select * from asof_stream"))
+    batch = rows(enrich_asof(spark.read.parquet(path), dim, ("g", "g"),
+                             ts_col="t", dim_ts_col="valid_from"))
+    assert got == batch
+    segs = {r.seg for r in spark.sql("select * from asof_stream").collect()}
+    assert segs == {"seg_a", "seg_b", "seg_c", None}  # g1 before 06:00 -> null

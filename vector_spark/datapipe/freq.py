@@ -97,23 +97,36 @@ def heavy_hitters(
 # portable twin of Spark's native approx_count_distinct / HLL++, which is
 # preferred at scale but not reproducible by a SQL oracle)
 
-def hll_sketch(df: DataFrame, value_col: str, p: int = 12) -> DataFrame:
+def hll_sketch(
+    df: DataFrame, value_col: str, p: int = 12,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
     """Register table (bucket, max_rho): h = 60-bit md5 prefix of the
     value; bucket = low p bits; rho = leading-zeros+1 of the remaining
     60-p bits (via length(bin(w)) — integer-exact in any engine, no
     floating log). The ONLY shuffle carries (bucket, rho) pairs with a
-    map-side MAX partial agg into at most 2^p rows."""
+    map-side MAX partial agg into at most 2^p rows.
+
+    `group_cols` keeps one register table PER GROUP — the approx
+    distinct-per-dimension rollup (distinct users per event_type,
+    distinct urls per domain). The shuffle stays (groups x 2^p)-bounded
+    regardless of corpus size: the map-side MAX partial collapses every
+    task's contribution before the exchange, so hot groups cost no more
+    than cold ones (contrast count_distinct, whose exchange carries every
+    distinct value)."""
+    groups = list(group_cols or [])
     m = 1 << p
     h = (F.conv(F.substring(F.md5(F.col(value_col).cast("binary")), 1, 15), 16, 10)
          .cast("long"))
-    hd = df.select(h.alias("_h"))
+    hd = df.select(*groups, h.alias("_h"))
     # integer shift, NOT division: h/m as double loses bits above 2^53
     w = F.shiftright(F.col("_h"), p)
     rho = F.when(w > 0, F.lit(60 - p + 1) - F.length(F.bin(w))) \
            .otherwise(F.lit(60 - p + 1))
     return (
-        hd.select((F.col("_h") % m).alias("bucket"), rho.cast("int").alias("rho"))
-        .groupBy("bucket")
+        hd.select(*groups, (F.col("_h") % m).alias("bucket"),
+                  rho.cast("int").alias("rho"))
+        .groupBy(*groups, "bucket")
         .agg(F.max("rho").alias("max_rho"))
     )
 
@@ -121,25 +134,31 @@ def hll_sketch(df: DataFrame, value_col: str, p: int = 12) -> DataFrame:
 def hll_merge(*sketches: DataFrame) -> DataFrame:
     """Bucket-wise max — HLL sketches over disjoint (or overlapping!)
     inputs merge losslessly, the property that makes the register table a
-    maintainable rolling summary."""
+    maintainable rolling summary. Grouped sketches merge the same way:
+    every column except max_rho is part of the register key."""
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
+    keys = [c for c in out.columns if c != "max_rho"]
+    return out.groupBy(*keys).agg(F.max("max_rho").alias("max_rho"))
 
 
-def hll_estimate(sketch: DataFrame, p: int = 12) -> DataFrame:
-    """One-row (n_est) from the register table. The harmonic-mean sum is
-    computed as the EXACT integer sum(2^(maxrho_scale - rho)) (every term
-    a power of two <= 2^49, so the BIGINT sum is exact and engine-
-    identical); only the final alpha*m^2/S division and the small-range
-    linear-counting ln are floating, rounded to 4 decimals (ln/round
-    cross-engine safety per the repo's oracle conventions). Standard
-    corrections: linear counting when E <= 2.5m and empty buckets exist."""
+def hll_estimate(
+    sketch: DataFrame, p: int = 12, group_cols: list[str] | None = None,
+) -> DataFrame:
+    """One row (n_est) per group from the register table (one total row
+    when ungrouped). The harmonic-mean sum is computed as the EXACT
+    integer sum(2^(maxrho_scale - rho)) (every term a power of two
+    <= 2^49, so the BIGINT sum is exact and engine-identical); only the
+    final alpha*m^2/S division and the small-range linear-counting ln are
+    floating, rounded to 4 decimals (ln/round cross-engine safety per the
+    repo's oracle conventions). Standard corrections: linear counting
+    when E <= 2.5m and empty buckets exist."""
+    groups = list(group_cols or [])
     m = 1 << p
     scale = 60 - p + 1  # max rho value; term for rho is 2^(scale - rho)
     alpha = 0.7213 / (1 + 1.079 / m)
-    agg = sketch.agg(
+    agg = sketch.groupBy(*groups).agg(
         # coalesce: an EMPTY register table (empty corpus) must estimate
         # 0.0 via the linear-counting branch, not propagate NULL
         F.coalesce(
@@ -157,4 +176,4 @@ def hll_estimate(sketch: DataFrame, p: int = 12) -> DataFrame:
         (raw <= 2.5 * m) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
     ).otherwise(raw)
-    return agg.select(F.round(est, 4).alias("n_est"))
+    return agg.select(*groups, F.round(est, 4).alias("n_est"))

@@ -63,6 +63,53 @@ def enrich_between(
     return df.alias("f").join(broadcast(dim.alias("d")), cond, "left").drop(F.col(f"d.{dc}"))
 
 
+def enrich_asof(
+    df: DataFrame,
+    dim: DataFrame,
+    key: tuple[str, str],
+    ts_col: str,
+    dim_ts_col: str = "valid_from",
+    select: list[str] | None = None,
+) -> DataFrame:
+    """As-of enrichment: each fact row gets the LATEST dim version whose
+    `dim_ts_col` <= the fact's `ts_col` — the time-versioned lookup every
+    telemetry pipeline needs (a BetweenDates table whose intervals are
+    implied by version order; lib/enrichment/src/lib.rs:24-28 models the
+    interval form, this derives it).
+
+    Scale: the naive shape — join all versions then keep the max per
+    event — shuffles the 100 TB fact side by event id for the dedup
+    window. Instead the (tiny) dim's versions are converted into
+    half-open [ts, next_ts) validity intervals with ONE lead() window
+    over the dim, then a single broadcast HASH equi-join on the key with
+    the interval as a residual: exactly one match per fact row by
+    construction, zero fact-side shuffle, the lookup runs map-side
+    inside the scan stage. Versions are assumed unique per
+    (key, dim_ts) — duplicate version rows fan out (find_table_rows
+    semantics), like overlapping ranges in enrich_ip_range."""
+    from pyspark.sql import Window
+
+    fc, dc = key
+    keep = select or [c for c in dim.columns if c not in (dc, dim_ts_col)]
+    w = Window.partitionBy(dc).orderBy(dim_ts_col)
+    ivl = dim.select(dc, dim_ts_col, *keep).withColumn(
+        "_valid_to", F.lead(dim_ts_col).over(w)
+    )
+    cond = (
+        (F.col(f"f.{fc}") == F.col(f"d.{dc}"))
+        & (F.col(f"f.{ts_col}") >= F.col(f"d.{dim_ts_col}"))
+        & (F.col("d._valid_to").isNull()
+           | (F.col(f"f.{ts_col}") < F.col("d._valid_to")))
+    )
+    return (
+        df.alias("f")
+        .join(broadcast(ivl.alias("d")), cond, "left")
+        .drop(F.col(f"d.{dc}"))
+        .drop(F.col(f"d.{dim_ts_col}"))
+        .drop("_valid_to")
+    )
+
+
 def find_table_row(
     df: DataFrame,
     dim: DataFrame,

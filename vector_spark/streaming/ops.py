@@ -760,7 +760,10 @@ def stream_bloom_probe(
     return out.select(F.col(id_col), maybe.alias("maybe_dup"))
 
 
-def stream_hll_sketch(df: DataFrame, value_col: str, p: int = 12) -> DataFrame:
+def stream_hll_sketch(
+    df: DataFrame, value_col: str, p: int = 12,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
     """Streaming twin of datapipe.freq.hll_sketch: maintain the 2^p-row
     register table over an unbounded stream. State is a bounded
     max-per-bucket aggregation — at most 2^p rows regardless of stream
@@ -773,7 +776,7 @@ def stream_hll_sketch(df: DataFrame, value_col: str, p: int = 12) -> DataFrame:
     # the batch builder is pure column expressions over one groupBy —
     # structurally valid on a streaming DataFrame as-is; re-use it so the
     # register math can never drift between batch and stream
-    return _batch(df, value_col, p)
+    return _batch(df, value_col, p, group_cols=group_cols)
 
 
 def stream_count_min(
