@@ -987,6 +987,59 @@ def q_robots_filter(spark, sf_dir):
 
 
 
+def _hll_est_sql(vals_select: str, group: str | None = None) -> str:
+    """Generate the DuckDB HLL register/estimate oracle from a `vals`
+    projection (must expose column v, plus `group` when set). Constants
+    mirror datapipe.freq.hll_sketch/hll_estimate at p=12 exactly — md5
+    60-bit prefix, low-12-bit bucket, 49-bit rank via length(bin()),
+    power-of-two BIGINT harmonic sum, 2.5m linear-counting cutover, the
+    repr-round-tripped alpha*m^2*2^49 numerator — so a constant change
+    is a ONE-place edit on each side."""
+    m = 1 << 12
+    alpha = 0.7213 / (1 + 1.079 / m)
+    num = repr(alpha * m * m * float(1 << 49))
+    g = f"{group}, " if group else ""
+    gby2 = "GROUP BY 1, 2" if group else "GROUP BY 1"
+    gby1 = "GROUP BY 1" if group else ""
+    if group:
+        tail = f"""SELECT e.{group},
+       round(CASE WHEN raw <= 2.5 * {m} AND zeros > 0
+                  THEN {m}.0 * ln({m}.0 / zeros) ELSE raw END, 4) AS n_est,
+       x.n_exact
+FROM est e
+JOIN (SELECT {group}, count(DISTINCT v) AS n_exact
+      FROM vals GROUP BY 1) x USING ({group})"""
+    else:
+        tail = f"""SELECT round(CASE WHEN raw <= 2.5 * {m} AND zeros > 0
+                  THEN {m}.0 * ln({m}.0 / zeros) ELSE raw END, 4) AS n_est,
+       (SELECT count(DISTINCT v) FROM vals) AS n_exact
+FROM est"""
+    return f"""
+WITH vals AS ({vals_select}),
+hs AS (
+  SELECT {g}('0x' || substr(md5(v), 1, 15))::BIGINT AS h FROM vals
+),
+regs AS (
+  SELECT {g}h % {m} AS bucket,
+         max(CASE WHEN (h >> 12) > 0 THEN 49 - length(bin(h >> 12))
+                  ELSE 49 END) AS max_rho
+  FROM hs {gby2}
+),
+agg AS (
+  SELECT {g}sum(1::BIGINT << (49 - max_rho)) AS s_present,
+         count(*) AS n_present
+  FROM regs {gby1}
+),
+est AS (
+  SELECT {g}{num} / CAST(s_present
+           + ({m} - n_present) * (1::BIGINT << 49) AS DOUBLE) AS raw,
+         CAST({m} - n_present AS DOUBLE) AS zeros
+  FROM agg
+)
+{tail}
+"""
+
+
 def oracles() -> dict[str, str]:
     sql: dict[str, str] = {}
 
@@ -1585,112 +1638,22 @@ GROUP BY ROLLUP (lang, source)
          ))"""
     # the alpha*m^2*2^49 numerator must be the SAME Python double in both
     # engines (float multiplication is order-sensitive): computed here with
-    # the exact expression hll_estimate uses, embedded via repr round-trip
-    _hll_m = 1 << 12
-    _hll_alpha = 0.7213 / (1 + 1.079 / _hll_m)
-    _hll_num = _hll_alpha * _hll_m * _hll_m * float(1 << 49)
-    sql["hll_distinct"] = f"""
-WITH vals AS (
-  SELECT event_type || '#' || CAST(user_id AS VARCHAR) AS v FROM events
-),
-hs AS (SELECT ('0x' || substr(md5(v), 1, 15))::BIGINT AS h FROM vals),
-regs AS (
-  SELECT h % 4096 AS bucket,
-         max(CASE WHEN (h >> 12) > 0 THEN 49 - length(bin(h >> 12))
-                  ELSE 49 END) AS max_rho
-  FROM hs GROUP BY 1
-),
-agg AS (
-  SELECT sum(1::BIGINT << (49 - max_rho)) AS s_present,
-         count(*) AS n_present
-  FROM regs
-),
-est AS (
-  SELECT {_hll_num!r} / CAST(s_present
-           + (4096 - n_present) * (1::BIGINT << 49) AS DOUBLE) AS raw,
-         CAST(4096 - n_present AS DOUBLE) AS zeros
-  FROM agg
-)
-SELECT round(CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
-                  THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END, 4) AS n_est,
-       (SELECT count(DISTINCT v) FROM vals) AS n_exact
-FROM est
-"""
-
-    sql["hll_grouped"] = f"""
-WITH vals AS (
-  SELECT event_type, CAST(user_id AS VARCHAR) AS v FROM events
-),
-hs AS (
-  SELECT event_type, ('0x' || substr(md5(v), 1, 15))::BIGINT AS h FROM vals
-),
-regs AS (
-  SELECT event_type, h % 4096 AS bucket,
-         max(CASE WHEN (h >> 12) > 0 THEN 49 - length(bin(h >> 12))
-                  ELSE 49 END) AS max_rho
-  FROM hs GROUP BY 1, 2
-),
-agg AS (
-  SELECT event_type,
-         sum(1::BIGINT << (49 - max_rho)) AS s_present,
-         count(*) AS n_present
-  FROM regs GROUP BY 1
-),
-est AS (
-  SELECT event_type,
-         {_hll_num!r} / CAST(s_present
-           + (4096 - n_present) * (1::BIGINT << 49) AS DOUBLE) AS raw,
-         CAST(4096 - n_present AS DOUBLE) AS zeros
-  FROM agg
-)
-SELECT e.event_type,
-       round(CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
-                  THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END, 4) AS n_est,
-       x.n_exact
-FROM est e
-JOIN (SELECT event_type, count(DISTINCT v) AS n_exact
-      FROM vals GROUP BY 1) x USING (event_type)
-"""
-
-    sql["hll_windowed"] = f"""
-WITH vals AS (
-  SELECT (epoch_us(ts) // {6 * 3600 * 1000000}) * {6 * 3600 * 1000000}
-           AS window_start_us,
-         CAST(user_id AS VARCHAR) AS v
-  FROM events
-),
-hs AS (
-  SELECT window_start_us,
-         ('0x' || substr(md5(v), 1, 15))::BIGINT AS h
-  FROM vals
-),
-regs AS (
-  SELECT window_start_us, h % 4096 AS bucket,
-         max(CASE WHEN (h >> 12) > 0 THEN 49 - length(bin(h >> 12))
-                  ELSE 49 END) AS max_rho
-  FROM hs GROUP BY 1, 2
-),
-agg AS (
-  SELECT window_start_us,
-         sum(1::BIGINT << (49 - max_rho)) AS s_present,
-         count(*) AS n_present
-  FROM regs GROUP BY 1
-),
-est AS (
-  SELECT window_start_us,
-         {_hll_num!r} / CAST(s_present
-           + (4096 - n_present) * (1::BIGINT << 49) AS DOUBLE) AS raw,
-         CAST(4096 - n_present AS DOUBLE) AS zeros
-  FROM agg
-)
-SELECT e.window_start_us,
-       round(CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
-                  THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END, 4) AS n_est,
-       x.n_exact
-FROM est e
-JOIN (SELECT window_start_us, count(DISTINCT v) AS n_exact
-      FROM vals GROUP BY 1) x USING (window_start_us)
-"""
+    # the exact expression hll_estimate uses, embedded via repr round-trip.
+    # ONE generator emits all three HLL oracles (total / per-group /
+    # per-window) so the lockstep-critical constants (p=12 -> 4096 buckets,
+    # 49-bit rank scale, 2.5m linear-counting threshold, the alpha
+    # numerator) live in exactly one place next to freq.py's.
+    sql["hll_distinct"] = _hll_est_sql(
+        "SELECT event_type || '#' || CAST(user_id AS VARCHAR) AS v"
+        " FROM events")
+    sql["hll_grouped"] = _hll_est_sql(
+        "SELECT event_type, CAST(user_id AS VARCHAR) AS v FROM events",
+        group="event_type")
+    _six_h_us = 6 * 3600 * 1000000
+    sql["hll_windowed"] = _hll_est_sql(
+        f"SELECT (epoch_us(ts) // {_six_h_us}) * {_six_h_us}"
+        " AS window_start_us, CAST(user_id AS VARCHAR) AS v FROM events",
+        group="window_start_us")
 
     sql["freq_sketch"] = """
 WITH vals AS (

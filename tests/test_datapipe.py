@@ -1369,7 +1369,17 @@ def test_hll_grouped_matches_per_group_sketches(spark):
             hll_sketch(df.filter(F.col("g") == g), "v")).collect()[0].n_est
         assert got[g] == solo
     merged = hll_merge(hll_sketch(df, "v", group_cols=["g"]),
-                       hll_sketch(df, "v", group_cols=["g"]))
+                       hll_sketch(df, "v", group_cols=["g"]),
+                       group_cols=["g"])
     est_m = {r.g: r.n_est
              for r in hll_estimate(merged, group_cols=["g"]).collect()}
     assert est_m == got  # idempotent merge (max is idempotent)
+    # incidental extra columns must NOT widen the register key: a sketch
+    # carrying a metadata column merges identically (the column is
+    # projected away, buckets still collapse)
+    meta = hll_sketch(df, "v", group_cols=["g"]).withColumn(
+        "_batch_id", F.lit(7))
+    est_meta = {r.g: r.n_est for r in hll_estimate(
+        hll_merge(meta, meta, group_cols=["g"]),
+        group_cols=["g"]).collect()}
+    assert est_meta == got

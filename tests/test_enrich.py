@@ -3,6 +3,8 @@ find_table_row strictness (/root/reference/lib/enrichment/src/lib.rs:20-76)."""
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from vector_spark.operators import enrich_equi, enrich_between, find_table_row
 
 from conftest import rows, ts
@@ -209,6 +211,13 @@ def test_enrich_asof_latest_version_wins(spark):
     # exactly one output row per fact row — the interval construction
     # guarantees no fan-out and no dedup pass
     assert out.count() == df.count()
+    # a pre-existing fact column named _valid_to must survive (the helper
+    # drop is alias-qualified to the dim side)
+    df2 = df.withColumn("_valid_to", F.lit("keep-me"))
+    out2 = enrich_asof(df2, dim, ("key", "key"), ts_col="t",
+                       dim_ts_col="valid_from")
+    assert "_valid_to" in out2.columns
+    assert out2.select("_valid_to").distinct().collect()[0][0] == "keep-me"
 
 
 def test_enrich_asof_is_broadcast_hash_join(spark):
@@ -226,3 +235,11 @@ def test_enrich_asof_is_broadcast_hash_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # zero fact-side shuffle: every Exchange (the dim window's shuffle,
+    # the broadcast build) must sit INSIDE the broadcast subtree, which
+    # the plan prints after the BroadcastExchange operator
+    import re
+
+    bcast_idx = plan.index("BroadcastExchange")
+    for m in re.finditer(r"\bExchange\b", plan):
+        assert m.start() >= bcast_idx, plan[:m.start()][-300:]

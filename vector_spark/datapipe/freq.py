@@ -131,15 +131,20 @@ def hll_sketch(
     )
 
 
-def hll_merge(*sketches: DataFrame) -> DataFrame:
+def hll_merge(
+    *sketches: DataFrame, group_cols: list[str] | None = None,
+) -> DataFrame:
     """Bucket-wise max — HLL sketches over disjoint (or overlapping!)
     inputs merge losslessly, the property that makes the register table a
-    maintainable rolling summary. Grouped sketches merge the same way:
-    every column except max_rho is part of the register key."""
-    out = sketches[0]
+    maintainable rolling summary. Grouped sketches pass the same
+    `group_cols` they were built with; the register key is EXPLICITLY
+    (group_cols + bucket), and incidental extra columns (batch ids,
+    ingest timestamps picked up from a sink) are projected away rather
+    than silently widening the key into duplicate-bucket tables."""
+    keys = [*(group_cols or []), "bucket"]
+    out = sketches[0].select(*keys, "max_rho")
     for s in sketches[1:]:
-        out = out.unionByName(s)
-    keys = [c for c in out.columns if c != "max_rho"]
+        out = out.unionByName(s.select(*keys, "max_rho"))
     return out.groupBy(*keys).agg(F.max("max_rho").alias("max_rho"))
 
 

@@ -106,7 +106,9 @@ def enrich_asof(
         .join(broadcast(ivl.alias("d")), cond, "left")
         .drop(F.col(f"d.{dc}"))
         .drop(F.col(f"d.{dim_ts_col}"))
-        .drop("_valid_to")
+        # alias-qualified: a bare drop("_valid_to") would also remove a
+        # same-named pre-existing fact column (e.g. a chained enrichment)
+        .drop(F.col("d._valid_to"))
     )
 
 

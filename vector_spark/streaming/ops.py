@@ -766,11 +766,21 @@ def stream_hll_sketch(
 ) -> DataFrame:
     """Streaming twin of datapipe.freq.hll_sketch: maintain the 2^p-row
     register table over an unbounded stream. State is a bounded
-    max-per-bucket aggregation — at most 2^p rows regardless of stream
-    volume (the whole point of the sketch), so no watermark is needed;
-    run with outputMode('update' or 'complete'). Registers only grow, so
-    every update is monotone and restart-safe. The batch estimator
-    (hll_estimate) reads the materialized register table as-is."""
+    max-per-bucket aggregation — at most 2^p rows when ungrouped, so no
+    watermark is needed there. Registers only grow, so every update is
+    monotone and restart-safe.
+
+    Sink contract: run with outputMode('complete'), or 'update' ONLY
+    into a keyed upsert sink (foreachBatch MERGE on the register key).
+    'update' into an append-style sink (parquet/file) accumulates stale
+    duplicate bucket rows and hll_estimate would silently over-count
+    n_present — the estimator assumes one row per register key.
+
+    With group_cols the state is groups x 2^p rows; for TIME-DERIVED
+    group columns (the hll_windowed twin) that grows by one register
+    group per window forever — emit closed windows and compact (e.g.
+    foreachBatch upsert + retention delete), or bound the key space,
+    before running such a query unboundedly."""
     from ..datapipe.freq import hll_sketch as _batch
 
     # the batch builder is pure column expressions over one groupBy —
@@ -784,7 +794,9 @@ def stream_count_min(
 ) -> DataFrame:
     """Streaming twin of datapipe.freq.count_min_build: rolling frequency
     cells over an unbounded stream. Bounded state (<= depth*width rows),
-    no watermark; outputMode('update'/'complete'). Counts are additive, so
+    no watermark; outputMode('complete'), or 'update' only into a keyed
+    upsert sink (same contract as stream_hll_sketch — append-style sinks
+    accumulate stale duplicate cells). Counts are additive, so
     micro-batch increments fold exactly — the streaming table equals the
     batch sketch over the same prefix (equality-tested)."""
     from ..datapipe.freq import count_min_build as _batch
