@@ -126,6 +126,7 @@ HEADLINE = [
     "enrich_asof",
     "hll_grouped",
     "hll_windowed",
+    "script_transform",
 ]
 
 

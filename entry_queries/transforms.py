@@ -210,6 +210,31 @@ def q_enrich_between(spark, sf_dir):
     return out.select("l_orderkey", "l_linenumber", "o_orderpriority")
 
 
+def q_script_transform(spark, sf_dir):
+    """User-scripted transform (the lua-transform analogue,
+    src/transforms/lua/v2/mod.rs): a pandas batch hook that DROPS German
+    docs (0-emit) and EXPLODES each surviving doc into one event per
+    leading word (N-emit, capped at 5) — exercising the 0..N contract the
+    reference's hooks.process has. The hook body is vectorized pandas
+    (filter + str.split + explode + cumcount), so the Python path runs at
+    Arrow/pandas speed; the oracle re-derives the emit in SQL with the
+    zip-unnest formulation."""
+    from vector_spark.operators import script_transform
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+
+    def hook(pdf):
+        pdf = pdf[pdf.lang != "de"]
+        ex = pdf.assign(_w=pdf.text.str.split(" ")).explode("_w")
+        ex["word_idx"] = ex.groupby("doc_id").cumcount()
+        ex = ex[ex.word_idx < 5]
+        return ex.assign(word_len=ex._w.str.len())[
+            ["doc_id", "word_idx", "word_len"]]
+
+    return script_transform(
+        docs, hook, "doc_id long, word_idx long, word_len long")
+
+
 def q_enrich_asof(spark, sf_dir):
     """As-of (latest-version-at-event-time) enrichment: orders fan out into
     3 deterministic priority versions 30 days apart; every lineitem picks
@@ -830,6 +855,18 @@ LEFT JOIN orders o
  AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 90 DAY
 """
 
+    # zip-unnest (parallel unnests zip in DuckDB) = pandas explode+cumcount
+    sql["script_transform"] = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         unnest(range(len(string_split(text, ' ')))) AS word_idx
+  FROM documents WHERE lang <> 'de'
+)
+SELECT doc_id, word_idx, length(word) AS word_len
+FROM w WHERE word_idx < 5
+"""
+
     # independent derivation: lead()-built validity intervals (the Spark
     # side builds the same intervals inside enrich_asof, but from the
     # operator's own window — this SQL re-derives them from scratch)
@@ -1111,6 +1148,7 @@ QUERIES = {
     "dedupe_first": q_dedupe_first,
     "dedupe_lru": q_dedupe_lru,
     "enrich_asof": q_enrich_asof,
+    "script_transform": q_script_transform,
     "enrich_between": q_enrich_between,
     "enrich_customer": q_enrich_customer,
     "enrich_geoip": q_enrich_geoip,

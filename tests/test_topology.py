@@ -531,3 +531,73 @@ def test_kind_typecheck_source_data_kind_and_intersects():
     }
     with pytest.raises(TopologyError, match="mismatch"):
         compile_topology(spec_bad)
+
+
+def test_script_transform_in_topology(spark):
+    """`script` transform (lua analogue): a pandas batch hook wired into
+    the topology compiler by callable — 1->N emit, declared schema.
+    The hook is a closure (cloudpickle ships it by value; a module-level
+    test function would be pickled by reference and miss on executors)."""
+    def _word_hook(pdf):
+        ex = pdf.assign(_w=pdf.event_type.str.split("i")).explode("_w")
+        ex["part_idx"] = ex.groupby("event_id").cumcount()
+        return ex.assign(part=ex._w)[["event_id", "part_idx", "part"]]
+
+    spec = {
+        "sources": {"events": EVENTS_SRC},
+        "transforms": {
+            "scripted": {
+                "type": "script",
+                "inputs": ["events"],
+                "function": _word_hook,
+                "schema": "event_id long, part_idx long, part string",
+            },
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["scripted"]}},
+    }
+    out = compile_topology(spec).build(spark).run()
+    got = sorted((r.event_id, r.part_idx, r.part) for r in out["out"])
+    assert got == [(1, 0, "error"), (2, 0, "s"), (2, 1, "gnup"),
+                   (3, 0, "cl"), (3, 1, "ck")]
+
+
+def test_script_transform_stateful_group_key(spark):
+    """group_key= gives the hook one key's FULL batch — per-key state
+    (the lua GLOBAL analogue): a running max over each event_type."""
+    from vector_spark.operators import script_transform
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 5.0), ("a", 3, 20.0), ("b", 4, 7.0)],
+        "k string, event_id long, value double",
+    )
+
+    def running_max(pdf):
+        pdf = pdf.sort_values("event_id")
+        return pdf.assign(run_max=pdf.value.cummax())[
+            ["k", "event_id", "run_max"]]
+
+    out = script_transform(
+        df, running_max, "k string, event_id long, run_max double",
+        group_key="k")
+    got = sorted((r.k, r.event_id, r.run_max) for r in out.collect())
+    assert got == [("a", 1, 10.0), ("a", 2, 10.0), ("a", 3, 20.0),
+                   ("b", 4, 7.0)]
+
+
+def test_script_transform_zero_emit_and_init(spark):
+    """0-emit (hook drops everything in a batch) must not break the Arrow
+    stream, and `init` passes script globals to the hook."""
+    from vector_spark.operators import script_transform
+
+    df = spark.createDataFrame([(1,), (2,), (3,)], "x long")
+
+    def gated(pdf, init):
+        out = pdf[pdf.x > init["threshold"]]
+        return out.assign(y=out.x * init["scale"])[["x", "y"]]
+
+    out = script_transform(df, gated, "x long, y long",
+                           init={"threshold": 2, "scale": 10})
+    assert [(r.x, r.y) for r in out.collect()] == [(3, 30)]
+    none_pass = script_transform(df, gated, "x long, y long",
+                                 init={"threshold": 99, "scale": 1})
+    assert none_pass.count() == 0

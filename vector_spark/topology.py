@@ -277,6 +277,7 @@ def compile_topology(spec: dict[str, Any]) -> Topology:
 _ALL_KINDS = frozenset({"log", "metric", "trace"})
 _TRANSFORM_KINDS: dict[str, tuple[frozenset, object]] = {
     "remap": (_ALL_KINDS, "same"),
+    "script": (_ALL_KINDS, "same"),
     "filter": (_ALL_KINDS, "same"),
     "route": (_ALL_KINDS, "same"),
     "exclusive_route": (_ALL_KINDS, "same"),
@@ -585,4 +586,20 @@ def _build_transform(cfg, df, resolve, tables, spark):
         )
     if kind == "hash_replace":
         return hash_replace(df, cfg["keys"], order_col=cfg.get("order_by", "event_id"))
+    if kind == "script":
+        # lua-transform analogue (src/transforms/lua/v2/mod.rs): the user
+        # hook is a pandas batch function (callable in the spec dict, or a
+        # "module:function" dotted path for YAML configs), declared output
+        # schema, 0..N emit; group_key enables per-key state (lua GLOBAL)
+        from .operators.script import script_transform
+
+        fn = cfg["function"]
+        if isinstance(fn, str):
+            import importlib
+
+            mod, _, name = fn.partition(":")
+            fn = getattr(importlib.import_module(mod), name)
+        return script_transform(
+            df, fn, cfg["schema"],
+            init=cfg.get("init"), group_key=cfg.get("group_key"))
     raise TopologyError(f"unknown transform type {kind!r}")
