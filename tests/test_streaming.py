@@ -612,3 +612,63 @@ def test_stream_hll_grouped_and_asof_enrich(spark, tmp_path):
     assert got == batch
     segs = {r.seg for r in spark.sql("select * from asof_stream").collect()}
     assert segs == {"seg_a", "seg_b", "seg_c", None}  # g1 before 06:00 -> null
+
+
+def test_stream_script_stateful_state_survives_restart(spark, tmp_path):
+    """Streaming lua analogue: the user hook's per-key state (a running
+    event count) persists across micro-batches AND a restart — run 1
+    processes file A, run 2 (same checkpoint) processes only file B, and
+    the counts continue from run 1's state."""
+    from vector_spark.streaming import stream_script_stateful
+
+    src = tmp_path / "script_src"
+    src.mkdir()
+    sink = str(tmp_path / "script_sink")
+    ck = str(tmp_path / "script_ck")
+
+    def hook(key, pdf, state):
+        import pandas as pd
+        n = state.get("n", 0)
+        pdf = pdf.sort_values("event_id")
+        seqs = list(range(n + 1, n + len(pdf) + 1))
+        out = pd.DataFrame({
+            "k": [key[0]] * len(pdf),
+            "event_id": pdf.event_id.to_list(),
+            "seq": seqs,
+        })
+        return out, {"n": n + len(pdf)}
+
+    schema = "k string, event_id long, seq long"
+
+    def run_once():
+        sdf = spark.readStream.schema("k string, event_id long").parquet(str(src))
+        q = (stream_script_stateful(sdf, hook, ["k"], schema)
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "k string, event_id long"
+    ).write.parquet(str(src / "f1"))
+    # readStream over a directory tree needs the glob to see subdirs
+    import shutil
+    for f in (src / "f1").glob("*.parquet"):
+        shutil.move(str(f), str(src / f.name))
+    shutil.rmtree(str(src / "f1"))
+    run_once()
+
+    spark.createDataFrame(
+        [("a", 4), ("b", 5)], "k string, event_id long"
+    ).write.parquet(str(src / "f2"))
+    for f in (src / "f2").glob("*.parquet"):
+        shutil.move(str(f), str(src / ("g" + f.name)))
+    shutil.rmtree(str(src / "f2"))
+    run_once()
+
+    got = sorted((r.k, r.event_id, r.seq)
+                 for r in spark.read.parquet(sink).collect())
+    # per-key sequence numbers continue across the restart: a saw 1,2 then
+    # 4 -> seq 1,2,3; b saw 3 then 5 -> seq 1,2
+    assert got == [("a", 1, 1), ("a", 2, 2), ("a", 4, 3),
+                   ("b", 3, 1), ("b", 5, 2)]

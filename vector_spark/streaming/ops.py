@@ -802,3 +802,47 @@ def stream_count_min(
     from ..datapipe.freq import count_min_build as _batch
 
     return _batch(df, value_col, depth, width)
+
+
+def stream_script_stateful(
+    df: DataFrame,
+    fn,
+    key_cols: list[str],
+    out_schema: str,
+) -> DataFrame:
+    """Streaming twin of operators.script.script_transform — the full lua
+    analogue (src/transforms/lua/v2/mod.rs): a user hook with PERSISTENT
+    per-key state across micro-batches and restarts.
+
+    The hook is `fn(key_tuple, pdf, state_dict) -> (out_pdf, new_state)`:
+    it receives one key's micro-batch as a pandas DataFrame plus that
+    key's state as a plain dict, emits 0..N rows against `out_schema`,
+    and returns the updated state. State is carried as a JSON document in
+    the checkpoint (the same generic-state discipline as
+    stream_reduce_merges), so it survives restarts and is inspectable —
+    the distributed-correct form of lua's script GLOBAL: one state per
+    key, never one mutable global across 1000 executors.
+
+    Scale: state volume = keys x state size, partitioned by key like any
+    stateful streaming op; the hook only ever sees one key's batch."""
+    import json as _json
+
+    import pandas as pd
+
+    def wrapper(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            # no events for this key this micro-batch (timeout-less ops
+            # shouldn't be called, but stay lua-faithful: no events -> the
+            # hook doesn't run, state untouched)
+            return
+        st = _json.loads(state.get[0]) if state.exists else {}
+        out, new_st = fn(key, pd.concat(frames), st)
+        state.update((_json.dumps(new_st, sort_keys=True),))
+        if out is not None and len(out):
+            yield out
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        wrapper, out_schema, "state_json string", "append",
+        GroupStateTimeout.NoTimeout,
+    )
