@@ -794,3 +794,38 @@ def test_c4_line_filter_matches_reference(spark, rows):
         assert got[i].text_clean == "\n".join(kept), (i, body)
         assert got[i].n_kept == len(kept) and got[i].n_lines == len(lines)
         assert got[i].keep == (len(kept) >= 2 and "{" not in body.lower())
+
+
+@given(
+    facts=st.lists(st.tuples(st.integers(0, 3),      # key
+                             st.integers(0, 100)),   # fact ts (secs)
+                   min_size=1, max_size=25),
+    dims=st.lists(st.tuples(st.integers(0, 3),       # key
+                            st.integers(0, 100)),    # version ts (secs)
+                  min_size=1, max_size=12,
+                  unique_by=lambda t: (t[0], t[1])),
+)
+@settings(**SETTINGS)
+def test_enrich_asof_equals_naive_latest(spark, facts, dims):
+    """enrich_asof == the naive per-fact argmax over all versions with
+    version_ts <= fact_ts (null when none) — for ANY fact/version layout,
+    including version ties across keys, facts before the first version,
+    and keys with no versions at all."""
+    from vector_spark.operators import enrich_asof
+
+    base = dt.datetime(2024, 1, 1)
+    fdf = spark.createDataFrame(
+        [(i, k, base + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(facts)],
+        "id long, k long, t timestamp",
+    )
+    ddf = spark.createDataFrame(
+        [(k, base + dt.timedelta(seconds=s), f"v{k}_{s}") for k, s in dims],
+        "k long, valid_from timestamp, tag string",
+    )
+    out = {r.id: r.tag for r in
+           enrich_asof(fdf, ddf, ("k", "k"), ts_col="t",
+                       dim_ts_col="valid_from").collect()}
+    for i, (k, s) in enumerate(facts):
+        eligible = [(vs, f"v{dk}_{vs}") for dk, vs in dims if dk == k and vs <= s]
+        expect = max(eligible)[1] if eligible else None
+        assert out[i] == expect, (i, k, s, eligible)
