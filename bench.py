@@ -127,6 +127,8 @@ HEADLINE = [
     "hll_grouped",
     "hll_windowed",
     "script_transform",
+    "multiline_stacktrace",
+    "multiline_haltwith",
 ]
 
 

@@ -235,6 +235,71 @@ def q_script_transform(spark, sf_dir):
         docs, hook, "doc_id long, word_idx long, word_len long")
 
 
+def _multiline_lines_ct(spark, sf_dir):
+    """Deterministic stack-trace-shaped lines from events: `error` events
+    open an ERROR line, everything else is an indented frame line."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.when(
+            F.col("event_type") == "error",
+            F.concat(F.lit("ERROR evt "), F.col("event_id").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("  at frame_"), (F.col("event_id") % 7).cast("string"))
+        )
+        .alias("line"),
+    )
+
+
+def q_multiline_stacktrace(spark, sf_dir):
+    """Multiline aggregation, continue_through mode (the Java-stack-trace
+    config from the reference's own docs: start = non-whitespace column 0,
+    condition = leading whitespace; lib/vector-common/src/multiline/
+    line_agg.rs:24-31). This mode runs the CLOSED-FORM pure-window JVM path
+    (operators/multiline.py::_segments_end_exclude) — the oracle is a
+    recursive-CTE transcription of the reference's sequential state machine
+    (line_agg.rs:301-366), a genuinely independent formulation."""
+    from vector_spark.operators import multiline_agg
+
+    return multiline_agg(
+        _multiline_lines_ct(spark, sf_dir),
+        start_pattern=r"^ERROR",
+        condition_pattern=r"^\s",
+        mode="continue_through",
+        key_cols="user_id",
+        order_col="event_id",
+    )
+
+
+def q_multiline_haltwith(spark, sf_dir):
+    """Multiline aggregation, halt_with mode (statement terminated by `;`,
+    line_agg.rs:43-47) — exercises the sequential EndInclude path (ids-only
+    pandas fold; the text never crosses the Python boundary) including the
+    vacant-buffer quirk that an opening line is never condition-checked."""
+    from vector_spark.operators import multiline_agg
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        "user_id",
+        "event_id",
+        F.concat(
+            F.lit("stmt "),
+            (F.col("event_id") % 13).cast("string"),
+            F.when(F.col("event_id") % 5 == 0, F.lit(";")).otherwise(F.lit("")),
+        ).alias("line"),
+    )
+    return multiline_agg(
+        lines,
+        start_pattern=r"^stmt",
+        condition_pattern=r";$",
+        mode="halt_with",
+        key_cols="user_id",
+        order_col="event_id",
+    )
+
+
 def q_enrich_asof(spark, sf_dir):
     """As-of (latest-version-at-event-time) enrichment: orders fan out into
     3 deterministic priority versions 30 days apart; every lineitem picks
@@ -867,6 +932,78 @@ SELECT doc_id, word_idx, length(word) AS word_len
 FROM w WHERE word_idx < 5
 """
 
+    # the reference's line_agg state machine (line_agg.rs:301-366)
+    # transcribed as a recursive CTE stepping one line per key per
+    # iteration — a sequential formulation, independent of the Spark
+    # side's closed-form window derivation. continue_through: an occupied
+    # buffer appends condition-matching lines; a non-matching line flushes
+    # and is re-processed fresh (EndExclude), so seg advances whenever
+    # NOT (open AND condition) and the open bit re-evaluates start.
+    sql["multiline_stacktrace"] = r"""
+WITH RECURSIVE src AS (
+  SELECT user_id, event_id,
+         CASE WHEN event_type = 'error'
+              THEN 'ERROR evt ' || CAST(event_id AS VARCHAR)
+              ELSE '  at frame_' || CAST(event_id % 7 AS VARCHAR) END AS line,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+),
+flags AS (
+  SELECT *, regexp_matches(line, '^ERROR') AS s, regexp_matches(line, '^\s') AS c
+  FROM src
+),
+walk AS (
+  SELECT user_id, event_id, rn, line, 1 AS seg, s AS open
+  FROM flags WHERE rn = 1
+  UNION ALL
+  SELECT f.user_id, f.event_id, f.rn, f.line,
+         CASE WHEN w.open AND f.c THEN w.seg ELSE w.seg + 1 END AS seg,
+         CASE WHEN w.open AND f.c THEN TRUE ELSE f.s END AS open
+  FROM walk w JOIN flags f ON f.user_id = w.user_id AND f.rn = w.rn + 1
+)
+SELECT user_id,
+       string_agg(line, chr(10) ORDER BY rn) AS line,
+       MIN(event_id) AS first_event_id,
+       MAX(event_id) AS last_event_id,
+       COUNT(*) AS n_lines
+FROM walk
+GROUP BY user_id, seg
+"""
+
+    # halt_with: an occupied buffer appends every line and flushes AFTER a
+    # condition-matching one (EndInclude); a vacant buffer consults only
+    # start_pattern — the opener is never condition-checked
+    # (line_agg.rs:349-365), which this walk reproduces exactly.
+    sql["multiline_haltwith"] = r"""
+WITH RECURSIVE src AS (
+  SELECT user_id, event_id,
+         'stmt ' || CAST(event_id % 13 AS VARCHAR)
+           || CASE WHEN event_id % 5 = 0 THEN ';' ELSE '' END AS line,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+),
+flags AS (
+  SELECT *, regexp_matches(line, '^stmt') AS s, regexp_matches(line, ';$') AS c
+  FROM src
+),
+walk AS (
+  SELECT user_id, event_id, rn, line, 1 AS seg, s AS open
+  FROM flags WHERE rn = 1
+  UNION ALL
+  SELECT f.user_id, f.event_id, f.rn, f.line,
+         CASE WHEN w.open THEN w.seg ELSE w.seg + 1 END AS seg,
+         CASE WHEN w.open THEN NOT f.c ELSE f.s END AS open
+  FROM walk w JOIN flags f ON f.user_id = w.user_id AND f.rn = w.rn + 1
+)
+SELECT user_id,
+       string_agg(line, chr(10) ORDER BY rn) AS line,
+       MIN(event_id) AS first_event_id,
+       MAX(event_id) AS last_event_id,
+       COUNT(*) AS n_lines
+FROM walk
+GROUP BY user_id, seg
+"""
+
     # independent derivation: lead()-built validity intervals (the Spark
     # side builds the same intervals inside enrich_asof, but from the
     # operator's own window — this SQL re-derives them from scratch)
@@ -1165,6 +1302,8 @@ QUERIES = {
     "reduce_max_events": q_reduce_max_events,
     "reduce_merge_full": q_reduce_merge_full,
     "reduce_sessions": q_reduce_sessions,
+    "multiline_haltwith": q_multiline_haltwith,
+    "multiline_stacktrace": q_multiline_stacktrace,
     "remap_parse_json": q_remap_parse_json,
     "route_exclusive": q_route_exclusive,
     "route_multi": q_route_multi,

@@ -1,0 +1,217 @@
+"""multiline_agg — parity with the reference's line_agg state machine.
+
+The four mode tests replicate the reference's own vectors byte-for-byte
+(lib/vector-common/src/multiline/line_agg.rs:414-570 —
+mode_continue_through_1 / mode_continue_past_1 / mode_halt_before_1 /
+mode_halt_with_1), including the end-of-stream flush of the incomplete
+trailing aggregate and the vacant-buffer quirk that the opening line is
+never condition-checked. A pure-Python walker (a direct transcription of
+line_agg.rs:301-366, independent of both Spark paths) backs the
+randomized parity test across all four modes.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from vector_spark.operators import multiline_agg
+
+# ---------------------------------------------------------------- reference
+
+
+def _reference_walk(lines, start, cond, mode):
+    """Direct transcription of Logic::handle_line + end-drain
+    (line_agg.rs:301-366, 203-215). Returns [(merged, first_idx, last_idx)]."""
+    import re
+
+    s_re, c_re = re.compile(start), re.compile(cond)
+    out, buf = [], None  # buf = (lines, first_idx, last_idx)
+
+    def flush(extra=None):
+        nonlocal buf
+        ls, fi, li = buf
+        if extra is not None:
+            ls = ls + [extra[0]]
+            li = extra[1]
+        out.append(("\n".join(ls), fi, li))
+        buf = None
+
+    def fresh(line, idx):
+        nonlocal buf
+        if s_re.search(line):
+            buf = ([line], idx, idx)
+        else:
+            out.append((line, idx, idx))
+
+    for idx, line in enumerate(lines):
+        if buf is None:
+            fresh(line, idx)
+            continue
+        c = bool(c_re.search(line))
+        decision = {
+            ("continue_through", True): "continue",
+            ("continue_through", False): "end_exclude",
+            ("continue_past", True): "continue",
+            ("continue_past", False): "end_include",
+            ("halt_before", True): "end_exclude",
+            ("halt_before", False): "continue",
+            ("halt_with", True): "end_include",
+            ("halt_with", False): "continue",
+        }[(mode, c)]
+        if decision == "continue":
+            buf = (buf[0] + [line], buf[1], idx)
+        elif decision == "end_include":
+            flush(extra=(line, idx))
+        else:  # end_exclude: emit, then the line is re-processed as fresh
+            flush()
+            fresh(line, idx)
+    if buf is not None:
+        flush()
+    return out
+
+
+def _run(spark, lines, start, cond, mode):
+    df = spark.createDataFrame(
+        [("a", i, ln) for i, ln in enumerate(lines)], "host string, event_id int, line string"
+    ).repartition(4)
+    got = multiline_agg(
+        df, start, cond, mode=mode, key_cols="host", order_col="event_id"
+    ).collect()
+    return sorted((r.line, r.first_event_id, r.last_event_id) for r in got)
+
+
+# ------------------------------------------------- the reference's vectors
+
+CT_LINES = [
+    "some usual line",
+    "some other usual line",
+    "first part",
+    " second part",
+    " last part",
+    "another normal message",
+    "finishing message",
+    " last part of the incomplete finishing message",
+]
+
+
+def test_mode_continue_through_reference_vector(spark):
+    expected = sorted(
+        [
+            ("some usual line", 0, 0),
+            ("some other usual line", 1, 1),
+            ("first part\n second part\n last part", 2, 4),
+            ("another normal message", 5, 5),
+            ("finishing message\n last part of the incomplete finishing message", 6, 7),
+        ]
+    )
+    assert _run(spark, CT_LINES, r"^[^\s]", r"^[\s]+", "continue_through") == expected
+
+
+def test_mode_continue_past_reference_vector(spark):
+    lines = [
+        "some usual line",
+        "some other usual line",
+        "first part \\",
+        "second part \\",
+        "last part",
+        "another normal message",
+        "finishing message \\",
+        "last part of the incomplete finishing message \\",
+    ]
+    expected = sorted(
+        [
+            ("some usual line", 0, 0),
+            ("some other usual line", 1, 1),
+            ("first part \\\nsecond part \\\nlast part", 2, 4),
+            ("another normal message", 5, 5),
+            ("finishing message \\\nlast part of the incomplete finishing message \\", 6, 7),
+        ]
+    )
+    assert _run(spark, lines, r"\\$", r"\\$", "continue_past") == expected
+
+
+def test_mode_halt_before_reference_vector(spark):
+    lines = [
+        "INFO some usual line",
+        "INFO some other usual line",
+        "INFO first part",
+        "second part",
+        "last part",
+        "ERROR another normal message",
+        "ERROR finishing message",
+        "last part of the incomplete finishing message",
+    ]
+    expected = sorted(
+        [
+            ("INFO some usual line", 0, 0),
+            ("INFO some other usual line", 1, 1),
+            ("INFO first part\nsecond part\nlast part", 2, 4),
+            ("ERROR another normal message", 5, 5),
+            ("ERROR finishing message\nlast part of the incomplete finishing message", 6, 7),
+        ]
+    )
+    # start_pattern = "" matches every line, like the reference's Regex::new("")
+    assert _run(spark, lines, "", r"^(INFO|ERROR) ", "halt_before") == expected
+
+
+def test_mode_halt_with_reference_vector(spark):
+    lines = [
+        "some usual line;",
+        "some other usual line;",
+        "first part",
+        "second part",
+        "last part;",
+        "another normal message;",
+        "finishing message",
+        "last part of the incomplete finishing message",
+    ]
+    expected = sorted(
+        [
+            ("some usual line;", 0, 0),
+            ("some other usual line;", 1, 1),
+            ("first part\nsecond part\nlast part;", 2, 4),
+            ("another normal message;", 5, 5),
+            ("finishing message\nlast part of the incomplete finishing message", 6, 7),
+        ]
+    )
+    assert _run(spark, lines, r"[^;]$", r";$", "halt_with") == expected
+
+
+# ------------------------------------------------------------- edge cases
+
+
+def test_opener_is_never_condition_checked(spark):
+    # halt_with: a line that both opens (start matches) and terminates
+    # (condition matches) still only OPENS — condition applies from the
+    # second buffered line on (line_agg.rs:349-365 vacant branch).
+    lines = ["stmt a;", "stmt b", "stmt c;"]
+    got = _run(spark, lines, "^stmt", ";$", "halt_with")
+    assert got == sorted([("stmt a;\nstmt b\nstmt c;", 0, 2)])
+
+
+def test_condition_default_is_start_pattern(spark):
+    df = spark.createDataFrame(
+        [("a", 0, "M one"), ("a", 1, "x"), ("a", 2, "M two")],
+        "host string, event_id int, line string",
+    )
+    got = multiline_agg(df, "^M", mode="halt_before").collect()
+    assert sorted((r.line, r.n_lines) for r in got) == [("M one\nx", 2), ("M two", 1)]
+
+
+def test_multiple_keys_are_independent(spark):
+    rows = [("a", 0, "S 1"), ("b", 0, "S 1"), ("a", 1, " c"), ("b", 1, "S 2")]
+    df = spark.createDataFrame(rows, "host string, event_id int, line string")
+    got = multiline_agg(df, r"^\S", r"^\s", mode="continue_through").collect()
+    assert sorted((r.host, r.line) for r in got) == [("a", "S 1\n c"), ("b", "S 1"), ("b", "S 2")]
+
+
+@pytest.mark.parametrize("mode", ["continue_through", "continue_past", "halt_before", "halt_with"])
+def test_randomized_parity_vs_reference_walker(spark, mode):
+    rng = random.Random(42)
+    alphabet = ["S cont", "S end", " cont", " end;", "plain", "S mix; end"]
+    lines = [rng.choice(alphabet) for _ in range(200)]
+    start, cond = r"^S ", r"(cont|;)"
+    expected = sorted(_reference_walk(lines, start, cond, mode))
+    assert _run(spark, lines, start, cond, mode) == expected

@@ -20,12 +20,13 @@ from .tag_cardinality_limit import tag_cardinality_limit
 from .hash_replace import hash_replace
 from .skew import salted_agg
 from .remap import remap_with_errors
+from .multiline import multiline_agg
 from .script import script_transform
 
 __all__ = [
     "filter_events", "route", "exclusive_route", "UNMATCHED", "dedupe",
     "sample", "sample_group_modulo", "enrich_equi", "enrich_asof", "enrich_between", "enrich_constant", "enrich_ip_range", "enrich_ip6_range",
-    "find_table_row", "find_enrichment_table_records", "script_transform", "aggregate_metrics", "aggregate_diff",
+    "find_table_row", "find_enrichment_table_records", "script_transform", "multiline_agg", "aggregate_metrics", "aggregate_diff",
     "aggregate_histogram", "aggregate_set", "aggregate_summary", "aggregate_sketch",
     "tumbling_window", "reduce_sessions", "MERGE_STRATEGIES", "throttle",
     "log_to_metric", "metric_to_log", "tag_cardinality_limit", "hash_replace",

@@ -1,0 +1,173 @@
+"""multiline — aggregate continuation lines into one event (stack traces,
+wrapped messages), the analogue of the reference's file-source `multiline`
+option.
+
+Reference: /root/reference/lib/vector-common/src/multiline/line_agg.rs —
+a per-source state machine with four modes (line_agg.rs:24-48), a
+start_pattern / condition_pattern pair, and these exact rules
+(line_agg.rs:301-366):
+
+  * buffer VACANT: a line matching start_pattern opens a buffer (the
+    opening line is NOT checked against condition_pattern); a non-matching
+    line is emitted standalone.
+  * buffer OCCUPIED, per (mode, condition_pattern matched):
+      continue_through:  match -> append;  no-match -> EndExclude
+      continue_past:     match -> append;  no-match -> EndInclude
+      halt_before:       match -> EndExclude;  no-match -> append
+      halt_with:         match -> EndInclude;  no-match -> append
+    EndInclude appends the line then emits the buffer; EndExclude emits the
+    buffer and RE-PROCESSES the line as if fresh (line_agg.rs:171-181 — the
+    stashed line goes through the full vacant-buffer logic, so it can open
+    the next aggregate).
+  * stream end: the open buffer flushes (line_agg.rs:203-215). The
+    reference's wall-clock `timeout_ms` flush is a stream concern — the
+    batch analogue is exactly this end-of-input flush; the streaming twin
+    (streaming/ops.py::stream_multiline) carries it as a state timeout.
+  * merge joins the buffered lines with "\n" (line_agg.rs:389-401) and
+    emits (source, merged line, first context, last context).
+
+Spark-first realization — two physical strategies sharing one contract:
+
+  EndExclude modes (continue_through, halt_before) have a CLOSED FORM, so
+  they run entirely JVM-side as window expressions (zero Python). With
+  E_i = "this line closes an occupied buffer exclusively" (¬condition for
+  continue_through, condition for halt_before):
+
+      open_i    = E_i ? start_i : (open_{i-1} OR start_i)
+      new_seg_i = ¬open_{i-1} OR E_i
+
+  which unrolls to running maxima: open_i holds iff the latest start at or
+  before i is at or after the latest E — two `max(when(...))` windows plus
+  a lag, one shuffle on the source key.
+
+  EndInclude modes (continue_past, halt_with) close a buffer at a line that
+  is only a terminator WHEN a buffer is open (open_i = open_{i-1} ? ¬I_i
+  : start_i) — a genuine 2-state toggle with no prefix closed form, so the
+  segment assignment is an ids-only pandas fold per source key: the
+  booleans are computed JVM-side by rlike BEFORE the shuffle, the fold sees
+  (order, start, terminator) only, and the TEXT NEVER CROSSES the Python
+  boundary — segment ids join back to the lines on the same key.
+
+Both paths finish with the same JVM aggregation: groupBy(source, segment)
+-> array_sort(collect_list(struct(order, line))) -> array_join("\n").
+
+100 TB scale: one shuffle on the source key (window or applyInPandas), plus
+one co-keyed join for the EndInclude modes. Per-source sequential folding
+is inherent to the problem — the reference has the identical constraint
+(one state machine per file) — so sources must be finer than "one giant
+key", same contract as reduce/sessionize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MODES = ("continue_through", "continue_past", "halt_before", "halt_with")
+
+
+def multiline_agg(
+    df: DataFrame,
+    start_pattern: str,
+    condition_pattern: str | None = None,
+    mode: str = "continue_through",
+    key_cols: list[str] | str = "host",
+    order_col: str = "event_id",
+    line_col: str = "line",
+    join_with: str = "\n",
+) -> DataFrame:
+    """Aggregate `line_col` rows into multiline events per `key_cols`
+    (ordered by `order_col`), emitting one row per aggregate:
+    key_cols + (line, first_<order>, last_<order>, n_lines).
+
+    `condition_pattern` defaults to `start_pattern`, matching the
+    reference's marker-based constructor (config.rs:76-78)."""
+    if mode not in MODES:
+        raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    cond = condition_pattern if condition_pattern is not None else start_pattern
+
+    s = F.coalesce(F.col(line_col).rlike(start_pattern), F.lit(False))
+    c = F.coalesce(F.col(line_col).rlike(cond), F.lit(False))
+
+    if mode in ("continue_through", "halt_before"):
+        e = ~c if mode == "continue_through" else c
+        seg = _segments_end_exclude(df, keys, order_col, s, e)
+    else:
+        i_term = ~c if mode == "continue_past" else c
+        seg = _segments_end_include(df, keys, order_col, line_col, s, i_term)
+
+    return (
+        seg.groupBy(*keys, "_seg")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col(order_col), F.col(line_col)))),
+                    lambda x: x[line_col],
+                ),
+                join_with,
+            ).alias(line_col),
+            F.min(order_col).alias(f"first_{order_col}"),
+            F.max(order_col).alias(f"last_{order_col}"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .drop("_seg")
+    )
+
+
+def _segments_end_exclude(df, keys, order_col, s, e) -> DataFrame:
+    """Closed-form segment ids for continue_through / halt_before — pure
+    window expressions, whole-stage-codegen eligible, one shuffle."""
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = df.withColumn("_s", s).withColumn("_e", e)
+    out = out.withColumn("_last_s", F.max(F.when(F.col("_s"), F.col(order_col))).over(run))
+    out = out.withColumn("_last_e", F.max(F.when(F.col("_e"), F.col(order_col))).over(run))
+    out = out.withColumn(
+        "_open",
+        F.col("_last_s").isNotNull()
+        & (F.col("_last_e").isNull() | (F.col("_last_s") >= F.col("_last_e"))),
+    )
+    out = out.withColumn(
+        "_new_seg", ~F.coalesce(F.lag("_open").over(w), F.lit(False)) | F.col("_e")
+    )
+    out = out.withColumn(
+        "_seg", F.sum(F.col("_new_seg").cast("int")).over(run)
+    )
+    return out.drop("_s", "_e", "_last_s", "_last_e", "_open", "_new_seg")
+
+
+def _segments_end_include(df, keys, order_col, line_col, s, i_term) -> DataFrame:
+    """Sequential segment ids for continue_past / halt_with: an ids-only
+    pandas fold per key (booleans precomputed JVM-side; the fold never sees
+    `line_col`), joined back to the text on the co-keyed (keys, order)."""
+    import pandas as pd
+
+    flags = df.select(*keys, order_col, s.alias("_s"), i_term.alias("_i"))
+
+    def assign(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order_col)
+        segs = []
+        open_, seg = False, 0
+        for s_i, i_i in zip(pdf["_s"].values, pdf["_i"].values):
+            if open_:
+                segs.append(seg)
+                if i_i:  # EndInclude: this line joins the buffer, then flush
+                    open_ = False
+            else:
+                seg += 1
+                segs.append(seg)
+                # vacant buffer: only start_pattern is consulted
+                # (line_agg.rs:349-365) — the opener is never condition-checked
+                open_ = bool(s_i)
+        out = pdf[[*keys, order_col]].copy()
+        out["_seg"] = segs
+        return out
+
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in flags.schema.fields
+        if f.name in keys or f.name == order_col
+    )
+    assigned = flags.groupBy(*keys).applyInPandas(assign, schema=f"{key_fields}, _seg int")
+    return df.join(assigned, on=[*keys, order_col], how="inner")
