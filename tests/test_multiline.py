@@ -215,3 +215,141 @@ def test_randomized_parity_vs_reference_walker(spark, mode):
     start, cond = r"^S ", r"(cont|;)"
     expected = sorted(_reference_walk(lines, start, cond, mode))
     assert _run(spark, lines, start, cond, mode) == expected
+
+
+# ----------------------------------------------------------- streaming twin
+
+# each fixture's FINAL line per key closes the buffer in its mode, so the
+# availableNow run equals the batch twin exactly (an open tail is held in
+# streaming state by design — see test_stream_multiline_open_buffer_*)
+STREAM_FIXTURES = {
+    "continue_through": (r"^S ", r"^\s", ["S one", " c1", " c2", "plain", "S two", "done"]),
+    "continue_past": (r"\\$", r"\\$", ["a \\", "b \\", "c", "plain", "d \\", "e"]),
+    "halt_before": (r"^[A-Z]", r"^-", ["X a", "b", "- cut", "Y c", "- cut2"]),
+    "halt_with": (r"^stmt", r";$", ["stmt a", "b", "c;", "plain;", "stmt d", "f;"]),
+}
+
+
+def _write_lines(spark, path, rows_, mode="overwrite"):
+    spark.createDataFrame(
+        rows_, "host string, event_id long, line string"
+    ).coalesce(1).write.mode(mode).parquet(path)
+
+
+def _collect_sink(spark, sink):
+    try:
+        return sorted(
+            (r.host, r.line, r.first_event_id, r.last_event_id, r.n_lines)
+            for r in spark.read.parquet(sink).collect()
+        )
+    except Exception:  # sink dir not created yet = zero emitted rows
+        return []
+
+
+@pytest.mark.parametrize("mode", list(STREAM_FIXTURES))
+def test_stream_multiline_equals_batch(spark, tmp_path, mode):
+    from vector_spark.streaming import stream_multiline
+
+    start, cond, lines = STREAM_FIXTURES[mode]
+    src = str(tmp_path / f"src_{mode}")
+    # key b replays the same closed sequence at shifted offsets — reversing
+    # it would leave an OPEN tail, which streaming holds in state by design
+    rows_ = [("a", i, ln) for i, ln in enumerate(lines)] + [
+        ("b", i + 100, ln) for i, ln in enumerate(lines)
+    ]
+    _write_lines(spark, src, rows_)
+    schema = spark.read.parquet(src).schema
+    sdf = stream_multiline(
+        spark.readStream.schema(schema).parquet(src), start, cond, mode=mode
+    )
+    sink = str(tmp_path / f"sink_{mode}")
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / f"ck_{mode}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = multiline_agg(
+        spark.read.parquet(src), start, cond, mode=mode, key_cols="host"
+    )
+    expected = sorted(
+        (r.host, r.line, r.first_event_id, r.last_event_id, r.n_lines)
+        for r in batch.collect()
+    )
+    assert _collect_sink(spark, sink) == expected
+
+
+def test_stream_multiline_open_buffer_survives_restart(spark, tmp_path):
+    """An open buffer is NOT flushed at micro-batch end; it lives in the
+    checkpoint and closes when continuation lines arrive in a later run —
+    the reference's stashed per-source buffer (line_agg.rs:120-215)."""
+    from vector_spark.streaming import stream_multiline
+
+    src, sink, ck = (str(tmp_path / d) for d in ("src", "sink", "ck"))
+    _write_lines(spark, src, [("k", 0, "S open"), ("k", 1, " a")])
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        sdf = stream_multiline(
+            spark.readStream.schema(schema).parquet(src),
+            r"^S ", r"^\s", mode="continue_through", key_cols="host",
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert _collect_sink(spark, sink) == []  # buffer still open in state
+    _write_lines(spark, src, [("k", 2, " b"), ("k", 3, "done")], mode="append")
+    run_once()
+    assert _collect_sink(spark, sink) == [
+        ("k", "S open\n a\n b", 0, 2, 3),
+        ("k", "done", 3, 3, 1),
+    ]
+
+
+def test_stream_multiline_timeout_flush(spark, tmp_path):
+    """timeout_secs = the reference's timeout_ms (line_agg.rs:64-79): a
+    buffer idle past the timeout flushes on its own at the next trigger,
+    without needing a closing line."""
+    import time
+
+    from vector_spark.streaming import stream_multiline
+
+    src, sink, ck = (str(tmp_path / d) for d in ("src", "sink", "ck"))
+    _write_lines(spark, src, [("k", 0, "S open"), ("k", 1, " a")])
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        sdf = stream_multiline(
+            spark.readStream.schema(schema).parquet(src),
+            r"^S ", r"^\s", mode="continue_through", key_cols="host",
+            timeout_secs=0.05,
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # the flush may fire already in a trailing micro-batch of the first run
+    # (availableNow keeps triggering until idle, and 50 ms expires fast) or
+    # in the second run below — either way it needs NO closing line
+    time.sleep(0.5)  # let the processing-time timeout expire
+    _write_lines(spark, src, [("z", 0, "standalone")], mode="append")
+    run_once()
+    assert _collect_sink(spark, sink) == [
+        ("k", "S open\n a", 0, 1, 2),
+        ("z", "standalone", 0, 0, 1),
+    ]

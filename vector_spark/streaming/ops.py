@@ -846,3 +846,148 @@ def stream_script_stateful(
         wrapper, out_schema, "state_json string", "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_multiline(
+    df: DataFrame,
+    start_pattern: str,
+    condition_pattern: str | None = None,
+    mode: str = "continue_through",
+    key_cols: list[str] | str = "host",
+    order_col: str = "event_id",
+    line_col: str = "line",
+    join_with: str = "\n",
+    timeout_secs: float | None = None,
+) -> DataFrame:
+    """Streaming twin of operators.multiline.multiline_agg — the reference's
+    line_agg state machine run continuously per source key, with the open
+    buffer held in the streaming checkpoint across micro-batches and
+    restarts (lib/vector-common/src/multiline/line_agg.rs:120-215: one
+    `Logic` per source with a stashed buffer and a wall-clock timeout).
+
+    All four modes follow the exact occupied/vacant rules of the batch
+    operator (see operators/multiline.py — incl. EndExclude re-processing
+    and the opener-never-condition-checked vacant rule). The one semantics
+    the batch twin cannot express is carried here: `timeout_secs` is the
+    reference's `timeout_ms` (line_agg.rs:64-79) — a buffer idle past the
+    timeout flushes on its own via ProcessingTimeTimeout, instead of only
+    at end-of-input. With timeout_secs=None the open buffer waits for data
+    (NoTimeout), which is what makes availableNow runs deterministic and
+    equal to the batch twin on closed buffers.
+
+    Start/condition matching runs JVM-side (rlike BEFORE the shuffle); the
+    pandas fold consumes precomputed booleans plus the line text it must
+    buffer. Within a micro-batch lines are sorted by `order_col`; across
+    micro-batches at-arrival semantics apply (the stream_reduce_merges
+    discipline). Scale: state volume = open buffers x buffered text,
+    partitioned by source key — the same bound as the reference's per-file
+    Logic map."""
+    import json as _json
+
+    import pandas as pd
+
+    from vector_spark.operators.multiline import MODES
+
+    if mode not in MODES:
+        raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    cond = condition_pattern if condition_pattern is not None else start_pattern
+
+    by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    key_schema = ", ".join(f"{k} {by_name[k]}" for k in keys)
+    out_schema = (
+        f"{key_schema}, {line_col} string, first_{order_col} {by_name[order_col]}, "
+        f"last_{order_col} {by_name[order_col]}, n_lines int"
+    )
+    state_schema = "buf string, first long, last long, n int"
+
+    flagged = df.select(
+        *keys,
+        order_col,
+        line_col,
+        F.coalesce(F.col(line_col).rlike(start_pattern), F.lit(False)).alias("_s"),
+        F.coalesce(F.col(line_col).rlike(cond), F.lit(False)).alias("_c"),
+    )
+    out_cols = [*keys, line_col, f"first_{order_col}", f"last_{order_col}", "n_lines"]
+
+    def fn(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        if state.exists:
+            buf_json, first, last, n = state.get
+            buf = _json.loads(buf_json)
+        else:
+            buf, first, last, n = [], None, None, 0
+        open_ = n > 0
+        rows = []
+
+        def emit():
+            nonlocal buf, first, last, n, open_
+            if n:
+                rows.append((*key, join_with.join(buf), first, last, n))
+            buf, first, last, n, open_ = [], None, None, 0, False
+
+        def append(line, o):
+            nonlocal buf, first, last, n
+            buf.append(line)
+            first = o if first is None else first
+            last = o
+            n += 1
+
+        def fresh(line, o, s_i):
+            # vacant buffer: only start_pattern is consulted
+            # (line_agg.rs:349-365); a non-start line emits standalone
+            nonlocal open_
+            append(line, o)
+            if s_i:
+                open_ = True
+            else:
+                emit()
+
+        if getattr(state, "hasTimedOut", False):
+            emit()  # the reference's timeout_ms flush (line_agg.rs:64-79)
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            pdf = pd.concat(frames).sort_values(order_col)
+            # explicit column zip: itertuples renames _-prefixed fields
+            for s_i, c_i, line, o in zip(
+                pdf["_s"].values, pdf["_c"].values,
+                pdf[line_col].values, pdf[order_col].values,
+            ):
+                s_i, c_i, o = bool(s_i), bool(c_i), int(o)
+                if not open_:
+                    fresh(line, o, s_i)
+                elif mode == "continue_through":
+                    if c_i:
+                        append(line, o)
+                    else:  # EndExclude: flush, then re-process as fresh
+                        emit()
+                        fresh(line, o, s_i)
+                elif mode == "continue_past":
+                    append(line, o)
+                    if not c_i:
+                        emit()
+                elif mode == "halt_before":
+                    if c_i:  # EndExclude on a condition match
+                        emit()
+                        fresh(line, o, s_i)
+                    else:
+                        append(line, o)
+                else:  # halt_with
+                    append(line, o)
+                    if c_i:
+                        emit()
+        if n:
+            state.update((_json.dumps(buf), first, last, n))
+            if timeout_secs is not None:
+                state.setTimeoutDuration(int(timeout_secs * 1000))
+        else:
+            state.remove()
+        yield pd.DataFrame(rows, columns=out_cols)
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_secs is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return flagged.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout
+    )
