@@ -224,7 +224,9 @@ def q_script_transform(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
 
     def hook(pdf):
-        pdf = pdf[pdf.lang != "de"]
+        # SQL-NULL semantics, matching the oracle: `lang <> 'de'` drops NULL
+        # lang; unnest(string_split(NULL)) emits 0 rows for NULL text
+        pdf = pdf[pdf.lang.notna() & (pdf.lang != "de") & pdf.text.notna()]
         ex = pdf.assign(_w=pdf.text.str.split(" ")).explode("_w")
         ex["word_idx"] = ex.groupby("doc_id").cumcount()
         ex = ex[ex.word_idx < 5]

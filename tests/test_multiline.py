@@ -353,3 +353,45 @@ def test_stream_multiline_timeout_flush(spark, tmp_path):
         ("k", "S open\n a", 0, 1, 2),
         ("z", "standalone", 0, 0, 1),
     ]
+
+
+def test_stream_multiline_timestamp_order_col(spark, tmp_path):
+    """order_col need not be an integer: a timestamp order column (the
+    shape testdata actually has — TESTDATA parquet carries TIMESTAMP
+    columns) flows through the state schema, the per-line fold, and the
+    typed output, and the availableNow run equals the batch twin."""
+    import datetime as dt
+
+    from vector_spark.streaming import stream_multiline
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    lines = ["S one", " c1", " c2", "plain", "S two", "done"]
+    rows_ = [("a", base + dt.timedelta(seconds=i), ln) for i, ln in enumerate(lines)]
+    src = str(tmp_path / "src_ts")
+    spark.createDataFrame(
+        rows_, "host string, ts timestamp, line string"
+    ).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    sdf = stream_multiline(
+        spark.readStream.schema(schema).parquet(src),
+        r"^S ", r"^\s", mode="continue_through", key_cols="host",
+        order_col="ts",
+    )
+    sink = str(tmp_path / "sink_ts")
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ck_ts"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = multiline_agg(
+        spark.read.parquet(src), r"^S ", r"^\s",
+        mode="continue_through", key_cols="host", order_col="ts",
+    )
+    got = spark.read.parquet(sink)
+    assert dict(got.dtypes)["n_lines"] == "bigint"
+    assert dict(got.dtypes)["first_ts"] == "timestamp"
+    key = lambda r: (r.host, r.line, r.first_ts, r.last_ts, r.n_lines)
+    assert sorted(map(key, got.collect())) == sorted(map(key, batch.collect()))

@@ -601,3 +601,31 @@ def test_script_transform_zero_emit_and_init(spark):
     none_pass = script_transform(df, gated, "x long, y long",
                                  init={"threshold": 99, "scale": 1})
     assert none_pass.count() == 0
+
+
+def test_script_data_kind_declares_output_kind():
+    """A user script may change event kind (the reference's lua transform
+    can emit metrics from logs, src/transforms/lua/v2/mod.rs); `data_kind:`
+    on a script transform declares it for the edge typecheck, so wiring the
+    script's output into a metric-only consumer compiles."""
+    spec = {
+        "sources": {"e": {"type": "inline", "rows": [], "schema": "x int"}},
+        "transforms": {
+            "to_metric": {
+                "type": "script", "inputs": ["e"],
+                "function": (lambda pdf: pdf),
+                "schema": "x int", "data_kind": "metric",
+            },
+            "limit": {
+                "type": "tag_cardinality_limit", "inputs": ["to_metric"],
+                "limit": 1,
+            },
+        },
+    }
+    compile_topology(spec)  # metric-kind script output feeds a metric consumer
+    # without the declaration the same wiring is rejected: script output
+    # defaults to kind-preserving (log), and tag_cardinality_limit is
+    # metric-only
+    del spec["transforms"]["to_metric"]["data_kind"]
+    with pytest.raises(TopologyError, match="mismatch"):
+        compile_topology(spec)

@@ -56,8 +56,7 @@ def script_transform(
 
     if group_key is not None:
         keys = [group_key] if isinstance(group_key, str) else list(group_key)
-        return df.groupBy(*keys).applyInPandas(
-            lambda pdf: _call(pdf), schema=schema)
+        return df.groupBy(*keys).applyInPandas(_call, schema=schema)
 
     def _map(batches):
         for pdf in batches:

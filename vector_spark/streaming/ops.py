@@ -897,9 +897,14 @@ def stream_multiline(
     key_schema = ", ".join(f"{k} {by_name[k]}" for k in keys)
     out_schema = (
         f"{key_schema}, {line_col} string, first_{order_col} {by_name[order_col]}, "
-        f"last_{order_col} {by_name[order_col]}, n_lines int"
+        f"last_{order_col} {by_name[order_col]}, n_lines long"
     )
-    state_schema = "buf string, first long, last long, n int"
+    # first/last carry the order column's own type (timestamp order columns
+    # are the common case per the batch twin); n_lines is long like F.count
+    state_schema = (
+        f"buf string, first {by_name[order_col]}, "
+        f"last {by_name[order_col]}, n long"
+    )
 
     flagged = df.select(
         *keys,
@@ -947,12 +952,15 @@ def stream_multiline(
         frames = [p for p in pdfs if len(p)]
         if frames:
             pdf = pd.concat(frames).sort_values(order_col)
-            # explicit column zip: itertuples renames _-prefixed fields
+            # explicit column zip: itertuples renames _-prefixed fields.
+            # .tolist() (not .values) on the order column so datetime64
+            # becomes pd.Timestamp, int64 a python int — native objects the
+            # state serializer and the typed output column both accept
             for s_i, c_i, line, o in zip(
                 pdf["_s"].values, pdf["_c"].values,
-                pdf[line_col].values, pdf[order_col].values,
+                pdf[line_col].values, pdf[order_col].tolist(),
             ):
-                s_i, c_i, o = bool(s_i), bool(c_i), int(o)
+                s_i, c_i = bool(s_i), bool(c_i)
                 if not open_:
                     fresh(line, o, s_i)
                 elif mode == "continue_through":

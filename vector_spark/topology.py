@@ -313,6 +313,11 @@ def _typecheck_kinds(sources, transforms, sinks, order, base) -> None:
             continue
         cfg = transforms[name]
         accepted, produces = _TRANSFORM_KINDS.get(cfg.get("type"), (_ALL_KINDS, "same"))
+        if cfg.get("type") == "script" and "data_kind" in cfg:
+            # a user script may change event kind (the reference's lua
+            # transform can emit metrics from logs); let the config declare
+            # the output kind like a source does
+            produces = cfg["data_kind"]
         in_kinds: set[str] = set()
         for ref in cfg.get("inputs", []):
             from_ty = out_kinds.get(base(ref), _ALL_KINDS)
