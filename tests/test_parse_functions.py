@@ -623,3 +623,40 @@ def test_parse_cdx_fields_and_malformed(spark):
     assert (s.urlkey, s.url, s.mime, s.length) == (
         "com,site)/p", "https://site.com/p", None, None)
     assert b.urlkey == "not" and b.ts is None and b.url is None
+
+
+def test_extract_all_onepass_parity_vs_regexp_extract(spark):
+    """The branch-free one-pass extract (_extract_all's anchored fast path:
+    one regexp_replace + end-indexed try_element_at) must return exactly
+    what per-group regexp_extract returns — incl. unmatched lines ('' for
+    every field), optional groups that did not participate (''), and lines
+    with a trailing newline (Java `$` matches before it, leaving the \\n
+    outside the replacement — end-indexing must be immune)."""
+    import re as _re
+
+    from vector_spark.functions.parse import SYSLOG_3164, _extract_all
+    from vector_spark.functions.vrl import java_regex
+
+    lines = [
+        "<34>Oct 11 22:14:15 mymachine su[230]: 'su root' failed",
+        "<13>Jun  5 08:12:23 host0 app: no procid here",  # optional group off
+        "not a syslog line at all",  # unmatched
+        "",  # empty
+        "<34>Oct 11 22:14:15 mymachine su[230]: trailing newline\n",
+        "<999>Oct 11 22:14:15 h a[1]: big pri",
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    fields = _extract_all(F.col("line"), SYSLOG_3164)
+    jp = java_regex(SYSLOG_3164)
+    gi = _re.compile(SYSLOG_3164).groupindex
+    classic = {
+        name: F.regexp_extract(F.col("line"), jp, idx) for name, idx in gi.items()
+    }
+    got = df.select(
+        *[fields[n].alias(f"f_{n}") for n in gi],
+        *[classic[n].alias(f"c_{n}") for n in gi],
+    ).collect()
+    for row in got:
+        d = row.asDict()
+        for n in gi:
+            assert d[f"f_{n}"] == d[f"c_{n}"], (n, d)

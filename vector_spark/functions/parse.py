@@ -148,16 +148,11 @@ def grok_to_regex(pattern: str, types: dict[str, str] | None = None) -> str:
 def parse_grok(col: Column, pattern: str) -> dict[str, Column]:
     """VRL parse_grok: grok pattern -> {field: Column}; `:int`/`:float`
     type suffixes coerce the extracted column."""
-    from .vrl import java_regex
-
     types: dict[str, str] = {}
     regex = grok_to_regex(pattern, types)
-    compiled = re.compile(regex)
-    jp = java_regex(regex)
     casts = {"int": "long", "float": "double"}
     out = {}
-    for name, idx in compiled.groupindex.items():
-        c = F.regexp_extract(col, jp, idx)
+    for name, c in _extract_all(col, regex).items():
         if name in types:
             c = c.cast(casts[types[name]])
         out[name] = c
@@ -183,14 +178,58 @@ SYSLOG_5424 = (
 )
 
 
+# field separator for the one-pass multi-group extract; a control char that
+# never appears in well-formed log lines (a line that BOTH contains \x01 AND
+# starts with it could spoof the match sentinel — pathological input trades
+# exact regexp_extract parity for running the regex ONCE per row, not once
+# per field; see _extract_all)
+_ONEPASS_SEP = "\x01"
+
+
 def _extract_all(col: Column, pattern: str) -> dict[str, Column]:
+    """All named groups of `pattern` as string Columns ('' when unmatched,
+    like regexp_extract).
+
+    For fully-anchored patterns (^...$ — every line-format parser here) the
+    extraction is ONE regex execution per row: a single regexp_replace
+    rewrites the matched line into a \\x01-delimited field string ($n
+    backreferences, one leading AND one trailing separator), then
+    split + try_element_at fan the fields out. Field access is indexed FROM
+    THE END and deliberately branch-free: a matched line splits into
+    n_fields+2 elements so index -(n+1-i) lands on field i, while an
+    unmatched line (left unchanged by the anchored replace) has too few
+    elements, so every access falls out of bounds -> NULL -> coalesce ''.
+    Branch-free matters: whole-stage codegen's subexpression elimination
+    does NOT share subtrees inside when() branches, so a conditional form
+    re-runs the replace once per field (measured 3.0 s vs 1.65 s on the 2M
+    syslog probe; the naive per-field regexp_extract form costs 2.0 s —
+    the full NFA once PER FIELD). Unanchored patterns keep the per-group
+    regexp_extract path (a partial match would leave unmatched prefix or
+    suffix around the replacement and shift the field positions)."""
     from .vrl import java_regex
 
     compiled = re.compile(pattern)
     jp = java_regex(pattern)
+    items = list(compiled.groupindex.items())
+    anchored = (
+        pattern.startswith("^")
+        and pattern.endswith("$")
+        and not pattern.endswith(r"\$")
+    )
+    if not anchored or len(items) < 2:
+        return {name: F.regexp_extract(col, jp, idx) for name, idx in items}
+    n = len(items)
+    repl = (
+        _ONEPASS_SEP
+        + _ONEPASS_SEP.join(f"${idx}" for _, idx in items)
+        + _ONEPASS_SEP
+    )
+    parts = F.split(F.regexp_replace(col, jp, repl), r"\x01", -1)
     return {
-        name: F.regexp_extract(col, jp, idx)
-        for name, idx in compiled.groupindex.items()
+        name: F.coalesce(
+            F.try_element_at(parts, F.lit(-(n + 1 - i))), F.lit("")
+        )
+        for i, (name, _) in enumerate(items)
     }
 
 
