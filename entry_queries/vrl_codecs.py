@@ -24,8 +24,10 @@ def q_codec_warc(spark, sf_dir):
     records directly from the source columns (the codec_framing_octet
     pattern)."""
     from vector_spark.functions import frame_warc, parse_warc_record
+    from vector_spark.session import ensure_parallelism
 
-    e = _t(spark, sf_dir, "events")
+    # Arrow-batched byte walk + header regexes: spread the single split
+    e = ensure_parallelism(_t(spark, sf_dir, "events"))
     date_str = F.date_format(
         F.date_trunc("second", F.col("ts").cast("timestamp")),
         "yyyy-MM-dd'T'HH:mm:ss'Z'",
@@ -511,8 +513,11 @@ def q_parse_dnstap(spark, sf_dir):
     Each event gets one of four hand-encoded frames (event_id%4); the
     oracle enumerates the encoded constants — field-exact decode check."""
     from vector_spark.functions import parse_dnstap
+    from vector_spark.session import ensure_parallelism
 
-    e = _t(spark, sf_dir, "events")
+    # the Python wire walk is ~17 us/frame — a single-split scan runs it
+    # on ONE core (measured 2.5 s vs 0.4 s at sf0.1)
+    e = ensure_parallelism(_t(spark, sf_dir, "events"))
     frames = _dnstap_fixture_frames()
     frame = F.element_at(
         F.array(*[F.lit(x) for x in frames]), (F.col("event_id") % 4 + 1).cast("int")
@@ -550,8 +555,10 @@ def q_vrl_misc(spark, sf_dir):
         to_syslog_level, to_syslog_severity, uuid_from_friendly_id,
         uuid_v7_deterministic,
     )
+    from vector_spark.session import ensure_parallelism
 
-    e = _t(spark, sf_dir, "events")
+    # ~20 md5/format exprs per row; spread the single parquet split
+    e = ensure_parallelism(_t(spark, sf_dir, "events"))
     eid = F.col("event_id")
     level = to_syslog_level(eid % 8)
     hex_str = F.concat(F.lit("0x"), F.lower(F.hex(eid)))

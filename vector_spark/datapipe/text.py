@@ -639,6 +639,7 @@ def pii_scrub(
 
     Pure regexp_count/regexp_replace column expressions — scan-speed, no
     shuffle, no Python."""
+    df = ensure_parallelism(df)  # 2 regex scans per pattern per doc
     pats = PII_PATTERNS if patterns is None else patterns
     cols = [F.col(id_col)]
     red = F.col(text_col)
