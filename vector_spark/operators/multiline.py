@@ -138,36 +138,55 @@ def _segments_end_exclude(df, keys, order_col, s, e) -> DataFrame:
 
 
 def _segments_end_include(df, keys, order_col, line_col, s, i_term) -> DataFrame:
-    """Sequential segment ids for continue_past / halt_with: an ids-only
-    pandas fold per key (booleans precomputed JVM-side; the fold never sees
-    `line_col`), joined back to the text on the co-keyed (keys, order)."""
-    import pandas as pd
+    """Closed-form segment ids for continue_past / halt_with — pure window
+    expressions like the EndExclude path (no Python fold, no join-back).
 
-    flags = df.select(*keys, order_col, s.alias("_s"), i_term.alias("_i"))
+    The per-line state machine (line_agg.rs:349-365; vacant buffer consults
+    only `s`, the opener is never condition-checked; occupied consults only
+    `i_term`, EndInclude) is a 2-state DFA {vacant, open}, and each line's
+    transition is one of only four functions of the incoming state:
 
-    def assign(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(order_col)
-        segs = []
-        open_, seg = False, 0
-        for s_i, i_i in zip(pdf["_s"].values, pdf["_i"].values):
-            if open_:
-                segs.append(seg)
-                if i_i:  # EndInclude: this line joins the buffer, then flush
-                    open_ = False
-            else:
-                seg += 1
-                segs.append(seg)
-                # vacant buffer: only start_pattern is consulted
-                # (line_agg.rs:349-365) — the opener is never condition-checked
-                open_ = bool(s_i)
-        out = pdf[[*keys, order_col]].copy()
-        out["_seg"] = segs
-        return out
+        s=T,i=F -> CONST open      s=F,i=T -> CONST vacant
+        s=T,i=T -> SWAP            s=F,i=F -> IDENTITY
 
-    key_fields = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in flags.schema.fields
-        if f.name in keys or f.name == order_col
+    Function composition over that monoid has a closed form: the state
+    BEFORE line p is the target of the last CONST transition before p,
+    flipped once per SWAP line strictly between that CONST and p (vacant
+    with the parity of all preceding swaps when no CONST exists). A line
+    is an opener (starts a new segment) iff the state before it is vacant.
+    All of it is running max/sum window expressions — whole-stage-codegen
+    eligible, ONE shuffle, same scale bound as _segments_end_exclude
+    (the pandas-fold formulation this replaces cost 4.9 s vs 0.9 s at
+    sf0.1 and serialized each key's fold)."""
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    out = df.withColumn("_s", s).withColumn("_i", i_term)
+    swap = F.col("_s") & F.col("_i")
+    const = F.col("_s") != F.col("_i")
+    out = out.withColumn("_cum_swap", F.sum(swap.cast("int")).over(run))
+    # last CONST before p: (order, target, swap-count through that line),
+    # struct max is lexicographic so order_col dominates
+    out = out.withColumn(
+        "_last_c",
+        F.max(
+            F.when(
+                const,
+                F.struct(
+                    F.col(order_col).alias("o"),
+                    (F.col("_s") & ~F.col("_i")).cast("int").alias("base_open"),
+                    F.col("_cum_swap").alias("v"),
+                ),
+            )
+        ).over(prev),
     )
-    assigned = flags.groupBy(*keys).applyInPandas(assign, schema=f"{key_fields}, _seg int")
-    return df.join(assigned, on=[*keys, order_col], how="inner")
+    flips = F.coalesce(F.lag("_cum_swap").over(w), F.lit(0)) - F.coalesce(
+        F.col("_last_c.v"), F.lit(0)
+    )
+    open_before = (
+        (F.coalesce(F.col("_last_c.base_open"), F.lit(0)) + flips) % 2 == 1
+    )
+    out = out.withColumn(
+        "_seg", F.sum((~open_before).cast("int")).over(run)
+    )
+    return out.drop("_s", "_i", "_cum_swap", "_last_c")
