@@ -129,6 +129,7 @@ HEADLINE = [
     "script_transform",
     "multiline_stacktrace",
     "multiline_haltwith",
+    "decontaminate_semantic",
 ]
 
 

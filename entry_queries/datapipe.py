@@ -366,6 +366,23 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(d, bench, n=4)
 
 
+def q_decontaminate_semantic(spark, sf_dir):
+    """Embedding-tier decontamination (the semantic complement of the
+    n-gram rule): every 97th embedding is the held-out benchmark; corpus
+    vectors within 0.3 rounded-6 cosine of ANY benchmark vector are
+    flagged. The whole benchmark rides ONE broadcast row and assignment is
+    a narrow expression fold — zero corpus exchanges (see
+    similarity.decontaminate_semantic). Threshold 0.3 sits between the p90
+    and max of the max-cos distribution at both SFs, so keep carries real
+    discrimination."""
+    from vector_spark.datapipe import decontaminate_semantic
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 97 == 3)
+    corpus = emb.filter(F.col("vec_id") % 97 != 3)
+    return decontaminate_semantic(corpus, bench, threshold=0.3)
+
+
 def q_shuffle_corpus(spark, sf_dir):
     """Deterministic global corpus shuffle into 8 shards, seed 42 —
     (shard, pos) must be identical for any input partitioning (the
@@ -2045,6 +2062,30 @@ SELECT d.doc_id,
 FROM docs d LEFT JOIN hits h ON h.doc_id = d.doc_id
 """
 
+    # independent formulation of the broadcast-fold argmax: cross join +
+    # row_number, same rounded-6 cosine and lowest-bench-id tie-break
+    sql["decontaminate_semantic"] = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nm
+  FROM embeddings
+),
+c AS (SELECT * FROM base WHERE vec_id % 97 <> 3),
+b AS (SELECT * FROM base WHERE vec_id % 97 = 3),
+scored AS (
+  SELECT c.vec_id, b.vec_id AS bench_id,
+         round(list_dot_product(c.v, b.v) / (c.nm * b.nm), 6) AS cs,
+         row_number() OVER (
+           PARTITION BY c.vec_id
+           ORDER BY round(list_dot_product(c.v, b.v) / (c.nm * b.nm), 6) DESC,
+                    b.vec_id
+         ) AS rn
+  FROM c, b
+)
+SELECT vec_id, bench_id, cs AS max_cos, cs < 0.3 AS keep
+FROM scored WHERE rn = 1
+"""
+
     _shard_hex = "md5('42:' || CAST(doc_id AS VARCHAR))"
     _shard_val = "(" + " + ".join(
         f"CAST({_hexval_sql(f'substr({_shard_hex}, {i + 1}, 1)')} AS BIGINT) * {16 ** (7 - i)}"
@@ -2190,6 +2231,7 @@ QUERIES = {
     "crawl_pipeline": q_crawl_pipeline,
     "curation_pipeline": q_curation_pipeline,
     "decontaminate": q_decontaminate,
+    "decontaminate_semantic": q_decontaminate_semantic,
     "dedup_clusters": q_dedup_clusters,
     "dedup_exact_text": q_dedup_exact_text,
     "dedup_ladder": q_dedup_ladder,

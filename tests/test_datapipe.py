@@ -1383,3 +1383,37 @@ def test_hll_grouped_matches_per_group_sketches(spark):
         hll_merge(meta, meta, group_cols=["g"]),
         group_cols=["g"]).collect()}
     assert est_meta == got
+
+
+def test_decontaminate_semantic_flags_and_ties(spark):
+    """Hand-checked broadcast-fold argmax: nearest benchmark id, rounded-6
+    cosine, lowest-bench-id tie-break, keep = max_cos < threshold, and the
+    empty-benchmark edge (bid -1, max_cos -2.0, everything kept)."""
+    from vector_spark.datapipe import decontaminate_semantic
+
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0]),   # cos 1.0 with bench 1 AND bench 2 (tie -> 1)
+            (11, [0.0, 1.0]),   # orthogonal to both -> cos 0.0
+            (12, [1.0, 1.0]),   # cos ~0.7071 with both (tie -> 1)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [(1, [2.0, 0.0]), (2, [3.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: (r.bench_id, r.max_cos, r.keep)
+        for r in decontaminate_semantic(corpus, bench, threshold=0.9).collect()
+    }
+    assert got[10] == (1, 1.0, False)        # contaminated, tie broke low
+    assert got[11] == (1, 0.0, True)
+    assert got[12][0] == 1 and abs(got[12][1] - 0.707107) < 1e-6 and got[12][2]
+
+    empty = bench.filter("vec_id < 0")
+    got0 = {
+        r.vec_id: (r.bench_id, r.max_cos, r.keep)
+        for r in decontaminate_semantic(corpus, empty, threshold=0.9).collect()
+    }
+    assert all(v == (-1, -2.0, True) for v in got0.values())

@@ -8,6 +8,7 @@ from .dedup import (
 )
 from .similarity import (
     cosine_topk,
+    decontaminate_semantic,
     embedding_near_dup_pairs,
     embedding_outliers,
     ivf_ann_topk,
@@ -36,6 +37,7 @@ __all__ = [
     "hll_sketch", "hll_merge", "hll_estimate",
     "connected_components", "dedup_clusters",
     "cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "embedding_near_dup_pairs", "embedding_outliers",
+    "decontaminate_semantic",
     "semantic_dedup", "bpe_pair_counts", "pagerank", "tfidf_keywords",
     "bpe_learn", "bpe_learn_py", "bpe_encode", "bpe_encode_word", "bpe_token_ids", "bpe_vocab",
     "parse_robots_rules", "robots_filter", "incremental_dedup", "corpus_stats", "normalize_text",

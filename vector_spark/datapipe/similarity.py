@@ -486,3 +486,73 @@ def embedding_outliers(
         "cos_centroid",
         (F.col("cos_centroid") >= F.lit(min_cos)).alias("keep"),
     )
+
+
+def decontaminate_semantic(
+    df: DataFrame,
+    benchmark: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bench_vec_col: str | None = None,
+    bench_id_col: str | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-tier benchmark decontamination — the semantic complement
+    of corpus.decontaminate's word-n-gram rule: a paraphrased eval item
+    shares no 13-gram with its source but still sits at high cosine, so
+    training docs whose embedding is >= `threshold` cosine to ANY
+    benchmark embedding are flagged (the published embedding-dedup /
+    contamination sweep shape, e.g. SemDeDup Abbas et al. 2023 §A applied
+    cross-corpus).
+
+    Output per input doc: nearest benchmark id (lowest id on rounded-6
+    ties; -1 when the benchmark is empty), the rounded-6 max cosine, and
+    keep = max_cos < threshold.
+
+    100 TB plan: an eval suite is SMALL by construction (10^3..10^5 rows),
+    so the WHOLE benchmark rides one collected broadcast row and the scan
+    side is a narrow expression fold per doc — ZERO exchanges of the
+    corpus, no LSH recall trade, embarrassingly parallel (the
+    _argmax_centroid device). A benchmark too big to broadcast is the
+    embedding_near_dup_pairs banded-LSH join instead — that op exists;
+    this one is deliberately the exact tier."""
+    bvec = bench_vec_col or vec_col
+    bid = bench_id_col or id_col
+    base = ensure_parallelism(df).select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("_v"),
+    )
+    base = base.withColumn("_n", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+    bench_row = (
+        benchmark.select(
+            F.col(bid).alias("_bid"),
+            _as_double(F.col(bvec)).alias("_bv"),
+        )
+        .withColumn("_bn", F.sqrt(_dot(F.col("_bv"), F.col("_bv"))))
+        .groupBy()
+        .agg(F.collect_list(F.struct("_bid", "_bv", "_bn")).alias("_bench"))
+    )
+
+    def _fold(acc, b):
+        cs = F.round(_dot(F.col("_v"), b["_bv"]) / (F.col("_n") * b["_bn"]), 6)
+        better = (cs > acc["cs"]) | ((cs == acc["cs"]) & (b["_bid"] < acc["bid"]))
+        return F.when(better, F.struct(cs.alias("cs"), b["_bid"].alias("bid"))).otherwise(acc)
+
+    best = F.aggregate(
+        F.col("_bench"),
+        F.struct(
+            F.lit(-2.0).cast("double").alias("cs"),
+            F.lit(-1).cast("long").alias("bid"),
+        ),
+        _fold,
+    )
+    return (
+        base.join(broadcast(bench_row))
+        .withColumn("_best", best)
+        .select(
+            F.col(id_col),
+            F.col("_best.bid").alias("bench_id"),
+            F.col("_best.cs").alias("max_cos"),
+            (F.col("_best.cs") < F.lit(threshold)).alias("keep"),
+        )
+    )
