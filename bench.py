@@ -130,6 +130,7 @@ HEADLINE = [
     "multiline_stacktrace",
     "multiline_haltwith",
     "decontaminate_semantic",
+    "mixture_temperature",
 ]
 
 

@@ -218,6 +218,20 @@ def q_mixture_sample(spark, sf_dir):
     )
 
 
+def q_mixture_temperature(spark, sf_dir):
+    """Temperature-scaled data mixing (XLM-R/mT5 recipe): per-lang budgets
+    derived from corpus token totals with p_g ~ n_g^(1/T) at T=2 — the
+    low-resource langs get upweighted shares — then the same deterministic
+    prefix-sum cut as mixture_sample. Budget math is integer-exact from
+    rounded micro-unit weights (round(exp(ln(n)/T)*1e6)) so the oracle
+    recomputes identical budgets in SQL."""
+    from vector_spark.datapipe import mixture_sample, temperature_budgets
+
+    d = _t(spark, sf_dir, "documents")
+    budgets = temperature_budgets(d, total_tokens=4000, temperature=2.0)
+    return mixture_sample(d, budgets)
+
+
 def q_perplexity_bucket(spark, sf_dir):
     """CCNet-style LM quality scoring (unigram analogue, disclosed in
     lm.py): self-trained token counts, Laplace log10-probs, per-doc mean
@@ -1950,6 +1964,38 @@ SELECT doc_id, lang, n_tokens FROM c WHERE cum <= budget
         {"en": 4000, "de": 1500, "es": 2000, "zh": 100}
     )
 
+    # temperature budgets recomputed in SQL: identical micro-unit-integer
+    # weight contract as datapipe.corpus.temperature_budgets, then pure
+    # integer division — cross-engine exact past the rounded-6 weight
+    sql["mixture_temperature"] = """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT)
+           AS n_tokens,
+         md5('mix|' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+g AS (
+  SELECT lang, sum(n_tokens) AS n FROM t
+  WHERE lang IS NOT NULL GROUP BY 1 HAVING sum(n_tokens) > 0
+),
+w AS (
+  SELECT lang, CAST(round(exp(ln(CAST(n AS DOUBLE)) / 2.0) * 1000000) AS BIGINT) AS wt
+  FROM g
+),
+tot AS (SELECT sum(wt) AS ws FROM w),
+b AS (SELECT lang, CAST(4000 * wt AS BIGINT) // ws AS budget FROM w, tot),
+c AS (
+  SELECT t.doc_id, t.lang, t.n_tokens, b.budget,
+         sum(t.n_tokens) OVER (
+           PARTITION BY t.lang ORDER BY t.h, t.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM t JOIN b USING (lang)
+)
+SELECT doc_id, lang, n_tokens FROM c WHERE cum <= budget
+"""
+
     _dsir_hex = "md5('dsir|' || CAST(doc_id AS VARCHAR))"
     _dsir_val = "(" + " + ".join(
         f"CAST({_hexval_sql(f'substr({_dsir_hex}, {i + 1}, 1)')} AS BIGINT) * {16 ** (7 - i)}"
@@ -2232,6 +2278,7 @@ QUERIES = {
     "curation_pipeline": q_curation_pipeline,
     "decontaminate": q_decontaminate,
     "decontaminate_semantic": q_decontaminate_semantic,
+    "mixture_temperature": q_mixture_temperature,
     "dedup_clusters": q_dedup_clusters,
     "dedup_exact_text": q_dedup_exact_text,
     "dedup_ladder": q_dedup_ladder,

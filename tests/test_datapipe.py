@@ -1417,3 +1417,19 @@ def test_decontaminate_semantic_flags_and_ties(spark):
         for r in decontaminate_semantic(corpus, empty, threshold=0.9).collect()
     }
     assert all(v == (-1, -2.0, True) for v in got0.values())
+
+
+def test_temperature_budgets_hand_math(spark):
+    """Hand-checked temperature shares: totals {a:100, b:400} tokens.
+    T=1 -> proportional (60/240 of 300); T=2 -> sqrt weights 10:20 ->
+    (100/200 of 300). Null-lang and empty-text rows are excluded."""
+    from vector_spark.datapipe import temperature_budgets
+
+    rows_ = (
+        [(i, "a", "w " * 10) for i in range(10)]        # 100 tokens
+        + [(100 + i, "b", "w " * 20) for i in range(20)]  # 400 tokens
+        + [(999, None, "ignored"), (998, "c", "")]
+    )
+    d = spark.createDataFrame(rows_, "doc_id long, lang string, text string")
+    assert temperature_budgets(d, 300, temperature=1.0) == {"a": 60, "b": 240}
+    assert temperature_budgets(d, 300, temperature=2.0) == {"a": 100, "b": 200}

@@ -829,3 +829,55 @@ def test_enrich_asof_equals_naive_latest(spark, facts, dims):
         eligible = [(vs, f"v{dk}_{vs}") for dk, vs in dims if dk == k and vs <= s]
         expect = max(eligible)[1] if eligible else None
         assert out[i] == expect, (i, k, s, eligible)
+
+
+# ------------------------------------------------ one-pass regex extract
+
+# syslog-shaped fragments biased to produce both matches and near-misses,
+# plus arbitrary printable-ASCII junk (excluding \x01, the documented
+# pathological input of the one-pass separator)
+_syslogish = st.one_of(
+    st.builds(
+        lambda pri, day, host, app, pid, msg: (
+            f"<{pri}>Oct {day} 22:14:15 {host} {app}{pid}: {msg}"
+        ),
+        st.integers(0, 999),
+        st.integers(1, 31),
+        st.sampled_from(["host1", "h", "a.example.com"]),
+        st.sampled_from(["su", "cron", "app-x"]),
+        st.sampled_from(["", "[230]", "[1]"]),
+        st.text(
+            st.characters(min_codepoint=32, max_codepoint=126), max_size=20
+        ),
+    ),
+    st.text(st.characters(min_codepoint=32, max_codepoint=126), max_size=40),
+)
+
+
+@given(lines=st.lists(_syslogish, min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_property_onepass_extract_equals_python_re(spark, lines):
+    """_extract_all's anchored one-pass path returns exactly what Python
+    `re` (and hence per-group regexp_extract) returns on arbitrary
+    printable-ASCII lines: '' when the line does not match, '' for
+    optional groups that did not participate, the captured text otherwise."""
+    import re as _re
+
+    from vector_spark.functions.parse import SYSLOG_3164, _extract_all
+
+    compiled = _re.compile(SYSLOG_3164)
+    names = list(compiled.groupindex)
+    df = spark.createDataFrame(
+        [(i, l) for i, l in enumerate(lines)], "i long, line string"
+    )
+    fields = _extract_all(F.col("line"), SYSLOG_3164)
+    got = {
+        r["i"]: tuple(r[n] for n in names)
+        for r in df.select("i", *[fields[n].alias(n) for n in names]).collect()
+    }
+    for i, line in enumerate(lines):
+        m = compiled.search(line)
+        want = tuple(
+            (m.group(n) or "") if m else "" for n in names
+        )
+        assert got[i] == want, (line, got[i], want)

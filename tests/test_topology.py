@@ -629,3 +629,32 @@ def test_script_data_kind_declares_output_kind():
     del spec["transforms"]["to_metric"]["data_kind"]
     with pytest.raises(TopologyError, match="mismatch"):
         compile_topology(spec)
+
+
+def test_tap_samples_component_outputs(spark):
+    """`vector tap` analogue: glob-matched component outputs yield up to
+    `limit` sample events without running any sink; an unmatched pattern
+    is a TopologyError (the reference's invalid-match notification)."""
+    spec = {
+        "sources": {
+            "ev": {
+                "type": "inline",
+                "rows": [(1, "a"), (2, "b"), (3, "a"), (4, "c")],
+                "schema": "x int, k string",
+            },
+        },
+        "transforms": {
+            "only_a": {"type": "filter", "inputs": ["ev"], "condition": "k = 'a'"},
+        },
+        "sinks": {},
+    }
+    topo = compile_topology(spec).build(spark)
+    tapped = topo.tap("only_*", limit=1)
+    assert list(tapped) == ["only_a"]
+    assert len(tapped["only_a"]) == 1 and tapped["only_a"][0].k == "a"
+    # everything, unlimited enough to see full outputs
+    all_tapped = topo.tap("*", limit=10)
+    assert {r.x for r in all_tapped["only_a"]} == {1, 3}
+    assert len(all_tapped["ev"]) == 4
+    with pytest.raises(TopologyError, match="matches no component"):
+        topo.tap("nope_*")

@@ -22,6 +22,7 @@ from .boilerplate import boilerplate_blocks
 from .classifier import feature_bucket, hashed_features, quality_classifier
 from .corpus import (
     corpus_build, decontaminate, mixture_sample, pack_sequences, shuffle_corpus, split_corpus, dataset_build,
+    temperature_budgets,
 )
 from .urls import url_filter, url_normalize_exprs
 from .lm import importance_resample, importance_weights, perplexity_score, unigram_lm
@@ -45,6 +46,7 @@ __all__ = [
     "binary_meta", "extract_features", "frame_sample", "resize_image",
     "chunk_documents", "c4_line_filter", "curation_pipeline", "pii_scrub", "sample_stratified",
     "corpus_build", "decontaminate", "mixture_sample", "pack_sequences", "shuffle_corpus", "split_corpus", "dataset_build",
+    "temperature_budgets",
     "url_filter", "url_normalize_exprs",
     "perplexity_score", "unigram_lm", "extract_html_text", "html_text_expr",
     "importance_weights", "importance_resample",

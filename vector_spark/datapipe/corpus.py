@@ -245,6 +245,51 @@ def mixture_sample(
     return whole.select(*out_cols).union(fine.select(*out_cols))
 
 
+
+def temperature_budgets(
+    df: DataFrame,
+    total_tokens: int,
+    temperature: float = 1.0,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> dict[str, int]:
+    """Per-group token budgets for `mixture_sample` from TEMPERATURE
+    sampling — the multilingual-LM data-mixing recipe (p_g proportional to
+    n_g^(1/T): T=1 keeps natural proportions, larger T flattens toward
+    uniform, upweighting low-resource groups; published in the XLM-R /
+    mT5 data recipes).
+
+    Cross-engine exact by construction so an oracle can replay the cut:
+    each group's weight is the INTEGER round(exp(ln(n_g)/T) * 1e6)
+    (micro-units — the repo's rounded-6 float contract), and the budget is
+    pure integer math from there: budget_g = total_tokens * w_g // sum(w).
+    Driver-side collect of one row per group is bounded by the number of
+    groups (languages/sources — dozens, not data-scale); the token totals
+    themselves come from ONE map-side-combined aggregation."""
+    import math
+
+    n_tokens = F.size(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    ).cast("long")
+    totals = {
+        r["g"]: r["n"]
+        for r in df.select(
+            F.col(group_col).alias("g"), n_tokens.alias("n")
+        )
+        .groupBy("g")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+        if r["g"] is not None and r["n"]
+    }
+    weights = {
+        g: round(math.exp(math.log(n) / temperature) * 1_000_000)
+        for g, n in totals.items()
+    }
+    w_sum = sum(weights.values())
+    return {
+        g: total_tokens * w // w_sum for g, w in sorted(weights.items())
+    }
+
 def pack_sequences(
     df: DataFrame,
     seq_len: int,

@@ -137,6 +137,34 @@ class BuiltTopology:
             out[name] = df
         return out
 
+    def tap(self, pattern: str = "*", limit: int = 10) -> dict[str, list]:
+        """`vector tap` analogue (lib/vector-tap/src/topology.rs: observe
+        sample events flowing out of components matched by a glob
+        pattern, without touching the sinks). Returns
+        {component_or_port: [Row, ...]} with up to `limit` events each.
+
+        Batch frames sample via limit(n) — a cheap separate job per tapped
+        edge that scans only until `limit` rows are produced (Spark's
+        CollectLimit incremental strategy), so tapping a 100 TB pipeline
+        costs a few partitions, not a pass. Streaming frames are skipped
+        (the reference taps a running topology's in-flight stream; our
+        streaming edges are observable through their sinks/checkpoints) —
+        they appear in the result as an empty list so the pattern match is
+        still visible, mirroring the reference's matched-component
+        notifications."""
+        import fnmatch
+
+        out: dict[str, list] = {}
+        for ref, df in self.nodes.items():
+            if not fnmatch.fnmatch(ref, pattern):
+                continue
+            out[ref] = [] if df.isStreaming else df.limit(limit).collect()
+        if not out:
+            raise TopologyError(
+                f"tap pattern {pattern!r} matches no component output"
+            )
+        return out
+
     def run(
         self, timeout_secs: int = 300, max_concurrent_sinks: int = 4
     ) -> dict[str, Any]:
