@@ -451,8 +451,14 @@ def q_dedup_spans(spark, sf_dir):
     The testdata documents are single-line word streams, so the word-block
     unit (not newline lines) is the discriminative one here."""
     from vector_spark.datapipe import dedup_spans
+    from vector_spark.session import ensure_parallelism
 
-    return dedup_spans(_t(spark, sf_dir, "documents"), span_words=3)
+    # span split + per-span md5 on a one-split parquet scan: spread it at
+    # the QUERY level (inside the op it would double-exchange callers like
+    # curation_pipeline that already repartition+persist their input)
+    return ensure_parallelism(_t(spark, sf_dir, "documents")).transform(
+        lambda d: dedup_spans(d, span_words=3)
+    )
 
 
 def q_quality_gopher(spark, sf_dir):

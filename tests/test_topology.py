@@ -658,3 +658,28 @@ def test_tap_samples_component_outputs(spark):
     assert len(all_tapped["ev"]) == 4
     with pytest.raises(TopologyError, match="matches no component"):
         topo.tap("nope_*")
+
+
+def test_streaming_sink_config_error_starts_nothing(spark, tmp_path):
+    """An invalid streaming sink config (missing checkpoint) must raise at
+    run() BEFORE any other streaming query start()s — a mid-loop error may
+    never leak an already-running, never-awaited query."""
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, "a")], "x int, k string").write.parquet(src)
+    spec = {
+        "sources": {
+            "ev": {"type": "parquet_stream", "path": src,
+                   "schema": "x int, k string"},
+        },
+        "transforms": {},
+        "sinks": {
+            "good": {"type": "memory", "inputs": ["ev"]},
+            "bad": {"type": "parquet", "inputs": ["ev"],
+                    "path": str(tmp_path / "out")},  # no checkpoint
+        },
+    }
+    before = len(spark.streams.active)
+    topo = compile_topology(spec).build(spark)
+    with pytest.raises(TopologyError, match="checkpoint"):
+        topo.run()
+    assert len(spark.streams.active) == before  # nothing started

@@ -281,8 +281,10 @@ def temperature_budgets(
         .collect()
         if r["g"] is not None and r["n"]
     }
+    # half-away-from-zero, matching DuckDB/Spark round() — Python round()
+    # is half-even, the one rounding mode the repo's contract excludes
     weights = {
-        g: round(math.exp(math.log(n) / temperature) * 1_000_000)
+        g: math.floor(math.exp(math.log(n) / temperature) * 1_000_000 + 0.5)
         for g, n in totals.items()
     }
     w_sum = sum(weights.values())

@@ -147,7 +147,6 @@ def dedup_spans(
     skewable partition.
     """
     sep = " " if span_words is not None else "\n"
-    df = ensure_parallelism(df)  # span split + per-span md5 before the agg
     if span_words is None:
         spans_arr = F.split(F.col(text_col), "\n")
     else:

@@ -519,40 +519,20 @@ def decontaminate_semantic(
     bvec = bench_vec_col or vec_col
     bid = bench_id_col or id_col
     base = ensure_parallelism(df).select(
-        F.col(id_col),
+        F.col(id_col).alias("_id"),
         _as_double(F.col(vec_col)).alias("_v"),
     )
     base = base.withColumn("_n", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
-    bench_row = (
-        benchmark.select(
-            F.col(bid).alias("_bid"),
-            _as_double(F.col(bvec)).alias("_bv"),
-        )
-        .withColumn("_bn", F.sqrt(_dot(F.col("_bv"), F.col("_bv"))))
-        .groupBy()
-        .agg(F.collect_list(F.struct("_bid", "_bv", "_bn")).alias("_bench"))
-    )
-
-    def _fold(acc, b):
-        cs = F.round(_dot(F.col("_v"), b["_bv"]) / (F.col("_n") * b["_bn"]), 6)
-        better = (cs > acc["cs"]) | ((cs == acc["cs"]) & (b["_bid"] < acc["bid"]))
-        return F.when(better, F.struct(cs.alias("cs"), b["_bid"].alias("bid"))).otherwise(acc)
-
-    best = F.aggregate(
-        F.col("_bench"),
-        F.struct(
-            F.lit(-2.0).cast("double").alias("cs"),
-            F.lit(-1).cast("long").alias("bid"),
-        ),
-        _fold,
-    )
-    return (
-        base.join(broadcast(bench_row))
-        .withColumn("_best", best)
-        .select(
-            F.col(id_col),
-            F.col("_best.bid").alias("bench_id"),
-            F.col("_best.cs").alias("max_cos"),
-            (F.col("_best.cs") < F.lit(threshold)).alias("keep"),
-        )
+    # the benchmark IS the "centroid" set: reuse the shared broadcast-fold
+    # argmax (same rounded-6 cosine, -2.0/-1 init, lowest-id tie-break)
+    bench_cents = benchmark.select(
+        F.col(bid).alias("_cid"),
+        _as_double(F.col(bvec)).alias("_cv"),
+    ).withColumn("_cn", F.sqrt(_dot(F.col("_cv"), F.col("_cv"))))
+    assigned = _argmax_centroid(_collect_cents_row(bench_cents), base)
+    return assigned.select(
+        F.col("_id").alias(id_col),
+        F.col("cluster").alias("bench_id"),
+        F.col("cos_centroid").alias("max_cos"),
+        (F.col("cos_centroid") < F.lit(threshold)).alias("keep"),
     )

@@ -42,20 +42,21 @@ Spark-first realization — two physical strategies sharing one contract:
 
   EndInclude modes (continue_past, halt_with) close a buffer at a line that
   is only a terminator WHEN a buffer is open (open_i = open_{i-1} ? ¬I_i
-  : start_i) — a genuine 2-state toggle with no prefix closed form, so the
-  segment assignment is an ids-only pandas fold per source key: the
-  booleans are computed JVM-side by rlike BEFORE the shuffle, the fold sees
-  (order, start, terminator) only, and the TEXT NEVER CROSSES the Python
-  boundary — segment ids join back to the lines on the same key.
+  : start_i) — a genuine 2-state toggle, but the toggle's per-line
+  transitions form a 4-element monoid (identity / swap / const-open /
+  const-vacant), and composing those DOES have a prefix closed form: the
+  state before line p is the target of the last constant transition
+  before p, flipped once per swap line since it (swap-count parity). So
+  this path is ALSO pure window expressions — see _segments_end_include.
 
 Both paths finish with the same JVM aggregation: groupBy(source, segment)
 -> array_sort(collect_list(struct(order, line))) -> array_join("\n").
 
-100 TB scale: one shuffle on the source key (window or applyInPandas), plus
-one co-keyed join for the EndInclude modes. Per-source sequential folding
-is inherent to the problem — the reference has the identical constraint
-(one state machine per file) — so sources must be finer than "one giant
-key", same contract as reduce/sessionize.
+100 TB scale: ONE shuffle on the source key for either path, zero Python.
+Per-source sequential semantics are inherent to the problem — the
+reference has the identical constraint (one state machine per file) — so
+sources must be finer than "one giant key", same contract as
+reduce/sessionize.
 """
 
 from __future__ import annotations
@@ -95,7 +96,7 @@ def multiline_agg(
         seg = _segments_end_exclude(df, keys, order_col, s, e)
     else:
         i_term = ~c if mode == "continue_past" else c
-        seg = _segments_end_include(df, keys, order_col, line_col, s, i_term)
+        seg = _segments_end_include(df, keys, order_col, s, i_term)
 
     return (
         seg.groupBy(*keys, "_seg")
@@ -137,7 +138,7 @@ def _segments_end_exclude(df, keys, order_col, s, e) -> DataFrame:
     return out.drop("_s", "_e", "_last_s", "_last_e", "_open", "_new_seg")
 
 
-def _segments_end_include(df, keys, order_col, line_col, s, i_term) -> DataFrame:
+def _segments_end_include(df, keys, order_col, s, i_term) -> DataFrame:
     """Closed-form segment ids for continue_past / halt_with — pure window
     expressions like the EndExclude path (no Python fold, no join-back).
 

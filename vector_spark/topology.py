@@ -191,6 +191,23 @@ class BuiltTopology:
         results: dict[str, Any] = {}
         frames = self.sink_frames()
         batch_sinks = [n for n, d in frames.items() if not d.isStreaming]
+        stream_sinks = [n for n, d in frames.items() if d.isStreaming]
+        # validate EVERY streaming sink config before the first start(): a
+        # mid-loop config error must never leave an earlier query running
+        # unawaited (the sequential code could not; neither may this)
+        for name in stream_sinks:
+            cfg = self.spec["sinks"][name]
+            kind = cfg.get("type", "noop")
+            if kind == "parquet" and not cfg.get("checkpoint"):
+                raise TopologyError(
+                    f"streaming sink {name!r} needs a 'checkpoint' dir"
+                )
+            if kind not in ("parquet", "memory"):
+                raise TopologyError(f"streaming sink type {kind!r} unsupported")
+        # start every streaming sink FIRST (start() returns immediately),
+        # then run the batch pool, then drain the streams — all sink
+        # classes overlap, like the reference's all-sinks-in-parallel model
+        started = self._start_stream_sinks(stream_sinks, frames, results)
         if len(batch_sinks) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -206,10 +223,19 @@ class BuiltTopology:
         elif batch_sinks:
             n = batch_sinks[0]
             results[n] = self._run_batch_sink(n, frames[n])
+        # every streaming sink is already running; drain them all
+        for name, df, kind, q in started:
+            q.awaitTermination(timeout_secs)
+            if kind == "memory":
+                results[name] = df.sparkSession.sql(f"select * from {name}").collect()
+        return results
+
+    def _start_stream_sinks(
+        self, stream_sinks: list, frames: dict, results: dict
+    ) -> list:
         started: list[tuple[str, Any, str, Any]] = []
-        for name, df in frames.items():
-            if not df.isStreaming:
-                continue
+        for name in stream_sinks:
+            df = frames[name]
             cfg = self.spec["sinks"][name]
             kind = cfg.get("type", "noop")
             ck = cfg.get("checkpoint")
@@ -235,12 +261,7 @@ class BuiltTopology:
                 .start()
             )
             started.append((name, df, kind, q))
-        # every streaming sink is already running; drain them all
-        for name, df, kind, q in started:
-            q.awaitTermination(timeout_secs)
-            if kind == "memory":
-                results[name] = df.sparkSession.sql(f"select * from {name}").collect()
-        return results
+        return started
 
     def _run_batch_sink(self, name: str, df: DataFrame) -> Any:
         """One batch sink's write — called concurrently from run()'s pool
