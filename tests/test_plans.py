@@ -498,3 +498,46 @@ def test_bloom_probe_broadcasts_filter(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text" not in line, f"text in exchange: {line}"
+
+
+def test_multiline_endinclude_no_python_one_exchange(spark):
+    """The EndInclude multiline modes (continue_past / halt_with) are pure
+    window expressions since the transition-monoid rewrite: NO Python eval
+    node of any kind, no join-back, and exactly ONE Exchange (the source
+    key shuffle serves the windows and the final reassembly agg)."""
+    from vector_spark.operators.multiline import multiline_agg
+
+    df = spark.createDataFrame(
+        [("h", i, f"stmt {i};" if i % 3 == 0 else "cont") for i in range(30)],
+        "host string, event_id long, line string",
+    )
+    for mode in ("continue_past", "halt_with"):
+        plan = plan_of(
+            multiline_agg(df, r"^stmt", r";$", mode=mode, key_cols="host")
+        )
+        assert "EvalPython" not in plan, mode   # Batch- and ArrowEvalPython
+        assert "Join" not in plan, mode
+        assert plan.count("Exchange") == 1, mode
+
+
+def test_onepass_extract_shares_replace_via_subexpr_elimination(spark):
+    """_extract_all's anchored fast path computes the regexp_replace+split
+    ONCE per row however many fields are selected. The sharing happens at
+    whole-stage CODEGEN (the logical plan textually repeats the
+    expression), so assert on the generated code: a subExpr method exists
+    and the project consumes its cached result per field — this is exactly
+    what a when()-based form loses (conditional branches are excluded from
+    subexpression elimination, measured re-running the replace per field)."""
+    from vector_spark.functions.parse import SYSLOG_3164, _extract_all
+
+    df = spark.createDataFrame([("x",)], "line string")
+    f = _extract_all(F.col("line"), SYSLOG_3164)
+    sel = df.select(
+        *[f[n].alias(n) for n in ("priority", "hostname", "appname", "message")]
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+    code = sel._jdf.queryExecution().explainString(mode)
+    assert "subExpr_0(" in code          # the shared replace+split method
+    assert code.count("subExprIsNull_0") >= 4  # each field reads the cache
+    # and no per-field regexp_extract survives anywhere in the plan
+    assert "regexp_extract" not in code
