@@ -672,3 +672,41 @@ def test_stream_script_stateful_state_survives_restart(spark, tmp_path):
     # 4 -> seq 1,2,3; b saw 3 then 5 -> seq 1,2
     assert got == [("a", 1, 1), ("a", 2, 2), ("a", 4, 3),
                    ("b", 3, 1), ("b", 5, 2)]
+
+
+def test_decontaminate_semantic_streaming_composes(spark, tmp_path):
+    """decontaminate_semantic is stateless per row (static benchmark rides
+    a broadcast; assignment is a narrow fold), so the SAME operator
+    composes onto a readStream unchanged — the availableNow run must equal
+    the batch output exactly. The one adjustment: ensure_parallelism
+    no-ops on streaming input (repartition of a stream is legal, but the
+    split-estimate path must not choke)."""
+    from vector_spark.datapipe import decontaminate_semantic
+
+    src = str(tmp_path / "vecs")
+    rows_ = [(i, [float(i % 5), 1.0, float(i % 3)]) for i in range(40)]
+    spark.createDataFrame(rows_, "vec_id long, embedding array<float>").write.parquet(src)
+    bench = spark.createDataFrame(
+        [(100, [1.0, 1.0, 0.0]), (101, [0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    batch = decontaminate_semantic(
+        spark.read.parquet(src), bench, threshold=0.8
+    )
+    schema = spark.read.parquet(src).schema
+    sdf = decontaminate_semantic(
+        spark.readStream.schema(schema).parquet(src), bench, threshold=0.8
+    )
+    sink = str(tmp_path / "sink")
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    key = lambda r: (r.vec_id, r.bench_id, r.max_cos, r.keep)
+    assert sorted(map(key, spark.read.parquet(sink).collect())) == sorted(
+        map(key, batch.collect())
+    )

@@ -74,6 +74,12 @@ def ensure_parallelism(df, min_parts: int | None = None):
     split each, which at production scale means thousands of files ->
     no-op without any filesystem stat calls; non-file sources fall back
     to the RDD partition count."""
+    if df.isStreaming:
+        # micro-batch planning re-splits the source per trigger; the
+        # batch-side split estimate (inputFiles/rdd) is illegal on a
+        # streaming frame, so stateless ops composing onto streams pass
+        # through unchanged
+        return df
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
     floor = max(2, target // 2)
