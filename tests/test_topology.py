@@ -683,3 +683,30 @@ def test_streaming_sink_config_error_starts_nothing(spark, tmp_path):
     with pytest.raises(TopologyError, match="checkpoint"):
         topo.run()
     assert len(spark.streams.active) == before  # nothing started
+
+
+def test_load_toml_vector_style_config(spark):
+    """TOML is the reference's native config format: the
+    [sources.x]/[transforms.y]/[sinks.z] table layout loads into the same
+    spec dict as YAML, compiles, and runs."""
+    from vector_spark.topology import load_toml
+
+    spec = load_toml(
+        """
+[sources.ev]
+type = "inline"
+rows = [[1, "err"], [2, "ok"], [3, "err"]]
+schema = "x int, level string"
+
+[transforms.errors]
+type = "filter"
+inputs = ["ev"]
+condition = "level = 'err'"
+
+[sinks.out]
+type = "memory"
+inputs = ["errors"]
+"""
+    )
+    got = compile_topology(spec).build(spark).run()
+    assert sorted(r.x for r in got["out"]) == [1, 3]

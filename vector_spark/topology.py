@@ -434,6 +434,19 @@ def load_yaml(path_or_text: str) -> dict[str, Any]:
         return yaml.safe_load(f)
 
 
+def load_toml(path_or_text: str) -> dict[str, Any]:
+    """TOML config loader — the reference's NATIVE config format
+    (`vector --config c.toml`; YAML/JSON are the alternates, same tree:
+    src/config/loading). The [sources.x]/[transforms.y]/[sinks.z] table
+    layout maps 1:1 onto the spec dict compile_topology takes."""
+    import tomllib
+
+    if "\n" in path_or_text:
+        return tomllib.loads(path_or_text)
+    with open(path_or_text, "rb") as f:
+        return tomllib.load(f)
+
+
 # -- component builders ------------------------------------------------------
 
 def _build_source(spark: SparkSession, cfg: dict, tables: dict[str, DataFrame]) -> DataFrame:
