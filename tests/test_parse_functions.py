@@ -660,3 +660,51 @@ def test_extract_all_onepass_parity_vs_regexp_extract(spark):
         d = row.asDict()
         for n in gi:
             assert d[f"f_{n}"] == d[f"c_{n}"], (n, d)
+
+
+@pytest.mark.parametrize(
+    "pat_name",
+    ["SYSLOG_3164", "SYSLOG_5424", "APACHE_COMMON", "APACHE_COMBINED",
+     "NGINX_ERROR", "APACHE_ERROR", "CEF", "GLOG", "ALB_LOG", "LINUX_AUTH"],
+)
+def test_extract_all_onepass_parity_all_parsers(spark, pat_name):
+    """Every ^-anchored parser pattern (incl. the prefix-match ones with no
+    trailing $ — apache/ALB, where regexp_extract matches a PREFIX and junk
+    may follow) must return exactly what per-group regexp_extract returns
+    on: a real-ish line, that line with a junk suffix, pure junk, and
+    empty."""
+    import re as _re
+
+    import vector_spark.functions.parse as P
+    from vector_spark.functions.parse import _extract_all
+    from vector_spark.functions.vrl import java_regex
+
+    samples = {
+        "SYSLOG_3164": "<34>Oct 11 22:14:15 host su[230]: failed",
+        "SYSLOG_5424": "<165>1 2003-10-11T22:14:15.003Z h app 1234 ID47 - msg",
+        "APACHE_COMMON": '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /x HTTP/1.0" 200 2326',
+        "APACHE_COMBINED": '1.2.3.4 - - [10/Oct/2000:13:55:36 -0700] "GET / HTTP/1.1" 200 5 "http://r" "UA/1.0"',
+        "NGINX_ERROR": "2024/06/05 08:12:23 [error] 31#31: *1 open() failed",
+        "APACHE_ERROR": "[Fri Sep 09 10:42:29 2011] [core:error] [pid 35708] msg here",
+        "CEF": "CEF:0|Vendor|Product|1.0|100|name|5|src=1.2.3.4",
+        "GLOG": "I0605 08:12:23.000000 1234 file.cc:42] message",
+        "ALB_LOG": 'http 2018-07-02T22:23:00.186641Z app/my-lb/50dc6c495c0c9188 192.168.131.39:2817 10.0.0.1:80 0.000 0.001 0.000 200 200 34 366 "GET http://www.example.com:80/ HTTP/1.1" "curl/7.46.0" - - arn:aws:elasticloadbalancing:us-east-2:123456789012:targetgroup/my-targets/73e2d6bc24d8a067 "Root=1-58337262-36d228ad5d99923122bbe354" "-" "-" 0 2018-07-02T22:22:48.364000Z "forward" "-" "-" "10.0.0.1:80" "200" "-" "-"',
+        "LINUX_AUTH": "Jun  5 08:12:23 host sshd[123]: Accepted password for root",
+    }
+    pat = getattr(P, pat_name)
+    base = samples[pat_name]
+    lines = [base, base + " trailing junk 123", "complete junk", ""]
+    compiled = _re.compile(pat)
+    names = list(compiled.groupindex)
+    df = spark.createDataFrame(
+        [(i, l) for i, l in enumerate(lines)], "i long, line string"
+    )
+    fields = _extract_all(F.col("line"), pat)
+    got = {
+        r["i"]: tuple(r[n] for n in names)
+        for r in df.select("i", *[fields[n].alias(n) for n in names]).collect()
+    }
+    for i, line in enumerate(lines):
+        m = compiled.search(line)
+        want = tuple((m.group(n) or "") if m else "" for n in names)
+        assert got[i] == want, (pat_name, line, got[i], want)

@@ -190,32 +190,33 @@ def _extract_all(col: Column, pattern: str) -> dict[str, Column]:
     """All named groups of `pattern` as string Columns ('' when unmatched,
     like regexp_extract).
 
-    For fully-anchored patterns (^...$ — every line-format parser here) the
-    extraction is ONE regex execution per row: a single regexp_replace
-    rewrites the matched line into a \\x01-delimited field string ($n
-    backreferences, one leading AND one trailing separator), then
-    split + try_element_at fan the fields out. Field access is indexed FROM
-    THE END and deliberately branch-free: a matched line splits into
-    n_fields+2 elements so index -(n+1-i) lands on field i, while an
-    unmatched line (left unchanged by the anchored replace) has too few
-    elements, so every access falls out of bounds -> NULL -> coalesce ''.
-    Branch-free matters: whole-stage codegen's subexpression elimination
-    does NOT share subtrees inside when() branches, so a conditional form
-    re-runs the replace once per field (measured 3.0 s vs 1.65 s on the 2M
-    syslog probe; the naive per-field regexp_extract form costs 2.0 s —
-    the full NFA once PER FIELD). Unanchored patterns keep the per-group
-    regexp_extract path (a partial match would leave unmatched prefix or
-    suffix around the replacement and shift the field positions)."""
+    For ^-anchored patterns (every line-format parser here) the extraction
+    is ONE regex execution per row: a single regexp_replace rewrites the
+    matched region into a \\x01-delimited field string ($n backreferences,
+    one leading AND one trailing separator), then split + try_element_at
+    fan the fields out. ^ alone suffices: the match is a PREFIX (at most
+    one replacement — ^ cannot re-match past position 0 without
+    MULTILINE), any unmatched suffix lands as exactly one extra trailing
+    element, and field access is indexed FROM THE END — a matched line
+    splits into n_fields+2 elements so index -(n+1-i) lands on field i
+    regardless of the suffix, while an unmatched line (left unchanged) has
+    too few elements, so every access falls out of bounds -> NULL ->
+    coalesce ''. The formulation is deliberately branch-free: whole-stage
+    codegen's subexpression elimination does NOT share subtrees inside
+    when() branches, so a conditional form re-runs the replace once per
+    field (measured 3.0 s vs 1.65 s on the 2M syslog probe; the naive
+    per-field regexp_extract form costs 2.0 s — the full NFA once PER
+    FIELD, x8..x20 for the apache/ALB parsers). Non-^-anchored patterns
+    keep the per-group regexp_extract path (a mid-string match would
+    leave an unmatched PREFIX that merges into the first field). Lines
+    containing \\x01 itself trade exactness for this speed — a control
+    char absent from well-formed logs (see _ONEPASS_SEP)."""
     from .vrl import java_regex
 
     compiled = re.compile(pattern)
     jp = java_regex(pattern)
     items = list(compiled.groupindex.items())
-    anchored = (
-        pattern.startswith("^")
-        and pattern.endswith("$")
-        and not pattern.endswith(r"\$")
-    )
+    anchored = pattern.startswith("^")
     if not anchored or len(items) < 2:
         return {name: F.regexp_extract(col, jp, idx) for name, idx in items}
     n = len(items)
