@@ -277,8 +277,10 @@ def q_parse_aws_alb(spark, sf_dir):
     event; '-' target/ssl fields exercise nulls; processing time is an
     exact-3-decimal literal so the double parses identically everywhere."""
     from vector_spark.functions import parse_aws_alb_log
+    from vector_spark.session import ensure_parallelism
 
-    e = _t(spark, sf_dir, "events")
+    # 20-group regex + heavy format_string encode on a one-split scan
+    e = ensure_parallelism(_t(spark, sf_dir, "events"))
     tpt = F.format_string("0.%03d", (F.col("event_id") % 1000).cast("int"))
     status = F.when(F.col("event_type") == "error", F.lit("500")).otherwise(F.lit("200"))
     line = F.format_string(
