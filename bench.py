@@ -131,6 +131,9 @@ HEADLINE = [
     "multiline_haltwith",
     "decontaminate_semantic",
     "mixture_temperature",
+    # round 4: oracle-checked flagship twins (north-rule criteria vs DuckDB)
+    "pages_routed",
+    "pages_sink_counts",
 ]
 
 

@@ -514,6 +514,96 @@ def q_pages_pipeline(spark, sf_dir):
     return out["sink_counts"]
 
 
+# ---- oracle-checked flagship twins ---------------------------------------
+# The north rule's correctness criteria are "exact routed-row equality per
+# sink, matching per-sink aggregate counts, and byte-identical extracted
+# text per url". q_pages_pipeline above runs the flagship over the
+# xxhash64-generated table (rows-only — DuckDB has no xxhash64). These
+# twins run the SAME pages_pipeline() plan over a pages-shaped reshape of
+# the `events` testdata table whose every derivation (md5 slices) both
+# engines compute identically, so all three criteria are verified
+# hash-exact against the independent DuckDB re-derivation.
+
+_PAGES_TLDS = ("com", "org", "net", "io", "dev", "edu")  # edu: no geo row
+_PAGES_LANGS = ("en", "de", "fr", "es", "hi", "zh", "ja", "ru")  # ru: no dim row
+_PAGES_STATUSES = (200, 200, 200, 301, 302, 404, 500, 503)  # 404 -> _unmatched
+_PAGES_CTYPES = ("text/html", "application/json")
+
+
+def _events_as_pages(spark, sf_dir):
+    """events -> north-rule pages shape (url, warc_ts, html, text, lang).
+
+    Every derived attribute is a slice of md5(event_id || '|' || tag) — the
+    cross-engine deterministic idiom (CLAUDE.md oracle-portability rules) —
+    so the DuckDB oracle rebuilds the identical input corpus from SQL."""
+    e = _t(spark, sf_dir, "events")
+
+    def h(tag: str, mod: int):
+        key = F.concat(F.col("event_id").cast("string"), F.lit("|" + tag))
+        return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long") % mod
+
+    def pick(tag: str, vals):
+        arr = F.array(*[F.lit(v) for v in vals])
+        return F.element_at(arr, (h(tag, len(vals)) + 1).cast("int"))
+
+    domain = F.concat(F.lit("domain"), h("d", 100).cast("string"))
+    host = F.concat(domain, F.lit("."), pick("t", _PAGES_TLDS))
+    status = pick("s", _PAGES_STATUSES)
+    text = F.coalesce(F.col("props"), F.lit(""))
+    html_str = F.concat(
+        F.lit('<html><head><meta http-equiv="status" content="'),
+        status.cast("string"),
+        F.lit('"/><meta content-type="'), pick("c", _PAGES_CTYPES),
+        F.lit('"/><title>Page '), F.col("event_id").cast("string"),
+        F.lit("</title></head><body><p>"), text, F.lit("</p></body></html>"),
+    )
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"), F.col("event_id").cast("string"))
+    return e.select(
+        url.alias("url"),
+        F.col("ts").cast("timestamp").alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        text.alias("text"),
+        pick("l", _PAGES_LANGS).alias("lang"),
+    )
+
+
+def q_pages_routed(spark, sf_dir):
+    """Routed-row equality per sink: one output row per (event, matching
+    route) incl. `_unmatched`, with the untouched `text` passthrough —
+    the north rule's byte-identical-extracted-text invariant rides the
+    same hash compare."""
+    out = pages_pipeline(_events_as_pages(spark, sf_dir), geo_dim(spark), lang_dim(spark))
+    return out["routed"].select(
+        "url", "route",
+        F.col("status").cast("long").alias("status"),
+        "lang", "lang_family", "geo_region", "text",
+        F.col("html_bytes").cast("long").alias("html_bytes"),
+    )
+
+
+def q_pages_sink_counts(spark, sf_dir):
+    """Per-sink windowed aggregate counts (route x 1h window x geo_region),
+    hash-exact vs the oracle's independent parse->enrich->route->aggregate."""
+    out = pages_pipeline(_events_as_pages(spark, sf_dir), geo_dim(spark), lang_dim(spark))
+    return out["sink_counts"].select(
+        "route", "window_start", "geo_region",
+        F.col("events").cast("long").alias("events"),
+        F.col("bytes").cast("long").alias("bytes"),
+    )
+
+
+def q_pages_domain_rollup(spark, sf_dir):
+    """The salted two-phase hot-domain aggregate: verifies salting is
+    result-invariant (phase-1 (domain, salt) partials re-merged == plain
+    GROUP BY domain in the oracle)."""
+    out = pages_pipeline(_events_as_pages(spark, sf_dir), geo_dim(spark), lang_dim(spark))
+    return out["domain_rollup"].select(
+        "domain",
+        F.col("pages").cast("long").alias("pages"),
+        F.col("bytes").cast("long").alias("bytes"),
+    )
+
+
 # ---- VRL function surface -------------------------------------------------
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -1077,8 +1167,104 @@ est AS (
 """
 
 
+def _pages_oracle_cte() -> str:
+    """DuckDB re-derivation of the flagship input + parse + enrich + route.
+
+    Rebuilds the identical pages corpus from `events` (same md5-slice
+    derivations as _events_as_pages), then independently re-parses the
+    html/url it built, joins the inline dim VALUES, and re-applies the
+    multi-match route semantics (list_filter + unnest lateral, empty ->
+    ['_unmatched']) — a from-scratch SQL formulation of plans/pages.py,
+    not a transliteration of the Spark plan."""
+
+    def hsql(tag: str, mod: int) -> str:
+        return (
+            "('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|" + tag + "'), 1, 15))"
+            f"::BIGINT % {mod}"
+        )
+
+    def pick(tag: str, vals, quote: bool) -> str:
+        lit = ", ".join((f"'{v}'" if quote else str(v)) for v in vals)
+        return f"([{lit}])[CAST({hsql(tag, len(vals))} AS INT) + 1]"
+
+    tlds = pick("t", _PAGES_TLDS, True)
+    langs = pick("l", _PAGES_LANGS, True)
+    statuses = pick("s", _PAGES_STATUSES, False)
+    ctypes = pick("c", _PAGES_CTYPES, True)
+    geo_rows = "('com','na'),('org','na'),('net','eu'),('io','eu'),('dev','apac'),('XYZ','na')"
+    lang_rows = (
+        "('en','germanic'),('de','germanic'),('fr','romance'),('es','romance'),"
+        "('hi','indo-aryan'),('zh','sinitic'),('ja','japonic')"
+    )
+    route_list = (
+        "list_filter(["
+        "CASE WHEN status >= 500 THEN 'errors' END, "
+        "CASE WHEN status >= 300 AND status < 400 THEN 'redirects' END, "
+        "CASE WHEN status = 200 AND lang = 'en' THEN 'ok_en' END, "
+        "CASE WHEN status = 200 AND lang <> 'en' THEN 'other_ok' END"
+        "], x -> x IS NOT NULL)"
+    )
+    return f"""
+base AS (
+  SELECT event_id, ts, coalesce(props, '') AS text, {langs} AS lang,
+         'domain' || CAST({hsql("d", 100)} AS VARCHAR) || '.' || {tlds} AS host,
+         {statuses} AS status_gen, {ctypes} AS ctype
+  FROM events
+),
+built AS (
+  SELECT event_id, ts, text, lang,
+         'https://' || host || '/p/' || CAST(event_id AS VARCHAR) AS url,
+         '<html><head><meta http-equiv="status" content="' || CAST(status_gen AS VARCHAR)
+           || '"/><meta content-type="' || ctype || '"/><title>Page '
+           || CAST(event_id AS VARCHAR) || '</title></head><body><p>' || text
+           || '</p></body></html>' AS html
+  FROM base
+),
+parsed AS (
+  SELECT url, ts, text, lang,
+         regexp_extract(url, 'https://([^/]+)', 1) AS domain,
+         regexp_extract(regexp_extract(url, 'https://([^/]+)', 1), '([^.]+)$', 1) AS tld,
+         TRY_CAST(regexp_extract(html, 'status" content="(\\d+)"', 1) AS BIGINT) AS status,
+         CAST(octet_length(encode(html)) AS BIGINT) AS html_bytes
+  FROM built
+),
+enriched AS (
+  SELECT p.*, g.geo_region, l.lang_family
+  FROM parsed p
+  LEFT JOIN (VALUES {geo_rows}) g(tld, geo_region) ON g.tld = p.tld
+  LEFT JOIN (VALUES {lang_rows}) l(lang, lang_family) ON l.lang = p.lang
+),
+routed AS (
+  SELECT e.*, r.route
+  FROM enriched e,
+       unnest(CASE WHEN len({route_list}) = 0 THEN ['_unmatched']
+                   ELSE {route_list} END) AS r(route)
+)"""
+
+
 def oracles() -> dict[str, str]:
     sql: dict[str, str] = {}
+
+    sql["pages_routed"] = f"""
+WITH {_pages_oracle_cte()}
+SELECT url, route, status, lang, lang_family, geo_region, text, html_bytes
+FROM routed
+"""
+
+    sql["pages_sink_counts"] = f"""
+WITH {_pages_oracle_cte()}
+SELECT route, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+       geo_region, count(*) AS events, CAST(sum(html_bytes) AS BIGINT) AS bytes
+FROM routed
+GROUP BY 1, 2, 3
+"""
+
+    sql["pages_domain_rollup"] = f"""
+WITH {_pages_oracle_cte()}
+SELECT domain, count(*) AS pages, CAST(sum(html_bytes) AS BIGINT) AS bytes
+FROM parsed
+GROUP BY domain
+"""
 
     sql["dedup_exact_text"] = """
 SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
@@ -2269,6 +2455,9 @@ JOIN ({sql['langid']}) l ON l.doc_id = d.doc_id
 
 
 QUERIES = {
+    "pages_routed": q_pages_routed,
+    "pages_sink_counts": q_pages_sink_counts,
+    "pages_domain_rollup": q_pages_domain_rollup,
     "ann_ivf": q_ann_ivf,
     "ann_lsh": q_ann_lsh,
     "boilerplate_blocks": q_boilerplate_blocks,

@@ -136,3 +136,39 @@ def test_crawl_pipeline_routes_and_html_path(spark):
     counts = {(r.route, r.predicted_lang): r.docs for r in out["route_counts"].collect()}
     assert counts[("corpus", "en")] == 2
     assert sum(counts.values()) == 4
+
+
+def test_events_reshape_flagship_twins(spark):
+    """The oracle-checked flagship twins (entry_queries.datapipe
+    q_pages_routed / q_pages_sink_counts): multi-match copy + _unmatched
+    semantics and the byte-identical text passthrough hold on the
+    events-reshaped corpus exactly as on the generated one."""
+    from entry_queries.datapipe import (
+        _events_as_pages,
+        q_pages_routed,
+        q_pages_sink_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pages = _events_as_pages(spark, sf)
+    routed = q_pages_routed(spark, sf)
+
+    # text passthrough: every routed row's text is the raw props string
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.concat(F.lit("/p/"), F.col("event_id").cast("string")).alias("path"),
+        F.coalesce("props", F.lit("")).alias("props"),
+    )
+    joined = routed.join(ev, F.col("url").endswith(F.col("path")), "left")
+    bad = joined.filter(F.col("text") != F.col("props")).count()
+    assert bad == 0
+
+    by_route = {r["route"]: r["n"] for r in routed.groupBy("route").agg(F.count("*").alias("n")).collect()}
+    assert set(by_route) == {"errors", "redirects", "ok_en", "other_ok", "_unmatched"}
+    # every input event routed at least once; 404s land in _unmatched only
+    assert routed.select("url").distinct().count() == pages.count()
+    assert (
+        routed.filter((F.col("status") == 404) & (F.col("route") != "_unmatched")).count() == 0
+    )
+    # aggregate events total == routed rows total (per-sink counts complete)
+    agg_total = q_pages_sink_counts(spark, sf).agg(F.sum("events")).collect()[0][0]
+    assert agg_total == routed.count()
