@@ -161,33 +161,27 @@ def run_pages(
     identical work, so median-of-few is a coin flip (round-2 postmortem:
     a 9.79 s median vs a 2.3 s true cost). Returns (seconds, rows,
     all samples) so the caller can publish the spread."""
-    from concurrent.futures import ThreadPoolExecutor
-
     from vector_spark.plans import pages_pipeline
     from vector_spark.sources import geo_dim, lang_dim
 
     pages = spark.read.parquet(_pages_table(spark, n_rows))
     out = pages_pipeline(pages, geo_dim(spark), lang_dim(spark))
-    sink = out["sink_counts"]
+    # single-pass fan-out: one job whose aggregate serves BOTH sinks
+    # (per-route windowed counts + domain rollup) from one scan/parse/
+    # shuffle — the Vector one-stream-many-sinks model (plans/pages.py
+    # fused_sinks; replaced the two-concurrent-jobs model that re-parsed
+    # the fact table once per sink: measured 1.46 s -> see BASELINE.md)
+    sink = out["fused_sinks"] if rollup else out["sink_counts"]
 
     def w(df):
         df.write.format("noop").mode("overwrite").save()
 
     w(sink)  # warm-up
     times = []
-    # the two sink jobs are submitted CONCURRENTLY (two driver threads,
-    # shared executors) — the same multi-sink execution model as
-    # Topology.run(): independent sink plans interleave their stages
-    # instead of serializing two full scans (measured 1.99 s -> 1.32 s)
-    with ThreadPoolExecutor(2) as pool:
-        for _ in range(samples):
-            t0 = time.time()
-            jobs = [pool.submit(w, sink)]
-            if rollup:
-                jobs.append(pool.submit(w, out["domain_rollup"]))
-            for j in jobs:
-                j.result()
-            times.append(time.time() - t0)
+    for _ in range(samples):
+        t0 = time.time()
+        w(sink)
+        times.append(time.time() - t0)
     return min(times), n_rows, [round(t, 3) for t in times]
 
 

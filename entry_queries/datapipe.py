@@ -604,6 +604,18 @@ def q_pages_domain_rollup(spark, sf_dir):
     )
 
 
+def q_pages_fused_sinks(spark, sf_dir):
+    """The single-pass fan-out plan: both sinks' aggregates from one
+    scan/parse/shuffle ('_domains' pseudo-route carries the rollup).
+    Hash-exact vs the oracle's independent two-aggregate UNION."""
+    out = pages_pipeline(_events_as_pages(spark, sf_dir), geo_dim(spark), lang_dim(spark))
+    return out["fused_sinks"].select(
+        "route", "domain", "window_start", "geo_region",
+        F.col("events").cast("long").alias("events"),
+        F.col("bytes").cast("long").alias("bytes"),
+    )
+
+
 # ---- VRL function surface -------------------------------------------------
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -1264,6 +1276,18 @@ WITH {_pages_oracle_cte()}
 SELECT domain, count(*) AS pages, CAST(sum(html_bytes) AS BIGINT) AS bytes
 FROM parsed
 GROUP BY domain
+"""
+
+    sql["pages_fused_sinks"] = f"""
+WITH {_pages_oracle_cte()}
+SELECT route, CAST(NULL AS VARCHAR) AS domain,
+       CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+       geo_region, count(*) AS events, CAST(sum(html_bytes) AS BIGINT) AS bytes
+FROM routed GROUP BY 1, 3, 4
+UNION ALL
+SELECT '_domains', domain, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+       count(*), CAST(sum(html_bytes) AS BIGINT)
+FROM parsed GROUP BY 2
 """
 
     sql["dedup_exact_text"] = """
@@ -2458,6 +2482,7 @@ QUERIES = {
     "pages_routed": q_pages_routed,
     "pages_sink_counts": q_pages_sink_counts,
     "pages_domain_rollup": q_pages_domain_rollup,
+    "pages_fused_sinks": q_pages_fused_sinks,
     "ann_ivf": q_ann_ivf,
     "ann_lsh": q_ann_lsh,
     "boilerplate_blocks": q_boilerplate_blocks,

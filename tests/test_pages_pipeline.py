@@ -172,3 +172,35 @@ def test_events_reshape_flagship_twins(spark):
     # aggregate events total == routed rows total (per-sink counts complete)
     agg_total = q_pages_sink_counts(spark, sf).agg(F.sum("events")).collect()[0][0]
     assert agg_total == routed.count()
+
+
+def test_fused_sinks_single_pass_equals_split(spark):
+    """fused_sinks must reproduce sink_counts and domain_rollup exactly,
+    from ONE scan/parse/shuffle (exactly one Exchange hashpartitioning in
+    the plan — the single-pass multi-sink fan-out model)."""
+    pages = generate_pages(spark, 5_000, partitions=4)
+    out = pages_pipeline(pages, geo_dim(spark), lang_dim(spark))
+    fused = out["fused_sinks"]
+
+    from vector_spark.plans.pages import DOMAINS_PSEUDO_ROUTE
+
+    key = lambda t: tuple(map(str, t))
+    got_counts = sorted(
+        map(tuple, fused.filter(F.col("route") != DOMAINS_PSEUDO_ROUTE)
+            .select("route", "window_start", "geo_region", "events", "bytes").collect()),
+        key=key,
+    )
+    want_counts = sorted(map(tuple, out["sink_counts"].collect()), key=key)
+    assert got_counts == want_counts
+
+    got_rollup = sorted(
+        map(tuple, fused.filter(F.col("route") == DOMAINS_PSEUDO_ROUTE)
+            .select("domain", "events", "bytes").collect()),
+        key=key,
+    )
+    want_rollup = sorted(map(tuple, out["domain_rollup"].collect()), key=key)
+    assert got_rollup == want_rollup
+
+    import re
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan

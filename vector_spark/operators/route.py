@@ -40,11 +40,10 @@ def route(df: DataFrame, conditions: dict[str, Column | str], unmatched: bool = 
     return out
 
 
-def routed_union(df: DataFrame, conditions: dict[str, Column | str], unmatched: bool = True) -> DataFrame:
-    """Multi-match routing flattened to one DataFrame with a `route` column —
-    an event appears once per matching route (the multi-match copy semantics).
-    Single-pass alternative to `route` for partitioned sink writes:
-    `routed_union(df, conds).write.partitionBy("route")`."""
+def route_array(conditions: dict[str, Column | str], unmatched: bool = True) -> Column:
+    """The matching-route names for a row, as an array Column (empty-match
+    -> ['_unmatched'] when `unmatched`). Shared by routed_union and fused
+    multi-sink plans that append pseudo-routes before exploding."""
     conds = {name: _as_col(c) for name, c in conditions.items()}
     arms = [
         F.when(F.coalesce(c, F.lit(False)), F.lit(name)) for name, c in conds.items()
@@ -52,7 +51,15 @@ def routed_union(df: DataFrame, conditions: dict[str, Column | str], unmatched: 
     routes = F.array_compact(F.array(*arms))
     if unmatched:
         routes = F.when(F.size(routes) == 0, F.array(F.lit(UNMATCHED))).otherwise(routes)
-    return df.withColumn("route", F.explode(routes))
+    return routes
+
+
+def routed_union(df: DataFrame, conditions: dict[str, Column | str], unmatched: bool = True) -> DataFrame:
+    """Multi-match routing flattened to one DataFrame with a `route` column —
+    an event appears once per matching route (the multi-match copy semantics).
+    Single-pass alternative to `route` for partitioned sink writes:
+    `routed_union(df, conds).write.partitionBy("route")`."""
+    return df.withColumn("route", F.explode(route_array(conditions, unmatched)))
 
 
 def exclusive_route(df: DataFrame, conditions: dict[str, Column | str]) -> DataFrame:

@@ -30,7 +30,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..operators.aggregate import tumbling_window
-from ..operators.route import routed_union
+from ..operators.route import route_array, routed_union
+
+# pseudo-route name for the fused single-pass plan's domain-rollup rows
+DOMAINS_PSEUDO_ROUTE = "_domains"
 
 PAGE_ROUTES = {
     "errors": "status >= 500",
@@ -72,7 +75,10 @@ def pages_pipeline(
 
     Returns {"routed": rows with `route` col (one per matching route),
              "sink_counts": per-route x window x geo_region aggregate,
-             "domain_rollup": salted two-phase hot-domain aggregate}.
+             "domain_rollup": salted two-phase hot-domain aggregate,
+             "fused_sinks": BOTH aggregates from one scan/parse/shuffle —
+             sink_counts rows carry domain NULL, the domain rollup rides
+             the '_domains' pseudo-route with window/geo NULL}.
     """
     if repartition_by_url:
         # deterministic layout at 10^12 rows: uniform url-hash partitioning
@@ -104,4 +110,34 @@ def pages_pipeline(
         F.sum("_cnt").alias("pages"), F.sum("_bytes").alias("bytes")
     )
 
-    return {"routed": routed, "sink_counts": sink_counts, "domain_rollup": domain_rollup}
+    # single-pass fan-out: Vector's topology taps ONE stream into every
+    # sink, so a faithful Spark plan should not re-scan and re-parse the
+    # fact table once per sink (two separate actions do, and AQE never
+    # reuses identical deterministic shuffle subtrees — BASELINE.md
+    # round-4 curation note). Each event explodes into its matching-route
+    # copies plus one '_domains' copy; a single partial-agg + ONE Exchange
+    # then serves both the per-sink windowed counts and the domain rollup.
+    # The hot-domain key needs no salt on this path: map-side partial
+    # aggregation bounds each reducer's input to (#tasks) partials per
+    # domain, the same argument as the salted twin above it verifies.
+    all_routes = F.concat(
+        route_array(PAGE_ROUTES), F.array(F.lit(DOMAINS_PSEUDO_ROUTE))
+    )
+    is_dom = F.col("route") == DOMAINS_PSEUDO_ROUTE
+    fused_sinks = (
+        enriched.withColumn("route", F.explode(all_routes))
+        .groupBy(
+            "route",
+            F.when(is_dom, F.col("domain")).alias("domain"),
+            F.when(~is_dom, tumbling_window(F.col("warc_ts"), window_secs)).alias("window_start"),
+            F.when(~is_dom, F.col("geo_region")).alias("geo_region"),
+        )
+        .agg(F.count(F.lit(1)).alias("events"), F.sum("html_bytes").alias("bytes"))
+    )
+
+    return {
+        "routed": routed,
+        "sink_counts": sink_counts,
+        "domain_rollup": domain_rollup,
+        "fused_sinks": fused_sinks,
+    }
