@@ -316,7 +316,8 @@ def exec_probe(shard: int, nshards: int, n_rows: int, cores: int) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     files = sorted(glob.glob(f"{_pages_table(spark, n_rows)}/part-*.parquet"))
     pages = spark.read.parquet(*files[shard::nshards])
-    sink = pages_pipeline(pages, geo_dim(spark), lang_dim(spark))["sink_counts"]
+    # same job as the headline probe: the fused single-pass multi-sink plan
+    sink = pages_pipeline(pages, geo_dim(spark), lang_dim(spark))["fused_sinks"]
     sink.write.format("noop").mode("overwrite").save()
     ts = []
     for _ in range(5):
