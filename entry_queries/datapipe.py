@@ -535,8 +535,13 @@ def _events_as_pages(spark, sf_dir):
 
     Every derived attribute is a slice of md5(event_id || '|' || tag) — the
     cross-engine deterministic idiom (CLAUDE.md oracle-portability rules) —
-    so the DuckDB oracle rebuilds the identical input corpus from SQL."""
-    e = _t(spark, sf_dir, "events")
+    so the DuckDB oracle rebuilds the identical input corpus from SQL.
+
+    events.parquet is a single file (one scan split) at every SF — spread
+    it so the md5 derivations + route explode use the whole machine."""
+    from vector_spark.session import ensure_parallelism
+
+    e = ensure_parallelism(_t(spark, sf_dir, "events"))
 
     def h(tag: str, mod: int):
         key = F.concat(F.col("event_id").cast("string"), F.lit("|" + tag))
