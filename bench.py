@@ -185,6 +185,50 @@ def run_pages(
     return min(times), n_rows, [round(t, 3) for t in times]
 
 
+def run_pages_streaming(spark, n_rows: int, samples: int = 3) -> dict:
+    """The flagship as a Structured Streaming job (stream_pages_pipeline:
+    same parse/enrich/route Column exprs, watermarked windowed aggregate),
+    driven availableNow over the materialized pages table — the
+    micro-batch analogue of Vector's continuous topology. Fresh checkpoint
+    per sample; min-of-N estimator like every other probe."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_spark.sources import geo_dim, lang_dim
+    from vector_spark.streaming.ops import stream_pages_pipeline
+
+    path = _pages_table(spark, n_rows)
+    schema = spark.read.parquet(path).schema
+    geo, lang = geo_dim(spark), lang_dim(spark)
+    times = []
+    for _ in range(samples):
+        ck = tempfile.mkdtemp(prefix="vs_bench_stream_ck_")
+        stream = spark.readStream.schema(schema).parquet(path)
+        out = stream_pages_pipeline(
+            stream.withColumn("warc_ts", F.col("warc_ts").cast("timestamp")),
+            geo, lang,
+        )
+        t0 = time.time()
+        q = (
+            out.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        times.append(round(time.time() - t0, 3))
+        shutil.rmtree(ck, ignore_errors=True)
+    best = min(times)
+    return {
+        "seconds": best,
+        "samples_sec": times,
+        "events_per_sec": round(n_rows / best, 1),
+    }
+
+
 def run_syslog(spark, n_rows: int = 2_000_000) -> dict:
     """The reference's headline regression case re-created: syslog lines ->
     regex parse -> log_to_metric-style aggregate (regression/cases/
@@ -279,6 +323,8 @@ def single_level(sf_dir: str) -> dict:
     pipe_s, pipe_rows, pipe_samples = run_pages(spark, PAGES_ROWS)
     timings["pages_pipeline_1m"] = round(pipe_s, 3)
     events_per_sec = pipe_rows / pipe_s
+    streaming = run_pages_streaming(spark, PAGES_ROWS)
+    timings["pages_streaming_1m"] = streaming["seconds"]
     syslog = run_syslog(spark)
     timings["syslog_parse_2m"] = syslog["seconds"]
 
@@ -294,6 +340,7 @@ def single_level(sf_dir: str) -> dict:
         "headline_total_sec": round(sum(timings.values()), 3),
         "pages_rows": pipe_rows,
         "syslog": syslog,
+        "pages_streaming": streaming,
         "cores": spark.sparkContext.defaultParallelism,
     }
 
