@@ -152,7 +152,7 @@ def _pages_table(spark, n_rows: int) -> str:
 
 
 def run_pages(
-    spark, n_rows: int, samples: int = 5, rollup: bool = True
+    spark, n_rows: int, samples: int = 5, fused: bool = True
 ) -> tuple[float, int, list[float]]:
     """North-rule probe: parse -> enrich -> route -> aggregate over the
     materialized pages table. One warm-up run (codegen/JIT), then the MIN
@@ -170,8 +170,9 @@ def run_pages(
     # (per-route windowed counts + domain rollup) from one scan/parse/
     # shuffle — the Vector one-stream-many-sinks model (plans/pages.py
     # fused_sinks; replaced the two-concurrent-jobs model that re-parsed
-    # the fact table once per sink: measured 1.46 s -> see BASELINE.md)
-    sink = out["fused_sinks"] if rollup else out["sink_counts"]
+    # the fact table once per sink: same-window A/B 1.785 s -> 1.270 s,
+    # BASELINE.md round-4 closing session)
+    sink = out["fused_sinks"] if fused else out["sink_counts"]
 
     def w(df):
         df.write.format("noop").mode("overwrite").save()
@@ -324,7 +325,6 @@ def single_level(sf_dir: str) -> dict:
     timings["pages_pipeline_1m"] = round(pipe_s, 3)
     events_per_sec = pipe_rows / pipe_s
     streaming = run_pages_streaming(spark, PAGES_ROWS)
-    timings["pages_streaming_1m"] = streaming["seconds"]
     syslog = run_syslog(spark)
     timings["syslog_parse_2m"] = syslog["seconds"]
 

@@ -159,7 +159,9 @@ def test_events_reshape_flagship_twins(spark):
         F.coalesce("props", F.lit("")).alias("props"),
     )
     joined = routed.join(ev, F.col("url").endswith(F.col("path")), "left")
-    bad = joined.filter(F.col("text") != F.col("props")).count()
+    # null-safe: a missed join must fail the check, not vacuously pass it
+    assert joined.filter(F.col("props").isNull()).count() == 0
+    bad = joined.filter(~F.col("text").eqNullSafe(F.col("props"))).count()
     assert bad == 0
 
     by_route = {r["route"]: r["n"] for r in routed.groupBy("route").agg(F.count("*").alias("n")).collect()}
