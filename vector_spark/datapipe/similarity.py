@@ -191,7 +191,7 @@ def embedding_near_dup_pairs(
     brute_force=True keeps the exact all-pairs theta-join (O(n^2) — the
     verification baseline for small n, never for 100 TB).
     """
-    base = df.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+    base = ensure_parallelism(df).select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
     base = base.withColumn("_n", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
     cos_ab = F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6)
     if brute_force:
@@ -252,7 +252,7 @@ def ivf_ann_topk(
     ~n_probe/n_centroids. All cell assignment is JVM-side exprs; at 100 TB
     the assignment pass is scan-speed and the probe join is a broadcast of
     (query x probed-cell) pairs."""
-    base = df.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+    base = ensure_parallelism(df).select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
     base = base.withColumn("_n", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
     # seeds refined by one deterministic Lloyd round (cluster balance bounds
     # probe fan-in; labels stay the seed ids)
@@ -351,7 +351,7 @@ def lsh_ann_topk(
 ) -> DataFrame:
     """ANN top-k searching only the query's LSH bucket (recall < 1)."""
     plane_vecs = make_planes(dims, planes)
-    base = df.select(
+    base = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"),
         _as_double(F.col(vec_col)).alias("_v"),
         lsh_signature_from_planes(_as_double(F.col(vec_col)), plane_vecs).alias("_bucket"),
