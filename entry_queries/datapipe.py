@@ -1480,7 +1480,7 @@ SELECT doc_id,
 FROM nb
 """
 
-    sql["quality_gopher"] = """
+    sql["quality_gopher"] = r"""
 WITH t AS (
   SELECT doc_id,
          list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS words,
