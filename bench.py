@@ -134,6 +134,8 @@ HEADLINE = [
     # round 4: oracle-checked flagship twins (north-rule criteria vs DuckDB)
     "pages_routed",
     "pages_sink_counts",
+    # round 4: exact n-gram Jaccard tier moved off the O(n^2) theta-join
+    "dedup_ngram_jaccard",
 ]
 
 

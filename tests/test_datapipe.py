@@ -48,6 +48,36 @@ def test_minhash_identical_docs_jaccard_one(spark):
     assert all(a != 3 and b != 3 for a, b, _ in out)
 
 
+def test_ngram_jaccard_methods_agree_and_exact_value(spark):
+    """counts / prefix / brute produce IDENTICAL pairs, and the jaccard
+    value matches a hand computation on the trigram sets."""
+    from vector_spark.datapipe import ngram_jaccard_pairs
+
+    df = _docs(spark)
+    got = {
+        m: sorted(rows(ngram_jaccard_pairs(df, threshold=0.3, method=m),
+                       "doc_a", "doc_b", "jaccard"))
+        for m in ("counts", "prefix", "brute")
+    }
+    assert got["counts"] == got["prefix"] == got["brute"]
+
+    # hand check: exact dup pair (0,1) has jaccard 1.0; python reference
+    def tri(s):
+        return {s[i:i + 3] for i in range(max(len(s) - 2, 1))}
+
+    texts = {r.doc_id: r.text for r in df.collect()}
+    expect = []
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ga, gb = tri(texts[a]), tri(texts[b])
+            j = round(len(ga & gb) / len(ga | gb), 4)
+            if j >= 0.3:
+                expect.append((a, b, j))
+    assert got["counts"] == sorted(expect)
+    assert (0, 1, 1.0) in got["counts"]
+
+
 def test_simhash_identical_equal_distinct_differs(spark):
     got = {r.doc_id: r.simhash for r in simhash(_docs(spark)).collect()}
     assert got[0] == got[1]

@@ -541,3 +541,20 @@ def test_onepass_extract_shares_replace_via_subexpr_elimination(spark):
     assert code.count("subExprIsNull_0") >= 4  # each field reads the cache
     # and no per-field regexp_extract survives anywhere in the plan
     assert "regexp_extract" not in code
+
+
+def test_ngram_jaccard_plan_shape(spark):
+    """counts: no cartesian/BNLJ anywhere and the gram ARRAYS never cross a
+    shuffle (the inverted-index exchanges carry doc ids + a single gram);
+    prefix: the candidate join is a hash equi-join on the prefix gram, with
+    the BNLJ confined to nothing — brute is the only method allowed one."""
+    from vector_spark.datapipe import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, "abcdefghij"[: 3 + i % 7]) for i in range(40)],
+        "doc_id long, text string",
+    )
+    for m in ("counts", "prefix"):
+        plan = plan_of(ngram_jaccard_pairs(df, threshold=0.5, method=m))
+        assert "CartesianProduct" not in plan, m
+        assert "BroadcastNestedLoopJoin" not in plan, m

@@ -881,3 +881,40 @@ def test_property_onepass_extract_equals_python_re(spark, lines):
             (m.group(n) or "") if m else "" for n in names
         )
         assert got[i] == want, (line, got[i], want)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcd ", min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    thresh=st.sampled_from([0.2, 0.5, 0.8]),
+)
+@settings(**SETTINGS)
+def test_ngram_jaccard_matches_set_model(spark, texts, thresh):
+    """counts AND prefix methods == the direct Python trigram-set model for
+    any corpus over a tiny alphabet (dense shared grams — the case where
+    prefix filtering prunes hardest and a pruning bug would show as a
+    missing pair)."""
+    from conftest import rows as _rows
+
+    from vector_spark.datapipe import ngram_jaccard_pairs
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def tri(s):
+        return {s[i:i + 3] for i in range(max(len(s) - 2, 1))}
+
+    want = sorted(
+        (a, b, j)
+        for i, (a, ta) in enumerate(docs)
+        for b, tb in docs[i + 1:]
+        for j in [round(len(tri(ta) & tri(tb)) / len(tri(ta) | tri(tb)), 4)]
+        if j >= thresh
+    )
+    for m in ("counts", "prefix"):
+        got = sorted(_rows(ngram_jaccard_pairs(df, threshold=thresh, method=m),
+                          "doc_a", "doc_b", "jaccard"))
+        assert got == want, (m, texts, thresh)

@@ -22,7 +22,7 @@ functions (transform/filter/aggregate), executed in whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..session import ensure_parallelism
@@ -116,6 +116,127 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         vote = F.aggregate(hashes, F.lit(0).cast("long"), vote_fn(j))
         out = out + F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
     return df.select(F.col(id_col), out.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    method: str = "counts",
+) -> DataFrame:
+    """EXACT character-n-gram Jaccard near-dup pairs (doc_a < doc_b,
+    round(jaccard, 4) >= threshold) — the exact tier between md5 dedup and
+    the approximate minhash/simhash tiers (reference analogue: dedupe's
+    full-event match, src/transforms/dedupe/common.rs, generalized to set
+    similarity). All three methods produce IDENTICAL output
+    (equality-tested); they trade differently with the corpus:
+
+    * "counts" (default): inverted-index count join — explode distinct
+      grams, self-equi-join on gram, |a∩b| = per-pair row count (grams are
+      distinct per doc), union from broadcast sizes. No gram arrays ever
+      cross a shuffle and there is no per-pair array_intersect. Cost is
+      sum(df^2) over gram frequencies — the right plan when the gram
+      vocabulary is small/dense relative to the corpus (measured 22s ->
+      1.3s warm on the sf0.01 fixture, whose 500 short docs share a tiny
+      vocabulary). On Zipf web text the hot grams square — use "prefix".
+    * "prefix": PREFIX FILTERING (Chaudhuri et al. ICDE'06; Bayardo, Ma &
+      Srikant, WWW'07 "Scaling Up All Pairs Similarity Search"). Order
+      every doc's grams by the GLOBAL (frequency, gram) total order —
+      rarest first — and keep the first |g| - ceil(t'*|g|) + 1 as its
+      prefix (t' = t - 5e-5: the output filter is on ROUND(j,4), which raw
+      j >= t - 5e-5 can pass, so the bound uses the slack and verification
+      re-applies the exact rounded filter). Lemma (via the globally
+      smallest common gram w: >= overlap-1 common grams order after w and
+      overlap >= ceil(t'*|x|) on each side, so w is within both prefixes):
+      every qualifying pair collides in the prefix equi-join. Hot grams
+      are exactly what frequency-ranking pushes OUT of prefixes, so the
+      candidate join never squares on stopword-like grams; candidates are
+      then verified with one array_intersect each. The web-scale plan.
+    * "brute": all-pairs theta-join — O(n^2) BNLJ, verification baseline
+      only.
+
+    At 100 TB none of these is the first tier — minhash_lsh_pairs is (its
+    recall<1 trade documented there); this op is the exact-answer tool for
+    bounded candidate sets and the oracle anchor for the approximate tiers.
+    """
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1))),
+            lambda i: F.col(text_col).substr(i, F.lit(n)),
+        )
+    )
+    docs = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("_doc"), grams.alias("_g"))
+        .withColumn("_sz", F.size("_g"))
+    )
+    va = docs.select(F.col("_doc").alias("doc_a"), F.col("_g").alias("_ga"), F.col("_sz").alias("_sa"))
+    vb = docs.select(F.col("_doc").alias("doc_b"), F.col("_g").alias("_gb"), F.col("_sz").alias("_sb"))
+    arr_inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
+    arr_jac = F.round(arr_inter / (F.col("_sa") + F.col("_sb") - arr_inter), 4)
+
+    if method == "brute":
+        pairs = va.join(vb, F.col("doc_a") < F.col("doc_b"))
+        return pairs.select("doc_a", "doc_b", arr_jac.alias("jaccard")).filter(
+            F.col("jaccard") >= threshold
+        )
+
+    toks = docs.select("_doc", "_sz", F.explode("_g").alias("_gram"))
+
+    if method == "counts":
+        ta = toks.select(F.col("_doc").alias("doc_a"), "_gram")
+        tb = toks.select(F.col("_doc").alias("doc_b"), "_gram")
+        inter = (
+            ta.join(tb, ["_gram"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("_i"))
+        )
+        sizes = docs.select("_doc", "_sz")
+        jac = F.round(
+            F.col("_i") / (F.col("_sa") + F.col("_sb") - F.col("_i")), 4
+        )
+        return (
+            inter.join(
+                F.broadcast(sizes.select(F.col("_doc").alias("doc_a"), F.col("_sz").alias("_sa"))),
+                "doc_a",
+            )
+            .join(
+                F.broadcast(sizes.select(F.col("_doc").alias("doc_b"), F.col("_sz").alias("_sb"))),
+                "doc_b",
+            )
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+
+    if method != "prefix":
+        raise ValueError(f"unknown method {method!r} (counts|prefix|brute)")
+
+    freq = toks.groupBy("_gram").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = toks.join(freq, "_gram").withColumn(
+        "_r",
+        F.row_number().over(
+            Window.partitionBy("_doc").orderBy(F.col("_df").asc(), F.col("_gram").asc())
+        ),
+    )
+    t_pf = max(threshold - 5e-5, 0.0)  # rounding slack: see docstring
+    plen = F.col("_sz") - F.ceil(F.lit(t_pf) * F.col("_sz")) + 1
+    prefix = ranked.filter(F.col("_r") <= plen).select("_doc", "_gram")
+    cand = (
+        prefix.alias("pa")
+        .join(
+            prefix.alias("pb"),
+            (F.col("pa._gram") == F.col("pb._gram")) & (F.col("pa._doc") < F.col("pb._doc")),
+        )
+        .select(F.col("pa._doc").alias("doc_a"), F.col("pb._doc").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    verified = cand.join(va, "doc_a").join(vb, "doc_b")
+    return verified.select("doc_a", "doc_b", arr_jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 def dedup_spans(
