@@ -624,15 +624,21 @@ def q_pages_fused_sinks(spark, sf_dir):
 # ---- VRL function surface -------------------------------------------------
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """EXACT character-trigram Jaccard near-dup pairs via the inverted-index
-    count join (grams never cross a shuffle; |a∩b| is a per-pair row count) —
-    identical output to the brute-force all-pairs formulation (which the
-    DuckDB oracle independently is) but a hash-joins-only plan: 22s -> ~1.3s
-    at sf0.01. The prefix-filtering variant (Bayardo et al. WWW'07) is the
-    Zipf-web-text plan; all three methods are equality-tested."""
+    """EXACT character-trigram Jaccard near-dup pairs. The fixture corpus
+    is the DENSE-VOCABULARY regime — 377 distinct trigrams over 5000 docs
+    at sf0.1, median pairwise jaccard 0.45, 850k qualifying pairs (the
+    output itself is Θ(n²)) — so the regime-matched plan is "bitmap":
+    triangle-blocked cogroups doing numpy popcount matmuls, with the exact
+    round(jaccard,4) filter applied Spark-side (measured: counts 19.4s,
+    prefix times out — no prefix can prune when even the rarest gram hits
+    ~300 docs — bitmap ~2s). Identical output to the brute-force all-pairs
+    formulation (which the DuckDB oracle independently is); all methods
+    are equality-tested."""
     from vector_spark.datapipe import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.6, method="bitmap"
+    )
 
 
 def q_embedding_near_dup(spark, sf_dir):

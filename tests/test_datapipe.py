@@ -57,9 +57,12 @@ def test_ngram_jaccard_methods_agree_and_exact_value(spark):
     got = {
         m: sorted(rows(ngram_jaccard_pairs(df, threshold=0.3, method=m),
                        "doc_a", "doc_b", "jaccard"))
-        for m in ("counts", "prefix", "brute")
+        for m in ("counts", "prefix", "brute", "bitmap", "auto")
     }
-    assert got["counts"] == got["prefix"] == got["brute"]
+    assert (
+        got["counts"] == got["prefix"] == got["brute"]
+        == got["bitmap"] == got["auto"]
+    )
 
     # hand check: exact dup pair (0,1) has jaccard 1.0; python reference
     def tri(s):

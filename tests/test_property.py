@@ -914,7 +914,7 @@ def test_ngram_jaccard_matches_set_model(spark, texts, thresh):
         for j in [round(len(tri(ta) & tri(tb)) / len(tri(ta) | tri(tb)), 4)]
         if j >= thresh
     )
-    for m in ("counts", "prefix"):
+    for m in ("counts", "prefix", "bitmap"):
         got = sorted(_rows(ngram_jaccard_pairs(df, threshold=thresh, method=m),
                           "doc_a", "doc_b", "jaccard"))
         assert got == want, (m, texts, thresh)

@@ -18,9 +18,14 @@ reproduce them bit-for-bit) and all shuffle-disciplined for 100 TB:
 
 No Python in any of these: shingling/minhashing are higher-order column
 functions (transform/filter/aggregate), executed in whole-stage codegen.
+(One justified exception: ngram_jaccard_pairs' "bitmap" regime is an
+Arrow-cogrouped numpy popcount matmul — a bit-parallel kernel no JVM
+expression can express; its exact output filter still runs Spark-side.)
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -125,6 +130,8 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     method: str = "counts",
+    block_buckets: int | None = None,
+    max_vocab: int = 16384,
 ) -> DataFrame:
     """EXACT character-n-gram Jaccard near-dup pairs (doc_a < doc_b,
     round(jaccard, 4) >= threshold) — the exact tier between md5 dedup and
@@ -154,6 +161,25 @@ def ngram_jaccard_pairs(
       are exactly what frequency-ranking pushes OUT of prefixes, so the
       candidate join never squares on stopword-like grams; candidates are
       then verified with one array_intersect each. The web-scale plan.
+    * "bitmap": DENSE-VOCABULARY regime (small gram universe, high doc
+      frequencies — where prefix filtering cannot prune and counts
+      squares). Each doc's gram set becomes a bit vector over the global
+      vocabulary; docs hash into `block_buckets` buckets and every bucket
+      PAIR (i<=j, the triangle join) is one cogrouped Arrow task whose
+      numpy boolean matmul computes ALL pairwise intersection counts in
+      the block bit-parallel (the chemistry-fingerprint Tanimoto-search
+      layout — no JVM expression can express a popcount matmul, the
+      justified-Python criterion). Only (doc_a, doc_b, |a∩b|) rows above
+      a loose prefilter leave the UDF; the EXACT round(jaccard,4) filter
+      is applied Spark-side from broadcast set sizes, so results are
+      engine-exact vs the oracle. Cost is n²/2 word-ops over
+      vocab/64-long words — on the sf0.1 fixture (5000 docs, 377-gram
+      vocabulary, median pairwise jaccard 0.45, 850k qualifying pairs:
+      the OUTPUT itself is Θ(n²)) this replaces the counts plan's ~1.5B
+      join rows with 12.5M×6-word AND-popcounts. Guarded by `max_vocab`:
+      a web-scale vocabulary raises and points at "prefix".
+    * "auto": one tiny distinct-count job on the gram vocabulary picks
+      "bitmap" when it fits `max_vocab`, else "prefix".
     * "brute": all-pairs theta-join — O(n^2) BNLJ, verification baseline
       only.
 
@@ -185,15 +211,9 @@ def ngram_jaccard_pairs(
 
     toks = docs.select("_doc", "_sz", F.explode("_g").alias("_gram"))
 
-    if method == "counts":
-        ta = toks.select(F.col("_doc").alias("doc_a"), "_gram")
-        tb = toks.select(F.col("_doc").alias("doc_b"), "_gram")
-        inter = (
-            ta.join(tb, ["_gram"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("_i"))
-        )
+    def _finish(inter: DataFrame) -> DataFrame:
+        """(doc_a, doc_b, _i) -> exact round(jaccard,4) filter via the
+        broadcast size dim — the shared engine-exact tail."""
         sizes = docs.select("_doc", "_sz")
         jac = F.round(
             F.col("_i") / (F.col("_sa") + F.col("_sb") - F.col("_i")), 4
@@ -211,8 +231,34 @@ def ngram_jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
         )
 
+    if method == "counts":
+        ta = toks.select(F.col("_doc").alias("doc_a"), "_gram")
+        tb = toks.select(F.col("_doc").alias("doc_b"), "_gram")
+        return _finish(
+            ta.join(tb, ["_gram"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("_i"))
+        )
+
+    if method == "auto":
+        vocab_n = toks.select("_gram").distinct().count()
+        method = "bitmap" if vocab_n <= max_vocab else "prefix"
+
+    if method == "bitmap":
+        inter = _bitmap_intersections(
+            df, threshold, n, text_col, id_col, block_buckets, max_vocab
+        )
+        jac = F.round(
+            F.col("_i") / (F.col("_sa") + F.col("_sb") - F.col("_i")), 4
+        )
+        return (
+            inter.select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+
     if method != "prefix":
-        raise ValueError(f"unknown method {method!r} (counts|prefix|brute)")
+        raise ValueError(f"unknown method {method!r} (counts|prefix|bitmap|auto|brute)")
 
     freq = toks.groupBy("_gram").agg(F.count(F.lit(1)).alias("_df"))
     ranked = toks.join(freq, "_gram").withColumn(
@@ -236,6 +282,140 @@ def ngram_jaccard_pairs(
     verified = cand.join(va, "doc_a").join(vb, "doc_b")
     return verified.select("doc_a", "doc_b", arr_jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
+    )
+
+
+def _bitmap_intersections(
+    df: DataFrame,
+    threshold: float,
+    n: int,
+    text_col: str,
+    id_col: str,
+    block_buckets: int | None,
+    max_vocab: int,
+) -> DataFrame:
+    """(doc_a, doc_b, _i=|a∩b|, _sa, _sb) for every candidate pair, via the
+    triangle block join + numpy boolean matmul (see ngram_jaccard_pairs
+    "bitmap").
+
+    ONE Spark job: docs hash into B buckets and each (id, text) row — the
+    cheapest possible payload, ~text_len bytes — is replicated by explode
+    to the B+1 blocks containing its bucket (the classic triangle-join
+    communication bound, O(n·B) with B ≈ sqrt(2·parallelism)). Every
+    bucket PAIR (i<=j) is one cogrouped Arrow task that shingles its docs
+    in Python (plain slicing — identical semantics to the Spark substr
+    expression, property-tested), indexes them against a BLOCK-LOCAL
+    vocabulary (intersections never need a global bit assignment — that
+    insight removes the global vocab job, the bit join, and the size-dim
+    joins the first cut of this kernel paid ~3 scans for), and computes
+    all pairwise intersections as one float32 BLAS matmul (exact for
+    counts < 2^24; vocab capped far below). Set sizes are the matrix row
+    sums, so the exact round(jaccard,4) filter downstream needs no join.
+    Only pairs passing a LOOSE prefilter leave Python; the exact filter is
+    Spark-side so results stay engine-exact vs the SQL oracle. The
+    max_vocab guard raises inside the kernel (zero extra jobs) when a
+    block's vocabulary shows the corpus is not in the dense regime.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    n_buckets = block_buckets or max(
+        2, math.isqrt(2 * spark.sparkContext.defaultParallelism - 1) + 1
+    )
+    base = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("_doc"),
+            F.col(text_col).alias("_txt"),
+            F.pmod(F.xxhash64(id_col), F.lit(n_buckets)).cast("int").alias("_bkt"),
+        )
+    )
+    # triangle replication via explode (no join): a doc in bucket b serves
+    # as LEFT input for blocks (b, j>=b) and RIGHT input for blocks
+    # (i<=b, b); each unordered bucket pair is exactly one cogroup task.
+    # Right-side columns are suffixed so the self-cogroup resolves
+    # unambiguously.
+    left = base.select(
+        "_doc",
+        "_txt",
+        F.col("_bkt").alias("_bi"),
+        F.explode(F.sequence("_bkt", F.lit(n_buckets - 1))).alias("_bj"),
+    )
+    right = base.select(
+        F.col("_doc").alias("_doc_r"),
+        F.col("_txt").alias("_txt_r"),
+        F.explode(F.sequence(F.lit(0), "_bkt")).alias("_bi_r"),
+        F.col("_bkt").alias("_bj_r"),
+    )
+
+    t_pre = max(threshold - 1e-3, 0.0)  # loose: exact round-filter downstream
+
+    def grams(text: str) -> set:
+        # same semantics as the substr expression: positions 1..max(L-n+1,1),
+        # trailing grams shorter than n (and "" for empty text) included
+        return {text[i : i + n] for i in range(max(len(text) - n + 1, 1))}
+
+    def block(key, l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        same = key[0] == key[1]
+        if l.empty or r.empty or (same and len(l) < 2):
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "_i": [], "_sa": [], "_sb": []})
+
+        lsets = [grams(t) for t in l["_txt"]]
+        rsets = lsets if same else [grams(t) for t in r["_txt_r"]]
+        vocab: dict = {}
+        for s in lsets:
+            for g in s:
+                if g not in vocab:
+                    vocab[g] = len(vocab)
+        if not same:
+            for s in rsets:
+                for g in s:
+                    if g not in vocab:
+                        vocab[g] = len(vocab)
+        if len(vocab) > max_vocab:
+            raise ValueError(
+                f"block gram vocabulary {len(vocab)} exceeds max_vocab="
+                f"{max_vocab}: the bitmap regime needs a small dense "
+                "universe — use method='prefix'"
+            )
+
+        def pack(sets):
+            m = np.zeros((len(sets), len(vocab)), dtype=np.float32)
+            for row, s in enumerate(sets):
+                m[row, [vocab[g] for g in s]] = 1.0
+            return m
+
+        la = pack(lsets)
+        rb = la if same else pack(rsets)
+        inter = np.rint(la @ rb.T).astype(np.int64)
+        sa, sb = la.sum(1).astype(np.int64), rb.sum(1).astype(np.int64)
+        union = sa[:, None] + sb[None, :] - inter
+        mask = inter >= t_pre * union
+        a_ids = l["_doc"].to_numpy()
+        b_ids = a_ids if same else r["_doc_r"].to_numpy()
+        if same:
+            mask &= a_ids[:, None] < b_ids[None, :]
+        ai, bi = np.nonzero(mask)
+        A, B = a_ids[ai], b_ids[bi]
+        swap = A > B
+        return pd.DataFrame(
+            {
+                "doc_a": np.where(swap, B, A),
+                "doc_b": np.where(swap, A, B),
+                "_i": inter[ai, bi],
+                "_sa": np.where(swap, sb[bi], sa[ai]),
+                "_sb": np.where(swap, sa[ai], sb[bi]),
+            }
+        )
+
+    id_type = dict(base.dtypes)["_doc"]
+    return (
+        left.groupby("_bi", "_bj")
+        .cogroup(right.groupby("_bi_r", "_bj_r"))
+        .applyInPandas(
+            block, f"doc_a {id_type}, doc_b {id_type}, _i long, _sa long, _sb long"
+        )
     )
 
 
