@@ -298,6 +298,7 @@ COMPOSITES = {
     "incremental_dedup",
     "dataset_build",
     "dedup_substrings",
+    "dedup_ngram_jaccard",
 }
 
 

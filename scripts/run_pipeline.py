@@ -47,6 +47,11 @@ def main() -> None:
     ap.add_argument("--topology", default=None, help="YAML topology config to run instead")
     ap.add_argument("--generate", type=int, default=0,
                     help="generate N synthetic pages instead of --input (demo/bench)")
+    ap.add_argument("--compact", action="store_true",
+                    help="after the (resumed) pass commits, run one sink "
+                         "compaction pass (runtime/compact.py) so N resumed/"
+                         "streamed passes don't accrete small files")
+    ap.add_argument("--compact-target-bytes", type=int, default=128 << 20)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -106,6 +111,12 @@ def main() -> None:
         **ck.metrics(),
         "components": metrics.collect(),
     }
+    if args.compact:
+        from vector_spark.runtime import compact_sink
+
+        out["compaction"] = compact_sink(
+            spark, args.output, target_file_bytes=args.compact_target_bytes
+        )
     print(json.dumps(out))
 
 
