@@ -52,7 +52,31 @@ def main() -> None:
                          "compaction pass (runtime/compact.py) so N resumed/"
                          "streamed passes don't accrete small files")
     ap.add_argument("--compact-target-bytes", type=int, default=128 << 20)
+    ap.add_argument("--validate", action="store_true",
+                    help="compile/typecheck the --topology config and exit "
+                         "without starting Spark (the `vector validate` "
+                         "analogue: names, inputs, cycles, ports, event-kind "
+                         "edges, env interpolation)")
     args = ap.parse_args()
+
+    if args.validate:
+        from vector_spark.topology import (
+            TopologyError, compile_topology, load_toml, load_yaml,
+        )
+
+        if not args.topology:
+            ap.error("--validate requires --topology CONFIG")
+        load = load_toml if args.topology.endswith(".toml") else load_yaml
+        try:
+            compiled = compile_topology(load(args.topology))
+        except TopologyError as e:
+            print(json.dumps({"validated": False, "errors": str(e).split("; ")}))
+            sys.exit(78)  # EX_CONFIG, as `vector validate` exits nonzero
+        print(json.dumps({
+            "validated": True,
+            "components": sorted(compiled.order),
+        }))
+        return
 
     from pyspark.sql import functions as F
 

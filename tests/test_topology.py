@@ -710,3 +710,117 @@ inputs = ["errors"]
     )
     got = compile_topology(spec).build(spark).run()
     assert sorted(r.x for r in got["out"]) == [1, 3]
+
+
+def test_env_interpolation_reference_vectors():
+    """Every assertion from the reference's vars.rs test transcribed
+    (src/config/vars.rs:80-120): $$ escape, $VAR/${VAR}, greedy names,
+    Java-style dotted names, :- vs - empty handling, :? vs ? errors,
+    unterminated/${}/ literals pass through."""
+    import pytest as _pytest
+
+    from vector_spark.topology import TopologyError, interpolate_env
+
+    vars = {"FOO": "dogs", "FOOBAR": "cats", "FOO.BAR": "turtles", "EMPTY": ""}
+
+    def ok(s):
+        return interpolate_env(s, vars)
+
+    def err(s):
+        with _pytest.raises(TopologyError):
+            interpolate_env(s, vars)
+
+    assert ok("$FOO") == "dogs"
+    assert ok("${FOO}") == "dogs"
+    assert ok("${FOOBAR}") == "cats"
+    assert ok("x${FOOBAR}y") == "xcatsy"
+    err("x$FOOBARy")
+    assert ok("$ x") == "$ x"
+    assert ok("$$FOO") == "$FOO"
+    assert ok("$FOO=bar") == "dogs=bar"
+    err("$NOT_FOO")
+    err("$NOT-FOO")
+    assert ok("$FOO.BAR") == "turtles"
+    assert ok("${FOO x") == "${FOO x"
+    assert ok("${}") == "${}"
+    assert ok("${FOO:-cats}") == "dogs"
+    assert ok("${NOT:-dogcats}") == "dogcats"
+    assert ok("${NOT:-dogs and cats}") == "dogs and cats"
+    assert ok("${:-cats}") == "${:-cats}"
+    assert ok("${NOT:-}") == ""
+    assert ok("${NOT-cats}") == "cats"
+    assert ok("${EMPTY-cats}") == ""
+    assert ok("${FOO:?error cats}") == "dogs"
+    assert ok("${FOO?error cats}") == "dogs"
+    assert ok("${EMPTY?error cats}") == ""
+    err("${NOT:?error cats}")
+    err("${NOT?error cats}")
+    err("${EMPTY:?error cats}")
+
+
+def test_config_loaders_interpolate_env(spark):
+    """load_yaml/load_toml interpolate the RAW text before parsing, as the
+    reference does; defaults apply; missing-without-default raises with
+    every error collected."""
+    import pytest as _pytest
+
+    from vector_spark.topology import TopologyError, load_toml, load_yaml
+
+    yml = """
+sources:
+  ev:
+    type: inline
+    rows: [[1, "${LEVEL:-err}"]]
+    schema: "x int, level string"
+sinks:
+  out: {type: memory, inputs: [ev]}
+"""
+    spec = load_yaml(yml, {"UNUSED": "1"})
+    assert spec["sources"]["ev"]["rows"] == [[1, "err"]]
+    spec = load_yaml(yml, {"LEVEL": "warn"})
+    assert spec["sources"]["ev"]["rows"] == [[1, "warn"]]
+
+    toml = 'x = "${A?need A}"\ny = "$B"\n'
+    with _pytest.raises(TopologyError) as ei:
+        load_toml(toml, {})
+    assert "'A'" in str(ei.value) and "'B'" in str(ei.value)
+    assert load_toml(toml, {"A": "1", "B": "2"}) == {"x": "1", "y": "2"}
+
+
+def test_run_pipeline_validate_flag(tmp_path):
+    """`run_pipeline.py --validate` = the `vector validate` analogue:
+    compiles + typechecks the config WITHOUT starting Spark, exit 0 on a
+    good config, EX_CONFIG(78) + collected errors on a bad one."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    script = Path(__file__).resolve().parent.parent / "scripts" / "run_pipeline.py"
+    good = tmp_path / "good.yaml"
+    good.write_text(
+        "sources:\n"
+        "  ev: {type: inline, rows: [[1]], schema: 'x int'}\n"
+        "sinks:\n"
+        "  out: {type: memory, inputs: [ev]}\n"
+    )
+    bad = tmp_path / "bad.yaml"
+    bad.write_text(
+        "sources:\n"
+        "  ev: {type: inline, rows: [[1]], schema: 'x int'}\n"
+        "sinks:\n"
+        "  out: {type: memory, inputs: [nope]}\n"
+    )
+    r = subprocess.run(
+        [_sys.executable, str(script), "--topology", str(good), "--validate"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert r.returncode == 0, r.stderr
+    assert _json.loads(r.stdout)["validated"] is True
+    r = subprocess.run(
+        [_sys.executable, str(script), "--topology", str(bad), "--validate"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert r.returncode == 78
+    out = _json.loads(r.stdout)
+    assert out["validated"] is False and "nope" in out["errors"][0]

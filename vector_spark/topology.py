@@ -425,26 +425,92 @@ def _typecheck_kinds(sources, transforms, sinks, order, base) -> None:
         raise TopologyError("; ".join(errors))
 
 
-def load_yaml(path_or_text: str) -> dict[str, Any]:
+_ENV_INTERP = None  # compiled lazily: topology import must stay cheap
+
+
+def interpolate_env(
+    text: str, vars: dict[str, str] | None = None
+) -> str:
+    """Environment-variable interpolation over RAW config text, before any
+    parse — the reference's semantics exactly (src/config/vars.rs:12-75):
+    ``$$`` escapes a literal ``$``; ``$VAR`` / ``${VAR}`` substitute (a
+    missing variable is an ERROR, not silently empty); ``${VAR:-d}`` falls
+    back when unset OR empty, ``${VAR-d}`` only when unset; ``${VAR:?msg}``
+    errors when unset or empty, ``${VAR?msg}`` when unset. Names are
+    ``[:word:].`` as in the reference. All errors are collected and raised
+    together as one TopologyError."""
+    import os
+    import re
+
+    global _ENV_INTERP
+    if _ENV_INTERP is None:
+        _ENV_INTERP = re.compile(
+            r"\$\$|\$([\w.]+)|\$\{([\w.]+)(?:(:?-|:?\?)([^}]*))?\}",
+            re.ASCII,  # the reference's [:word:] class is ASCII-only
+        )
+    if vars is None:
+        vars = dict(os.environ)
+    errors: list[str] = []
+
+    def sub(m: re.Match) -> str:
+        name = m.group(1) or m.group(2)
+        if name is None:
+            return "$"  # the $$ escape
+        flags = m.group(3) or ""
+        def_or_err = m.group(4) or ""
+        val = vars.get(name)
+        if flags == ":-":
+            return val if val else def_or_err
+        if flags == "-":
+            return val if val is not None else def_or_err
+        if flags == ":?":
+            if val:
+                return val
+            errors.append(
+                f"Non-empty environment variable required in config. "
+                f"name = {name!r}, error = {def_or_err!r}"
+            )
+            return ""
+        if flags == "?":
+            if val is not None:
+                return val
+            errors.append(
+                f"Missing environment variable required in config. "
+                f"name = {name!r}, error = {def_or_err!r}"
+            )
+            return ""
+        if val is not None:
+            return val
+        errors.append(f"Missing environment variable in config. name = {name!r}")
+        return ""
+
+    out = _ENV_INTERP.sub(sub, text)
+    if errors:
+        raise TopologyError("; ".join(sorted(set(errors))))
+    return out
+
+
+def load_yaml(path_or_text: str, vars: dict[str, str] | None = None) -> dict[str, Any]:
     import yaml
 
-    if "\n" in path_or_text:
-        return yaml.safe_load(path_or_text)
-    with open(path_or_text) as f:
-        return yaml.safe_load(f)
+    if "\n" not in path_or_text:
+        with open(path_or_text) as f:
+            path_or_text = f.read()
+    return yaml.safe_load(interpolate_env(path_or_text, vars))
 
 
-def load_toml(path_or_text: str) -> dict[str, Any]:
+def load_toml(path_or_text: str, vars: dict[str, str] | None = None) -> dict[str, Any]:
     """TOML config loader — the reference's NATIVE config format
     (`vector --config c.toml`; YAML/JSON are the alternates, same tree:
     src/config/loading). The [sources.x]/[transforms.y]/[sinks.z] table
-    layout maps 1:1 onto the spec dict compile_topology takes."""
+    layout maps 1:1 onto the spec dict compile_topology takes. Like the
+    reference, env interpolation runs over the raw text before the parse."""
     import tomllib
 
-    if "\n" in path_or_text:
-        return tomllib.loads(path_or_text)
-    with open(path_or_text, "rb") as f:
-        return tomllib.load(f)
+    if "\n" not in path_or_text:
+        with open(path_or_text, "rb") as f:
+            path_or_text = f.read().decode("utf-8")
+    return tomllib.loads(interpolate_env(path_or_text, vars))
 
 
 # -- component builders ------------------------------------------------------
