@@ -129,3 +129,42 @@ def test_compact_mixed_fragmentation_only_touches_fragmented(spark, tmp_path):
     got = _n_files(spark, sink)
     assert got["day=0"] == 1 and got["day=1"] == 1
     assert spark.read.parquet(sink).count() == 200
+
+
+def test_compact_underscore_bucket_layout(spark, tmp_path):
+    """The checkpoint sink's `_bucket=N` dirs ARE partition dirs (Spark's
+    own listing rule: '_'-prefixed names are hidden unless they contain
+    '='); compaction must see them."""
+    sink = str(tmp_path / "sink")
+    df = spark.range(300).select(F.col("id"), (F.col("id") % 4).alias("_bucket"))
+    df.repartition(5, "id").write.partitionBy("_bucket").parquet(sink)
+    plans = compaction_plan(spark, sink)
+    assert {p.rel_path for p in plans} == {f"_bucket={b}" for b in range(4)}
+    report = compact_sink(spark, sink)
+    assert report["partitions_compacted"] == 4
+    assert spark.read.parquet(sink).count() == 300
+    assert all(n == 1 for n in _n_files(spark, sink).values())
+
+
+def test_compact_recovers_mid_swap_crash(spark, tmp_path):
+    """Crash BETWEEN delete(live) and rename(staged): the staged copy is
+    the only (verified) one left. The next pass must rename it into place
+    — not delete it with the staging debris."""
+    sink = str(tmp_path / "sink")
+    _fragmented_sink(spark, sink)
+    before = spark.read.parquet(sink).orderBy("id").collect()
+
+    # simulate the post-verify crash state for one partition: move its
+    # live dir's content into staging and remove the live dir
+    import shutil
+
+    rel = "day=0/bucket=0"
+    staged = tmp_path / "sink" / "_compacting" / rel
+    staged.parent.mkdir(parents=True)
+    shutil.move(str(tmp_path / "sink" / rel), str(staged))
+
+    report = compact_sink(spark, sink)
+    after = spark.read.parquet(sink).orderBy("id").collect()
+    assert after == before  # nothing lost, nothing duplicated
+    assert report["partitions_compacted"] >= 3  # the other fragmented dirs
+    assert all(n == 1 for n in _n_files(spark, sink).values())

@@ -28,9 +28,12 @@ Protocol (crash-safe, idempotent — same ack ethos as CheckpointedRun):
 3. **verify** — per-partition row counts of staged vs live must match
    before anything is deleted (the "ack" before the destructive step).
 4. **swap** — per partition dir: delete live, FS-rename staged into
-   place. A crash anywhere converges on rerun: the staging dir is
-   cleared at the start of every pass, and a partition is either still
-   fragmented (re-planned) or already swapped (no longer selected).
+   place. A crash anywhere converges on rerun: staging doubles as a
+   REDO log — at pass start, any staged partition whose live dir is
+   missing (possible only post-verify, mid-swap) is renamed into place,
+   then the remaining (pre-verify) staging debris is cleared; a
+   partition is otherwise either still fragmented (re-planned) or
+   already swapped (no longer selected).
 
 At 100 TB the plan step selects only fragmented partitions, so the
 rewrite job's input is the fragmentation debt, not the table; partitions
@@ -69,7 +72,10 @@ def _hadoop_fs(spark: SparkSession, path: str):
 
 
 def _is_partition_dir(name: str) -> bool:
-    return "=" in name and not name.startswith(("_", "."))
+    # mirror Spark's listing rule: '_'-prefixed names are hidden UNLESS
+    # they contain '=' (so the checkpoint sink's `_bucket=N` layout is a
+    # real partition dir, while `_compacting`/`_SUCCESS` stay hidden)
+    return "=" in name and not name.startswith(".")
 
 
 def _is_data_file(name: str) -> bool:
@@ -133,7 +139,23 @@ def compact_sink(
     bytes rewritten. No-op (and cheap) when nothing is fragmented."""
     fs, HPath = _hadoop_fs(spark, sink_dir)
     staging = f"{sink_dir}/{STAGING}"
-    if fs.exists(HPath(staging)):  # leftover from a crashed pass
+    if fs.exists(HPath(staging)):
+        # leftover from a crashed pass. Staging is a REDO log: live dirs
+        # are only ever deleted AFTER the staged copy passed the count
+        # verify, so a staged partition whose live dir is missing is the
+        # sole (verified) copy — complete its swap before clearing the
+        # rest (which are pre-verify rewrite debris; their live dirs are
+        # intact).
+        for rel, _, _ in _walk_leaves(fs, HPath, staging):
+            live_p = HPath(f"{sink_dir}/{rel}")
+            if not fs.exists(live_p):
+                parent = live_p.getParent()
+                if not fs.exists(parent):
+                    fs.mkdirs(parent)
+                if not fs.rename(HPath(f"{staging}/{rel}"), live_p):
+                    raise RuntimeError(
+                        f"crash recovery rename failed: {staging}/{rel}"
+                    )
         fs.delete(HPath(staging), True)
 
     plans = [p for p in compaction_plan(spark, sink_dir, target_file_bytes) if p.fragmented]
