@@ -60,17 +60,19 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.validate:
-        from vector_spark.topology import (
-            TopologyError, compile_topology, load_toml, load_yaml,
-        )
+        from vector_spark.topology import compile_topology, load_toml, load_yaml
 
         if not args.topology:
             ap.error("--validate requires --topology CONFIG")
         load = load_toml if args.topology.endswith(".toml") else load_yaml
         try:
             compiled = compile_topology(load(args.topology))
-        except TopologyError as e:
-            print(json.dumps({"validated": False, "errors": str(e).split("; ")}))
+        except Exception as e:  # noqa: BLE001 — validate REPORTS any config
+            # failure (missing file, parse error, bad spec shape), exactly
+            # like `vector validate`; TopologyError carries one entry per
+            # error, anything else becomes a single typed entry
+            errors = getattr(e, "errors", None) or [f"{type(e).__name__}: {e}"]
+            print(json.dumps({"validated": False, "errors": errors}))
             sys.exit(78)  # EX_CONFIG, as `vector validate` exits nonzero
         print(json.dumps({
             "validated": True,
@@ -86,11 +88,27 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     if args.topology:
-        from vector_spark.topology import compile_topology, load_yaml
+        from vector_spark.topology import compile_topology, load_toml, load_yaml
 
-        topo = compile_topology(load_yaml(args.topology)).build(spark)
+        # same loader rule as --validate: a TOML config that validates
+        # must also run
+        load = load_toml if args.topology.endswith(".toml") else load_yaml
+        spec = load(args.topology)
+        topo = compile_topology(spec).build(spark)
         results = topo.run()
-        print(json.dumps({"sinks": {k: str(v) for k, v in results.items()}}))
+        out = {"sinks": {k: str(v) for k, v in results.items()}}
+        if args.compact:
+            from vector_spark.runtime import compact_sink
+
+            out["compaction"] = {
+                name: compact_sink(
+                    spark, cfg["path"],
+                    target_file_bytes=args.compact_target_bytes,
+                )
+                for name, cfg in spec.get("sinks", {}).items()
+                if cfg.get("type") == "parquet" and cfg.get("partition_by")
+            }
+        print(json.dumps(out))
         return
 
     from vector_spark.plans.pages import PAGE_ROUTES, parse_pages

@@ -168,3 +168,26 @@ def test_compact_recovers_mid_swap_crash(spark, tmp_path):
     assert after == before  # nothing lost, nothing duplicated
     assert report["partitions_compacted"] >= 3  # the other fragmented dirs
     assert all(n == 1 for n in _n_files(spark, sink).values())
+
+
+def test_compact_escaped_and_null_partition_values(spark, tmp_path):
+    """Partition values Spark escapes in dir names ('a b' -> day=a%20b) and
+    nulls (day=__HIVE_DEFAULT_PARTITION__) must round-trip through the
+    plan -> rewrite-join -> verify -> swap cycle. The rewrite join used to
+    compare the raw dir string against the live value, so these rows were
+    dropped and every pass failed verify after rewriting everything."""
+    sink = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [(i, "a b" if i % 3 == 0 else (None if i % 3 == 1 else "plain"))
+         for i in range(60)],
+        "id int, day string",
+    )
+    for _ in range(4):  # 4 resumed passes' worth of small files
+        df.repartition(2, "id").write.mode("append").partitionBy("day").parquet(sink)
+    before = sorted((r.id, r.day) for r in spark.read.parquet(sink).collect())
+
+    report = compact_sink(spark, sink)
+    assert report["partitions_compacted"] == 3
+    after = sorted((r.id, r.day) for r in spark.read.parquet(sink).collect())
+    assert after == before
+    assert all(n == 1 for n in _n_files(spark, sink).values())

@@ -1466,3 +1466,33 @@ def test_temperature_budgets_hand_math(spark):
     d = spark.createDataFrame(rows_, "doc_id long, lang string, text string")
     assert temperature_budgets(d, 300, temperature=1.0) == {"a": 60, "b": 240}
     assert temperature_budgets(d, 300, temperature=2.0) == {"a": 100, "b": 200}
+
+
+def test_ngram_jaccard_null_text_and_threshold_validation(spark):
+    """NULL text is treated as '' by every method (the bitmap kernel used
+    to TypeError on len(None), and a raw null gram would survive brute's
+    array_intersect yet vanish from the index methods' equi-joins, breaking
+    the IDENTICAL-output contract); threshold outside (0,1] is rejected up
+    front — at 0 every disjoint pair qualifies, which only an all-pairs
+    enumeration could emit."""
+    import pytest
+
+    from vector_spark.datapipe import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(0, "abcabc"), (1, None), (2, ""), (3, "abcabc")],
+        "doc_id int, text string",
+    )
+    got = {
+        m: sorted(rows(ngram_jaccard_pairs(df, threshold=0.3, method=m),
+                       "doc_a", "doc_b", "jaccard"))
+        for m in ("counts", "prefix", "brute", "bitmap")
+    }
+    assert got["counts"] == got["prefix"] == got["brute"] == got["bitmap"]
+    # null and "" both shingle to {""}: pair (1,2) is an exact dup, as is (0,3)
+    assert (1, 2, 1.0) in got["brute"] and (0, 3, 1.0) in got["brute"]
+    assert len(got["brute"]) == 2
+
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError, match="threshold"):
+            ngram_jaccard_pairs(df, threshold=bad)

@@ -824,3 +824,97 @@ def test_run_pipeline_validate_flag(tmp_path):
     assert r.returncode == 78
     out = _json.loads(r.stdout)
     assert out["validated"] is False and "nope" in out["errors"][0]
+
+
+def test_topology_error_carries_structured_errors():
+    """TopologyError.errors is one entry PER error — a user message that
+    itself contains '; ' (the ${VAR:?msg} flag) must not fragment when a
+    reporter lists the errors (run_pipeline --validate reads .errors
+    instead of re-splitting the joined string)."""
+    import pytest
+
+    from vector_spark.topology import TopologyError, interpolate_env
+
+    with pytest.raises(TopologyError) as ei:
+        interpolate_env("a: ${TOKEN:?set TOKEN; see docs}\nb: $MISSING", {})
+    errs = ei.value.errors
+    assert len(errs) == 2
+    assert any("set TOKEN; see docs" in e for e in errs)
+    assert str(ei.value) == "; ".join(errs)  # joined message unchanged
+
+
+def test_run_pipeline_validate_reports_parse_and_io_errors(tmp_path):
+    """--validate must REPORT (exit 78 + errors JSON), not traceback, the
+    common non-TopologyError failures: missing config file and YAML syntax
+    errors — `vector validate` reports those too."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    script = Path(__file__).resolve().parent.parent / "scripts" / "run_pipeline.py"
+
+    r = subprocess.run(
+        [_sys.executable, str(script), "--topology",
+         str(tmp_path / "nonexistent.yaml"), "--validate"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert r.returncode == 78, r.stderr
+    out = _json.loads(r.stdout)
+    assert out["validated"] is False and "FileNotFoundError" in out["errors"][0]
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("sources: [unclosed\n  nope: {")
+    r = subprocess.run(
+        [_sys.executable, str(script), "--topology", str(bad), "--validate"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert r.returncode == 78, r.stderr
+    out = _json.loads(r.stdout)
+    assert out["validated"] is False and len(out["errors"]) == 1
+
+
+def test_run_pipeline_runs_toml_topology_and_compacts(spark, tmp_path, capsys, monkeypatch):
+    """The run path must accept the same config formats --validate
+    certifies (TOML used to be validated with load_toml but RUN with
+    load_yaml), and --topology --compact must actually compact the
+    partitioned parquet sinks (the flag was silently ignored on the
+    topology branch)."""
+    import json as _json
+    import sys as _sys
+    from pathlib import Path
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import run_pipeline
+
+    out_dir = tmp_path / "routed"
+    cfg = tmp_path / "pipe.toml"
+    cfg.write_text(
+        "[sources.ev]\n"
+        'type = "inline"\n'
+        "rows = [[0, \"a\"], [1, \"b\"], [2, \"a\"], [3, \"b\"]]\n"
+        'schema = "id int, day string"\n'
+        "[sinks.out]\n"
+        'type = "parquet"\n'
+        'mode = "append"\n'
+        f'path = "{out_dir}"\n'
+        'inputs = ["ev"]\n'
+        'partition_by = ["day"]\n'
+    )
+    # pre-fragment the sink so the compaction pass has work to report
+    for _ in range(3):
+        spark.createDataFrame([(9, "a"), (8, "b")], "id int, day string") \
+            .repartition(2, "id").write.mode("append") \
+            .partitionBy("day").parquet(str(out_dir))
+
+    monkeypatch.setattr(
+        _sys, "argv",
+        ["run_pipeline.py", "--topology", str(cfg), "--compact"],
+    )
+    run_pipeline.main()
+    report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["sinks"]["out"] == str(out_dir)
+    comp = report["compaction"]["out"]
+    assert comp["partitions_compacted"] == 2
+    rows_after = spark.read.parquet(str(out_dir)).count()
+    assert rows_after == 4 + 6

@@ -186,11 +186,21 @@ def ngram_jaccard_pairs(
     At 100 TB none of these is the first tier — minhash_lsh_pairs is (its
     recall<1 trade documented there); this op is the exact-answer tool for
     bounded candidate sets and the oracle anchor for the approximate tiers.
+
+    NULL text is treated as "" (all methods, so the IDENTICAL-output
+    contract holds: a raw null gram would survive brute's array_intersect
+    but vanish from the index methods' equi-joins). threshold must be in
+    (0, 1]: at 0 every disjoint pair qualifies, which only the all-pairs
+    plans could emit — that is brute-force enumeration, not similarity
+    search.
     """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold!r}")
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1))),
-            lambda i: F.col(text_col).substr(i, F.lit(n)),
+            F.sequence(F.lit(1), F.greatest(F.length(txt) - (n - 1), F.lit(1))),
+            lambda i: txt.substr(i, F.lit(n)),
         )
     )
     docs = (
@@ -268,7 +278,11 @@ def ngram_jaccard_pairs(
         ),
     )
     t_pf = max(threshold - 5e-5, 0.0)  # rounding slack: see docstring
-    plen = F.col("_sz") - F.ceil(F.lit(t_pf) * F.col("_sz")) + 1
+    # -1e-9 before ceil: the float product can land 1 ulp ABOVE the exact
+    # integer (fl(t_pf*sz) = k+eps -> ceil k+1 instead of k), which would
+    # SHORTEN the prefix past the lemma's bound and drop a qualifying
+    # pair. The epsilon only ever lengthens the prefix (safe direction).
+    plen = F.col("_sz") - F.ceil(F.lit(t_pf) * F.col("_sz") - F.lit(1e-9)) + 1
     prefix = ranked.filter(F.col("_r") <= plen).select("_doc", "_gram")
     cand = (
         prefix.alias("pa")
@@ -327,7 +341,9 @@ def _bitmap_intersections(
         ensure_parallelism(df)
         .select(
             F.col(id_col).alias("_doc"),
-            F.col(text_col).alias("_txt"),
+            # null -> "" matches the expression path's coalesce (and keeps
+            # the Python shingler total: len(None) would TypeError)
+            F.coalesce(F.col(text_col), F.lit("")).alias("_txt"),
             F.pmod(F.xxhash64(id_col), F.lit(n_buckets)).cast("int").alias("_bkt"),
         )
     )
@@ -351,9 +367,10 @@ def _bitmap_intersections(
 
     t_pre = max(threshold - 1e-3, 0.0)  # loose: exact round-filter downstream
 
-    def grams(text: str) -> set:
+    def grams(text) -> set:
         # same semantics as the substr expression: positions 1..max(L-n+1,1),
         # trailing grams shorter than n (and "" for empty text) included
+        text = text or ""  # Arrow may still surface nulls as None
         return {text[i : i + n] for i in range(max(len(text) - n + 1, 1))}
 
     def block(key, l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:

@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -124,6 +125,19 @@ def _partition_cols(rel_path: str) -> list[str]:
     return [seg.split("=", 1)[0] for seg in rel_path.split("/")]
 
 
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _dir_value(raw: str) -> str | None:
+    """Invert Hive/Spark's escapePathName on a partition dir value: '%' is
+    itself always escaped (%25), so percent-decoding is a true inverse;
+    the null sentinel dir maps back to SQL NULL. Without this, any
+    partition value Spark escapes in dir names ('a b' -> a%20b) — or any
+    null — fails the rewrite join's string equality and the pass can
+    never verify."""
+    return None if raw == _HIVE_NULL else unquote(raw)
+
+
 def _counts_by_partition(df: DataFrame, cols: list[str]) -> dict[tuple, int]:
     rows = df.groupBy(*cols).count().collect()
     return {tuple(str(r[c]) for c in cols): r["count"] for r in rows}
@@ -183,11 +197,13 @@ def compact_sink(
     # binpack salt: bounds files-per-partition at target_files without a
     # window or sort. target is per-partition — broadcast the tiny plan.
     tgt = spark.createDataFrame(
-        [tuple(seg.split("=", 1)[1] for seg in p.rel_path.split("/")) + (p.target_files,)
+        [tuple(_dir_value(seg.split("=", 1)[1]) for seg in p.rel_path.split("/"))
+         + (p.target_files,)
          for p in plans],
-        [f"_t_{c}" for c in pcols] + ["_target"],
+        # explicit schema: an all-null partition column would defeat inference
+        ", ".join([f"`_t_{c}` string" for c in pcols] + ["_target int"]),
     )
-    cond = [live[c].cast("string") == tgt[f"_t_{c}"] for c in pcols]
+    cond = [live[c].cast("string").eqNullSafe(tgt[f"_t_{c}"]) for c in pcols]
     salted = (
         live.join(F.broadcast(tgt), cond, "inner")
         .withColumn(

@@ -54,7 +54,14 @@ from .operators.route import route as route_op
 
 class TopologyError(ValueError):
     """Config-time error (unknown input, cycle, bad type) — the analogue of
-    the reference's compile-phase errors (compiler.rs:9-117)."""
+    the reference's compile-phase errors (compiler.rs:9-117). `errors`
+    carries the individual messages structurally (one entry per error) so
+    CLI reporters never have to re-split the joined string — a message
+    that itself contains '; ' must not fragment."""
+
+    def __init__(self, msg: str, errors: list[str] | None = None):
+        super().__init__(msg)
+        self.errors = list(errors) if errors is not None else [msg]
 
 
 @dataclass
@@ -422,7 +429,7 @@ def _typecheck_kinds(sources, transforms, sinks, order, base) -> None:
     # sinks accept every kind, as in the reference's Node::Sink — no check
     if errors:
         errors = sorted(set(errors))
-        raise TopologyError("; ".join(errors))
+        raise TopologyError("; ".join(errors), errors)
 
 
 _ENV_INTERP = None  # compiled lazily: topology import must stay cheap
@@ -486,7 +493,8 @@ def interpolate_env(
 
     out = _ENV_INTERP.sub(sub, text)
     if errors:
-        raise TopologyError("; ".join(sorted(set(errors))))
+        uniq = sorted(set(errors))
+        raise TopologyError("; ".join(uniq), uniq)
     return out
 
 
