@@ -57,6 +57,11 @@ def main() -> None:
                          "without starting Spark (the `vector validate` "
                          "analogue: names, inputs, cycles, ports, event-kind "
                          "edges, env interpolation)")
+    ap.add_argument("--test", action="store_true",
+                    help="run the config's `tests:` blocks (the `vector test "
+                         "c.yaml` analogue, vector_spark.testing): inject "
+                         "inputs at insert_at, assert extract_from outputs; "
+                         "exit 1 on any failure")
     args = ap.parse_args()
 
     if args.validate:
@@ -86,6 +91,23 @@ def main() -> None:
 
     spark = get_spark("vector-spark-pipeline")
     spark.sparkContext.setLogLevel("WARN")
+
+    if args.test:
+        from vector_spark.testing import run_unit_tests
+        from vector_spark.topology import load_toml, load_yaml
+
+        if not args.topology:
+            ap.error("--test requires --topology CONFIG")
+        load = load_toml if args.topology.endswith(".toml") else load_yaml
+        spec = load(args.topology)
+        n_tests = len(spec.get("tests", []))
+        failures = run_unit_tests(spark, spec)
+        print(json.dumps({
+            "tests": n_tests,
+            "passed": n_tests - len({f.split(":", 1)[0] for f in failures}),
+            "failures": failures,
+        }))
+        sys.exit(1 if failures else 0)
 
     if args.topology:
         from vector_spark.topology import compile_topology, load_toml, load_yaml

@@ -918,3 +918,46 @@ def test_run_pipeline_runs_toml_topology_and_compacts(spark, tmp_path, capsys, m
     assert comp["partitions_compacted"] == 2
     rows_after = spark.read.parquet(str(out_dir)).count()
     assert rows_after == 4 + 6
+
+
+def test_run_pipeline_test_flag(spark, tmp_path, capsys, monkeypatch):
+    """--test = the `vector test c.yaml` CLI analogue: runs the config's
+    tests: blocks through vector_spark.testing.run_unit_tests, exit 0 when
+    green, exit 1 + failure strings when an assertion misses."""
+    import json as _json
+    import sys as _sys
+    from pathlib import Path
+
+    import pytest
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import run_pipeline
+
+    cfg = tmp_path / "suite.yaml"
+    cfg.write_text(
+        "transforms:\n"
+        "  only_errors: {type: filter, inputs: [x], condition: \"lvl = 'error'\"}\n"
+        "tests:\n"
+        "  - name: keeps errors\n"
+        "    insert_at: only_errors\n"
+        "    schema: 'id long, lvl string'\n"
+        "    inputs: [[1, error], [2, click]]\n"
+        "    outputs:\n"
+        "      - extract_from: only_errors\n"
+        "        conditions: [\"id = 1\"]\n"
+        "        count: 1\n"
+    )
+    monkeypatch.setattr(_sys, "argv", ["run_pipeline.py", "--topology", str(cfg), "--test"])
+    with pytest.raises(SystemExit) as ei:
+        run_pipeline.main()
+    assert ei.value.code == 0
+    report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report == {"tests": 1, "passed": 1, "failures": []}
+
+    cfg.write_text(cfg.read_text().replace("count: 1", "count: 2"))
+    monkeypatch.setattr(_sys, "argv", ["run_pipeline.py", "--topology", str(cfg), "--test"])
+    with pytest.raises(SystemExit) as ei:
+        run_pipeline.main()
+    assert ei.value.code == 1
+    report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["tests"] == 1 and report["passed"] == 0 and report["failures"]
