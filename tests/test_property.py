@@ -918,3 +918,51 @@ def test_ngram_jaccard_matches_set_model(spark, texts, thresh):
         got = sorted(_rows(ngram_jaccard_pairs(df, threshold=thresh, method=m),
                           "doc_a", "doc_b", "jaccard"))
         assert got == want, (m, texts, thresh)
+
+
+# --- exact n-gram Jaccard: the four regimes agree with a Python model ------
+
+_ngram_docs = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(alphabet="abcx ", max_size=12),
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(docs=_ngram_docs, threshold=st.sampled_from([0.25, 0.5, 0.6, 1.0]))
+@settings(**SETTINGS)
+def test_ngram_jaccard_all_methods_match_python_model(spark, docs, threshold):
+    """counts / prefix / bitmap / brute are IDENTICAL for any input
+    (nulls included — treated as "") and any threshold in (0,1], and all
+    match an independent Python trigram model. Pins the prefix-filter
+    lemma (incl. the float-ceil guard) and the null-text contract."""
+    from vector_spark.datapipe import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id int, text string"
+    )
+
+    def tri(s):
+        s = s or ""
+        return {s[i:i + 3] for i in range(max(len(s) - 2, 1))}
+
+    expect = []
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            ga, gb = tri(docs[a]), tri(docs[b])
+            j = round(len(ga & gb) / len(ga | gb), 4)
+            if j >= threshold:
+                expect.append((a, b, j))
+    expect.sort()
+
+    for method in ("counts", "prefix", "bitmap", "brute"):
+        got = sorted(
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in ngram_jaccard_pairs(
+                df, threshold=threshold, method=method
+            ).collect()
+        )
+        assert got == expect, (method, threshold, docs)
