@@ -62,7 +62,20 @@ def main() -> None:
                          "c.yaml` analogue, vector_spark.testing): inject "
                          "inputs at insert_at, assert extract_from outputs; "
                          "exit 1 on any failure")
+    ap.add_argument("--graph", action="store_true",
+                    help="print the --topology config as GraphViz DOT and "
+                         "exit without starting Spark (the `vector graph` "
+                         "analogue)")
     args = ap.parse_args()
+
+    if args.graph:
+        from vector_spark.topology import load_toml, load_yaml, topology_dot
+
+        if not args.topology:
+            ap.error("--graph requires --topology CONFIG")
+        load = load_toml if args.topology.endswith(".toml") else load_yaml
+        print(topology_dot(load(args.topology)), end="")
+        return
 
     if args.validate:
         from vector_spark.topology import compile_topology, load_toml, load_yaml

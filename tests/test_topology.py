@@ -961,3 +961,48 @@ def test_run_pipeline_test_flag(spark, tmp_path, capsys, monkeypatch):
     assert ei.value.code == 1
     report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["tests"] == 1 and report["passed"] == 0 and report["failures"]
+
+
+def test_topology_dot_rendering(tmp_path):
+    """topology_dot / --graph = the `vector graph` analogue: trapezium
+    sources, diamond transforms, invtrapezium sinks; port-qualified inputs
+    become labeled edges from the base component (graph.rs:99-150)."""
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    import pytest
+
+    from vector_spark.topology import TopologyError, topology_dot
+
+    spec = {
+        "sources": {"ev": {"type": "inline", "rows": [(1,)], "schema": "x int"}},
+        "transforms": {
+            "routed": {"type": "route", "inputs": ["ev"],
+                       "routes": {"errors": "x = 1"}},
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["routed.errors"]}},
+    }
+    dot = topology_dot(spec)
+    assert dot.startswith("digraph {\n") and dot.endswith("}\n")
+    assert '"ev" [shape=trapezium]' in dot
+    assert '"routed" [shape=diamond]' in dot
+    assert '"ev" -> "routed"' in dot
+    assert '"routed" -> "out" [label="errors"]' in dot
+    assert '"out" [shape=invtrapezium]' in dot
+
+    with pytest.raises(TopologyError):  # invalid specs must not render
+        topology_dot({"sources": {}, "sinks": {"s": {"inputs": ["nope"]}}})
+
+    script = Path(__file__).resolve().parent.parent / "scripts" / "run_pipeline.py"
+    cfg = tmp_path / "g.yaml"
+    cfg.write_text(
+        "sources:\n  ev: {type: inline, rows: [[1]], schema: 'x int'}\n"
+        "sinks:\n  out: {type: memory, inputs: [ev]}\n"
+    )
+    r = subprocess.run(
+        [_sys.executable, str(script), "--topology", str(cfg), "--graph"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.startswith("digraph {") and '"ev" -> "out"' in r.stdout

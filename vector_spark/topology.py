@@ -393,6 +393,34 @@ _TRANSFORM_KINDS: dict[str, tuple[frozenset, object]] = {
 }
 
 
+def topology_dot(spec: dict[str, Any]) -> str:
+    """GraphViz DOT rendering of a topology spec — the `vector graph`
+    analogue (/root/reference/src/graph.rs:80-150): sources as trapezium,
+    transforms as diamond, sinks as invtrapezium; a port-qualified input
+    (`routed.errors`) becomes an edge from the base component labeled with
+    the port. Compiles the spec first so only valid topologies render."""
+    compile_topology(spec)  # surface config errors with their real messages
+
+    def edge(ref: str, to: str) -> str:
+        comp, _, port = ref.partition(".")
+        if port:
+            return f'  "{comp}" -> "{to}" [label="{port}"]\n'
+        return f'  "{ref}" -> "{to}"\n'
+
+    dot = "digraph {\n"
+    for name in spec.get("sources", {}):
+        dot += f'  "{name}" [shape=trapezium]\n'
+    for name, cfg in spec.get("transforms", {}).items():
+        dot += f'  "{name}" [shape=diamond]\n'
+        for ref in cfg.get("inputs", []):
+            dot += edge(ref, name)
+    for name, cfg in spec.get("sinks", {}).items():
+        dot += f'  "{name}" [shape=invtrapezium]\n'
+        for ref in cfg.get("inputs", []):
+            dot += edge(ref, name)
+    return dot + "}\n"
+
+
 def _typecheck_kinds(sources, transforms, sinks, order, base) -> None:
     """Compile-time Log/Metric/Trace edge compatibility — errors BEFORE any
     Spark job, like the reference's graph typecheck, instead of a later
