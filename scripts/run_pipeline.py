@@ -66,7 +66,16 @@ def main() -> None:
                     help="print the --topology config as GraphViz DOT and "
                          "exit without starting Spark (the `vector graph` "
                          "analogue)")
+    ap.add_argument("--list", action="store_true",
+                    help="print the available component types as JSON and "
+                         "exit (the `vector list` analogue)")
     args = ap.parse_args()
+
+    if args.list:
+        from vector_spark.topology import component_types
+
+        print(json.dumps(component_types()))
+        return
 
     if args.graph:
         from vector_spark.topology import load_toml, load_yaml, topology_dot

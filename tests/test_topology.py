@@ -1006,3 +1006,29 @@ def test_topology_dot_rendering(tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert r.stdout.startswith("digraph {") and '"ev" -> "out"' in r.stdout
+
+
+def test_component_types_listing():
+    """component_types / --list = the `vector list` analogue (list.rs):
+    the transform listing is derived from the kind-typecheck registry, so
+    every transform the compiler typechecks is listed and vice versa."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    from vector_spark.topology import _TRANSFORM_KINDS, component_types
+
+    types = component_types()
+    assert set(types) == {"sources", "transforms", "sinks", "enrichment_tables"}
+    assert types["transforms"] == sorted(_TRANSFORM_KINDS)
+    assert {"remap", "filter", "route", "reduce", "aggregate"} <= set(types["transforms"])
+    assert "parquet" in types["sources"] and "parquet" in types["sinks"]
+
+    script = Path(__file__).resolve().parent.parent / "scripts" / "run_pipeline.py"
+    r = subprocess.run(
+        [_sys.executable, str(script), "--list"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert r.returncode == 0, r.stderr
+    assert _json.loads(r.stdout) == types

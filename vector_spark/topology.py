@@ -393,6 +393,25 @@ _TRANSFORM_KINDS: dict[str, tuple[frozenset, object]] = {
 }
 
 
+_SOURCE_TYPES = ("inline", "parquet", "parquet_stream", "table")
+_SINK_TYPES = ("file", "memory", "noop", "parquet")
+
+
+def component_types() -> dict[str, list[str]]:
+    """Available component types — the `vector list` analogue
+    (/root/reference/src/list.rs:24-40: sources/transforms/sinks/
+    enrichment_tables). Transforms come straight from the kind-typecheck
+    registry so the listing cannot drift from what compiles; enrichment
+    tables are the `enrich` transform's `table`/CSV-dim surface
+    (operators/enrich.py)."""
+    return {
+        "sources": sorted(_SOURCE_TYPES),
+        "transforms": sorted(_TRANSFORM_KINDS),
+        "sinks": sorted(_SINK_TYPES),
+        "enrichment_tables": ["csv_file", "dataframe", "geoip_mmdb"],
+    }
+
+
 def topology_dot(spec: dict[str, Any]) -> str:
     """GraphViz DOT rendering of a topology spec — the `vector graph`
     analogue (/root/reference/src/graph.rs:80-150): sources as trapezium,
