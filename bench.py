@@ -131,6 +131,7 @@ HEADLINE = [
     "multiline_haltwith",
     "decontaminate_semantic",
     "mixture_temperature",
+    "kn_perplexity",
     # round 4: oracle-checked flagship twins (north-rule criteria vs DuckDB)
     "pages_routed",
     "pages_sink_counts",
@@ -299,6 +300,7 @@ COMPOSITES = {
     "dataset_build",
     "dedup_substrings",
     "dedup_ngram_jaccard",
+    "kn_perplexity",
 }
 
 

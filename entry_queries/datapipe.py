@@ -244,6 +244,19 @@ def q_perplexity_bucket(spark, sf_dir):
     )
 
 
+def q_kn_perplexity(spark, sf_dir):
+    """Interpolated Kneser-Ney BIGRAM perplexity (the KenLM smoothing
+    family — lm.py:kn_perplexity) self-trained on the corpus with the
+    `<s>` begin-of-doc sentinel context. Thresholds are the sf0.01
+    terciles so the bucket column genuinely three-ways the corpus at
+    driver scale."""
+    from vector_spark.datapipe import kn_perplexity
+
+    return kn_perplexity(
+        _t(spark, sf_dir, "documents"), head=1.4648, middle=1.4753
+    )
+
+
 def q_dsir_resample(spark, sf_dir):
     """DSIR importance resampling (Xie et al. 2023): target unigram LM
     self-trained on the doc_id%7==0 "curated" slice, source LM on the full
@@ -1840,6 +1853,69 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
 """
 
+    # Kneser-Ney bigram oracle: same pairs (with <s> sentinel via the
+    # parallel-unnest zip idiom), same four vocabulary-bounded model
+    # tables, the identical fixed expression tree over integer counts and
+    # the binary-exact 0.75 discount, 6-dp log10 terms, DECIMAL sums.
+    sql["kn_perplexity"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id,
+         CASE WHEN i = 1 THEN '<s>' ELSE ws[i - 1] END AS prev,
+         w
+  FROM (
+    SELECT doc_id, ws,
+           unnest(ws) AS w,
+           unnest(generate_series(1, len(ws))) AS i
+    FROM toks
+  )
+),
+lm AS (SELECT prev, w, count(*) AS cnt FROM pairs GROUP BY 1, 2),
+ctx AS (
+  SELECT prev, CAST(sum(cnt) AS BIGINT) AS cp, CAST(count(*) AS BIGINT) AS nr
+  FROM lm GROUP BY 1
+),
+cont AS (SELECT w, CAST(count(*) AS BIGINT) AS nl FROM lm GROUP BY 1),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS b, CAST(count(DISTINCT w) AS BIGINT) AS v
+  FROM lm
+),
+terms AS (
+  SELECT p.doc_id,
+         CAST(round(log10(
+           CASE WHEN c.cp IS NOT NULL THEN
+             greatest(CAST(coalesce(l.cnt, 0) AS DOUBLE) - 0.75, 0.0)
+               / CAST(c.cp AS DOUBLE)
+             + 0.75 * CAST(c.nr AS DOUBLE) / CAST(c.cp AS DOUBLE)
+               * (CAST(coalesce(k.nl, 0) + 1 AS DOUBLE)
+                  / CAST(t.b + t.v AS DOUBLE))
+           ELSE CAST(coalesce(k.nl, 0) + 1 AS DOUBLE)
+                / CAST(t.b + t.v AS DOUBLE)
+           END), 6) AS DECIMAL(25,6)) AS term
+  FROM pairs p
+  LEFT JOIN lm l ON l.prev = p.prev AND l.w = p.w
+  LEFT JOIN ctx c ON c.prev = p.prev
+  LEFT JOIN cont k ON k.w = p.w, tot t
+),
+sc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         round(-(CAST(sum(term) AS DOUBLE)) / count(*), 4) AS nll
+  FROM terms GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(sc.n_words, 0) AS n_words,
+       sc.nll AS nll,
+       CASE WHEN sc.nll IS NULL THEN NULL
+            WHEN sc.nll <= 1.4648 THEN 'head'
+            WHEN sc.nll <= 1.4753 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+"""
+
     def _md5_u32(arg: str) -> str:
         h = f"md5({arg})"
         return "(" + " + ".join(
@@ -2532,6 +2608,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "pages_pipeline": q_pages_pipeline,
     "perplexity_bucket": q_perplexity_bucket,
+    "kn_perplexity": q_kn_perplexity,
     "pii_scrub": q_pii_scrub,
     "quality_classifier": q_quality_classifier,
     "quality_gopher": q_quality_gopher,

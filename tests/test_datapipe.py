@@ -891,6 +891,94 @@ def test_perplexity_score_buckets_and_external_lm(spark):
     assert got[0].nll < got[1].nll  # OOV doc scores worse, not crashes
 
 
+def _kn_python_model(doc_tokens, lm_tokens, discount=0.75, head=2.0, middle=2.3):
+    """Independent interpolated-KN bigram reference: Chen & Goodman eq.
+    4.26 with the Laplace-floored continuation distribution, the <s>
+    sentinel, and the repo's exact rounding conventions (6-dp HALF_UP
+    log10 terms, exact Decimal sum, 4-dp HALF_UP mean)."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def rnd(x, q):
+        return Decimal(repr(x)).quantize(Decimal(q), ROUND_HALF_UP)
+
+    lm, cp, nr, nl = Counter(), Counter(), Counter(), Counter()
+    for ws in lm_tokens:
+        prev = "<s>"
+        for w in ws:
+            lm[(prev, w)] += 1
+            prev = w
+    for (p, w), c in lm.items():
+        cp[p] += c
+        nr[p] += 1
+        nl[w] += 1
+    b, v = len(lm), len({w for _, w in lm})
+
+    def prob(p, w):
+        pc = (nl.get(w, 0) + 1) / (b + v)
+        if p not in cp:
+            return pc
+        c = lm.get((p, w), 0)
+        return max(c - discount, 0.0) / cp[p] + discount * nr[p] / cp[p] * pc
+
+    out = {}
+    for i, ws in doc_tokens.items():
+        if not ws:
+            out[i] = (0, None, None)
+            continue
+        s, prev = Decimal(0), "<s>"
+        for w in ws:
+            s += rnd(math.log10(prob(prev, w)), "0.000001")
+            prev = w
+        nll = float(rnd(-float(s) / len(ws), "0.0001"))
+        bucket = "head" if nll <= head else ("middle" if nll <= middle else "tail")
+        out[i] = (len(ws), nll, bucket)
+    return out
+
+
+def test_kn_perplexity_matches_python_model(spark):
+    """Self-trained and external-LM (OOV context -> continuation-only
+    branch) paths both equal the independent python KN model exactly;
+    zero-token docs get null nll/bucket."""
+    from vector_spark.datapipe import bigram_lm, kn_perplexity
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat"),
+        (2, "a dog ran fast"),
+        (3, "the dog sat on a mat"),
+        (4, "   "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = {i: [w for w in t.lower().split() if w] for i, t in rows}
+
+    got = {
+        r.doc_id: (r.n_words, r.nll, r.bucket)
+        for r in kn_perplexity(docs, head=1.0, middle=1.2).collect()
+    }
+    want = _kn_python_model(toks, [ws for ws in toks.values() if ws],
+                            head=1.0, middle=1.2)
+    assert got == want
+    assert got[4] == (0, None, None)
+    # common-bigram doc scores lower NLL than the rarest-bigram doc
+    assert got[1][1] < got[2][1]
+
+    # external LM: doc 2's "ran fast"/"fast ..." contexts are unseen ->
+    # the continuation-only branch must fire and still match the model
+    lm_rows = [(0, "the cat sat on the mat"), (1, "a dog sat")]
+    ext_lm = bigram_lm(spark.createDataFrame(lm_rows, "i long, text string"))
+    got_ext = {
+        r.doc_id: (r.n_words, r.nll, r.bucket)
+        for r in kn_perplexity(docs, lm=ext_lm, head=1.0, middle=1.2).collect()
+    }
+    want_ext = _kn_python_model(
+        toks, [[w for w in t.lower().split()] for _, t in lm_rows],
+        head=1.0, middle=1.2,
+    )
+    assert got_ext == want_ext
+
+
 def test_corpus_build_stage_gating(spark):
     """Exact duplicates drop at stage 1 (higher id never packs), an
     all-negative model keeps nothing, and with an all-positive model +

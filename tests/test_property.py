@@ -966,3 +966,35 @@ def test_ngram_jaccard_all_methods_match_python_model(spark, docs, threshold):
             ).collect()
         )
         assert got == expect, (method, threshold, docs)
+
+
+_kn_texts = st.lists(
+    st.lists(st.sampled_from(["the", "cat", "sat", "dog", "ran", "a"]),
+             min_size=0, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=_kn_texts)
+@settings(**SETTINGS)
+def test_kn_perplexity_matches_python_model(spark, texts):
+    """Self-trained interpolated-KN bigram scores equal an independent
+    python model (Chen & Goodman eq. 4.26 + Laplace continuation floor)
+    for ANY corpus, including empty docs and repeated bigrams — pins the
+    <s> sentinel, both CASE branches, and the rounding conventions."""
+    from test_datapipe import _kn_python_model
+
+    from vector_spark.datapipe import kn_perplexity
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.n_words, r.nll, r.bucket)
+        for r in kn_perplexity(df, head=1.0, middle=1.5).collect()
+    }
+    toks = {i: [w for w in t.split() if w] for i, t in rows}
+    want = _kn_python_model(
+        toks, [ws for ws in toks.values() if ws], head=1.0, middle=1.5
+    )
+    assert got == want

@@ -25,7 +25,14 @@ from .corpus import (
     temperature_budgets,
 )
 from .urls import url_filter, url_normalize_exprs
-from .lm import importance_resample, importance_weights, perplexity_score, unigram_lm
+from .lm import (
+    bigram_lm,
+    importance_resample,
+    importance_weights,
+    kn_perplexity,
+    perplexity_score,
+    unigram_lm,
+)
 from .html import extract_html_text, html_text_expr
 from .graph import pagerank
 from .robots import parse_robots_rules, robots_filter
@@ -49,7 +56,7 @@ __all__ = [
     "temperature_budgets",
     "url_filter", "url_normalize_exprs",
     "perplexity_score", "unigram_lm", "extract_html_text", "html_text_expr",
-    "importance_weights", "importance_resample",
+    "importance_weights", "importance_resample", "bigram_lm", "kn_perplexity",
     "quality_classifier", "hashed_features", "feature_bucket",
     "boilerplate_blocks",
 ]

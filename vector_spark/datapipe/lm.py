@@ -154,6 +154,136 @@ def importance_resample(
     )
 
 
+def bigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Bigram counts over the corpus with a `<s>` begin-of-document
+    sentinel context for each document's first token: (prev, w) -> cnt.
+
+    Plan: the pair stream is built in-row (one `transform` over the token
+    array — no self-join, no lag window), then ONE exchange keyed by
+    (prev, w) with map-side partial aggregation, so the shuffle is bounded
+    by the distinct-bigram vocabulary (KenLM's model size), never the
+    corpus token count. The `<s>` sentinel is lowercase-proof (tokens are
+    lowercased, the sentinel is not a lowercase word boundary collision
+    risk for natural text; disclosed)."""
+    d = df.select(_tokens(F.col(text_col)).alias("_ws")).filter(F.size("_ws") > 0)
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "transform(_ws, (x, i) -> struct("
+                "CASE WHEN i = 0 THEN '<s>' ELSE _ws[i-1] END AS prev, x AS w))"
+            )
+        ).alias("p")
+    ).select("p.prev", "p.w")
+    return pairs.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def kn_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lm: DataFrame | None = None,
+    discount: float = 0.75,
+    head: float = 2.0,
+    middle: float = 2.3,
+) -> DataFrame:
+    """Per-document perplexity under an INTERPOLATED KNESER-NEY bigram
+    model — the actual smoothing family KenLM implements (Kneser & Ney
+    1995; Chen & Goodman 1999 eq. 4.26), upgrading perplexity_score's
+    disclosed unigram analogue to a real conditional LM:
+
+      p(w|prev) = max(c(prev,w) - D, 0) / c(prev)
+                  + D * N1+(prev,*) / c(prev) * p_cont(w)
+      p_cont(w) = (N1+(*,w) + 1) / (B + V)     (Laplace floor so OOV
+                                                tokens score finitely;
+                                                disclosed deviation from
+                                                the unsmoothed KN lower
+                                                order)
+      unseen context: p(w|prev) = p_cont(w)
+
+    where D = `discount` (KenLM's default absolute discount family; 0.75
+    is binary-exact so both engines see the identical double), c(prev) is
+    the context token count, N1+(prev,*) the distinct continuations of
+    `prev`, N1+(*,w) the distinct left-contexts of `w`, B the distinct
+    bigram count and V the continuation vocabulary. Every document's
+    first token is conditioned on the `<s>` sentinel (trained the same
+    way by bigram_lm).
+
+    Output: (id_col, n_words, nll, bucket) — the perplexity_score shape:
+    nll = round(-(DECIMAL-exact sum of 6-dp-rounded log10 p terms)/n, 4),
+    CCNet head/middle/tail buckets against caller thresholds.
+
+    100 TB plan: the four model tables (bigrams + the three aggregations
+    OF the bigram table) are vocabulary-bounded and broadcast; the token
+    stream never shuffles — the only corpus-sized exchange carries ONE
+    row per document (the partial-agg per-doc sum). Engine-exactness:
+    p is a single fixed expression tree over integer counts and the
+    binary-exact discount, evaluated identically in the DuckDB oracle;
+    log10 at 6-dp rounding is the proven-safe house rule."""
+    from ..session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    if lm is None:
+        lm = bigram_lm(df, text_col)
+    ctx = lm.groupBy("prev").agg(
+        F.sum("cnt").cast("long").alias("_cp"),
+        F.count(F.lit(1)).cast("long").alias("_nr"),
+    )
+    cont = lm.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("_nl"))
+    totals = lm.agg(
+        F.count(F.lit(1)).cast("long").alias("_b"),
+        F.count_distinct("w").cast("long").alias("_v"),
+    )
+    d = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("_ws"))
+    pairs = d.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(_ws, (x, i) -> struct("
+                "CASE WHEN i = 0 THEN '<s>' ELSE _ws[i-1] END AS prev, x AS w))"
+            )
+        ).alias("p"),
+    ).select(id_col, "p.prev", "p.w")
+    dd = F.lit(float(discount))
+    p_cont = (F.coalesce(F.col("_nl"), F.lit(0)) + F.lit(1)).cast("double") / (
+        F.col("_b") + F.col("_v")
+    ).cast("double")
+    p_seen = (
+        F.greatest(F.col("cnt").cast("double") - dd, F.lit(0.0))
+        / F.col("_cp").cast("double")
+    ) + (dd * F.col("_nr").cast("double") / F.col("_cp").cast("double")) * p_cont
+    p = F.when(F.col("_cp").isNotNull(), p_seen).otherwise(p_cont)
+    scored = (
+        pairs.join(F.broadcast(lm), ["prev", "w"], "left")
+        .join(F.broadcast(ctx), "prev", "left")
+        .join(F.broadcast(cont), "w", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.round(F.log10(p), 6).cast("decimal(25,6)").alias("term"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("term").alias("_s"),
+        )
+    )
+    nll = F.round(-(F.col("_s").cast("double")) / F.col("n_words").cast("double"), 4)
+    return (
+        df.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_words"), F.lit(0).cast("long")).alias("n_words"),
+            nll.alias("nll"),
+            F.when(nll.isNull(), F.lit(None).cast("string"))
+            .when(nll <= head, F.lit("head"))
+            .when(nll <= middle, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
 def perplexity_score(
     df: DataFrame,
     text_col: str = "text",
