@@ -137,6 +137,8 @@ HEADLINE = [
     "pages_sink_counts",
     # round 4: exact n-gram Jaccard tier moved off the O(n^2) theta-join
     "dedup_ngram_jaccard",
+    # round 4: Manku WWW'07 hamming-ball near-dup (block-combination join)
+    "dedup_simhash_hamming",
 ]
 
 

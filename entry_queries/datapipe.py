@@ -47,6 +47,19 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_simhash_hamming(spark, sf_dir):
+    """Manku WWW'07 Hamming-distance near-dup pairs (6 blocks / C(6,3)=20
+    combination keys over a 32-bit simhash, d<=3). The oracle is the
+    brute-force all-pairs formulation — the pigeonhole theorem says the
+    banded join must reproduce it exactly, so the oracle doubles as a
+    recall proof."""
+    from vector_spark.datapipe import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3, bits=32, n_blocks=6
+    )
+
+
 def q_c4_line_filter(spark, sf_dir):
     """C4 line-wise cleaning over deterministically synthesized multi-line
     pages: the single-line testdata docs are re-lined into 5-word lines,
@@ -1353,6 +1366,18 @@ WHERE r.doc_id IS NULL
 """
     sql["dedup_simhash"] = _simhash_sql()
 
+    # independent formulation on purpose: the Spark side joins on the 20
+    # Manku block-combination keys; the oracle recomputes the pair set by
+    # brute force (all-pairs xor/bit_count). Equality IS the pigeonhole
+    # recall theorem for this fingerprint family.
+    sql["dedup_simhash_hamming"] = f"""
+WITH fp AS ({_simhash_sql(32)})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
     # independent formulation on purpose: DuckDB ranks occurrences with a
     # window (row_number over the span), Spark detects firsts with a
     # groupBy-min + join — same answer, different engines' idioms.
@@ -2582,6 +2607,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_hamming": q_dedup_simhash_hamming,
     "dedup_spans": q_dedup_spans,
     "dedup_substrings": q_dedup_substrings,
     "c4_line_filter": q_c4_line_filter,

@@ -88,6 +88,52 @@ def test_simhash_identical_equal_distinct_differs(spark):
     assert all(0 <= v < (1 << 16) for v in got.values())
 
 
+def _brute_hamming_pairs(fps: dict, d: int):
+    ids = sorted(fps)
+    return {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(fps[a] ^ fps[b]).count("1") <= d
+    }
+
+
+def test_simhash_hamming_pairs_equals_brute_force(spark):
+    from vector_spark.datapipe import simhash_hamming_pairs
+
+    # 24 docs over a 6-word vocabulary: dense near-dup structure
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    docs = [
+        (i, " ".join(vocab[j] for j in range(6) if (i >> j) % 2 or j < 2))
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = {r.doc_id: r.simhash for r in simhash(df, bits=32).collect()}
+    brute = _brute_hamming_pairs(fps, 3)
+    got6 = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_hamming_pairs(df, max_hamming=3, bits=32, n_blocks=6).collect()
+    }
+    # pigeonhole recall theorem: banded join == brute force, exactly
+    assert got6 == brute
+    # degenerate single-block scheme (n_blocks = d+1) finds the same set
+    got4 = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_hamming_pairs(df, max_hamming=3, bits=32, n_blocks=4).collect()
+    }
+    assert got4 == brute
+    # a planted exact-duplicate pair must surface at hamming 0
+    df2 = spark.createDataFrame(
+        [(100, "same words here"), (101, "same words here")] + docs,
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_hamming_pairs(df2, max_hamming=3, bits=32, n_blocks=6).collect()
+    }
+    assert out[(100, 101)] == 0
+
+
 def test_text_quality_exact(spark):
     df = spark.createDataFrame([(1, "the cat and the hat")], "doc_id long, text string")
     r = text_quality(df).collect()[0]

@@ -558,3 +558,23 @@ def test_ngram_jaccard_plan_shape(spark):
         plan = plan_of(ngram_jaccard_pairs(df, threshold=0.5, method=m))
         assert "CartesianProduct" not in plan, m
         assert "BroadcastNestedLoopJoin" not in plan, m
+
+
+def test_simhash_hamming_pairs_plan_banded_equi_join(spark):
+    """The Manku candidate join is a plain hash EQUI-join on the
+    (combo_idx, combo_bits) key — no cartesian / nested-loop fallback —
+    and the join inputs carry (id, fingerprint, key) only: the document
+    text column is pruned before the exchange."""
+    from vector_spark.datapipe import simhash_hamming_pairs
+
+    df = spark.createDataFrame(
+        [(i, "w%d w%d w%d" % (i % 5, (i // 2) % 5, i % 3)) for i in range(60)],
+        "doc_id long, text string",
+    )
+    plan = plan_of(simhash_hamming_pairs(df, max_hamming=3, bits=32, n_blocks=6))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # text is pruned out before any exchange: no shuffle carries it
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line

@@ -998,3 +998,46 @@ def test_kn_perplexity_matches_python_model(spark, texts):
         toks, [ws for ws in toks.values() if ws], head=1.0, middle=1.5
     )
     assert got == want
+
+
+docs_texts = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=1, max_size=5),
+    min_size=2,
+    max_size=10,
+).map(lambda ws: [(i, " ".join(w)) for i, w in enumerate(ws)])
+
+
+def _py_simhash(text: str, bits: int = 32) -> int:
+    """Independent Python model of the md5-hex-parity simhash family."""
+    import hashlib
+
+    hs = [hashlib.md5(t.encode()).hexdigest() for t in dict.fromkeys(text.split(" "))]
+    fp = 0
+    for j in range(bits):
+        vote = sum(1 if int(h[j], 16) % 2 else -1 for h in hs)
+        if vote > 0:
+            fp |= 1 << j
+    return fp
+
+
+@given(docs=docs_texts, d=st.sampled_from([1, 3]))
+@settings(**SETTINGS)
+def test_simhash_hamming_pairs_match_python_model(spark, docs, d):
+    """Manku banded join == brute force over an independent Python
+    simhash model, for any corpus and either block plan."""
+    from vector_spark.datapipe import simhash_hamming_pairs
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = {i: _py_simhash(t) for i, t in docs}
+    ids = sorted(fps)
+    brute = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(fps[a] ^ fps[b]).count("1") <= d
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_hamming_pairs(df, max_hamming=d, bits=32, n_blocks=d + 3).collect()
+    }
+    assert got == brute

@@ -5,6 +5,7 @@ from .dedup import (
     connected_components, dedup_clusters, dedup_ladder, dedup_spans,
     dedup_substrings,
     exact_dedup, incremental_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, shingle_docs, simhash,
+    simhash_hamming_pairs,
 )
 from .similarity import (
     cosine_topk,
@@ -39,7 +40,7 @@ from .robots import parse_robots_rules, robots_filter
 from .multimodal import binary_meta, extract_features, frame_sample, resize_image
 
 __all__ = [
-    "exact_dedup", "dedup_substrings", "dedup_ladder", "dedup_spans", "shingle_docs", "minhash_lsh_pairs", "ngram_jaccard_pairs", "simhash",
+    "exact_dedup", "dedup_substrings", "dedup_ladder", "dedup_spans", "shingle_docs", "minhash_lsh_pairs", "ngram_jaccard_pairs", "simhash", "simhash_hamming_pairs",
     "bloom_filter_build", "bloom_filter_probe",
     "count_min_build", "count_min_estimate", "count_min_merge", "heavy_hitters",
     "hll_sketch", "hll_merge", "hll_estimate",

@@ -123,6 +123,103 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     return df.select(F.col(id_col), out.alias("simhash"))
 
 
+def _hamming_block_plan(
+    bits: int, n_blocks: int, max_hamming: int
+) -> list[tuple[int, list[tuple[int, int]]]]:
+    """The Manku block-combination key plan: one entry per
+    (n_blocks - max_hamming)-subset of blocks, as
+    (combo_idx, [(bit_offset, bit_width), ...]). Blocks are nearly equal
+    width (the first bits % n_blocks blocks get the extra bit)."""
+    from itertools import combinations
+
+    widths = [bits // n_blocks + (1 if i < bits % n_blocks else 0) for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+    combo_size = n_blocks - max_hamming
+    plan = []
+    for ci, combo in enumerate(combinations(range(n_blocks), combo_size)):
+        plan.append((ci, [(offsets[b], widths[b]) for b in combo]))
+    return plan
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    n_blocks: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs within Hamming distance `max_hamming` of each
+    other's SimHash fingerprint — the Manku/Jain/Sarma WWW'07 web-crawl
+    dedup algorithm ("Detecting Near-Duplicates for Web Crawling"), the
+    near tier the reference's dedupe transform (src/transforms/dedupe)
+    leaves to offline jobs.
+
+    Candidate generation is the pigeonhole block-combination trick, never
+    all-pairs: split the b-bit fingerprint into `n_blocks` nearly-equal
+    contiguous blocks. A pair at Hamming distance <= d differs in at most d
+    blocks, so it agrees EXACTLY on some (n_blocks - d)-subset; candidates
+    are an equi-join on (combo_idx, packed bits of that subset), one join
+    key per C(n_blocks, n_blocks-d) combination — Manku's production scheme
+    (6 blocks / 20 tables for d=3 at 64 bits). Verification is
+    bit_count(xor) on the joined fingerprints; the theorem makes recall
+    exact, so output equals the brute-force pair set (which is exactly how
+    the oracle recomputes it).
+
+    100 TB scale: the exploded join input is C(n_blocks, n_blocks-d) small
+    rows per doc carrying (id, fingerprint, combo key) — text never leaves
+    the scan. Key width grows with combo size (default 6 blocks -> ~16-bit
+    keys from 32-bit fingerprints), so bucket occupancy falls exponentially
+    with corpus entropy; residual hot keys (e.g. all-zero fingerprints from
+    empty docs) are AQE-skew-splittable plain equi-joins. The pair-distinct
+    is one shuffle on (doc_a, doc_b). Default n_blocks = max_hamming + 1
+    degenerates to the single-block pigeonhole (combo size 1).
+    """
+    assert bits <= 32, "md5 hex-digit vote family provides at most 32 bits"
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    assert max_hamming < n_blocks <= bits
+    fp = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
+
+    def packed_key(combo: list[tuple[int, int]]) -> Column:
+        key = F.lit(0).cast("long")
+        shift = 0
+        for off, width in combo:
+            blk = F.shiftright("simhash", off).bitwiseAND(F.lit((1 << width) - 1))
+            key = key + F.shiftleft(blk, shift)
+            shift += width
+        return key
+
+    plan = _hamming_block_plan(bits, n_blocks, max_hamming)
+    keys = fp.select(
+        F.col(id_col).alias("doc"),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(ci).alias("combo_idx"), packed_key(combo).alias("combo_bits"))
+                for ci, combo in plan
+            ])
+        ).alias("k"),
+    ).select("doc", "simhash", "k.combo_idx", "k.combo_bits")
+    left = keys.select(
+        F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a"), "combo_idx", "combo_bits"
+    )
+    right = keys.select(
+        F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b"), "combo_idx", "combo_bits"
+    )
+    return (
+        left.join(right, ["combo_idx", "combo_bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("bit_count(sh_a ^ sh_b)").cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.6,
