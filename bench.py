@@ -139,6 +139,10 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     # round 4: Manku WWW'07 hamming-ball near-dup (block-combination join)
     "dedup_simhash_hamming",
+    # round 4: link harvest (scan-speed explode) + authority over the
+    # REAL extracted host graph (crawl -> link graph -> pagerank)
+    "extract_links",
+    "link_pagerank",
 ]
 
 

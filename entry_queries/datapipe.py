@@ -714,6 +714,133 @@ def q_pagerank(spark, sf_dir):
     return pagerank(docs, edges, iterations=3, damping_pct=85, out_deg=4, id_col="doc_id")
 
 
+def _planted_link_pages(spark, sf_dir):
+    """documents -> pages with deterministically planted anchors, the
+    extract_links/link_pagerank fixture. Every page carries 5 anchor
+    elements exercising the whole resolution matrix: [0] absolute
+    external with a tracking param + unsorted query, [1] single-quoted
+    site-absolute path with a nested tag in the anchor text, [2] junk
+    (#fragment / mailto: / javascript: round-robin — must be dropped),
+    [3] bare relative path (resolved against the /d/{id}/ base dir),
+    [4] protocol-relative CDN asset. Hosts alternate 2-label .com and
+    4-label www.*.co.uk so dst_domain exercises the ccTLD rule. All
+    derivations are doc_id arithmetic — the DuckDB oracle rebuilds the
+    expected LINK ROWS directly from the same arithmetic (ground truth
+    by construction, zero regex), so the Spark side's extraction +
+    resolution + normalization is what gets verified."""
+    i = F.col("doc_id")
+    s = lambda e: F.expr(e).cast("string")  # noqa: E731
+    scheme = F.when(i % 4 == 0, F.lit("http")).otherwise(F.lit("https"))
+    sidx = s("(doc_id div 7) % 23")
+    host = F.when(
+        i % 5 == 0, F.concat(F.lit("www.site"), sidx, F.lit(".co.uk"))
+    ).otherwise(F.concat(F.lit("site"), sidx, F.lit(".com")))
+    junk = (
+        F.when(i % 3 == 0, F.lit('<a href="#frag">top</a>'))
+        .when(i % 3 == 1, F.lit('<a href="mailto:a@b.c">mail</a>'))
+        .otherwise(F.lit('<a href="javascript:void(0)">js</a>'))
+    )
+    html = F.concat(
+        F.lit("<html><body><p>intro</p>"),
+        F.lit('<a href="https://ext'), s("(doc_id div 3) % 11"),
+        F.lit(".org/a/"), s("doc_id % 97"),
+        F.lit('?utm_campaign=c&z=9&a=1">Ref '), s("doc_id"), F.lit("</a> mid "),
+        F.lit("<a href='/p/"), s("doc_id % 9"), F.lit("'>sec <i>"),
+        s("doc_id % 3"), F.lit("</i></a>"),
+        junk,
+        F.lit('<a href="rel'), s("doc_id % 4"), F.lit('.html">Rel '),
+        s("doc_id % 5"), F.lit("</a>"),
+        F.lit("<a href='//cdn"), s("doc_id % 5"), F.lit(".net/l.js'>cdn</a>"),
+        F.lit("<a name='x'>no href</a></body></html>"),
+    )
+    url = F.concat(scheme, F.lit("://"), host, F.lit("/d/"), s("doc_id"), F.lit("/index.html"))
+    return _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"), html.alias("html"))
+
+
+def q_extract_links(spark, sf_dir):
+    """Hyperlink harvest: anchor elements -> href + tag-stripped anchor
+    text -> RFC 3986 resolution against the page URL -> canonicalized
+    dst (tracking params dropped, query sorted, registrable domain).
+    Scan-speed pure expressions; the oracle is the by-construction
+    ground truth (opposite formulations — see _planted_link_pages)."""
+    from vector_spark.datapipe import extract_links
+
+    return extract_links(_planted_link_pages(spark, sf_dir), keep_cols=("doc_id",)).select(
+        "doc_id", "link_pos", "src_host", "dst_url", "dst_host",
+        "dst_domain", "anchor", "is_internal",
+    )
+
+
+def q_link_pagerank(spark, sf_dir):
+    """Crawl -> link graph -> authority: host-level edges from the REAL
+    extracted links (self-loops = intra-site links kept), fixed-point
+    integer PageRank (3 rounds, damping 85%) over the union node set.
+    The oracle rebuilds the edge multiset from the fixture arithmetic and
+    unrolls the same integer rounds with the true out-degree join."""
+    from vector_spark.datapipe import extract_links, pagerank
+
+    links = extract_links(_planted_link_pages(spark, sf_dir))
+    edges = links.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+    nodes = edges.select(F.col("src").alias("host")).union(
+        edges.select(F.col("dst").alias("host"))
+    ).distinct()
+    return pagerank(nodes, edges, iterations=3, damping_pct=85, id_col="host")
+
+
+def q_anchor_texts(spark, sf_dir):
+    """Anchor-text dataset from the REAL extracted links: per destination
+    host, in-link volume, distinct anchor vocabulary, and the top-3
+    anchors (count DESC, anchor ASC — binary-order tie-break). The oracle
+    aggregates the by-construction link rows with DuckDB's ordered-list
+    idiom (list(... ORDER BY)[1:3]) vs Spark's struct-sort fold —
+    independent formulations of the same top-k."""
+    from vector_spark.datapipe import anchor_stats, extract_links
+
+    return anchor_stats(
+        extract_links(_planted_link_pages(spark, sf_dir)), by="dst_host", k=3
+    )
+
+
+def q_crawl_frontier(spark, sf_dir):
+    """Frontier expansion: distinct not-yet-crawled URLs referenced by the
+    corpus, ranked by reference count + distinct referring hosts, capped
+    at 2 per destination host. The 'already crawled' set = the fixture
+    pages PLUS their /p/ section pages, so the anti-join really removes
+    the pos-1 targets (not just the trivially-new rest)."""
+    from vector_spark.datapipe import crawl_frontier, extract_links
+
+    pages = _planted_link_pages(spark, sf_dir)
+    sec = pages.select(
+        F.concat(
+            F.regexp_extract("url", r"^(https?://[^/]+)/", 1),
+            F.lit("/p/"),
+            (F.col("doc_id") % 9).cast("string"),
+        ).alias("url")
+    )
+    corpus_urls = pages.select("url").unionByName(sec)
+    return crawl_frontier(
+        extract_links(pages), corpus_urls, per_host_cap=2
+    )
+
+
+def q_harmonic_centrality(spark, sf_dir):
+    """HyperBall truncated harmonic centrality (radius 2, p=12) over the
+    host graph of the REAL extracted links — the Common Crawl host-rank
+    recipe. The oracle computes the EXACT in-balls with unrolled joins
+    over the by-construction edge set, sketches them with the identical
+    md5 register math, and applies the same integer shell arithmetic:
+    register-max merging is lossless, so the iterated Spark state must
+    equal the sketch of the exact ball, hash-exactly."""
+    from vector_spark.datapipe import extract_links, harmonic_centrality
+
+    links = extract_links(_planted_link_pages(spark, sf_dir))
+    edges = links.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+    nodes = edges.select(F.col("src").alias("host")).union(
+        edges.select(F.col("dst").alias("host"))
+    ).distinct()
+    return harmonic_centrality(nodes, edges, radius=2, id_col="host")
+
+
 def q_bpe_pair_counts(spark, sf_dir):
     """One BPE-training merge round: corpus-wide adjacent-char pair counts
     weighted by word frequency; rank 1 = the merge BPE performs next."""
@@ -2217,6 +2344,185 @@ r0 AS (SELECT id, CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS r FROM 
         + "\nSELECT id AS doc_id, r AS pagerank FROM i3\n"
     )
 
+    # extract_links / link_pagerank: the oracle rebuilds the expected link
+    # rows directly from the fixture arithmetic (_planted_link_pages) —
+    # ground truth by construction, no regex — so the Spark side's anchor
+    # extraction, href resolution, and URL normalization are what is tested.
+    _link_parts = """
+p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN 'http' ELSE 'https' END AS scheme,
+         CASE WHEN doc_id % 5 = 0
+              THEN 'www.site' || CAST((doc_id // 7) % 23 AS VARCHAR) || '.co.uk'
+              ELSE 'site' || CAST((doc_id // 7) % 23 AS VARCHAR) || '.com' END AS host,
+         CASE WHEN doc_id % 5 = 0
+              THEN 'site' || CAST((doc_id // 7) % 23 AS VARCHAR) || '.co.uk'
+              ELSE 'site' || CAST((doc_id // 7) % 23 AS VARCHAR) || '.com' END AS dom,
+         'ext' || CAST((doc_id // 3) % 11 AS VARCHAR) || '.org' AS exthost,
+         'cdn' || CAST(doc_id % 5 AS VARCHAR) || '.net' AS cdnhost
+  FROM documents
+)"""
+    sql["extract_links"] = f"""
+WITH {_link_parts}
+SELECT doc_id, 0 AS link_pos, host AS src_host,
+       'https://' || exthost || '/a/' || CAST(doc_id % 97 AS VARCHAR) || '?a=1&z=9' AS dst_url,
+       exthost AS dst_host, exthost AS dst_domain,
+       'Ref ' || CAST(doc_id AS VARCHAR) AS anchor, FALSE AS is_internal
+FROM p
+UNION ALL
+SELECT doc_id, 1, host,
+       scheme || '://' || host || '/p/' || CAST(doc_id % 9 AS VARCHAR),
+       host, dom, 'sec ' || CAST(doc_id % 3 AS VARCHAR), TRUE FROM p
+UNION ALL
+SELECT doc_id, 3, host,
+       scheme || '://' || host || '/d/' || CAST(doc_id AS VARCHAR)
+         || '/rel' || CAST(doc_id % 4 AS VARCHAR) || '.html',
+       host, dom, 'Rel ' || CAST(doc_id % 5 AS VARCHAR), TRUE FROM p
+UNION ALL
+SELECT doc_id, 4, host,
+       scheme || '://' || cdnhost || '/l.js',
+       cdnhost, cdnhost, 'cdn', FALSE FROM p
+"""
+
+    _lpr_iter = """
+{out} AS (
+  SELECT nodes.host,
+         CAST(15 * (1000000000000 // (SELECT n FROM nn)) // 100
+              + 85 * coalesce(f.s, 0) // 100 AS BIGINT) AS r
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS host, sum({prev}.r // deg.d) AS s
+    FROM e JOIN {prev} ON {prev}.host = e.src JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+  ) f ON f.host = nodes.host
+)"""
+    sql["link_pagerank"] = (
+        f"""
+WITH {_link_parts},
+e AS (
+  SELECT host AS src, exthost AS dst FROM p
+  UNION ALL SELECT host, host FROM p
+  UNION ALL SELECT host, host FROM p
+  UNION ALL SELECT host, cdnhost FROM p
+),
+nodes AS (SELECT DISTINCT host
+          FROM (SELECT src AS host FROM e UNION ALL SELECT dst FROM e)),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+r0 AS (SELECT host, CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS r
+       FROM nodes),"""
+        + ",".join(
+            _lpr_iter.format(out=f"li{k}", prev=f"li{k - 1}" if k > 1 else "r0")
+            for k in (1, 2, 3)
+        )
+        + "\nSELECT host, r AS pagerank FROM li3\n"
+    )
+
+    # anchor_texts: aggregate the by-construction (dst_host, anchor) rows;
+    # DuckDB's ordered-list idiom vs Spark's struct-sort fold for the top-k.
+    sql["anchor_texts"] = f"""
+WITH {_link_parts},
+la AS (
+  SELECT exthost AS dst_host, 'Ref ' || CAST(doc_id AS VARCHAR) AS anchor FROM p
+  UNION ALL SELECT host, 'sec ' || CAST(doc_id % 3 AS VARCHAR) FROM p
+  UNION ALL SELECT host, 'Rel ' || CAST(doc_id % 5 AS VARCHAR) FROM p
+  UNION ALL SELECT cdnhost, 'cdn' FROM p
+),
+pc AS (SELECT dst_host, anchor, count(*) AS n FROM la GROUP BY 1, 2)
+SELECT dst_host, CAST(sum(n) AS BIGINT) AS n_links,
+       count(*) AS n_anchors,
+       array_to_string(list(anchor ORDER BY n DESC, anchor)[1:3], '|') AS top_anchors
+FROM pc GROUP BY 1
+"""
+
+    # crawl_frontier: rebuild the (dst_url, dst_host, src_host) reference
+    # rows and the crawled set (pages + their /p/ section urls) from the
+    # fixture arithmetic; NOT IN anti-join + QUALIFY per-host cap.
+    sql["crawl_frontier"] = f"""
+WITH {_link_parts},
+lr AS (
+  SELECT 'https://' || exthost || '/a/' || CAST(doc_id % 97 AS VARCHAR)
+           || '?a=1&z=9' AS dst_url,
+         exthost AS dst_host, host AS src_host FROM p
+  UNION ALL
+  SELECT scheme || '://' || host || '/p/' || CAST(doc_id % 9 AS VARCHAR),
+         host, host FROM p
+  UNION ALL
+  SELECT scheme || '://' || host || '/d/' || CAST(doc_id AS VARCHAR)
+           || '/rel' || CAST(doc_id % 4 AS VARCHAR) || '.html',
+         host, host FROM p
+  UNION ALL
+  SELECT scheme || '://' || cdnhost || '/l.js', cdnhost, host FROM p
+),
+votes AS (SELECT dst_url, dst_host, src_host, count(*) AS n
+          FROM lr GROUP BY 1, 2, 3),
+cand AS (SELECT dst_url, dst_host, CAST(sum(n) AS BIGINT) AS n_refs,
+                count(*) AS n_ref_hosts
+         FROM votes GROUP BY 1, 2),
+seen AS (
+  SELECT scheme || '://' || host || '/d/' || CAST(doc_id AS VARCHAR)
+           || '/index.html' AS u FROM p
+  UNION
+  SELECT scheme || '://' || host || '/p/' || CAST(doc_id % 9 AS VARCHAR) FROM p
+)
+SELECT dst_url, dst_host, n_refs, n_ref_hosts
+FROM cand WHERE dst_url NOT IN (SELECT u FROM seen)
+QUALIFY row_number() OVER (PARTITION BY dst_host
+                           ORDER BY n_refs DESC, dst_url) <= 2
+"""
+
+    # harmonic_centrality: exact in-balls by unrolled joins over the
+    # DISTINCT by-construction edges, sketched with the SAME md5 register
+    # math as freq.hll_sketch (register-max merging is lossless, so
+    # sketch(exact ball) == HyperBall's iterated state), then the same
+    # integer shell arithmetic. Constants mirror _hll_est_sql at p=12.
+    _hb_m = 1 << 12
+    _hb_num = repr(0.7213 / (1 + 1.079 / _hb_m) * _hb_m * _hb_m * float(1 << 49))
+    sql["harmonic_centrality"] = f"""
+WITH {_link_parts},
+e0 AS (
+  SELECT host AS src, exthost AS dst FROM p
+  UNION ALL SELECT host, host FROM p
+  UNION ALL SELECT host, cdnhost FROM p
+),
+e AS (SELECT DISTINCT src, dst FROM e0),
+nodes AS (SELECT DISTINCT host
+          FROM (SELECT src AS host FROM e UNION ALL SELECT dst FROM e)),
+b0 AS (SELECT host AS v, host AS m FROM nodes),
+b1 AS (SELECT DISTINCT v, m FROM (
+        SELECT e.dst AS v, b0.m FROM e JOIN b0 ON b0.v = e.src
+        UNION ALL SELECT v, m FROM b0)),
+b2 AS (SELECT DISTINCT v, m FROM (
+        SELECT e.dst AS v, b1.m FROM e JOIN b1 ON b1.v = e.src
+        UNION ALL SELECT v, m FROM b1)),
+balls AS (
+  SELECT 0 AS t, v, m FROM b0
+  UNION ALL SELECT 1, v, m FROM b1
+  UNION ALL SELECT 2, v, m FROM b2),
+hs AS (SELECT t, v, ('0x' || substr(md5(m), 1, 15))::BIGINT AS h FROM balls),
+regs AS (SELECT t, v, h % {_hb_m} AS bucket,
+                max(CASE WHEN (h >> 12) > 0 THEN 49 - length(bin(h >> 12))
+                         ELSE 49 END) AS max_rho
+         FROM hs GROUP BY 1, 2, 3),
+agg AS (SELECT t, v, sum(1::BIGINT << (49 - max_rho)) AS s_present,
+               count(*) AS n_present
+        FROM regs GROUP BY 1, 2),
+est AS (SELECT t, v,
+               {_hb_num} / CAST(s_present
+                 + ({_hb_m} - n_present) * (1::BIGINT << 49) AS DOUBLE) AS raw,
+               CAST({_hb_m} - n_present AS DOUBLE) AS zeros
+        FROM agg),
+micros AS (SELECT t, v,
+                  CAST(round(round(CASE WHEN raw <= 2.5 * {_hb_m} AND zeros > 0
+                             THEN {_hb_m}.0 * ln({_hb_m}.0 / zeros)
+                             ELSE raw END, 4) * 10000) AS BIGINT) AS mm
+           FROM est),
+inc AS (SELECT v, t, mm - lag(mm) OVER (PARTITION BY v ORDER BY t) AS d
+        FROM micros)
+SELECT v AS host,
+       CAST(sum(greatest(d, 0) * 1000000 // t) AS BIGINT) AS hc_micro
+FROM inc WHERE t >= 1 GROUP BY 1
+"""
+
     def _classifier_sql(source: str = "documents") -> str:
         return f"""
 WITH wts AS (
@@ -2632,6 +2938,11 @@ QUERIES = {
     "normalize_text": q_normalize_text,
     "pack_sequences": q_pack_sequences,
     "pagerank": q_pagerank,
+    "extract_links": q_extract_links,
+    "link_pagerank": q_link_pagerank,
+    "anchor_texts": q_anchor_texts,
+    "crawl_frontier": q_crawl_frontier,
+    "harmonic_centrality": q_harmonic_centrality,
     "pages_pipeline": q_pages_pipeline,
     "perplexity_bucket": q_perplexity_bucket,
     "kn_perplexity": q_kn_perplexity,
