@@ -721,7 +721,8 @@ def _planted_link_pages(spark, sf_dir):
     external with a tracking param + unsorted query, [1] single-quoted
     site-absolute path with a nested tag in the anchor text, [2] junk
     (#fragment / mailto: / javascript: round-robin — must be dropped),
-    [3] bare relative path (resolved against the /d/{id}/ base dir),
+    [3] bare relative path, UNQUOTED HTML5 attribute form (resolved
+    against the /d/{id}/ base dir),
     [4] protocol-relative CDN asset. Hosts alternate 2-label .com and
     4-label www.*.co.uk so dst_domain exercises the ccTLD rule. All
     derivations are doc_id arithmetic — the DuckDB oracle rebuilds the
@@ -748,7 +749,7 @@ def _planted_link_pages(spark, sf_dir):
         F.lit("<a href='/p/"), s("doc_id % 9"), F.lit("'>sec <i>"),
         s("doc_id % 3"), F.lit("</i></a>"),
         junk,
-        F.lit('<a href="rel'), s("doc_id % 4"), F.lit('.html">Rel '),
+        F.lit("<a href=rel"), s("doc_id % 4"), F.lit(".html class=plain>Rel "),
         s("doc_id % 5"), F.lit("</a>"),
         F.lit("<a href='//cdn"), s("doc_id % 5"), F.lit(".net/l.js'>cdn</a>"),
         F.lit("<a name='x'>no href</a></body></html>"),

@@ -22,6 +22,8 @@ def _pages(spark):
             '<a href="javascript:void(0)">js</a>'
             '<a href="tel:+1555">call</a>'
             '<a href="">empty</a>'
+            "<a href=unquoted.html class=plain>Unquoted</a>"
+            "<a href= >just spaces</a>"
             "</body></html>",
         ),
         (2, "http://site2.co.uk:80/", "<p>no links at all</p>"),
@@ -46,11 +48,13 @@ def test_extract_links_resolution_matrix(spark):
         (1, 4, "https://www.site1.com/d/1/about.html", "About us", True),
         # site-absolute path
         (1, 5, "https://www.site1.com/p/7", "seven", True),
+        # HTML5 unquoted attribute value (terminates at whitespace/'>')
+        (1, 10, "https://www.site1.com/d/1/unquoted.html", "Unquoted", True),
         # case-insensitive tag/attr; scheme+host lowercased (path case is
         # significant per RFC 3986 and preserved); fragment dropped
         (3, 0, "https://b.io/Y", "caps", False),
     ]
-    # junk positions (2,3,7,8,9 on doc 1) and the href-less anchor are gone
+    # junk positions (2,3,7,8,9,11 on doc 1) and the href-less anchor are gone
     assert all(r.doc_id != 2 for r in out)
 
 
@@ -69,7 +73,7 @@ def test_extract_links_binary_html_and_domain(spark):
 def test_host_edges_weights_and_external_only(spark):
     links = extract_links(_pages(spark))
     e = {(r.src, r.dst): r.n_links for r in host_edges(links).collect()}
-    assert e[("www.site1.com", "www.site1.com")] == 2
+    assert e[("www.site1.com", "www.site1.com")] == 3
     assert e[("www.site1.com", "ext2.org")] == 1
     ext = {(r.src, r.dst) for r in host_edges(links, external_only=True).collect()}
     assert ("www.site1.com", "www.site1.com") not in ext

@@ -45,6 +45,10 @@ from .urls import url_normalize_exprs
 ANCHOR_RE = r"(?i)<a\s[^>]*>[\s\S]*?</a>"
 # href value in either quote style (lax: quotes may mismatch — harmless)
 HREF_RE = "(?i)href\\s*=\\s*['\"]([^'\"]*)['\"]"
+# HTML5 unquoted attribute value: runs to whitespace or '>'; cannot
+# START with a quote (keeps the two patterns disjoint, so an empty
+# quoted href stays empty instead of matching the closing quote)
+HREF_UNQUOTED_RE = "(?i)href\\s*=\\s*([^\\s'\">][^\\s>]*)"
 TAG_RE = r"<[^>]*>"
 # an absolute reference: scheme ':' per RFC 3986 §3.1
 SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*:"
@@ -131,7 +135,10 @@ def extract_links(
         "_bdir",
         F.posexplode("_anchors").alias("link_pos", "_a"),
     )
-    href = F.regexp_extract(F.col("_a"), HREF_RE, 1)
+    quoted = F.regexp_extract(F.col("_a"), HREF_RE, 1)
+    href = F.when(quoted != "", quoted).otherwise(
+        F.regexp_extract(F.col("_a"), HREF_UNQUOTED_RE, 1)
+    )
     resolved = resolve_href(href, F.col("_scheme"), F.col("_auth"), F.col("_bdir"))
     anchor = F.trim(F.regexp_replace(F.col("_a"), TAG_RE, ""))
     dst = url_normalize_exprs(resolved)
