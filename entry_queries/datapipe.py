@@ -788,6 +788,22 @@ def q_link_pagerank(spark, sf_dir):
     return pagerank(nodes, edges, iterations=3, damping_pct=85, id_col="host")
 
 
+def q_link_hits(spark, sf_dir):
+    """Fixed-point integer HITS (2 rounds, L1-normalized micro-units) over
+    the same host graph as link_pagerank: hubs = pages that link out to
+    strong authorities, authorities = link targets of strong hubs. The
+    oracle rebuilds the edge multiset from the fixture arithmetic and
+    unrolls the identical integer half-rounds (sum -> *scale DIV total)."""
+    from vector_spark.datapipe import extract_links, hits
+
+    links = extract_links(_planted_link_pages(spark, sf_dir))
+    edges = links.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+    nodes = edges.select(F.col("src").alias("host")).union(
+        edges.select(F.col("dst").alias("host"))
+    ).distinct()
+    return hits(nodes, edges, iterations=2, id_col="host")
+
+
 def q_anchor_texts(spark, sf_dir):
     """Anchor-text dataset from the REAL extracted links: per destination
     host, in-link volume, distinct anchor vocabulary, and the top-3
@@ -2418,6 +2434,53 @@ r0 AS (SELECT host, CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS r
         + "\nSELECT host, r AS pagerank FROM li3\n"
     )
 
+    # link_hits: identical by-construction edge multiset, two unrolled
+    # integer HITS half-rounds (L1 floor normalization — see datapipe.graph.hits)
+    _hits_round = """
+rh{k} AS (
+  SELECT nodes.host,
+         CAST(coalesce(f.s, 0) AS BIGINT) AS v
+  FROM nodes LEFT JOIN (
+    SELECT e.src AS host, sum({prev}.v) AS s
+    FROM e JOIN {prev} ON {prev}.host = e.dst GROUP BY e.src
+  ) f ON f.host = nodes.host
+),
+h{k} AS (
+  SELECT host, CAST(v * 1000000 // (SELECT greatest(sum(v), 1) FROM rh{k}) AS BIGINT) AS v
+  FROM rh{k}
+),
+ra{k} AS (
+  SELECT nodes.host,
+         CAST(coalesce(f.s, 0) AS BIGINT) AS v
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS host, sum(h{k}.v) AS s
+    FROM e JOIN h{k} ON h{k}.host = e.src GROUP BY e.dst
+  ) f ON f.host = nodes.host
+),
+a{k} AS (
+  SELECT host, CAST(v * 1000000 // (SELECT greatest(sum(v), 1) FROM ra{k}) AS BIGINT) AS v
+  FROM ra{k}
+)"""
+    sql["link_hits"] = (
+        f"""
+WITH {_link_parts},
+e AS (
+  SELECT host AS src, exthost AS dst FROM p
+  UNION ALL SELECT host, host FROM p
+  UNION ALL SELECT host, host FROM p
+  UNION ALL SELECT host, cdnhost FROM p
+),
+nodes AS (SELECT DISTINCT host
+          FROM (SELECT src AS host FROM e UNION ALL SELECT dst FROM e)),
+nn AS (SELECT count(*) AS n FROM nodes),
+a0 AS (SELECT host, CAST(1000000 // (SELECT n FROM nn) AS BIGINT) AS v FROM nodes),"""
+        + ",".join(
+            _hits_round.format(k=k, prev=f"a{k - 1}")
+            for k in (1, 2)
+        )
+        + "\nSELECT h2.host, h2.v AS hub, a2.v AS authority FROM h2 JOIN a2 USING (host)\n"
+    )
+
     # anchor_texts: aggregate the by-construction (dst_host, anchor) rows;
     # DuckDB's ordered-list idiom vs Spark's struct-sort fold for the top-k.
     sql["anchor_texts"] = f"""
@@ -2941,6 +3004,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "extract_links": q_extract_links,
     "link_pagerank": q_link_pagerank,
+    "link_hits": q_link_hits,
     "anchor_texts": q_anchor_texts,
     "crawl_frontier": q_crawl_frontier,
     "harmonic_centrality": q_harmonic_centrality,

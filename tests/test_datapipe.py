@@ -541,6 +541,30 @@ def test_pagerank_fixed_point_hand_computed(spark):
     assert 0 < total <= 10**6
 
 
+def test_hits_fixed_point_hand_computed(spark):
+    """One round on a 4-node graph, hand-computed in integer micro-units.
+    scale=1000, n=4 -> a0=250 each. Edges 0->1, 0->2, 1->2, 2->0.
+    raw_h: h(0)=a(1)+a(2)=500, h(1)=a(2)=250, h(2)=a(0)=250; H_tot=1000
+    -> h = {0:500, 1:250, 2:250, 3 absent}.
+    raw_a: a(1)=h(0)=500, a(2)=h(0)+h(1)=750, a(0)=h(2)=250; A_tot=1500
+    -> a(0)=250*1000//1500=166, a(1)=500*1000//1500=333, a(2)=500.
+    Node 3 (isolated) restored as 0/0 by the final left joins."""
+    from vector_spark.datapipe import hits
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node_id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 0)], "src long, dst long"
+    )
+    out = hits(nodes, edges, iterations=1, scale=1000)
+    got = {r.node_id: (r.hub, r.authority) for r in out.collect()}
+    assert got == {0: (500, 166), 1: (250, 333), 2: (250, 500), 3: (0, 0)}
+
+    # L1 mass bounded by scale after any rounds (floor leakage only shrinks)
+    rows = hits(nodes, edges, iterations=3, scale=10**6).collect()
+    assert 0 < sum(r.hub for r in rows) <= 10**6
+    assert 0 < sum(r.authority for r in rows) <= 10**6
+
+
 def test_bpe_pair_counts_merge_round(spark):
     """Exact BPE merge-round statistics: pair counts weight by word
     frequency (not doc frequency), case folds, single-char words

@@ -101,6 +101,98 @@ def pagerank(
     return r.select(F.col("_id").alias(id_col), F.col("_r").alias("pagerank"))
 
 
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 2,
+    scale: int = 10**6,
+    id_col: str = "node_id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-point integer HITS (Kleinberg, "Authoritative Sources in a
+    Hyperlinked Environment", JACM 1999): mutually-recursive hub and
+    authority scores over a directed link graph — the classic complement
+    to PageRank for crawl curation (a good hub links to many good
+    authorities; a good authority is linked from many good hubs).
+
+    Determinism across engines, as in :func:`pagerank`: scores are BIGINT
+    micro-units of ``scale``; each half-round is
+      raw_h(u) = SUM_{u->v} a(v)   then   h(u) = raw_h(u)*scale DIV H_tot
+      raw_a(v) = SUM_{u->v} h(u)   then   a(v) = raw_a(v)*scale DIV A_tot
+    i.e. L1 normalization with floor division (Kleinberg's L2 norm is
+    irrational and engine-dependent; L1 preserves the ranking and keeps
+    every intermediate 64-bit-integer-exact). Because the normalized
+    vector sums to <= scale, raw*scale <= scale^2 = 1e12 — no overflow
+    for any degree. Parallel edges each contribute (multi-edge = weight).
+    Zero-score nodes are dropped mid-iteration (they contribute nothing)
+    and restored as 0s only in the final output join.
+
+    Plan-size discipline: each L1 total is a whole-table window sum over
+    the CURRENT score table, not a groupBy().agg + join — an aggregate
+    branch would reference the score subtree twice and double the Catalyst
+    tree per half-round (4 norms = 16x the upstream expression tree; the
+    first formulation of this function produced a 2.9 MB plan and 68 s of
+    analysis at 1k docs). With the window, every intermediate is
+    referenced exactly once and the plan stays linear in `iterations`.
+    The window's single-partition pass holds only (id, score) longs for
+    nodes with nonzero score — node-table-sized, never corpus-sized; at
+    extreme node counts swap it for a two-level tree aggregate and accept
+    the doubled tree.
+
+    At 100 TB: per round, two edge joins + two groupBys (the same
+    co-partitionable shuffle shape as PageRank, twice) — edges should be
+    written bucketed by src AND dst once so both half-rounds reuse the
+    layout. Unrolled rounds keep ONE Catalyst plan, no driver actions.
+
+    Returns (id_col, hub, authority) in scaled micro-units.
+    """
+    n_row = nodes.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    base = (
+        ensure_parallelism(nodes)
+        .select(F.col(id_col).alias("_id"))
+        .join(broadcast(n_row))
+        .select("_id", F.expr(f"CAST({scale} AS BIGINT) DIV _n").alias("_v"))
+    )
+    e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+
+    def _norm(scores: DataFrame) -> DataFrame:
+        return scores.select(
+            "_id",
+            F.expr(
+                f"_v * CAST({scale} AS BIGINT)"
+                " DIV greatest(sum(_v) OVER (), CAST(1 AS BIGINT))"
+            ).alias("_v"),
+        )
+
+    a = base
+    h = None
+    for _ in range(iterations):
+        h = _norm(
+            e.join(a, a["_id"] == e["_dst"])
+            .select(F.col("_src").alias("_id"), F.col("_v"))
+            .groupBy("_id")
+            .agg(F.sum("_v").alias("_v"))
+        )
+        a = _norm(
+            e.join(h, h["_id"] == e["_src"])
+            .select(F.col("_dst").alias("_id"), F.col("_v"))
+            .groupBy("_id")
+            .agg(F.sum("_v").alias("_v"))
+        )
+    zero = F.lit(0).cast("long")
+    return (
+        base.select("_id")
+        .join(h.withColumnRenamed("_v", "_h"), "_id", "left")
+        .join(a.withColumnRenamed("_v", "_a"), "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("_h", zero).alias("hub"),
+            F.coalesce("_a", zero).alias("authority"),
+        )
+    )
+
+
 def hyperball(
     nodes: DataFrame,
     edges: DataFrame,
