@@ -89,6 +89,20 @@ def q_c4_line_filter(spark, sf_dir):
     return c4_line_filter(staged)
 
 
+def q_badwords_filter(spark, sf_dir):
+    """C4's word-blocklist doc gate over the corpus with neutral stand-in
+    entries that really occur in the fixture text ('slow', 'dup') plus one
+    that never does ('stale'): whole-token matching on the shared
+    lower/[^a-z0-9]+ tokenization — 'window' must never trip a 'win'
+    entry. Scan-speed in-row fold; the oracle runs the identical
+    tokenization through DuckDB's list lambdas."""
+    from vector_spark.datapipe import badwords_filter
+
+    return badwords_filter(
+        _t(spark, sf_dir, "documents"), words=("slow", "dup", "stale")
+    )
+
+
 def q_split_corpus(spark, sf_dir):
     """Leakage-aware train/val split, group-disjoint by `source`: every
     doc of a source lands on one side (md5 prefix-mod arithmetic, same
@@ -1589,6 +1603,27 @@ SELECT doc_id,
 FROM k
 """
 
+    # badwords gate: identical tokenization (lower + [^a-z0-9]+ split,
+    # empties dropped), whole-token membership via DuckDB list lambdas
+    sql["badwords_filter"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS tk
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_filter(tk, t -> list_contains(['slow', 'dup', 'stale'], t)) AS hits
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(hits) AS BIGINT) AS n_bad,
+       CAST(len(list_distinct(hits)) AS BIGINT) AS bad_distinct,
+       len(hits) = 0 AS keep
+FROM h
+"""
+
     _split_hex = "md5('42:' || source)"
     _split_val = "(" + " + ".join(
         f"CAST({_hexval_sql(f'substr({_split_hex}, {i + 1}, 1)')} AS BIGINT) * {16 ** (7 - i)}"
@@ -2981,6 +3016,7 @@ QUERIES = {
     "dedup_spans": q_dedup_spans,
     "dedup_substrings": q_dedup_substrings,
     "c4_line_filter": q_c4_line_filter,
+    "badwords_filter": q_badwords_filter,
     "split_corpus": q_split_corpus,
     "dataset_build": q_dataset_build,
     "doc_fingerprint": q_doc_fingerprint,

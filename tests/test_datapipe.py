@@ -719,6 +719,32 @@ def test_dedup_substrings_kgram_coverage(spark):
     assert out[5].text_dedup == "" and out[5].n_removed == 9 and out[5].n_tokens == 9
 
 
+def test_badwords_filter_whole_token(spark):
+    """Whole-token semantics: 'scanner' never trips a 'scan' entry;
+    occurrences counted per token, distinct per list entry; punctuation
+    and case are tokenization-invisible; duplicate/odd-case list entries
+    collapse."""
+    from vector_spark.datapipe import badwords_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the scanner scans nothing"),     # substring only -> clean
+            (2, "Scan now, SCAN again; grep."),   # 2x scan + 1x grep
+            (3, ""),                              # empty -> clean
+            (4, "grep-only text"),                # 1x grep
+        ],
+        "doc_id long, text string",
+    )
+    out = badwords_filter(docs, words=("scan", "GREP", "scan")).collect()
+    got = {r.doc_id: (r.n_bad, r.bad_distinct, r.keep) for r in out}
+    assert got == {
+        1: (0, 0, True),
+        2: (3, 2, False),
+        3: (0, 0, True),
+        4: (1, 1, False),
+    }
+
+
 def test_c4_line_filter_rules(spark):
     """Published C4 line rules: terminal punctuation required, >=5 words,
     no 'javascript' (case-insensitive); doc keep needs >=min_lines

@@ -16,7 +16,7 @@ from .similarity import (
     lsh_ann_topk,
     semantic_dedup,
 )
-from .text import text_quality, token_count, doc_fingerprint, langid, quality_filter_gopher, repetition_filter_gopher, chunk_documents, c4_line_filter, pii_scrub, sample_stratified, bpe_pair_counts, tfidf_keywords, corpus_stats, normalize_text
+from .text import text_quality, token_count, doc_fingerprint, langid, quality_filter_gopher, repetition_filter_gopher, chunk_documents, c4_line_filter, badwords_filter, pii_scrub, sample_stratified, bpe_pair_counts, tfidf_keywords, corpus_stats, normalize_text
 from .bpe import bpe_learn, bpe_learn_py, bpe_encode, bpe_encode_word, bpe_token_ids, bpe_vocab
 from .curation import curation_pipeline
 from .boilerplate import boilerplate_blocks
@@ -53,7 +53,7 @@ __all__ = [
     "parse_robots_rules", "robots_filter", "incremental_dedup", "corpus_stats", "normalize_text",
     "text_quality", "quality_filter_gopher", "repetition_filter_gopher", "token_count", "doc_fingerprint", "langid",
     "binary_meta", "extract_features", "frame_sample", "resize_image",
-    "chunk_documents", "c4_line_filter", "curation_pipeline", "pii_scrub", "sample_stratified",
+    "chunk_documents", "c4_line_filter", "badwords_filter", "curation_pipeline", "pii_scrub", "sample_stratified",
     "corpus_build", "decontaminate", "mixture_sample", "pack_sequences", "shuffle_corpus", "split_corpus", "dataset_build",
     "temperature_budgets",
     "url_filter", "url_normalize_exprs",

@@ -611,6 +611,46 @@ def c4_line_filter(
     )
 
 
+def badwords_filter(
+    df: DataFrame,
+    words: list[str] | tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4's published word-blocklist gate (Raffel et al. 2020 §2.2: drop
+    any page containing a word from a banned-word list — the same rule
+    RefinedWeb/FineWeb keep as a URL+content word filter). The list is a
+    caller parameter: curation stacks vendor their own (C4 used the public
+    "List of Dirty, Naughty, Obscene..." repo); tests use neutral stand-ins.
+
+    Matching is whole-token on a shared deterministic tokenization —
+    lower(text) split on `[^a-z0-9]+` — NOT a substring scan, so "scanner"
+    never trips a "scan" entry and both engines agree byte-for-byte. The
+    list rides in the plan as a LITERAL array (blocklists are
+    tokenizer-sized: the public lists are 100s-2000s of words), so the
+    gate is an in-row `filter` fold over the token array: scan-speed, zero
+    shuffle, zero Python, nothing to skew. A corpus-sized list would
+    instead need the tokens exploded into a broadcast semi-join — that
+    formulation is the dedup ladder's, deliberately not this one's.
+
+    Emits (doc_id, n_bad, bad_distinct, keep) for every input row (gate
+    projected, not filtered — callers compose; the c4_line_filter
+    convention): n_bad = total banned-token occurrences, bad_distinct =
+    how many list entries appear at least once, keep = n_bad == 0.
+    """
+    bad = F.array(*[F.lit(w.lower()) for w in dict.fromkeys(words)])
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    hits = F.filter(toks, lambda t: F.array_contains(bad, t))
+    return df.select(
+        F.col(id_col),
+        F.size(hits).cast("long").alias("n_bad"),
+        F.size(F.array_distinct(hits)).cast("long").alias("bad_distinct"),
+        (F.size(hits) == 0).alias("keep"),
+    )
+
+
 # PII patterns restricted to the Java-regex ∩ RE2 common subset (no
 # lookarounds, ASCII \d and \b in both engines) so the DuckDB oracle can
 # run the identical expressions. Redaction order matters only for
