@@ -14,6 +14,7 @@ from .oracle_helpers import (  # noqa: F401
     _ann_lsh_sql,
     _near_dup_sql,
     _html_text_sql,
+    _wet_sql,
 )
 
 def q_dedup_exact_text(spark, sf_dir):
@@ -324,6 +325,65 @@ def q_html_text(spark, sf_dir):
     )
     return extract_html_text(
         d.select("doc_id", html.alias("html")), id_cols=("doc_id",)
+    )
+
+
+def q_wet_extract(spark, sf_dir):
+    """WARC -> WET derivation: each doc becomes a two-record WARC stream —
+    a `response` block whose payload is a FULL HTTP message (status line +
+    headers + the q_html_text planted page) framed by byte-exact
+    Content-Length, plus a `metadata` block that must be skipped — then
+    warc_to_wet frames, parses, strips the HTTP envelope, and extracts the
+    text. The oracle reconstructs the expected conversion records directly
+    from documents (ground truth by construction: the html_text regex
+    chain over the same planted page, WET headers from doc_id arithmetic),
+    so the framing walk, record parse, envelope strip, and extraction are
+    what get verified."""
+    from vector_spark.datapipe import warc_to_wet
+    from vector_spark.session import ensure_parallelism
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    i = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        i,
+        F.lit(
+            "</title><style>p {color: red}</style>"
+            "<script>var t = 1 < 2;</script></head>"
+            "<body><!-- crawler metadata -->"
+            "<h1>Doc&nbsp;"
+        ),
+        i,
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><div>tail &amp;lt; end</div></body></html>"),
+    )
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\nServer: srv"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("\r\n\r\n"),
+        html,
+    )
+    buf = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://crawl.example/d/"),
+        i,
+        F.lit("\r\nWARC-Date: 2024-03-01T12:00:00Z\r\nWARC-Record-ID: <urn:uuid:resp-"),
+        i,
+        F.lit(">\r\nContent-Type: application/http; msgtype=response\r\nContent-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+        F.lit("\r\n\r\nWARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: 3\r\n\r\nabc\r\n\r\n"),
+    )
+    out = warc_to_wet(d.select("doc_id", buf.alias("warc")), keep_cols=("doc_id",))
+    return out.select(
+        "doc_id",
+        "rec_idx",
+        "target_uri",
+        F.unix_micros(F.col("warc_date")).alias("warc_date_us"),
+        "refers_to",
+        "text",
+        "text_bytes",
     )
 
 
@@ -2754,6 +2814,7 @@ LIMIT 200
 """
 
     sql["html_text"] = _html_text_sql()
+    sql["wet_extract"] = _wet_sql()
     sql["boilerplate_blocks"] = _boilerplate_sql()
 
     sql["url_filter"] = """
@@ -3016,6 +3077,7 @@ QUERIES = {
     "dedup_spans": q_dedup_spans,
     "dedup_substrings": q_dedup_substrings,
     "c4_line_filter": q_c4_line_filter,
+    "wet_extract": q_wet_extract,
     "badwords_filter": q_badwords_filter,
     "split_corpus": q_split_corpus,
     "dataset_build": q_dataset_build,

@@ -418,10 +418,22 @@ WHERE round(list_dot_product(x.v, y.v) / (x.nm * y.nm), 6) >= {threshold}
 """
 
 
-def _html_text_sql() -> str:
-    """DuckDB twin of q_html_text: the page build + the FULL extraction
-    chain, generated from vector_spark.datapipe.html's pattern constants
-    (the aggregate_sketch shared-constant rule — one source of truth)."""
+# the q_html_text / q_wet_extract planted page as a DuckDB expression —
+# shared so the WET oracle reuses the exact same ground truth
+_PLANTED_PAGE_SQL = (
+    "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || "
+    "'</title><style>p {color: red}</style>"
+    "<script>var t = 1 < 2;</script></head>"
+    "<body><!-- crawler metadata --><h1>Doc&nbsp;' || "
+    "CAST(doc_id AS VARCHAR) || '</h1><p>' || text || "
+    "'</p><div>tail &amp;lt; end</div></body></html>'"
+)
+
+
+def _html_chain_sql(expr: str) -> str:
+    """Apply datapipe.html's FULL extraction chain to a DuckDB expression —
+    generated from the pattern constants (the aggregate_sketch
+    shared-constant rule — one source of truth)."""
     from vector_spark.datapipe.html import (
         BLOCK_TAG_PATTERN,
         DROP_PATTERNS,
@@ -434,14 +446,6 @@ def _html_text_sql() -> str:
     def q(s: str) -> str:
         return "'" + s.replace("'", "''") + "'"
 
-    expr = (
-        "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || "
-        "'</title><style>p {color: red}</style>"
-        "<script>var t = 1 < 2;</script></head>"
-        "<body><!-- crawler metadata --><h1>Doc&nbsp;' || "
-        "CAST(doc_id AS VARCHAR) || '</h1><p>' || text || "
-        "'</p><div>tail &amp;lt; end</div></body></html>'"
-    )
     for pat in DROP_PATTERNS:
         expr = f"regexp_replace({expr}, {q(pat)}, '', 'g')"
     expr = f"regexp_replace({expr}, {q(BLOCK_TAG_PATTERN)}, chr(10), 'g')"
@@ -450,12 +454,36 @@ def _html_text_sql() -> str:
         expr = f"replace({expr}, {q(ent)}, {q(rep)})"
     expr = f"regexp_replace({expr}, {q(HSPACE_PATTERN)}, ' ', 'g')"
     expr = f"regexp_replace({expr}, {q(NEWLINE_PATTERN)}, chr(10), 'g')"
-    expr = f"trim({expr}, ' ' || chr(10))"
+    return f"trim({expr}, ' ' || chr(10))"
+
+
+def _html_text_sql() -> str:
+    """DuckDB twin of q_html_text: the page build + the extraction chain."""
+    expr = _html_chain_sql(_PLANTED_PAGE_SQL)
     return f"""
 WITH ext AS (SELECT doc_id, {expr} AS text FROM documents)
 SELECT doc_id, text, length(text) AS n_chars,
        CAST(CASE WHEN length(text) = 0 THEN 0
                  ELSE len(string_split(text, chr(10))) END AS INTEGER) AS n_lines
+FROM ext
+"""
+
+
+def _wet_sql() -> str:
+    """DuckDB twin of q_wet_extract: the expected WET conversion records
+    rebuilt directly from documents — ground truth by construction. The
+    response record is always frame index 0, its WET headers are doc_id
+    arithmetic, and the text is the extraction chain over the planted page
+    (the HTTP envelope the Spark side must strip never enters here)."""
+    expr = _html_chain_sql(_PLANTED_PAGE_SQL)
+    return f"""
+WITH ext AS (SELECT doc_id, {expr} AS text FROM documents)
+SELECT doc_id, 0 AS rec_idx,
+       'https://crawl.example/d/' || CAST(doc_id AS VARCHAR) AS target_uri,
+       epoch_us(TIMESTAMP '2024-03-01 12:00:00') AS warc_date_us,
+       'urn:uuid:resp-' || CAST(doc_id AS VARCHAR) AS refers_to,
+       text,
+       CAST(strlen(text) AS BIGINT) AS text_bytes
 FROM ext
 """
 

@@ -719,6 +719,38 @@ def test_dedup_substrings_kgram_coverage(spark):
     assert out[5].text_dedup == "" and out[5].n_removed == 9 and out[5].n_tokens == 9
 
 
+def test_warc_to_wet_conversion(spark):
+    """WET derivation semantics: response blocks convert (HTTP envelope
+    stripped at the FIRST blank line only — CRLF pairs inside the html
+    body survive into extraction), metadata/request blocks are skipped,
+    refers_to carries the source record id, text_bytes counts UTF-8
+    octets of the extracted text."""
+    from vector_spark.datapipe import warc_to_wet
+
+    html = "<html><body><p>Hello&nbsp;Wéb</p>\r\n\r\n<p>tail here</p></body></html>"
+    http = (
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+    )
+    rec = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: https://x.example/1\r\n"
+        "WARC-Date: 2024-03-01T12:00:00Z\r\n"
+        "WARC-Record-ID: <urn:uuid:r1>\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http.encode('utf-8'))}\r\n\r\n{http}\r\n\r\n"
+    )
+    meta = "WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: 2\r\n\r\nok\r\n\r\n"
+    df = spark.createDataFrame([(1, rec + meta)], "doc_id long, warc string")
+    rows = warc_to_wet(df, keep_cols=("doc_id",)).collect()
+    assert len(rows) == 1  # metadata block skipped
+    r = rows[0]
+    assert r.rec_idx == 0 and r.target_uri == "https://x.example/1"
+    assert r.refers_to == "urn:uuid:r1"
+    # block <p> tags -> newlines, entity decoded, CRLF run collapsed
+    assert r.text == "Hello Wéb\ntail here"
+    assert r.text_bytes == len(r.text.encode("utf-8"))
+
+
 def test_badwords_filter_whole_token(spark):
     """Whole-token semantics: 'scanner' never trips a 'scan' entry;
     occurrences counted per token, distinct per list entry; punctuation

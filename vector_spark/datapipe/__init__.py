@@ -34,7 +34,7 @@ from .lm import (
     perplexity_score,
     unigram_lm,
 )
-from .html import extract_html_text, html_text_expr
+from .html import extract_html_text, html_text_expr, warc_to_wet
 from .graph import harmonic_centrality, hits, hyperball, pagerank
 from .links import anchor_stats, crawl_frontier, extract_links, host_edges, resolve_href
 from .robots import parse_robots_rules, robots_filter
@@ -57,7 +57,7 @@ __all__ = [
     "corpus_build", "decontaminate", "mixture_sample", "pack_sequences", "shuffle_corpus", "split_corpus", "dataset_build",
     "temperature_budgets",
     "url_filter", "url_normalize_exprs",
-    "perplexity_score", "unigram_lm", "extract_html_text", "html_text_expr",
+    "perplexity_score", "unigram_lm", "extract_html_text", "html_text_expr", "warc_to_wet",
     "extract_links", "host_edges", "resolve_href",
     "anchor_stats", "crawl_frontier", "hyperball", "harmonic_centrality", "hits",
     "importance_weights", "importance_resample", "bigram_lm", "kn_perplexity",

@@ -106,3 +106,55 @@ def extract_html_text(
         .cast("int")
         .alias("n_lines"),
     )
+
+
+# the HTTP response envelope inside a WARC response block: status line +
+# header lines up to the first blank line (Java ∩ RE2 subset — dotall +
+# non-greedy, no lookaround — so the oracle could run it verbatim)
+HTTP_HEADER_PATTERN = r"(?s)^HTTP/[^\r\n]*\r\n.*?\r\n\r\n"
+
+
+def warc_to_wet(
+    df: DataFrame,
+    buf_col: str = "warc",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Common Crawl WET derivation: WARC response records -> one
+    'conversion' record per fetched page whose payload is the extracted
+    text (the *.warc.wet.gz files CC publishes next to every crawl; the
+    WARC 1.1 'conversion' record type, ISO 28500 §6.8). The step chain is
+    the real generator's: frame the stream -> parse records -> keep
+    `response` blocks -> strip the inner HTTP/1.x envelope (a response
+    block's payload is the full HTTP message; the text begins after its
+    first blank line) -> html_text_expr.
+
+    Emits (keep_cols..., rec_idx, target_uri, warc_date, refers_to, text,
+    text_bytes): refers_to = the source record's WARC-Record-ID, exactly
+    how WET conversion records back-reference their response record;
+    text_bytes = the conversion block's Content-Length (UTF-8 octets).
+
+    Scale: frame_warc is a per-buffer Arrow walk (embarrassingly parallel
+    across WARC files); everything after is pure codegen expressions on
+    the exploded records — no shuffle anywhere, so this runs at scan
+    speed like extract_html_text."""
+    from ..functions.parse import frame_warc, parse_warc_record
+
+    recs = df.select(
+        *[F.col(c) for c in keep_cols],
+        F.posexplode(frame_warc(F.col(buf_col))).alias("rec_idx", "_rec"),
+    ).select(
+        *[F.col(c) for c in keep_cols],
+        "rec_idx",
+        parse_warc_record(F.col("_rec")).alias("_w"),
+    )
+    body = F.regexp_replace(F.col("_w.payload"), HTTP_HEADER_PATTERN, "")
+    text = html_text_expr(body)
+    return recs.filter(F.col("_w.warc_type") == "response").select(
+        *[F.col(c) for c in keep_cols],
+        "rec_idx",
+        F.col("_w.target_uri").alias("target_uri"),
+        F.col("_w.warc_date").alias("warc_date"),
+        F.col("_w.record_id").alias("refers_to"),
+        text.alias("text"),
+        F.octet_length(text).cast("long").alias("text_bytes"),
+    )
