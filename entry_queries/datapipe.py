@@ -606,6 +606,35 @@ def q_multimodal_meta(spark, sf_dir):
     return binary_meta(d, "payload", "doc_id")
 
 
+def q_image_near_dup(spark, sf_dir):
+    """Image near-dup: 64-byte fake 'images' (the aHash stub reads the
+    payload as a pre-decoded 8x8 luma grid) -> aHash -> Manku hamming-ball
+    join (6 blocks / 20 combo keys, d=3). The planted grid is two-level
+    ('a'=97 / 'z'=122) with a pseudo-random per-group high set — the
+    mean-threshold bit rule then selects EXACTLY the high positions for
+    any high count (122*64 > 6208+25h for all h<64; 97*64 never), so the
+    fingerprints, and therefore the qualifying pairs, are pure doc_id
+    arithmetic the oracle recomputes brute-force (lo/hi 32-bit split +
+    bit_count(xor)). Docs within a group of 5 differ only in their one
+    perturbed position -> hamming <= 2; cross-group grids are ~28 apart."""
+    from vector_spark.datapipe import image_near_dup
+    from vector_spark.session import ensure_parallelism
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents")).select("doc_id")
+    g = F.floor(F.col("doc_id") / 5).cast("long")
+    grid = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: F.when(
+            ((g * 2654435761 + j * 40503) % 64 < 21) | (j == F.col("doc_id") % 5),
+            F.lit("z"),
+        ).otherwise(F.lit("a")),
+    )
+    imgs = d.select(
+        "doc_id", F.encode(F.array_join(grid, ""), "UTF-8").alias("payload")
+    )
+    return image_near_dup(imgs, max_hamming=3, n_blocks=6)
+
+
 def q_pages_pipeline(spark, sf_dir):
     # rows-only check: input is the deterministic generated pages table
     # (north-rule input shape), not a testdata parquet
@@ -1849,6 +1878,27 @@ SELECT doc_id,
        CAST(64 + octet_length(CAST(text AS BLOB)) % 353 AS INTEGER) AS fake_height,
        CAST(octet_length(CAST(text AS BLOB)) % 90000 AS INTEGER) AS fake_duration_ms
 FROM documents
+"""
+
+    # image_near_dup: the planted two-level grid makes the aHash bit set =
+    # the high-position set (see q_image_near_dup), so the oracle derives
+    # each fingerprint as lo/hi 32-bit halves by pure arithmetic and
+    # recomputes the pair set BRUTE-FORCE — proving the Spark side's
+    # block-combination recall exact on a perceptual-hash fingerprint.
+    _ahash_cond = "((g * 2654435761 + j * 40503) % 64 < 21) OR (j = doc_id % 5)"
+    sql["image_near_dup"] = f"""
+WITH bits AS (
+  SELECT doc_id,
+    CAST(list_sum([CASE WHEN {_ahash_cond} THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+                   FOR j IN range(0, 32)]) AS BIGINT) AS lo,
+    CAST(list_sum([CASE WHEN {_ahash_cond} THEN (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END
+                   FOR j IN range(32, 64)]) AS BIGINT) AS hi
+  FROM (SELECT doc_id, CAST(doc_id // 5 AS BIGINT) AS g FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming
+FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
 """
 
     sql["dedup_ngram_jaccard"] = """
@@ -3097,6 +3147,7 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "multimodal_features": q_multimodal_features,
     "multimodal_meta": q_multimodal_meta,
+    "image_near_dup": q_image_near_dup,
     "normalize_text": q_normalize_text,
     "pack_sequences": q_pack_sequences,
     "pagerank": q_pagerank,

@@ -719,6 +719,28 @@ def test_dedup_substrings_kgram_coverage(spark):
     assert out[5].text_dedup == "" and out[5].n_removed == 9 and out[5].n_tokens == 9
 
 
+def test_image_ahash_near_dup(spark):
+    """aHash stub: payload = pre-decoded 8x8 luma grid (tiled), bit j set
+    iff luma[j]*64 > total; hamming_pairs over 64-bit fingerprints must
+    handle bit-63 windows (arithmetic shiftright sign-extension masked).
+    Pair set = brute force: one flipped grid cell -> hamming 1; the
+    inverted grid -> hamming 64 (excluded); exact recall at d=3."""
+    from vector_spark.datapipe import image_ahash, image_near_dup
+
+    half = bytes([0] * 32 + [255] * 32)          # bits 32..63 set (incl. 63)
+    near = bytes([0] * 31 + [255] + [255] * 32)  # bit 31 also set -> hamming 1
+    inv = bytes([255] * 32 + [0] * 32)           # complement -> hamming 64
+    df = spark.createDataFrame(
+        [(1, half), (2, near), (3, inv), (4, half)], "doc_id long, payload binary"
+    )
+    hashes = {r.doc_id: r.ahash for r in image_ahash(df).collect()}
+    assert hashes[1] == hashes[4] == -(1 << 32)  # bits 32..63 -> signed wrap
+    assert bin((hashes[1] ^ hashes[2]) & ((1 << 64) - 1)).count("1") == 1
+
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in image_near_dup(df).collect()}
+    assert pairs == {(1, 2): 1, (2, 4): 1, (1, 4): 0}
+
+
 def test_warc_to_wet_conversion(spark):
     """WET derivation semantics: response blocks convert (HTTP envelope
     stripped at the FIRST blank line only — CRLF pairs inside the html

@@ -6,6 +6,7 @@ from .dedup import (
     dedup_substrings,
     exact_dedup, incremental_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, shingle_docs, simhash,
     simhash_hamming_pairs,
+    hamming_pairs,
 )
 from .similarity import (
     cosine_topk,
@@ -38,10 +39,10 @@ from .html import extract_html_text, html_text_expr, warc_to_wet
 from .graph import harmonic_centrality, hits, hyperball, pagerank
 from .links import anchor_stats, crawl_frontier, extract_links, host_edges, resolve_href
 from .robots import parse_robots_rules, robots_filter
-from .multimodal import binary_meta, extract_features, frame_sample, resize_image
+from .multimodal import binary_meta, extract_features, frame_sample, resize_image, image_ahash, image_near_dup
 
 __all__ = [
-    "exact_dedup", "dedup_substrings", "dedup_ladder", "dedup_spans", "shingle_docs", "minhash_lsh_pairs", "ngram_jaccard_pairs", "simhash", "simhash_hamming_pairs",
+    "exact_dedup", "dedup_substrings", "dedup_ladder", "dedup_spans", "shingle_docs", "minhash_lsh_pairs", "ngram_jaccard_pairs", "simhash", "simhash_hamming_pairs", "hamming_pairs", "image_ahash", "image_near_dup",
     "bloom_filter_build", "bloom_filter_probe",
     "count_min_build", "count_min_estimate", "count_min_merge", "heavy_hitters",
     "hll_sketch", "hll_merge", "hll_estimate",

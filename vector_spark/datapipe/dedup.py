@@ -176,36 +176,60 @@ def simhash_hamming_pairs(
     degenerates to the single-block pigeonhole (combo size 1).
     """
     assert bits <= 32, "md5 hex-digit vote family provides at most 32 bits"
+    fp = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
+    return hamming_pairs(
+        fp, fingerprint_col="simhash", id_col=id_col,
+        bits=bits, max_hamming=max_hamming, n_blocks=n_blocks,
+    )
+
+
+def hamming_pairs(
+    fp: DataFrame,
+    fingerprint_col: str,
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """The Manku block-combination hamming-ball join over PRECOMPUTED
+    fingerprints (any integer column up to 64 bits — simhash, image
+    aHash/pHash, audio chromaprint blocks): emits (doc_a, doc_b, hamming)
+    for every unordered pair within `max_hamming`. Recall is exact by the
+    pigeonhole theorem; see simhash_hamming_pairs for the plan/scale
+    analysis (this is its join body, factored out so other modalities
+    reuse it). Fingerprint windows that include bit 63 are safe: the
+    arithmetic shiftright's sign-extension is masked off by the
+    block-width AND."""
     if n_blocks is None:
         n_blocks = max_hamming + 1
-    assert max_hamming < n_blocks <= bits
-    fp = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
+    assert max_hamming < n_blocks <= bits <= 64
 
     def packed_key(combo: list[tuple[int, int]]) -> Column:
         key = F.lit(0).cast("long")
         shift = 0
         for off, width in combo:
-            blk = F.shiftright("simhash", off).bitwiseAND(F.lit((1 << width) - 1))
+            blk = F.shiftright(fingerprint_col, off).bitwiseAND(F.lit((1 << width) - 1))
             key = key + F.shiftleft(blk, shift)
             shift += width
+        assert shift <= 63, "packed combo key must fit a signed long"
         return key
 
     plan = _hamming_block_plan(bits, n_blocks, max_hamming)
     keys = fp.select(
         F.col(id_col).alias("doc"),
-        F.col("simhash"),
+        F.col(fingerprint_col).alias("_fp"),
         F.explode(
             F.array(*[
                 F.struct(F.lit(ci).alias("combo_idx"), packed_key(combo).alias("combo_bits"))
                 for ci, combo in plan
             ])
         ).alias("k"),
-    ).select("doc", "simhash", "k.combo_idx", "k.combo_bits")
+    ).select("doc", "_fp", "k.combo_idx", "k.combo_bits")
     left = keys.select(
-        F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a"), "combo_idx", "combo_bits"
+        F.col("doc").alias("doc_a"), F.col("_fp").alias("fp_a"), "combo_idx", "combo_bits"
     )
     right = keys.select(
-        F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b"), "combo_idx", "combo_bits"
+        F.col("doc").alias("doc_b"), F.col("_fp").alias("fp_b"), "combo_idx", "combo_bits"
     )
     return (
         left.join(right, ["combo_idx", "combo_bits"])
@@ -213,7 +237,7 @@ def simhash_hamming_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.expr("bit_count(sh_a ^ sh_b)").cast("int").alias("hamming"),
+            F.expr("bit_count(fp_a ^ fp_b)").cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
