@@ -143,6 +143,12 @@ HEADLINE = [
     # REAL extracted host graph (crawl -> link graph -> pagerank)
     "extract_links",
     "link_pagerank",
+    # round 4 session tail: HITS authority, WET derivation, blocklist gate,
+    # perceptual-hash image near-dup
+    "link_hits",
+    "wet_extract",
+    "badwords_filter",
+    "image_near_dup",
 ]
 
 
@@ -307,6 +313,9 @@ COMPOSITES = {
     "dedup_substrings",
     "dedup_ngram_jaccard",
     "kn_perplexity",
+    "link_hits",
+    "wet_extract",
+    "image_near_dup",
 }
 
 

@@ -578,3 +578,34 @@ def test_simhash_hamming_pairs_plan_banded_equi_join(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text" not in line, line
+
+
+def test_image_near_dup_plan_equi_join_no_payload_shuffle(spark):
+    """The perceptual-hash near-dup join inherits the Manku geometry: a
+    plain equi-join on (combo_idx, combo_bits); the binary payload is
+    consumed by the Arrow aHash map and never crosses an exchange."""
+    from vector_spark.datapipe import image_near_dup
+
+    df = spark.createDataFrame(
+        [(i, bytes([(i * 7 + j) % 256 for j in range(64)])) for i in range(40)],
+        "doc_id long, payload binary",
+    )
+    plan = plan_of(image_near_dup(df))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "payload" not in line, line
+
+
+def test_wet_extract_no_shuffle(spark):
+    """WARC -> WET is scan-speed: frame walk + record parse + envelope
+    strip + extraction are all narrow — ZERO exchanges in the plan."""
+    from vector_spark.datapipe import warc_to_wet
+
+    df = spark.createDataFrame(
+        [(1, "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 4\r\n\r\nhtml\r\n\r\n")],
+        "doc_id long, warc string",
+    )
+    plan = plan_of(warc_to_wet(df, keep_cols=("doc_id",)))
+    assert "Exchange" not in plan
