@@ -149,6 +149,7 @@ HEADLINE = [
     "wet_extract",
     "badwords_filter",
     "image_near_dup",
+    "sitemap_parse",
 ]
 
 

@@ -943,6 +943,56 @@ def q_crawl_frontier(spark, sf_dir):
     )
 
 
+def q_sitemap_parse(spark, sf_dir):
+    """Sitemap protocol parse over planted XML: docs with doc_id%5==0
+    carry a <sitemapindex> (2 child sitemaps), the rest a <urlset> with 3
+    <url> entries exercising the lastmod W3C-profile matrix (seconds+Z /
+    date-only / absent), whitespace-padded <loc> (must trim), and
+    present/absent changefreq+priority. The oracle rebuilds the entry rows
+    from the same arithmetic (DuckDB strptime vs Spark try_to_timestamp —
+    independent datetime parsers must land on the same epoch-us)."""
+    from vector_spark.datapipe import parse_sitemap
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    s = lambda e: F.expr(e).cast("string")  # noqa: E731
+    host = F.concat(F.lit("site"), s("doc_id % 23"), F.lit(".example"))
+    freq = F.element_at(
+        F.array(F.lit("daily"), F.lit("weekly"), F.lit("monthly")), (i % 3 + 1).cast("int")
+    )
+    urlset = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc>  https://'), host,
+        F.lit("/p/"), s("doc_id % 9"),
+        F.lit("\n</loc><lastmod>2024-03-0"), s("1 + doc_id % 9"),
+        F.lit("T1"), s("doc_id % 10"),
+        F.lit(":30:00Z</lastmod><changefreq>"), freq,
+        F.lit("</changefreq><priority>0."), s("doc_id % 10"),
+        F.lit("</priority></url><url><loc>https://"), host,
+        F.lit("/a/"), s("doc_id % 97"),
+        F.lit("</loc><lastmod>2024-02-"), s("10 + doc_id % 18"),
+        F.lit("</lastmod></url><url><loc>https://"), host,
+        F.lit("/static/about</loc></url></urlset>"),
+    )
+    index = F.concat(
+        F.lit('<?xml version="1.0"?><sitemapindex><sitemap><loc>https://'), host,
+        F.lit("/sitemap-"), s("doc_id % 7"),
+        F.lit(".xml</loc><lastmod>2024-01-2"), s("doc_id % 8"),
+        F.lit("T09:0"), s("doc_id % 6"),
+        F.lit(":00Z</lastmod></sitemap><sitemap><loc>https://"), host,
+        F.lit("/sitemap-news.xml</loc></sitemap></sitemapindex>"),
+    )
+    xml = F.when(i % 5 == 0, index).otherwise(urlset)
+    out = parse_sitemap(
+        d.select("doc_id", host.alias("host"), xml.alias("xml")),
+        keep_cols=("doc_id", "host"),
+    )
+    return out.select(
+        "doc_id", "host", "entry_pos", "kind", "loc",
+        F.unix_micros(F.col("lastmod")).alias("lastmod_us"),
+        "changefreq", "priority",
+    )
+
+
 def q_harmonic_centrality(spark, sf_dir):
     """HyperBall truncated harmonic centrality (radius 2, p=12) over the
     host graph of the REAL extracted links — the Common Crawl host-rank
@@ -2579,6 +2629,46 @@ r0 AS (SELECT host, CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS r
         + "\nSELECT host, r AS pagerank FROM li3\n"
     )
 
+    # sitemap_parse: entry rows rebuilt from the fixture arithmetic;
+    # lastmod via DuckDB strptime (an independent datetime parser from
+    # Spark's try_to_timestamp — both must land on the same epoch-us)
+    sql["sitemap_parse"] = """
+WITH d AS (
+  SELECT doc_id, 'site' || CAST(doc_id % 23 AS VARCHAR) || '.example' AS host
+  FROM documents
+)
+SELECT doc_id, host, 0 AS entry_pos, 'url' AS kind,
+       'https://' || host || '/p/' || CAST(doc_id % 9 AS VARCHAR) AS loc,
+       epoch_us(strptime('2024-03-0' || CAST(1 + doc_id % 9 AS VARCHAR)
+                         || 'T1' || CAST(doc_id % 10 AS VARCHAR) || ':30:00Z',
+                         '%Y-%m-%dT%H:%M:%SZ')) AS lastmod_us,
+       (['daily', 'weekly', 'monthly'])[CAST(doc_id % 3 AS INTEGER) + 1] AS changefreq,
+       CAST('0.' || CAST(doc_id % 10 AS VARCHAR) AS DOUBLE) AS priority
+FROM d WHERE doc_id % 5 <> 0
+UNION ALL
+SELECT doc_id, host, 1, 'url',
+       'https://' || host || '/a/' || CAST(doc_id % 97 AS VARCHAR),
+       epoch_us(strptime('2024-02-' || CAST(10 + doc_id % 18 AS VARCHAR), '%Y-%m-%d')),
+       NULL, NULL
+FROM d WHERE doc_id % 5 <> 0
+UNION ALL
+SELECT doc_id, host, 2, 'url', 'https://' || host || '/static/about',
+       NULL, NULL, NULL
+FROM d WHERE doc_id % 5 <> 0
+UNION ALL
+SELECT doc_id, host, 0, 'sitemap',
+       'https://' || host || '/sitemap-' || CAST(doc_id % 7 AS VARCHAR) || '.xml',
+       epoch_us(strptime('2024-01-2' || CAST(doc_id % 8 AS VARCHAR)
+                         || 'T09:0' || CAST(doc_id % 6 AS VARCHAR) || ':00Z',
+                         '%Y-%m-%dT%H:%M:%SZ')),
+       NULL, NULL
+FROM d WHERE doc_id % 5 = 0
+UNION ALL
+SELECT doc_id, host, 1, 'sitemap',
+       'https://' || host || '/sitemap-news.xml', NULL, NULL, NULL
+FROM d WHERE doc_id % 5 = 0
+"""
+
     # link_hits: identical by-construction edge multiset, two unrolled
     # integer HITS half-rounds (L1 floor normalization — see datapipe.graph.hits)
     _hits_round = """
@@ -3154,6 +3244,7 @@ QUERIES = {
     "extract_links": q_extract_links,
     "link_pagerank": q_link_pagerank,
     "link_hits": q_link_hits,
+    "sitemap_parse": q_sitemap_parse,
     "anchor_texts": q_anchor_texts,
     "crawl_frontier": q_crawl_frontier,
     "harmonic_centrality": q_harmonic_centrality,

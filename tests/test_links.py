@@ -96,3 +96,43 @@ def test_extract_links_plan_is_narrow(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert edge_plan.count("Exchange") == 1
+
+
+def test_parse_sitemap_entries(spark):
+    """Sitemap protocol corners: whitespace-trimmed <loc>, the three W3C
+    lastmod profiles (seconds+Z, minutes+offset, date-only), unparseable
+    lastmod -> null, missing fields -> null, sitemapindex children tagged
+    'sitemap', entry order preserved, entry-free doc emits nothing, and a
+    zero-Exchange plan."""
+    from vector_spark.datapipe import parse_sitemap
+
+    urlset = (
+        "<urlset>"
+        "<url><loc>\n  https://a.example/p1  </loc>"
+        "<lastmod>2024-03-05T10:30:00Z</lastmod>"
+        "<changefreq>daily</changefreq><priority>0.8</priority></url>"
+        "<url><loc>https://a.example/p2</loc><lastmod>2024-03-05T10:30+02:00</lastmod></url>"
+        "<url><loc>https://a.example/p3</loc><lastmod>2024-03-06</lastmod></url>"
+        "<url><loc>https://a.example/p4</loc><lastmod>yesterday</lastmod></url>"
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>https://b.example/s1.xml</loc></sitemap>"
+        "<sitemap><loc>https://b.example/s2.xml</loc></sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("a", urlset), ("b", index), ("c", "<urlset></urlset>")],
+        "host string, xml string",
+    )
+    out = parse_sitemap(df)
+    rows = {(r.host, r.entry_pos): r for r in out.collect()}
+    assert len(rows) == 6
+    assert rows[("a", 0)].loc == "https://a.example/p1"
+    assert str(rows[("a", 0)].lastmod) == "2024-03-05 10:30:00"
+    assert rows[("a", 0)].changefreq == "daily" and rows[("a", 0)].priority == 0.8
+    assert str(rows[("a", 1)].lastmod) == "2024-03-05 08:30:00"  # +02:00 -> UTC
+    assert str(rows[("a", 2)].lastmod) == "2024-03-06 00:00:00"
+    assert rows[("a", 3)].lastmod is None and rows[("a", 3)].priority is None
+    assert rows[("b", 0)].kind == "sitemap" and rows[("b", 1)].loc.endswith("s2.xml")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -37,7 +37,7 @@ from .lm import (
 )
 from .html import extract_html_text, html_text_expr, warc_to_wet
 from .graph import harmonic_centrality, hits, hyperball, pagerank
-from .links import anchor_stats, crawl_frontier, extract_links, host_edges, resolve_href
+from .links import anchor_stats, crawl_frontier, extract_links, host_edges, parse_sitemap, resolve_href
 from .robots import parse_robots_rules, robots_filter
 from .multimodal import binary_meta, extract_features, frame_sample, resize_image, image_ahash, image_near_dup
 
@@ -60,7 +60,7 @@ __all__ = [
     "url_filter", "url_normalize_exprs",
     "perplexity_score", "unigram_lm", "extract_html_text", "html_text_expr", "warc_to_wet",
     "extract_links", "host_edges", "resolve_href",
-    "anchor_stats", "crawl_frontier", "hyperball", "harmonic_centrality", "hits",
+    "anchor_stats", "crawl_frontier", "parse_sitemap", "hyperball", "harmonic_centrality", "hits",
     "importance_weights", "importance_resample", "bigram_lm", "kn_perplexity",
     "quality_classifier", "hashed_features", "feature_bucket",
     "boilerplate_blocks",

@@ -243,6 +243,66 @@ def crawl_frontier(
     return frontier
 
 
+def parse_sitemap(
+    df: DataFrame,
+    xml_col: str = "xml",
+    keep_cols: tuple[str, ...] = ("host",),
+) -> DataFrame:
+    """Sitemap protocol parse (sitemaps.org/protocol.html — the crawl
+    discovery channel robots.txt `Sitemap:` lines point at; the reference
+    ships general XML decode as parse_xml,
+    website/cue/reference/remap/functions/parse_xml.cue — this is the
+    crawl-specific explode over it). Handles both document kinds in one
+    pass: `<urlset><url>` page entries AND `<sitemapindex><sitemap>`
+    child-sitemap entries.
+
+    One row per entry: (keep_cols..., kind 'url'|'sitemap', loc, lastmod
+    timestamp, changefreq, priority double). `<lastmod>` accepts the W3C
+    datetime profile the spec allows — date-only, seconds+offset ('Z'
+    included), minutes+offset — via a try_to_timestamp coalesce chain;
+    unparseable/absent -> null. Whitespace inside `<loc>` is trimmed per
+    spec. `priority` outside entries (urlset default) is not modeled.
+
+    Scale: pure regexp_extract_all + in-row transforms, zero shuffle —
+    sitemap files are per-host-small (the spec caps one file at 50k URLs /
+    50 MB), so a fleet of them is an embarrassingly parallel scan; the
+    posexplode keeps entry order within a file (entry_pos)."""
+    xml = F.col(xml_col)
+    body = lambda kind: F.regexp_extract_all(  # noqa: E731
+        xml, F.lit(rf"(?s)<{kind}>(.*?)</{kind}>"), 1
+    )
+    tagged = lambda kind: F.transform(  # noqa: E731
+        body(kind),
+        lambda b: F.struct(F.lit(kind).alias("kind"), b.alias("body")),
+    )
+    entries = F.concat(tagged("url"), tagged("sitemap"))
+
+    def field(name: str) -> Column:
+        return F.nullif(
+            F.regexp_extract(F.col("_e.body"), rf"(?s)<{name}>\s*(.*?)\s*</{name}>", 1),
+            F.lit(""),
+        )
+
+    lastmod_s = field("lastmod")
+    lastmod = F.coalesce(
+        F.try_to_timestamp(lastmod_s, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        F.try_to_timestamp(lastmod_s, F.lit("yyyy-MM-dd'T'HH:mmXXX")),
+        F.try_to_timestamp(lastmod_s, F.lit("yyyy-MM-dd")),
+    )
+    return df.select(
+        *[F.col(c) for c in keep_cols],
+        F.posexplode(entries).alias("entry_pos", "_e"),
+    ).select(
+        *[F.col(c) for c in keep_cols],
+        "entry_pos",
+        F.col("_e.kind").alias("kind"),
+        field("loc").alias("loc"),
+        lastmod.alias("lastmod"),
+        field("changefreq").alias("changefreq"),
+        field("priority").try_cast("double").alias("priority"),
+    )
+
+
 def host_edges(links: DataFrame, external_only: bool = False) -> DataFrame:
     """Aggregate page-level links to weighted host-level edges
     (src_host, dst_host, n_links). Map-side partial aggregation means the
