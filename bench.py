@@ -150,6 +150,7 @@ HEADLINE = [
     "badwords_filter",
     "image_near_dup",
     "sitemap_parse",
+    "robots_discovery",
 ]
 
 

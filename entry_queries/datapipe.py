@@ -1450,6 +1450,41 @@ def q_robots_filter(spark, sf_dir):
 
 
 
+def q_robots_discovery(spark, sf_dir):
+    """robots.txt discovery directives: `Sitemap:` lines are
+    group-INDEPENDENT (planted both before and after the groups — both
+    must surface), `Crawl-delay:` is group-SCOPED (the bot group's delay
+    must NOT leak into the `*` resolution; hosts with two applicable star
+    groups take the most conservative = max; 'bogus' values drop). Output
+    joins the two per-host directive sets."""
+    from vector_spark.datapipe import robots_crawl_delay, robots_sitemaps
+
+    d = _t(spark, sf_dir, "documents")
+    hosts = d.select(F.col("source").alias("host")).distinct()
+    hu = F.conv(F.substring(F.md5(F.col("host")), 1, 8), 16, 10).cast("long")
+    delay_line = (
+        F.when(hu % 4 == 0, F.lit("Crawl-delay: 2.5\n"))
+        .when(hu % 4 == 1, F.lit("Crawl-delay: 3\n"))
+        .when(hu % 4 == 2, F.lit("Crawl-delay: bogus\n"))
+        .otherwise(F.lit(""))
+    )
+    extra_group = F.when(
+        hu % 5 == 0, F.lit("\nUser-agent: *\nCrawl-delay: 10\nDisallow: /tmp")
+    ).otherwise(F.lit(""))
+    content = F.concat(
+        F.lit("Sitemap: https://"), F.col("host"), F.lit("/sm-"),
+        (hu % 7).cast("string"), F.lit(".xml\n"),
+        F.lit("User-agent: bot\nCrawl-delay: 1\nDisallow: /\n"),
+        F.lit("User-agent: *\n"), delay_line, F.lit("Disallow: /x"),
+        extra_group,
+        F.lit("\nSitemap: https://"), F.col("host"), F.lit("/sm-extra.xml"),
+    )
+    robots = hosts.select("host", content.alias("robots_txt"))
+    return robots_sitemaps(robots).join(
+        robots_crawl_delay(robots, agent="*"), "host", "left"
+    ).select("host", "sitemap_url", "crawl_delay")
+
+
 def _hll_est_sql(vals_select: str, group: str | None = None) -> str:
     """Generate the DuckDB HLL register/estimate oracle from a `vals`
     projection (must expose column v, plus `group` when set). Constants
@@ -2525,6 +2560,31 @@ FROM top WHERE rn = 1
 """
     )
 
+    # robots_discovery: expected directive rows from the same md5(host)
+    # arithmetic; the bot group's delay must never appear
+    _hu = _md5_u32("host")
+    sql["robots_discovery"] = f"""
+WITH h AS (SELECT DISTINCT source AS host FROM documents),
+x AS (SELECT host, {_hu} AS hu FROM h),
+dl AS (
+  SELECT host,
+         CAST(CASE
+           WHEN hu % 5 = 0 THEN greatest(coalesce(
+             CASE WHEN hu % 4 = 0 THEN 2.5 WHEN hu % 4 = 1 THEN 3.0 END, 10.0), 10.0)
+           ELSE CASE WHEN hu % 4 = 0 THEN 2.5 WHEN hu % 4 = 1 THEN 3.0 END
+         END AS DOUBLE) AS crawl_delay
+  FROM x
+),
+sm AS (
+  SELECT host, 'https://' || host || '/sm-' || CAST(hu % 7 AS VARCHAR) || '.xml' AS sitemap_url
+  FROM x
+  UNION ALL
+  SELECT host, 'https://' || host || '/sm-extra.xml' FROM x
+)
+SELECT sm.host, sm.sitemap_url, dl.crawl_delay
+FROM sm JOIN dl ON dl.host = sm.host
+"""
+
     # fixed-point integer PageRank: identical md5-derived 4-regular edges,
     # identical floor-division update, 3 unrolled rounds -> bit-exact
     _pr_edges = " UNION ALL ".join(
@@ -3256,6 +3316,7 @@ QUERIES = {
     "quality_gopher": q_quality_gopher,
     "quality_repetition": q_quality_repetition,
     "robots_filter": q_robots_filter,
+    "robots_discovery": q_robots_discovery,
     "sample_stratified": q_sample_stratified,
     "semantic_dedup": q_semantic_dedup,
     "embedding_outliers": q_embedding_outliers,

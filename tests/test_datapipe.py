@@ -434,6 +434,33 @@ def test_incremental_dedup_tiers_and_delta_isolation(spark):
                     (13, True, None), (14, True, None)]
 
 
+def test_robots_sitemaps_and_crawl_delay(spark):
+    """Sitemap lines are group-independent (one sits inside the bot group
+    — it must still surface); Crawl-delay is group-scoped (the bot
+    group's 1 must not leak into the '*' resolution), two applicable
+    groups take the max, unparseable values drop, and a host with no
+    applicable delay emits no row."""
+    from vector_spark.datapipe import robots_crawl_delay, robots_sitemaps
+
+    a = (
+        "Sitemap: https://a.example/s1.xml\n"
+        "User-agent: bot\nCrawl-delay: 1\nDisallow: /\n"
+        "Sitemap: https://a.example/s2.xml\n"
+        "User-agent: *\nCrawl-delay: 2.5\nDisallow: /x\n"
+        "User-agent: *\nCrawl-delay: 10\nDisallow: /y\n"
+    )
+    b = "User-agent: *\nCrawl-delay: nope\nDisallow: /z\n"
+    df = spark.createDataFrame([("a", a), ("b", b)], "host string, robots_txt string")
+
+    sm = {(r.host, r.sitemap_url) for r in robots_sitemaps(df).collect()}
+    assert sm == {
+        ("a", "https://a.example/s1.xml"),
+        ("a", "https://a.example/s2.xml"),
+    }
+    dl = {r.host: r.crawl_delay for r in robots_crawl_delay(df, agent="*").collect()}
+    assert dl == {"a": 10.0}
+
+
 def test_robots_rules_and_longest_match(spark):
     """RFC 9309 semantics: consecutive User-agent lines share one group;
     only groups containing '*' apply; valueless Disallow and non-rule

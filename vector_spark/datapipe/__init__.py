@@ -38,7 +38,7 @@ from .lm import (
 from .html import extract_html_text, html_text_expr, warc_to_wet
 from .graph import harmonic_centrality, hits, hyperball, pagerank
 from .links import anchor_stats, crawl_frontier, extract_links, host_edges, parse_sitemap, resolve_href
-from .robots import parse_robots_rules, robots_filter
+from .robots import parse_robots_rules, robots_filter, robots_sitemaps, robots_crawl_delay
 from .multimodal import binary_meta, extract_features, frame_sample, resize_image, image_ahash, image_near_dup
 
 __all__ = [
@@ -51,7 +51,7 @@ __all__ = [
     "decontaminate_semantic",
     "semantic_dedup", "bpe_pair_counts", "pagerank", "tfidf_keywords",
     "bpe_learn", "bpe_learn_py", "bpe_encode", "bpe_encode_word", "bpe_token_ids", "bpe_vocab",
-    "parse_robots_rules", "robots_filter", "incremental_dedup", "corpus_stats", "normalize_text",
+    "parse_robots_rules", "robots_filter", "robots_sitemaps", "robots_crawl_delay", "incremental_dedup", "corpus_stats", "normalize_text",
     "text_quality", "quality_filter_gopher", "repetition_filter_gopher", "token_count", "doc_fingerprint", "langid",
     "binary_meta", "extract_features", "frame_sample", "resize_image",
     "chunk_documents", "c4_line_filter", "badwords_filter", "curation_pipeline", "pii_scrub", "sample_stratified",

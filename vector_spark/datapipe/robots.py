@@ -32,16 +32,14 @@ _UA_RE = r"^\s*[Uu][Ss][Ee][Rr]-[Aa][Gg][Ee][Nn][Tt]\s*:\s*(\S+)"
 _RULE_RE = r"^\s*([Dd][Ii][Ss])?[Aa][Ll][Ll][Oo][Ww]\s*:\s*(\S*)"
 
 
-def parse_robots_rules(
-    df: DataFrame,
-    agent: str = "*",
-    content_col: str = "robots_txt",
-    key_col: str = "host",
-) -> DataFrame:
-    """Explode robots.txt to lines, group by User-agent runs, keep the
-    groups owning `agent` — or, when the host has none, the `*` groups
-    (RFC 9309 2.2.1) — and emit (host, rule, allow). One shuffle (the
-    per-host line window)."""
+def _applicable_lines(
+    df: DataFrame, agent: str, content_col: str, key_col: str
+) -> tuple[DataFrame, "F.Column"]:
+    """Shared RFC 9309 group resolution: explode to lines, group by
+    User-agent runs, and return (lines, applies) where `applies` marks
+    lines belonging to the groups owning `agent` — or, when the host has
+    none, the `*` groups (2.2.1 fallback). One shuffle (the per-host line
+    window); consumers add their own record extraction on top."""
     lines = ensure_parallelism(df).select(
         F.col(key_col),
         F.posexplode(F.split(F.col(content_col), r"\r?\n")).alias("_pos", "_line"),
@@ -72,6 +70,20 @@ def parse_robots_rules(
     applies = (F.col("_has_agent") == 1) | (
         (F.col("_any_agent") == 0) & (F.col("_has_star") == 1)
     )
+    return lines, applies
+
+
+def parse_robots_rules(
+    df: DataFrame,
+    agent: str = "*",
+    content_col: str = "robots_txt",
+    key_col: str = "host",
+) -> DataFrame:
+    """Explode robots.txt to lines, group by User-agent runs, keep the
+    groups owning `agent` — or, when the host has none, the `*` groups
+    (RFC 9309 2.2.1) — and emit (host, rule, allow). One shuffle (the
+    per-host line window)."""
+    lines, applies = _applicable_lines(df, agent, content_col, key_col)
     # non-rule lines and valueless rules ("Disallow:" = allow-all no-op)
     # both extract an empty rule value and drop on the same filter
     kind = F.regexp_extract(F.col("_line"), _RULE_RE, 1)
@@ -82,6 +94,57 @@ def parse_robots_rules(
         .filter(F.col("rule") != "")
         .select(key_col, "rule", (F.col("_kind") == "").alias("allow"))
         .dropDuplicates([key_col, "rule", "allow"])
+    )
+
+
+_SITEMAP_RE = r"(?i)^\s*sitemap\s*:\s*(\S+)"
+_DELAY_RE = r"(?i)^\s*crawl-delay\s*:\s*(\S+)"
+
+
+def robots_sitemaps(
+    df: DataFrame,
+    content_col: str = "robots_txt",
+    key_col: str = "host",
+) -> DataFrame:
+    """`Sitemap:` discovery lines — GROUP-INDEPENDENT per the sitemaps.org
+    extension RFC 9309 inherits them from (a Sitemap record applies to the
+    whole file, wherever it sits relative to User-agent groups). Emits
+    (host, sitemap_url) distinct rows, ready to feed parse_sitemap.
+
+    No group resolution needed -> no window, no shuffle beyond the
+    distinct: a scan-speed explode + regex filter."""
+    lines = ensure_parallelism(df).select(
+        F.col(key_col),
+        F.explode(F.split(F.col(content_col), r"\r?\n")).alias("_line"),
+    )
+    url = F.regexp_extract(F.col("_line"), _SITEMAP_RE, 1)
+    return (
+        lines.select(F.col(key_col), url.alias("sitemap_url"))
+        .filter(F.col("sitemap_url") != "")
+        .distinct()
+    )
+
+
+def robots_crawl_delay(
+    df: DataFrame,
+    agent: str = "*",
+    content_col: str = "robots_txt",
+    key_col: str = "host",
+) -> DataFrame:
+    """`Crawl-delay:` — the de-facto politeness extension (not in RFC 9309
+    but honored by Bing/Yandex; Google ignores it): GROUP-SCOPED, so the
+    applicable groups are resolved exactly like Allow/Disallow. Emits
+    (host, crawl_delay double) for hosts that declare one; several
+    applicable groups -> the MOST CONSERVATIVE (max) delay; unparseable
+    values drop. Same one-window dataflow as parse_robots_rules."""
+    lines, applies = _applicable_lines(df, agent, content_col, key_col)
+    delay = F.regexp_extract(F.col("_line"), _DELAY_RE, 1).try_cast("double")
+    return (
+        lines.filter(applies & ~F.col("_is_ua"))
+        .select(F.col(key_col), delay.alias("_d"))
+        .filter(F.col("_d").isNotNull())
+        .groupBy(key_col)
+        .agg(F.max("_d").alias("crawl_delay"))
     )
 
 
