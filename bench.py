@@ -151,6 +151,7 @@ HEADLINE = [
     "image_near_dup",
     "sitemap_parse",
     "robots_discovery",
+    "codec_otlp",
 ]
 
 

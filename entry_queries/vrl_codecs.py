@@ -69,6 +69,80 @@ def q_codec_warc(spark, sf_dir):
     )
 
 
+def q_codec_otlp(spark, sf_dir):
+    """OTLP LogsData JSON decode: each events row becomes a LogsData
+    envelope (resource attrs incl. an int64-as-string host.id, one scope,
+    TWO logRecords — a typed-attribute main record and a sparse heartbeat
+    whose missing attrs must surface as nulls), flattened by
+    parse_otlp_logs' nested higher-order transforms. The oracle rebuilds
+    the expected records from the source columns (the codec_warc
+    pattern), so the triple-nesting collapse, AnyValue first-present-wins
+    attr map, and proto3 string-int64 casts are what get verified."""
+    from vector_spark.functions import parse_otlp_logs
+    from vector_spark.session import ensure_parallelism
+
+    e = ensure_parallelism(_t(spark, sf_dir, "events"))
+    eid = F.col("event_id").cast("string")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    sev_n = (
+        F.when(F.col("event_type") == "error", F.lit(17))
+        .when(F.col("event_type") == "signup", F.lit(9))
+        .otherwise(F.lit(5))
+    )
+    sev_t = (
+        F.when(F.col("event_type") == "error", F.lit("ERROR"))
+        .when(F.col("event_type") == "signup", F.lit("INFO"))
+        .otherwise(F.lit("DEBUG"))
+    )
+    doc = F.concat(
+        F.lit('{"resourceLogs":[{"resource":{"attributes":['
+              '{"key":"service.name","value":{"stringValue":"svc-'),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit('"}},{"key":"host.id","value":{"intValue":"'),
+        F.col("user_id").cast("string"),
+        F.lit('"}}]},"scopeLogs":[{"scope":{"name":"vector","version":"1.'),
+        (F.col("event_id") % 3).cast("string"),
+        F.lit('"},"logRecords":[{"timeUnixNano":"'),
+        (us * 1000).cast("string"),
+        F.lit('","severityNumber":'),
+        sev_n.cast("string"),
+        F.lit(',"severityText":"'),
+        sev_t,
+        F.lit('","body":{"stringValue":"'),
+        F.col("event_type"), F.lit(" #"), eid,
+        F.lit('"},"attributes":[{"key":"k","value":{"intValue":"'),
+        (F.col("event_id") % 100).cast("string"),
+        F.lit('"}},{"key":"value","value":{"doubleValue":'),
+        F.col("value").cast("string"),
+        F.lit('}},{"key":"ok","value":{"boolValue":'),
+        F.when(F.col("event_id") % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+        F.lit('}}]},{"timeUnixNano":"'),
+        ((us + 1000) * 1000).cast("string"),
+        F.lit('","severityNumber":5,"severityText":"DEBUG",'
+              '"body":{"stringValue":"heartbeat"},'
+              '"attributes":[{"key":"k","value":{"intValue":"'),
+        (F.col("event_id") % 100).cast("string"),
+        F.lit('"}}]}]}]}]}'),
+    )
+    recs = e.select(
+        "event_id", F.posexplode(parse_otlp_logs(doc)).alias("rec_idx", "r")
+    )
+    return recs.select(
+        "event_id",
+        "rec_idx",
+        F.expr("r.time_unix_nano DIV 1000").alias("ts_us"),
+        F.col("r.severity_number").alias("severity_number"),
+        F.col("r.severity_text").alias("severity_text"),
+        F.col("r.body").alias("body"),
+        F.element_at("r.resource_attributes", F.lit("service.name")).alias("service"),
+        F.element_at("r.resource_attributes", F.lit("host.id")).try_cast("long").alias("host_id"),
+        F.col("r.scope_version").alias("scope_version"),
+        F.element_at("r.attributes", F.lit("k")).try_cast("long").alias("k"),
+        F.element_at("r.attributes", F.lit("value")).try_cast("double").alias("val"),
+        F.element_at("r.attributes", F.lit("ok")).try_cast("boolean").alias("ok"),
+    )
+
+
 def q_vrl_parse_syslog(spark, sf_dir):
     """Round-trip: build RFC3164 lines from event columns, parse them back.
     The oracle computes the expected fields directly from the columns, so a
@@ -1392,6 +1466,34 @@ FROM documents
 """
 
     # multi-match enrichment: same literal dup-keyed dim, LEFT JOIN fan-out
+    # codec_otlp: expected flattened log records rebuilt from the source
+    # columns (the codec_warc pattern — envelope build + decode on the
+    # Spark side only, ground truth by construction here)
+    sql["codec_otlp"] = """
+WITH s AS (
+  SELECT event_id, ts, user_id, event_type, value,
+    CASE event_type WHEN 'error' THEN 17 WHEN 'signup' THEN 9 ELSE 5 END AS sn,
+    CASE event_type WHEN 'error' THEN 'ERROR' WHEN 'signup' THEN 'INFO' ELSE 'DEBUG' END AS st
+  FROM events
+)
+SELECT event_id, 0 AS rec_idx, epoch_us(ts) AS ts_us,
+       CAST(sn AS INTEGER) AS severity_number, st AS severity_text,
+       event_type || ' #' || CAST(event_id AS VARCHAR) AS body,
+       'svc-' || CAST(user_id % 5 AS VARCHAR) AS service,
+       CAST(user_id AS BIGINT) AS host_id,
+       '1.' || CAST(event_id % 3 AS VARCHAR) AS scope_version,
+       CAST(event_id % 100 AS BIGINT) AS k,
+       value AS val,
+       event_id % 2 = 0 AS ok
+FROM s
+UNION ALL
+SELECT event_id, 1, epoch_us(ts) + 1000, 5, 'DEBUG', 'heartbeat',
+       'svc-' || CAST(user_id % 5 AS VARCHAR), CAST(user_id AS BIGINT),
+       '1.' || CAST(event_id % 3 AS VARCHAR),
+       CAST(event_id % 100 AS BIGINT), NULL, NULL
+FROM s
+"""
+
     sql["codec_warc"] = """
 SELECT event_id, 0 AS idx, 'response' AS warc_type,
        'https://crawl.example/' || CAST(event_id AS VARCHAR) AS target_uri,
@@ -1424,6 +1526,7 @@ QUERIES = {
     "codec_native_json": q_codec_native_json,
     "codec_netflow_v9": q_codec_netflow_v9,
     "codec_warc": q_codec_warc,
+    "codec_otlp": q_codec_otlp,
     "demo_logs_roundtrip": q_demo_logs_roundtrip,
     "parse_aws_alb": q_parse_aws_alb,
     "parse_aws_vpc_flow": q_parse_aws_vpc_flow,

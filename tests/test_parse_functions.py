@@ -708,3 +708,46 @@ def test_extract_all_onepass_parity_all_parsers(spark, pat_name):
         m = compiled.search(line)
         want = tuple((m.group(n) or "") if m else "" for n in names)
         assert got[i] == want, (pat_name, line, got[i], want)
+
+
+def test_parse_otlp_logs_flatten_and_anyvalue(spark):
+    """OTLP triple nesting flattens in document order across multiple
+    resourceLogs/scopeLogs blocks; AnyValue collapses first-present-wins
+    (string > int-as-string > double > bool); a structured (kvlist) body
+    surfaces as null body; absent attribute arrays -> null map; proto3
+    string-int64 timeUnixNano casts to long."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.functions import parse_otlp_logs
+
+    doc = (
+        '{"resourceLogs":['
+        '{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"a"}}]},'
+        '"scopeLogs":[{"scope":{"name":"s1","version":"1"},"logRecords":['
+        '{"timeUnixNano":"1000","severityNumber":9,"severityText":"INFO",'
+        '"body":{"stringValue":"m1"},"attributes":['
+        '{"key":"i","value":{"intValue":"42"}},'
+        '{"key":"d","value":{"doubleValue":1.5}},'
+        '{"key":"b","value":{"boolValue":false}}]},'
+        '{"timeUnixNano":"2000","severityNumber":5,"severityText":"DEBUG"}]},'
+        '{"scope":{"name":"s2","version":"2"},"logRecords":['
+        '{"timeUnixNano":"3000","severityNumber":1,"severityText":"TRACE",'
+        '"body":{"stringValue":"m3"}}]}]},'
+        '{"resource":{},"scopeLogs":[{"scope":{"name":"s3"},"logRecords":['
+        '{"timeUnixNano":"4000","severityNumber":2,"severityText":"TRACE2",'
+        '"body":{"stringValue":"m4"}}]}]}]}'
+    )
+    df = spark.createDataFrame([(doc,)], "j string")
+    rows = (
+        df.select(F.posexplode(parse_otlp_logs(F.col("j"))).alias("i", "r"))
+        .select("i", "r.*")
+        .collect()
+    )
+    assert [r.time_unix_nano for r in rows] == [1000, 2000, 3000, 4000]
+    r0 = rows[0]
+    assert r0.attributes == {"i": "42", "d": "1.5", "b": "false"}
+    assert r0.resource_attributes == {"service.name": "a"}
+    assert r0.scope_name == "s1" and r0.body == "m1"
+    assert rows[1].body is None and rows[1].attributes is None
+    assert rows[2].scope_name == "s2" and rows[2].scope_version == "2"
+    assert rows[3].resource_attributes is None and rows[3].scope_version is None

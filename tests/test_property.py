@@ -1041,3 +1041,33 @@ def test_simhash_hamming_pairs_match_python_model(spark, docs, d):
         for r in simhash_hamming_pairs(df, max_hamming=d, bits=32, n_blocks=d + 3).collect()
     }
     assert got == brute
+
+
+@given(
+    fps=st.lists(st.integers(-(2**63), 2**63 - 1), min_size=2, max_size=14),
+    d=st.integers(1, 4),
+)
+@settings(**SETTINGS)
+def test_hamming_pairs_64bit_match_brute_force(spark, fps, d):
+    """The factored-out hamming-ball join == brute force for ARBITRARY
+    64-bit fingerprints (any sign, any block plan) — the pigeonhole
+    recall theorem exercised over the full signed-long range, including
+    the bit-63 sign-extension windows."""
+    from vector_spark.datapipe import hamming_pairs
+
+    rows = [(i, f) for i, f in enumerate(fps)]
+    df = spark.createDataFrame(rows, "doc_id long, fp long")
+    mask = (1 << 64) - 1
+    brute = {
+        (a, b, bin((fa ^ fb) & mask).count("1"))
+        for a, fa in rows
+        for b, fb in rows
+        if a < b and bin((fa ^ fb) & mask).count("1") <= d
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in hamming_pairs(
+            df, "fp", bits=64, max_hamming=d, n_blocks=min(d + 3, 8)
+        ).collect()
+    }
+    assert got == brute

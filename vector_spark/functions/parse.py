@@ -916,6 +916,87 @@ def parse_warc_record(col: Column) -> Column:
     )
 
 
+# OTLP LogsData, JSON protobuf mapping (opentelemetry-proto
+# logs/v1/logs.proto; the reference decodes this wire shape in its
+# opentelemetry source, src/sources/opentelemetry/ — the RPC transport is
+# out of scope per SURVEY §2.4, the FORMAT is not). int64 fields ride as
+# JSON strings per the proto3 JSON spec (timeUnixNano, intValue).
+_OTLP_ANYVALUE = (
+    "STRUCT<stringValue: STRING, intValue: STRING, "
+    "doubleValue: DOUBLE, boolValue: BOOLEAN>"
+)
+_OTLP_ATTRS = f"ARRAY<STRUCT<key: STRING, value: {_OTLP_ANYVALUE}>>"
+OTLP_LOGS_SCHEMA = (
+    "STRUCT<resourceLogs: ARRAY<STRUCT<"
+    f"resource: STRUCT<attributes: {_OTLP_ATTRS}>, "
+    "scopeLogs: ARRAY<STRUCT<"
+    "scope: STRUCT<name: STRING, version: STRING>, "
+    "logRecords: ARRAY<STRUCT<"
+    "timeUnixNano: STRING, observedTimeUnixNano: STRING, "
+    "severityNumber: INT, severityText: STRING, "
+    "body: STRUCT<stringValue: STRING>, "
+    f"attributes: {_OTLP_ATTRS}>>>>>>>"
+)
+
+
+def parse_otlp_logs(col: Column) -> Column:
+    """Decode an OTLP LogsData JSON document into an array of flattened
+    log-record structs — the resourceLogs -> scopeLogs -> logRecords
+    triple nesting collapsed with higher-order transforms (each record
+    carries its resource/scope context down), all inside from_json +
+    codegen expressions: zero Python, zero shuffle; posexplode at the
+    call site (the frame_warc convention).
+
+    Record fields: time_unix_nano (long), severity_number/_text, body
+    (the string-body common case; structured bodies arrive null),
+    attributes + resource_attributes as map<string,string> with AnyValue
+    collapsed by first-present-wins (string, int-as-string, double, bool
+    — the proto3 JSON scalars), scope_name, scope_version."""
+
+    def attr_map(attrs: Column) -> Column:
+        return F.map_from_entries(
+            F.transform(
+                attrs,
+                lambda kv: F.struct(
+                    kv["key"].alias("key"),
+                    F.coalesce(
+                        kv["value"]["stringValue"],
+                        kv["value"]["intValue"],
+                        kv["value"]["doubleValue"].cast("string"),
+                        kv["value"]["boolValue"].cast("string"),
+                    ).alias("value"),
+                ),
+            )
+        )
+
+    p = F.from_json(col, OTLP_LOGS_SCHEMA)
+    return F.flatten(
+        F.transform(
+            p["resourceLogs"],
+            lambda rl: F.flatten(
+                F.transform(
+                    rl["scopeLogs"],
+                    lambda sl: F.transform(
+                        sl["logRecords"],
+                        lambda lr: F.struct(
+                            lr["timeUnixNano"].cast("long").alias("time_unix_nano"),
+                            lr["severityNumber"].alias("severity_number"),
+                            lr["severityText"].alias("severity_text"),
+                            lr["body"]["stringValue"].alias("body"),
+                            attr_map(lr["attributes"]).alias("attributes"),
+                            attr_map(rl["resource"]["attributes"]).alias(
+                                "resource_attributes"
+                            ),
+                            sl["scope"]["name"].alias("scope_name"),
+                            sl["scope"]["version"].alias("scope_version"),
+                        ),
+                    ),
+                )
+            ),
+        )
+    )
+
+
 def serialize_protobuf(col: Column, message_name: str, desc_file_path: str,
                        options: dict | None = None) -> Column:
     """Protobuf serializer (pairs with parse_protobuf): native to_protobuf
