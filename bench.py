@@ -152,6 +152,7 @@ HEADLINE = [
     "sitemap_parse",
     "robots_discovery",
     "codec_otlp",
+    "codec_splunk_hec",
 ]
 
 

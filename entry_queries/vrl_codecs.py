@@ -143,6 +143,57 @@ def q_codec_otlp(spark, sf_dir):
     )
 
 
+def q_codec_splunk_hec(spark, sf_dir):
+    """Splunk HEC event JSON decode: each events row becomes a collector
+    payload — string `time` with a binary-exact .5 fraction on odd ids
+    (both engines land on the same epoch-us), a string event for
+    event_id%3!=0 and an OBJECT event otherwise (must surface in
+    event_obj with the string side null — NOT as the object's raw JSON),
+    HEC indexed fields. Oracle = ground-truth rows from the source
+    columns."""
+    from vector_spark.functions import parse_splunk_hec
+    from vector_spark.session import ensure_parallelism
+
+    e = ensure_parallelism(_t(spark, sf_dir, "events"))
+    eid = F.col("event_id").cast("string")
+    secs = F.unix_timestamp(F.date_trunc("second", F.col("ts").cast("timestamp")))
+    time_s = F.concat(
+        secs.cast("string"),
+        F.when(F.col("event_id") % 2 == 1, F.lit(".5")).otherwise(F.lit("")),
+    )
+    str_event = F.concat(F.lit('"'), F.col("event_type"), F.lit(" #"), eid, F.lit('"'))
+    obj_event = F.concat(
+        F.lit('{"msg":"'), F.col("event_type"),
+        F.lit('","code":"'), (F.col("event_id") % 7).cast("string"), F.lit('"}'),
+    )
+    doc = F.concat(
+        F.lit('{"time": "'), time_s,
+        F.lit('", "host": "h'), (F.col("user_id") % 7).cast("string"),
+        F.lit('", "source": "app'), (F.col("user_id") % 3).cast("string"),
+        F.lit('", "sourcetype": "_json", "index": "'),
+        F.when(F.col("event_id") % 4 == 0, F.lit("ops")).otherwise(F.lit("main")),
+        F.lit('", "fields": {"k": "'), (F.col("event_id") % 100).cast("string"),
+        F.lit('", "region": "r'), (F.col("user_id") % 4).cast("string"),
+        F.lit('"}, "event": '),
+        F.when(F.col("event_id") % 3 == 0, obj_event).otherwise(str_event),
+        F.lit("}"),
+    )
+    r = e.select("event_id", parse_splunk_hec(doc).alias("r"))
+    return r.select(
+        "event_id",
+        F.unix_micros(F.col("r.ts")).alias("ts_us"),
+        F.col("r.host").alias("host"),
+        F.col("r.source").alias("source"),
+        F.col("r.sourcetype").alias("sourcetype"),
+        F.col("r.index_name").alias("index_name"),
+        F.col("r.event").alias("event"),
+        F.element_at("r.event_obj", F.lit("msg")).alias("msg"),
+        F.element_at("r.event_obj", F.lit("code")).try_cast("long").alias("code"),
+        F.element_at("r.fields", F.lit("k")).try_cast("long").alias("k"),
+        F.element_at("r.fields", F.lit("region")).alias("region"),
+    )
+
+
 def q_vrl_parse_syslog(spark, sf_dir):
     """Round-trip: build RFC3164 lines from event columns, parse them back.
     The oracle computes the expected fields directly from the columns, so a
@@ -1466,6 +1517,24 @@ FROM documents
 """
 
     # multi-match enrichment: same literal dup-keyed dim, LEFT JOIN fan-out
+    # codec_splunk_hec: ground-truth rows from the source columns; the .5
+    # fraction is binary-exact so both engines land on the same epoch-us
+    sql["codec_splunk_hec"] = """
+SELECT event_id,
+       epoch_us(date_trunc('second', ts)) + (event_id % 2) * 500000 AS ts_us,
+       'h' || CAST(user_id % 7 AS VARCHAR) AS host,
+       'app' || CAST(user_id % 3 AS VARCHAR) AS source,
+       '_json' AS sourcetype,
+       CASE WHEN event_id % 4 = 0 THEN 'ops' ELSE 'main' END AS index_name,
+       CASE WHEN event_id % 3 = 0 THEN NULL
+            ELSE event_type || ' #' || CAST(event_id AS VARCHAR) END AS event,
+       CASE WHEN event_id % 3 = 0 THEN event_type END AS msg,
+       CASE WHEN event_id % 3 = 0 THEN CAST(event_id % 7 AS BIGINT) END AS code,
+       CAST(event_id % 100 AS BIGINT) AS k,
+       'r' || CAST(user_id % 4 AS VARCHAR) AS region
+FROM events
+"""
+
     # codec_otlp: expected flattened log records rebuilt from the source
     # columns (the codec_warc pattern — envelope build + decode on the
     # Spark side only, ground truth by construction here)
@@ -1527,6 +1596,7 @@ QUERIES = {
     "codec_netflow_v9": q_codec_netflow_v9,
     "codec_warc": q_codec_warc,
     "codec_otlp": q_codec_otlp,
+    "codec_splunk_hec": q_codec_splunk_hec,
     "demo_logs_roundtrip": q_demo_logs_roundtrip,
     "parse_aws_alb": q_parse_aws_alb,
     "parse_aws_vpc_flow": q_parse_aws_vpc_flow,

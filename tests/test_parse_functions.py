@@ -751,3 +751,34 @@ def test_parse_otlp_logs_flatten_and_anyvalue(spark):
     assert rows[1].body is None and rows[1].attributes is None
     assert rows[2].scope_name == "s2" and rows[2].scope_version == "2"
     assert rows[3].resource_attributes is None and rows[3].scope_version is None
+
+
+def test_parse_splunk_hec_shapes(spark):
+    """HEC corners: numeric AND string `time` (fractional honored),
+    string vs object event (the object's raw JSON must NOT leak into the
+    string side), absent optional fields -> nulls, indexed fields map."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.functions import parse_splunk_hec
+
+    docs = [
+        '{"time": "100.5", "host": "h1", "source": "s", "sourcetype": "t",'
+        ' "index": "main", "fields": {"k": "7"}, "event": "hello"}',
+        '{"time": 200, "event": {"msg": "m", "code": "5"}}',
+        '{"event": "bare"}',
+    ]
+    rows = (
+        spark.createDataFrame([(d,) for d in docs], "j string")
+        .select(parse_splunk_hec(F.col("j")).alias("r"))
+        .select("r.*")
+        .collect()
+    )
+    import datetime as dt
+
+    assert rows[0].ts == dt.datetime(1970, 1, 1, 0, 1, 40, 500000)
+    assert rows[0].event == "hello" and rows[0].event_obj is None
+    assert rows[0].fields == {"k": "7"} and rows[0].index_name == "main"
+    assert rows[1].ts == dt.datetime(1970, 1, 1, 0, 3, 20)
+    assert rows[1].event is None and rows[1].event_obj == {"msg": "m", "code": "5"}
+    assert rows[1].host is None
+    assert rows[2].ts is None and rows[2].event == "bare"

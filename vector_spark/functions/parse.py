@@ -997,6 +997,48 @@ def parse_otlp_logs(col: Column) -> Column:
     )
 
 
+# Splunk HTTP Event Collector event JSON (the reference's splunk_hec
+# source decode, src/sources/splunk_hec/ — transport out of scope per
+# SURVEY §2.4, the FORMAT is not; shape per Splunk's public
+# /services/collector docs). `time` is epoch seconds, number OR string,
+# with optional fractional part; `event` is a string OR an object.
+_HEC_COMMON = (
+    "time STRING, host STRING, source STRING, sourcetype STRING, "
+    "`index` STRING, fields MAP<STRING, STRING>"
+)
+
+
+def parse_splunk_hec(col: Column) -> Column:
+    """Decode one HEC event JSON into a struct:
+
+      ts          — timestamp from the epoch-seconds `time` (number or
+                    string; fractional seconds honored)
+      host / source / sourcetype / index_name
+      event       — the string-event form; null when the event is an
+                    object (Spark's StringType capture would otherwise
+                    return the object's raw JSON — masked off here)
+      event_obj   — the object-event form as map<string,string>; null for
+                    string events
+      fields      — HEC indexed fields, map<string,string>
+
+    Two from_json passes over the same document (one with `event STRING`,
+    one with `event MAP`) let both event shapes surface typed without
+    Python; still codegen-only, zero shuffle."""
+    a = F.from_json(col, f"{_HEC_COMMON}, event STRING")
+    b = F.from_json(col, f"{_HEC_COMMON}, event MAP<STRING, STRING>")
+    is_obj = b["event"].isNotNull()
+    return F.struct(
+        F.timestamp_seconds(a["time"].try_cast("double")).alias("ts"),
+        a["host"].alias("host"),
+        a["source"].alias("source"),
+        a["sourcetype"].alias("sourcetype"),
+        a["index"].alias("index_name"),
+        F.when(is_obj, F.lit(None).cast("string")).otherwise(a["event"]).alias("event"),
+        b["event"].alias("event_obj"),
+        a["fields"].alias("fields"),
+    )
+
+
 def serialize_protobuf(col: Column, message_name: str, desc_file_path: str,
                        options: dict | None = None) -> Column:
     """Protobuf serializer (pairs with parse_protobuf): native to_protobuf
