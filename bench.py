@@ -153,6 +153,7 @@ HEADLINE = [
     "robots_discovery",
     "codec_otlp",
     "codec_splunk_hec",
+    "codec_otlp_metrics",
 ]
 
 

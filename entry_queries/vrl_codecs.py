@@ -194,6 +194,58 @@ def q_codec_splunk_hec(spark, sf_dir):
     )
 
 
+def q_codec_otlp_metrics(spark, sf_dir):
+    """OTLP MetricsData decode: per events row, one gauge point
+    (asDouble, a typed point attribute) + a cumulative monotonic sum with
+    TWO points (asInt-as-string) — three flattened rows per event whose
+    kind/temporality split mirrors the reference's Absolute/Incremental
+    MetricKind. Oracle = ground-truth rows from the source columns."""
+    from vector_spark.functions import parse_otlp_metrics
+    from vector_spark.session import ensure_parallelism
+
+    e = ensure_parallelism(_t(spark, sf_dir, "events"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    doc = F.concat(
+        F.lit('{"resourceMetrics":[{"resource":{"attributes":['
+              '{"key":"service.name","value":{"stringValue":"svc-'),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit('"}}]},"scopeMetrics":[{"scope":{"name":"vector"},"metrics":['
+              '{"name":"evt.value","unit":"ms","gauge":{"dataPoints":['
+              '{"timeUnixNano":"'),
+        (us * 1000).cast("string"),
+        F.lit('","asDouble":'),
+        F.col("value").cast("string"),
+        F.lit(',"attributes":[{"key":"core","value":{"intValue":"'),
+        (F.col("user_id") % 4).cast("string"),
+        F.lit('"}}]}]}},{"name":"evt.count","sum":{"aggregationTemporality":2,'
+              '"isMonotonic":true,"dataPoints":[{"timeUnixNano":"'),
+        (us * 1000).cast("string"),
+        F.lit('","asInt":"'),
+        (F.col("event_id") % 100).cast("string"),
+        F.lit('"},{"timeUnixNano":"'),
+        ((us + 1000) * 1000).cast("string"),
+        F.lit('","asInt":"'),
+        (F.col("event_id") % 100 + 1).cast("string"),
+        F.lit('"}]}}]}]}]}'),
+    )
+    recs = e.select(
+        "event_id", F.posexplode(parse_otlp_metrics(doc)).alias("dp_idx", "r")
+    )
+    return recs.select(
+        "event_id",
+        "dp_idx",
+        F.col("r.metric_name").alias("metric_name"),
+        F.col("r.unit").alias("unit"),
+        F.col("r.kind").alias("kind"),
+        F.col("r.temporality").alias("temporality"),
+        F.col("r.monotonic").alias("monotonic"),
+        F.expr("r.time_unix_nano DIV 1000").alias("ts_us"),
+        F.col("r.value").alias("value"),
+        F.element_at("r.attributes", F.lit("core")).try_cast("long").alias("core"),
+        F.element_at("r.resource_attributes", F.lit("service.name")).alias("service"),
+    )
+
+
 def q_vrl_parse_syslog(spark, sf_dir):
     """Round-trip: build RFC3164 lines from event columns, parse them back.
     The oracle computes the expected fields directly from the columns, so a
@@ -1535,6 +1587,27 @@ SELECT event_id,
 FROM events
 """
 
+    # codec_otlp_metrics: three ground-truth data-point rows per event
+    sql["codec_otlp_metrics"] = """
+SELECT event_id, 0 AS dp_idx, 'evt.value' AS metric_name, 'ms' AS unit,
+       'gauge' AS kind, CAST(NULL AS INTEGER) AS temporality,
+       CAST(NULL AS BOOLEAN) AS monotonic,
+       epoch_us(ts) AS ts_us, value,
+       CAST(user_id % 4 AS BIGINT) AS core,
+       'svc-' || CAST(user_id % 5 AS VARCHAR) AS service
+FROM events
+UNION ALL
+SELECT event_id, 1, 'evt.count', NULL, 'sum', 2, TRUE,
+       epoch_us(ts), CAST(event_id % 100 AS DOUBLE),
+       NULL, 'svc-' || CAST(user_id % 5 AS VARCHAR)
+FROM events
+UNION ALL
+SELECT event_id, 2, 'evt.count', NULL, 'sum', 2, TRUE,
+       epoch_us(ts) + 1000, CAST(event_id % 100 + 1 AS DOUBLE),
+       NULL, 'svc-' || CAST(user_id % 5 AS VARCHAR)
+FROM events
+"""
+
     # codec_otlp: expected flattened log records rebuilt from the source
     # columns (the codec_warc pattern — envelope build + decode on the
     # Spark side only, ground truth by construction here)
@@ -1597,6 +1670,7 @@ QUERIES = {
     "codec_warc": q_codec_warc,
     "codec_otlp": q_codec_otlp,
     "codec_splunk_hec": q_codec_splunk_hec,
+    "codec_otlp_metrics": q_codec_otlp_metrics,
     "demo_logs_roundtrip": q_demo_logs_roundtrip,
     "parse_aws_alb": q_parse_aws_alb,
     "parse_aws_vpc_flow": q_parse_aws_vpc_flow,

@@ -782,3 +782,29 @@ def test_parse_splunk_hec_shapes(spark):
     assert rows[1].event is None and rows[1].event_obj == {"msg": "m", "code": "5"}
     assert rows[1].host is None
     assert rows[2].ts is None and rows[2].event == "bare"
+
+
+def test_parse_otlp_metrics_kinds(spark):
+    """Gauge vs sum kind split, delta vs cumulative temporality, asInt
+    (string int64) vs asDouble value coalesce, point attrs, and
+    flatten order across metrics."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.functions import parse_otlp_metrics
+
+    doc = (
+        '{"resourceMetrics":[{"resource":{"attributes":[]},'
+        '"scopeMetrics":[{"scope":{"name":"s"},"metrics":['
+        '{"name":"g","gauge":{"dataPoints":[{"timeUnixNano":"1","asDouble":2.5}]}},'
+        '{"name":"d","sum":{"aggregationTemporality":1,"isMonotonic":false,'
+        '"dataPoints":[{"timeUnixNano":"2","asInt":"9"}]}}]}]}]}'
+    )
+    rows = (
+        spark.createDataFrame([(doc,)], "j string")
+        .select(F.posexplode(parse_otlp_metrics(F.col("j"))).alias("i", "r"))
+        .select("r.*")
+        .collect()
+    )
+    g, d = rows
+    assert (g.kind, g.value, g.temporality, g.monotonic) == ("gauge", 2.5, None, None)
+    assert (d.kind, d.value, d.temporality, d.monotonic) == ("sum", 9.0, 1, False)

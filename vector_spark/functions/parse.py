@@ -939,6 +939,26 @@ OTLP_LOGS_SCHEMA = (
 )
 
 
+def _otlp_attr_map(attrs: Column) -> Column:
+    """OTLP attribute list -> map<string,string>, AnyValue collapsed
+    first-present-wins (string, int-as-string, double, bool — the proto3
+    JSON scalars)."""
+    return F.map_from_entries(
+        F.transform(
+            attrs,
+            lambda kv: F.struct(
+                kv["key"].alias("key"),
+                F.coalesce(
+                    kv["value"]["stringValue"],
+                    kv["value"]["intValue"],
+                    kv["value"]["doubleValue"].cast("string"),
+                    kv["value"]["boolValue"].cast("string"),
+                ).alias("value"),
+            ),
+        )
+    )
+
+
 def parse_otlp_logs(col: Column) -> Column:
     """Decode an OTLP LogsData JSON document into an array of flattened
     log-record structs — the resourceLogs -> scopeLogs -> logRecords
@@ -949,26 +969,9 @@ def parse_otlp_logs(col: Column) -> Column:
 
     Record fields: time_unix_nano (long), severity_number/_text, body
     (the string-body common case; structured bodies arrive null),
-    attributes + resource_attributes as map<string,string> with AnyValue
-    collapsed by first-present-wins (string, int-as-string, double, bool
-    — the proto3 JSON scalars), scope_name, scope_version."""
-
-    def attr_map(attrs: Column) -> Column:
-        return F.map_from_entries(
-            F.transform(
-                attrs,
-                lambda kv: F.struct(
-                    kv["key"].alias("key"),
-                    F.coalesce(
-                        kv["value"]["stringValue"],
-                        kv["value"]["intValue"],
-                        kv["value"]["doubleValue"].cast("string"),
-                        kv["value"]["boolValue"].cast("string"),
-                    ).alias("value"),
-                ),
-            )
-        )
-
+    attributes + resource_attributes as map<string,string> via
+    _otlp_attr_map, scope_name, scope_version."""
+    attr_map = _otlp_attr_map
     p = F.from_json(col, OTLP_LOGS_SCHEMA)
     return F.flatten(
         F.transform(
@@ -990,6 +993,81 @@ def parse_otlp_logs(col: Column) -> Column:
                             sl["scope"]["name"].alias("scope_name"),
                             sl["scope"]["version"].alias("scope_version"),
                         ),
+                    ),
+                )
+            ),
+        )
+    )
+
+
+# OTLP MetricsData, JSON protobuf mapping (opentelemetry-proto
+# metrics/v1/metrics.proto) — the metric-kind sibling of OTLP_LOGS_SCHEMA;
+# gauge + sum (the Counter/Gauge pair of the reference's metric model,
+# lib/vector-core/src/event/metric/value.rs — aggregationTemporality maps
+# onto its Incremental/Absolute MetricKind).
+_OTLP_DP = (
+    "STRUCT<timeUnixNano: STRING, asDouble: DOUBLE, asInt: STRING, "
+    f"attributes: {_OTLP_ATTRS}>"
+)
+OTLP_METRICS_SCHEMA = (
+    "STRUCT<resourceMetrics: ARRAY<STRUCT<"
+    f"resource: STRUCT<attributes: {_OTLP_ATTRS}>, "
+    "scopeMetrics: ARRAY<STRUCT<"
+    "scope: STRUCT<name: STRING, version: STRING>, "
+    "metrics: ARRAY<STRUCT<"
+    "name: STRING, unit: STRING, "
+    f"gauge: STRUCT<dataPoints: ARRAY<{_OTLP_DP}>>, "
+    "sum: STRUCT<aggregationTemporality: INT, isMonotonic: BOOLEAN, "
+    f"dataPoints: ARRAY<{_OTLP_DP}>>>>>>>>>"
+)
+
+
+def parse_otlp_metrics(col: Column) -> Column:
+    """Decode an OTLP MetricsData JSON document into an array of flattened
+    DATA-POINT structs (one element per point, the grain Vector's Metric
+    events use) — resourceMetrics -> scopeMetrics -> metrics ->
+    gauge/sum dataPoints, context carried down, all codegen expressions.
+
+    Point fields: metric_name, unit, kind ('gauge' | 'sum'),
+    temporality (sum only: 1=delta≈Incremental, 2=cumulative≈Absolute —
+    the reference's MetricKind split), monotonic (sum only),
+    time_unix_nano (long), value (asDouble | asInt first-present, as
+    double), attributes + resource_attributes maps, scope_name."""
+    p = F.from_json(col, OTLP_METRICS_SCHEMA)
+    return F.flatten(
+        F.transform(
+            p["resourceMetrics"],
+            lambda rm: F.flatten(
+                F.transform(
+                    rm["scopeMetrics"],
+                    lambda sm: F.flatten(
+                        F.transform(
+                            sm["metrics"],
+                            lambda m: F.transform(
+                                F.coalesce(
+                                    m["gauge"]["dataPoints"],
+                                    m["sum"]["dataPoints"],
+                                ),
+                                lambda dp: F.struct(
+                                    m["name"].alias("metric_name"),
+                                    m["unit"].alias("unit"),
+                                    F.when(m["gauge"].isNotNull(), F.lit("gauge"))
+                                    .otherwise(F.lit("sum"))
+                                    .alias("kind"),
+                                    m["sum"]["aggregationTemporality"].alias("temporality"),
+                                    m["sum"]["isMonotonic"].alias("monotonic"),
+                                    dp["timeUnixNano"].cast("long").alias("time_unix_nano"),
+                                    F.coalesce(
+                                        dp["asDouble"], dp["asInt"].cast("double")
+                                    ).alias("value"),
+                                    _otlp_attr_map(dp["attributes"]).alias("attributes"),
+                                    _otlp_attr_map(rm["resource"]["attributes"]).alias(
+                                        "resource_attributes"
+                                    ),
+                                    sm["scope"]["name"].alias("scope_name"),
+                                ),
+                            ),
+                        )
                     ),
                 )
             ),
