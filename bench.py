@@ -154,6 +154,7 @@ HEADLINE = [
     "codec_otlp",
     "codec_splunk_hec",
     "codec_otlp_metrics",
+    "codec_otlp_traces",
 ]
 
 

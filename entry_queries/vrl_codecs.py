@@ -246,6 +246,65 @@ def q_codec_otlp_metrics(spark, sf_dir):
     )
 
 
+def q_codec_otlp_traces(spark, sf_dir):
+    """OTLP TracesData decode: per events row a root SERVER span (status
+    code 2 + message on error events, absent status otherwise -> nulls)
+    and a child span transmitted with an UPPERCASE hex spanId (must
+    lowercase) parented on the root — md5-derived ids both engines
+    compute identically. Completes the Log/Metric/Trace triad."""
+    from vector_spark.functions import parse_otlp_traces
+    from vector_spark.session import ensure_parallelism
+
+    e = ensure_parallelism(_t(spark, sf_dir, "events"))
+    eid = F.col("event_id").cast("string")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    trace_id = F.md5(F.concat(F.lit("tr|"), eid))
+    root_id = F.substring(F.md5(F.concat(F.lit("sp|"), eid)), 1, 16)
+    child_id = F.substring(F.md5(F.concat(F.lit("sp2|"), eid)), 1, 16)
+    dur = (F.col("event_id") % 1000 + 1) * 1000
+    status = F.when(
+        F.col("event_type") == "error",
+        F.lit(',"status":{"code":2,"message":"boom"}'),
+    ).otherwise(F.lit(""))
+    doc = F.concat(
+        F.lit('{"resourceSpans":[{"resource":{"attributes":['
+              '{"key":"service.name","value":{"stringValue":"svc-'),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit('"}}]},"scopeSpans":[{"scope":{"name":"vector"},"spans":['
+              '{"traceId":"'), trace_id,
+        F.lit('","spanId":"'), root_id,
+        F.lit('","name":"'), F.col("event_type"),
+        F.lit('-root","kind":2,"startTimeUnixNano":"'), (us * 1000).cast("string"),
+        F.lit('","endTimeUnixNano":"'), (us * 1000 + dur).cast("string"),
+        F.lit('"'), status,
+        F.lit('},{"traceId":"'), trace_id,
+        F.lit('","spanId":"'), F.upper(child_id),
+        F.lit('","parentSpanId":"'), root_id,
+        F.lit('","name":"db.query","kind":3,"startTimeUnixNano":"'),
+        (us * 1000 + 500).cast("string"),
+        F.lit('","endTimeUnixNano":"'), (us * 1000 + dur - 100).cast("string"),
+        F.lit('","attributes":[{"key":"db","value":{"stringValue":"pg"}}]}]}]}]}'),
+    )
+    recs = e.select(
+        "event_id", F.posexplode(parse_otlp_traces(doc)).alias("span_idx", "r")
+    )
+    return recs.select(
+        "event_id",
+        "span_idx",
+        F.col("r.trace_id").alias("trace_id"),
+        F.col("r.span_id").alias("span_id"),
+        F.col("r.parent_span_id").alias("parent_span_id"),
+        F.col("r.name").alias("name"),
+        F.col("r.kind").alias("kind"),
+        F.expr("r.start_unix_nano DIV 1000").alias("start_us"),
+        F.col("r.duration_nano").alias("duration_nano"),
+        F.col("r.status_code").alias("status_code"),
+        F.col("r.status_message").alias("status_message"),
+        F.element_at("r.attributes", F.lit("db")).alias("db"),
+        F.element_at("r.resource_attributes", F.lit("service.name")).alias("service"),
+    )
+
+
 def q_vrl_parse_syslog(spark, sf_dir):
     """Round-trip: build RFC3164 lines from event columns, parse them back.
     The oracle computes the expected fields directly from the columns, so a
@@ -1587,6 +1646,34 @@ SELECT event_id,
 FROM events
 """
 
+    # codec_otlp_traces: two ground-truth span rows per event; the child's
+    # UPPERCASE wire spanId must come back lowercased
+    sql["codec_otlp_traces"] = """
+WITH s AS (
+  SELECT event_id, ts, user_id, event_type,
+         md5('tr|' || CAST(event_id AS VARCHAR)) AS trace_id,
+         substr(md5('sp|' || CAST(event_id AS VARCHAR)), 1, 16) AS root_id,
+         substr(md5('sp2|' || CAST(event_id AS VARCHAR)), 1, 16) AS child_id,
+         (event_id % 1000 + 1) * 1000 AS dur,
+         'svc-' || CAST(user_id % 5 AS VARCHAR) AS service
+  FROM events
+)
+SELECT event_id, 0 AS span_idx, trace_id, root_id AS span_id,
+       CAST(NULL AS VARCHAR) AS parent_span_id,
+       event_type || '-root' AS name, 2 AS kind,
+       epoch_us(ts) AS start_us, CAST(dur AS BIGINT) AS duration_nano,
+       CASE WHEN event_type = 'error' THEN 2 END AS status_code,
+       CASE WHEN event_type = 'error' THEN 'boom' END AS status_message,
+       CAST(NULL AS VARCHAR) AS db, service
+FROM s
+UNION ALL
+SELECT event_id, 1, trace_id, child_id, root_id,
+       'db.query', 3,
+       epoch_us(ts), CAST(dur - 600 AS BIGINT),
+       NULL, NULL, 'pg', service
+FROM s
+"""
+
     # codec_otlp_metrics: three ground-truth data-point rows per event
     sql["codec_otlp_metrics"] = """
 SELECT event_id, 0 AS dp_idx, 'evt.value' AS metric_name, 'ms' AS unit,
@@ -1671,6 +1758,7 @@ QUERIES = {
     "codec_otlp": q_codec_otlp,
     "codec_splunk_hec": q_codec_splunk_hec,
     "codec_otlp_metrics": q_codec_otlp_metrics,
+    "codec_otlp_traces": q_codec_otlp_traces,
     "demo_logs_roundtrip": q_demo_logs_roundtrip,
     "parse_aws_alb": q_parse_aws_alb,
     "parse_aws_vpc_flow": q_parse_aws_vpc_flow,

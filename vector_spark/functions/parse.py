@@ -1075,6 +1075,71 @@ def parse_otlp_metrics(col: Column) -> Column:
     )
 
 
+# OTLP TracesData, JSON protobuf mapping (opentelemetry-proto
+# trace/v1/trace.proto) — completes the reference's Event triad
+# (Log | Metric | Trace, lib/vector-core/src/event/mod.rs:51-55; its
+# TraceEvent is a thin LogEvent wrapper, so the span grain here is the
+# faithful shape).
+OTLP_TRACES_SCHEMA = (
+    "STRUCT<resourceSpans: ARRAY<STRUCT<"
+    f"resource: STRUCT<attributes: {_OTLP_ATTRS}>, "
+    "scopeSpans: ARRAY<STRUCT<"
+    "scope: STRUCT<name: STRING, version: STRING>, "
+    "spans: ARRAY<STRUCT<"
+    "traceId: STRING, spanId: STRING, parentSpanId: STRING, "
+    "name: STRING, kind: INT, "
+    "startTimeUnixNano: STRING, endTimeUnixNano: STRING, "
+    f"attributes: {_OTLP_ATTRS}, "
+    "status: STRUCT<code: INT, message: STRING>>>>>>>>"
+)
+
+
+def parse_otlp_traces(col: Column) -> Column:
+    """Decode an OTLP TracesData JSON document into an array of flattened
+    span structs — resourceSpans -> scopeSpans -> spans, context carried
+    down, codegen-only (the parse_otlp_logs pattern).
+
+    Span fields: trace_id / span_id / parent_span_id (lowercased hex as
+    transmitted; proto3 JSON uses hex for these bytes fields), name,
+    kind (int enum), start/end_unix_nano (long), duration_nano,
+    status_code / status_message, attributes + resource_attributes maps,
+    scope_name."""
+    p = F.from_json(col, OTLP_TRACES_SCHEMA)
+    return F.flatten(
+        F.transform(
+            p["resourceSpans"],
+            lambda rs: F.flatten(
+                F.transform(
+                    rs["scopeSpans"],
+                    lambda ss: F.transform(
+                        ss["spans"],
+                        lambda sp: F.struct(
+                            F.lower(sp["traceId"]).alias("trace_id"),
+                            F.lower(sp["spanId"]).alias("span_id"),
+                            F.lower(sp["parentSpanId"]).alias("parent_span_id"),
+                            sp["name"].alias("name"),
+                            sp["kind"].alias("kind"),
+                            sp["startTimeUnixNano"].cast("long").alias("start_unix_nano"),
+                            sp["endTimeUnixNano"].cast("long").alias("end_unix_nano"),
+                            (
+                                sp["endTimeUnixNano"].cast("long")
+                                - sp["startTimeUnixNano"].cast("long")
+                            ).alias("duration_nano"),
+                            sp["status"]["code"].alias("status_code"),
+                            sp["status"]["message"].alias("status_message"),
+                            _otlp_attr_map(sp["attributes"]).alias("attributes"),
+                            _otlp_attr_map(rs["resource"]["attributes"]).alias(
+                                "resource_attributes"
+                            ),
+                            ss["scope"]["name"].alias("scope_name"),
+                        ),
+                    ),
+                )
+            ),
+        )
+    )
+
+
 # Splunk HTTP Event Collector event JSON (the reference's splunk_hec
 # source decode, src/sources/splunk_hec/ — transport out of scope per
 # SURVEY §2.4, the FORMAT is not; shape per Splunk's public
