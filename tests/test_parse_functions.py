@@ -808,3 +808,33 @@ def test_parse_otlp_metrics_kinds(spark):
     g, d = rows
     assert (g.kind, g.value, g.temporality, g.monotonic) == ("gauge", 2.5, None, None)
     assert (d.kind, d.value, d.temporality, d.monotonic) == ("sum", 9.0, 1, False)
+
+
+def test_parse_otlp_traces_spans(spark):
+    """Span flatten with id lowercasing, parent linkage, derived
+    duration, absent status -> nulls."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.functions import parse_otlp_traces
+
+    doc = (
+        '{"resourceSpans":[{"resource":{"attributes":[]},'
+        '"scopeSpans":[{"scope":{"name":"s"},"spans":['
+        '{"traceId":"AABB","spanId":"CC01","name":"root","kind":2,'
+        '"startTimeUnixNano":"1000","endTimeUnixNano":"4000",'
+        '"status":{"code":2,"message":"x"}},'
+        '{"traceId":"AABB","spanId":"dd02","parentSpanId":"CC01","name":"child",'
+        '"kind":3,"startTimeUnixNano":"1500","endTimeUnixNano":"2500"}]}]}]}'
+    )
+    rows = (
+        spark.createDataFrame([(doc,)], "j string")
+        .select(F.posexplode(parse_otlp_traces(F.col("j"))).alias("i", "r"))
+        .select("r.*")
+        .collect()
+    )
+    root, child = rows
+    assert root.trace_id == "aabb" and root.span_id == "cc01"
+    assert root.parent_span_id is None and root.duration_nano == 3000
+    assert (root.status_code, root.status_message) == (2, "x")
+    assert child.parent_span_id == "cc01" and child.duration_nano == 1000
+    assert child.status_code is None
