@@ -155,6 +155,8 @@ HEADLINE = [
     "codec_splunk_hec",
     "codec_otlp_metrics",
     "codec_otlp_traces",
+    "codec_statsd",
+    "codec_prometheus",
 ]
 
 

@@ -305,6 +305,88 @@ def q_codec_otlp_traces(spark, sf_dir):
     )
 
 
+def q_codec_statsd(spark, sf_dir):
+    """statsd/DogStatsD line decode over four planted shapes per
+    event_id%4: sampled tagged counter / relative gauge (delta=true) /
+    double-valued timer / malformed line (null-name struct). Oracle =
+    ground-truth rows from the same arithmetic."""
+    from vector_spark.functions import parse_statsd
+    from vector_spark.session import ensure_parallelism
+
+    e = ensure_parallelism(_t(spark, sf_dir, "events"))
+    name = F.concat(F.lit("evt."), F.col("event_type"))
+    m = F.col("event_id") % 4
+    line = (
+        F.when(m == 0, F.concat(
+            name, F.lit(":"), (F.col("event_id") % 50).cast("string"),
+            F.lit("|c|@0.5|#env:prod,u:u"), (F.col("user_id") % 5).cast("string"),
+        ))
+        .when(m == 1, F.concat(
+            name, F.lit(":+"), (F.col("event_id") % 9 + 1).cast("string"), F.lit("|g"),
+        ))
+        .when(m == 2, F.concat(
+            name, F.lit(":"), F.col("value").cast("string"), F.lit("|ms"),
+        ))
+        .otherwise(F.concat(name, F.lit(":oops")))
+    )
+    r = e.select("event_id", parse_statsd(line).alias("r"))
+    return r.select(
+        "event_id",
+        F.col("r.name").alias("name"),
+        F.col("r.value").alias("value"),
+        F.col("r.metric_type").alias("metric_type"),
+        F.col("r.sample_rate").alias("sample_rate"),
+        F.col("r.delta").alias("delta"),
+        F.element_at("r.tags", F.lit("env")).alias("env"),
+        F.element_at("r.tags", F.lit("u")).alias("u_tag"),
+    )
+
+
+def q_codec_prometheus(spark, sf_dir):
+    """Prometheus text-exposition decode: per events row a scrape body
+    with a labeled+timestamped gauge sample and a FULL histogram family
+    (_bucket x2 incl. le="+Inf", _sum with a binary-exact .5, _count) —
+    5 flattened samples whose family/TYPE/HELP attach is the tested
+    surface. Oracle = ground-truth rows from the source columns."""
+    from vector_spark.functions import parse_prometheus_text
+    from vector_spark.session import ensure_parallelism
+
+    e = ensure_parallelism(_t(spark, sf_dir, "events"))
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    body = F.concat(
+        F.lit("# HELP evt_value Latest value.\n# TYPE evt_value gauge\n"
+              'evt_value{type="'),
+        F.col("event_type"),
+        F.lit('",u="'), (F.col("user_id") % 5).cast("string"),
+        F.lit('"} '), F.col("value").cast("string"),
+        F.lit(" "), ms.cast("string"),
+        F.lit("\n# TYPE evt_lat histogram\n"
+              'evt_lat_bucket{le="0.5"} '),
+        (F.col("event_id") % 10).cast("string"),
+        F.lit('\nevt_lat_bucket{le="+Inf"} '),
+        (F.col("event_id") % 10 + 3).cast("string"),
+        F.lit("\nevt_lat_sum "), (F.col("event_id") % 100).cast("string"),
+        F.lit(".5\nevt_lat_count "), (F.col("event_id") % 10 + 3).cast("string"),
+    )
+    out = parse_prometheus_text(
+        e.select(F.col("event_id").alias("scrape_id"), body.alias("body")),
+        "body",
+        ("scrape_id",),
+    )
+    return out.select(
+        F.col("scrape_id").alias("event_id"),
+        "line_pos",
+        "name",
+        "family",
+        F.element_at("labels", F.lit("le")).alias("le"),
+        F.element_at("labels", F.lit("u")).alias("u_label"),
+        "value",
+        "ts_ms",
+        "metric_type",
+        "help",
+    )
+
+
 def q_vrl_parse_syslog(spark, sf_dir):
     """Round-trip: build RFC3164 lines from event columns, parse them back.
     The oracle computes the expected fields directly from the columns, so a
@@ -1646,6 +1728,48 @@ SELECT event_id,
 FROM events
 """
 
+    # codec_prometheus: 5 ground-truth samples per scrape body
+    sql["codec_prometheus"] = """
+SELECT event_id, 2 AS line_pos, 'evt_value' AS name, 'evt_value' AS family,
+       CAST(NULL AS VARCHAR) AS le,
+       CAST(user_id % 5 AS VARCHAR) AS u_label,
+       value, epoch_ms(ts) AS ts_ms,
+       'gauge' AS metric_type, 'Latest value.' AS help
+FROM events
+UNION ALL
+SELECT event_id, 4, 'evt_lat_bucket', 'evt_lat', '0.5', NULL,
+       CAST(event_id % 10 AS DOUBLE), NULL, 'histogram', NULL
+FROM events
+UNION ALL
+SELECT event_id, 5, 'evt_lat_bucket', 'evt_lat', '+Inf', NULL,
+       CAST(event_id % 10 + 3 AS DOUBLE), NULL, 'histogram', NULL
+FROM events
+UNION ALL
+SELECT event_id, 6, 'evt_lat_sum', 'evt_lat', NULL, NULL,
+       CAST(event_id % 100 AS DOUBLE) + 0.5, NULL, 'histogram', NULL
+FROM events
+UNION ALL
+SELECT event_id, 7, 'evt_lat_count', 'evt_lat', NULL, NULL,
+       CAST(event_id % 10 + 3 AS DOUBLE), NULL, 'histogram', NULL
+FROM events
+"""
+
+    # codec_statsd: ground-truth per event_id%4 shape
+    sql["codec_statsd"] = """
+SELECT event_id,
+  CASE WHEN event_id % 4 = 3 THEN NULL ELSE 'evt.' || event_type END AS name,
+  CASE event_id % 4
+    WHEN 0 THEN CAST(event_id % 50 AS DOUBLE)
+    WHEN 1 THEN CAST(event_id % 9 + 1 AS DOUBLE)
+    WHEN 2 THEN value END AS value,
+  CASE event_id % 4 WHEN 0 THEN 'c' WHEN 1 THEN 'g' WHEN 2 THEN 'ms' END AS metric_type,
+  CASE WHEN event_id % 4 = 0 THEN 0.5 END AS sample_rate,
+  CASE event_id % 4 WHEN 0 THEN FALSE WHEN 1 THEN TRUE WHEN 2 THEN FALSE END AS delta,
+  CASE WHEN event_id % 4 = 0 THEN 'prod' END AS env,
+  CASE WHEN event_id % 4 = 0 THEN 'u' || CAST(user_id % 5 AS VARCHAR) END AS u_tag
+FROM events
+"""
+
     # codec_otlp_traces: two ground-truth span rows per event; the child's
     # UPPERCASE wire spanId must come back lowercased
     sql["codec_otlp_traces"] = """
@@ -1759,6 +1883,8 @@ QUERIES = {
     "codec_splunk_hec": q_codec_splunk_hec,
     "codec_otlp_metrics": q_codec_otlp_metrics,
     "codec_otlp_traces": q_codec_otlp_traces,
+    "codec_statsd": q_codec_statsd,
+    "codec_prometheus": q_codec_prometheus,
     "demo_logs_roundtrip": q_demo_logs_roundtrip,
     "parse_aws_alb": q_parse_aws_alb,
     "parse_aws_vpc_flow": q_parse_aws_vpc_flow,

@@ -838,3 +838,36 @@ def test_parse_otlp_traces_spans(spark):
     assert (root.status_code, root.status_message) == (2, "x")
     assert child.parent_span_id == "cc01" and child.duration_nano == 1000
     assert child.status_code is None
+
+
+def test_parse_prometheus_text_exposition(spark):
+    """Exposition-format corners: histogram family attach across
+    _bucket/_sum/_count suffixes, a PLAIN sample named foo_count that
+    must keep its own family (no histogram decl), TYPE/HELP metadata
+    join, label escapes (\\n, \\", \\\\), +Inf value, optional
+    per-sample timestamp."""
+    from vector_spark.functions import parse_prometheus_text
+
+    body = "\n".join([
+        "# HELP http_req Request duration.",
+        "# TYPE http_req histogram",
+        'http_req_bucket{le="0.1",path="/a\\nb"} 3',
+        'http_req_bucket{le="+Inf"} 7 1712000000123',
+        "http_req_sum 12.5",
+        "http_req_count 7",
+        "# TYPE up gauge",
+        "up 1",
+        "foo_count 9",
+        'inf_g{x="\\\\esc\\""} +Inf',
+    ])
+    df = spark.createDataFrame([(1, body)], "scrape_id long, body string")
+    rows = {r.line_pos: r for r in parse_prometheus_text(df).collect()}
+    assert len(rows) == 7
+    assert rows[2].family == "http_req" and rows[2].metric_type == "histogram"
+    assert rows[2].labels == {"le": "0.1", "path": "/a\nb"}
+    assert rows[2].help == "Request duration."
+    assert rows[3].ts_ms == 1712000000123
+    assert rows[5].name == "http_req_count" and rows[5].family == "http_req"
+    assert rows[7].family == "up" and rows[7].metric_type == "gauge" and rows[7].help is None
+    assert rows[8].family == "foo_count" and rows[8].metric_type is None
+    assert rows[9].labels == {"x": '\\esc"'} and rows[9].value == float("inf")

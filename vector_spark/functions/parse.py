@@ -1140,6 +1140,184 @@ def parse_otlp_traces(col: Column) -> Column:
     )
 
 
+def parse_statsd(col: Column) -> Column:
+    """Decode one statsd/DogStatsD line (the reference's statsd source,
+    src/sources/statsd/ — wire grammar per its parser and the public
+    DogStatsD datagram docs):
+
+        <name>:<value>|<type>[|@<sample_rate>][|#<tag:value>,...]
+
+    Struct fields: name; value (double); metric_type (c | g | ms | s |
+    h | d); sample_rate (double, null when absent — the 1.0 default is
+    the caller's application); delta (gauge-relative: value carried an
+    explicit + or - sign); tags map<string,string> (Datadog-extension
+    `#k:v,...`; bare tags get a null value). Unmatched lines parse to a
+    null-name struct (the house null-on-unmatched parser rule). Pure
+    regexp_extract expressions, Java ∩ RE2 subset."""
+    line = F.regexp_extract(col, r"^([^:|]+):([+-]?\d+(?:\.\d+)?)\|(c|g|ms|s|h|d)(\|@(?:\d+(?:\.\d+)?))?(\|#(?:.*))?$", 0)
+    ok = line != ""
+    name = F.regexp_extract(col, r"^([^:|]+):", 1)
+    raw_val = F.regexp_extract(col, r"^[^:|]+:([+-]?\d+(?:\.\d+)?)\|", 1)
+    mtype = F.regexp_extract(col, r"^[^:|]+:[+-]?\d+(?:\.\d+)?\|(c|g|ms|s|h|d)", 1)
+    rate = F.nullif(F.regexp_extract(col, r"\|@(\d+(?:\.\d+)?)", 1), F.lit(""))
+    tags_s = F.nullif(F.regexp_extract(col, r"\|#(.*)$", 1), F.lit(""))
+    tags = F.when(
+        tags_s.isNotNull(),
+        F.map_from_entries(
+            F.transform(
+                F.split(tags_s, ","),
+                lambda t: F.struct(
+                    F.regexp_extract(t, r"^([^:]*)", 1).alias("key"),
+                    F.nullif(
+                        F.regexp_extract(t, r"^[^:]*:(.*)$", 1), F.lit("")
+                    ).alias("value"),
+                ),
+            )
+        ),
+    )
+    null_s = F.lit(None).cast("string")
+    return F.struct(
+        F.when(ok, name).otherwise(null_s).alias("name"),
+        F.when(ok, raw_val.cast("double")).alias("value"),
+        F.when(ok, mtype).otherwise(null_s).alias("metric_type"),
+        F.when(ok, rate.cast("double")).alias("sample_rate"),
+        F.when(ok, raw_val.rlike(r"^[+-]") & (mtype == "g")).alias("delta"),
+        F.when(ok, tags).alias("tags"),
+    )
+
+
+def parse_prometheus_text(
+    df, content_col: str = "body", key_cols: tuple[str, ...] = ("scrape_id",)
+):
+    """Decode Prometheus text exposition (the reference's prometheus
+    scrape source format, src/sources/prometheus/ — grammar per the
+    public exposition-format docs) into one row per SAMPLE, with the
+    family's `# TYPE` / `# HELP` metadata attached:
+
+      (key_cols..., line_pos, name, family, labels map<string,string>,
+       value double (+Inf/-Inf/NaN honored), ts_ms long|null,
+       metric_type, help)
+
+    `family` strips the _bucket/_sum/_count suffix ONLY when the
+    stripped name carries a histogram/summary TYPE declaration — a plain
+    gauge named foo_count keeps its own family. Metadata attaches by an
+    equi-join per scrape key on the (tiny) comment-line dim; samples and
+    dims come from two projections of ONE exploded line set, so the
+    whole thing is an explode + two small joins, no Python.
+
+    Escapes in label values per the format: \\\\, \\", \\n."""
+    from pyspark.sql import functions as FF
+
+    keys = [FF.col(c) for c in key_cols]
+    lines = df.select(
+        *keys,
+        FF.posexplode(FF.split(FF.col(content_col), "\n")).alias("line_pos", "_l"),
+    )
+    # --- metadata dims (comment lines; tiny: one row per family decl)
+    t_name = FF.regexp_extract("_l", r"^# TYPE (\S+) (\S+)\s*$", 1)
+    t_kind = FF.regexp_extract("_l", r"^# TYPE (\S+) (\S+)\s*$", 2)
+    types = lines.filter(t_name != "").select(
+        *keys, t_name.alias("_tn"), t_kind.alias("metric_type")
+    )
+    h_name = FF.regexp_extract("_l", r"^# HELP (\S+) (.*)$", 1)
+    h_text = FF.regexp_extract("_l", r"^# HELP (\S+) (.*)$", 2)
+    helps = lines.filter(h_name != "").select(
+        *keys, h_name.alias("_hn"), h_text.alias("help")
+    )
+    # --- sample lines
+    sample_re = (
+        r"^([a-zA-Z_:][a-zA-Z0-9_:]*)"
+        r"(?:\{(.*)\})?\s+"
+        r"(NaN|[+-]?Inf|[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
+        r"(?:\s+(-?\d+))?\s*$"
+    )
+    name = FF.regexp_extract("_l", sample_re, 1)
+    labels_s = FF.regexp_extract("_l", sample_re, 2)
+    val_s = FF.regexp_extract("_l", sample_re, 3)
+    ts_s = FF.regexp_extract("_l", sample_re, 4)
+    pair_re = r'([a-zA-Z_][a-zA-Z0-9_]*)="((?:[^"\\]|\\.)*)"'
+    unesc = lambda v: FF.replace(  # noqa: E731
+        FF.replace(
+            FF.replace(v, FF.lit("\\n"), FF.lit("\n")), FF.lit('\\"'), FF.lit('"')
+        ),
+        FF.lit("\\\\"),
+        FF.lit("\\"),
+    )
+    labels = FF.when(
+        FF.nullif(labels_s, FF.lit("")).isNotNull(),
+        FF.map_from_entries(
+            FF.arrays_zip(
+                FF.regexp_extract_all(labels_s, FF.lit(pair_re), 1).alias("key"),
+                FF.transform(
+                    FF.regexp_extract_all(labels_s, FF.lit(pair_re), 2), unesc
+                ).alias("value"),
+            )
+        ),
+    )
+    value = (
+        FF.when(val_s == "NaN", FF.lit(float("nan")))
+        .when(val_s.isin("+Inf", "Inf"), FF.lit(float("inf")))
+        .when(val_s == "-Inf", FF.lit(float("-inf")))
+        .otherwise(val_s.try_cast("double"))
+    )
+    stripped = FF.regexp_replace(name, r"_(bucket|sum|count)$", "")
+    samples = lines.filter(
+        (name != "") & ~FF.col("_l").startswith("#")
+    ).select(
+        *keys,
+        "line_pos",
+        name.alias("name"),
+        stripped.alias("_stripped"),
+        labels.alias("labels"),
+        value.alias("value"),
+        ts_s.try_cast("long").alias("ts_ms"),
+    )
+    # family resolution: the stripped name wins iff it is a declared
+    # histogram/summary family; else the sample's own name
+    key_list = list(key_cols)
+    hs = types.filter(FF.col("metric_type").isin("histogram", "summary")).select(
+        *[FF.col(c) for c in key_cols], FF.col("_tn").alias("_hsf"), FF.lit(True).alias("_is_hs")
+    )
+    out = (
+        samples.join(
+            hs,
+            [samples[c] == hs[c] for c in key_list]
+            + [samples["_stripped"] == hs["_hsf"]],
+            "left",
+        )
+        .select(
+            *[samples[c] for c in key_list],
+            "line_pos",
+            "name",
+            FF.when(FF.col("_is_hs"), FF.col("_stripped"))
+            .otherwise(FF.col("name"))
+            .alias("family"),
+            "labels",
+            "value",
+            "ts_ms",
+        )
+    )
+    out = (
+        out.join(
+            types.withColumnsRenamed({c: f"_t_{c}" for c in key_list}),
+            [out[c] == FF.col(f"_t_{c}") for c in key_list]
+            + [out["family"] == FF.col("_tn")],
+            "left",
+        )
+        .drop("_tn", *[f"_t_{c}" for c in key_list])
+    )
+    out = (
+        out.join(
+            helps.withColumnsRenamed({c: f"_h_{c}" for c in key_list}),
+            [out[c] == FF.col(f"_h_{c}") for c in key_list]
+            + [out["family"] == FF.col("_hn")],
+            "left",
+        )
+        .drop("_hn", *[f"_h_{c}" for c in key_list])
+    )
+    return out
+
+
 # Splunk HTTP Event Collector event JSON (the reference's splunk_hec
 # source decode, src/sources/splunk_hec/ — transport out of scope per
 # SURVEY §2.4, the FORMAT is not; shape per Splunk's public
