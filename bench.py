@@ -157,6 +157,7 @@ HEADLINE = [
     "codec_otlp_traces",
     "codec_statsd",
     "codec_prometheus",
+    "codec_loki",
 ]
 
 

@@ -387,6 +387,35 @@ def q_codec_prometheus(spark, sf_dir):
     )
 
 
+def q_codec_loki(spark, sf_dir):
+    """Loki push roundtrip: events batched into per-label-set push bodies
+    (the sink's partitioned-batching shape, entries time-ordered inside
+    each stream) then parsed back and flattened — the trip must be
+    lossless for the row hashes to meet the per-event ground truth (the
+    codec_warc convention: build+decode on the Spark side, oracle by
+    construction)."""
+    from vector_spark.functions import loki_push_batches, parse_loki_push
+    from vector_spark.session import ensure_parallelism
+
+    e = ensure_parallelism(_t(spark, sf_dir, "events"))
+    rows = e.select(
+        F.concat(F.lit("a"), (F.col("user_id") % 3).cast("string")).alias("app"),
+        F.col("event_type").alias("level"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias("ts_ns"),
+        F.concat(F.col("event_id").cast("string"), F.lit(":"), F.col("props")).alias("line"),
+    )
+    batches = loki_push_batches(rows, ("app", "level"))
+    back = batches.select(
+        F.posexplode(parse_loki_push(F.col("body"))).alias("_i", "r")
+    )
+    return back.select(
+        F.element_at("r.labels", F.lit("app")).alias("app"),
+        F.element_at("r.labels", F.lit("level")).alias("level"),
+        F.col("r.ts_ns").alias("ts_ns"),
+        F.col("r.line").alias("line"),
+    )
+
+
 def q_vrl_parse_syslog(spark, sf_dir):
     """Round-trip: build RFC3164 lines from event columns, parse them back.
     The oracle computes the expected fields directly from the columns, so a
@@ -1728,6 +1757,15 @@ SELECT event_id,
 FROM events
 """
 
+    # codec_loki: per-event ground truth; the batch/parse trip must be lossless
+    sql["codec_loki"] = """
+SELECT 'a' || CAST(user_id % 3 AS VARCHAR) AS app,
+       event_type AS level,
+       epoch_us(ts) * 1000 AS ts_ns,
+       CAST(event_id AS VARCHAR) || ':' || props AS line
+FROM events
+"""
+
     # codec_prometheus: 5 ground-truth samples per scrape body
     sql["codec_prometheus"] = """
 SELECT event_id, 2 AS line_pos, 'evt_value' AS name, 'evt_value' AS family,
@@ -1885,6 +1923,7 @@ QUERIES = {
     "codec_otlp_traces": q_codec_otlp_traces,
     "codec_statsd": q_codec_statsd,
     "codec_prometheus": q_codec_prometheus,
+    "codec_loki": q_codec_loki,
     "demo_logs_roundtrip": q_demo_logs_roundtrip,
     "parse_aws_alb": q_parse_aws_alb,
     "parse_aws_vpc_flow": q_parse_aws_vpc_flow,

@@ -871,3 +871,27 @@ def test_parse_prometheus_text_exposition(spark):
     assert rows[7].family == "up" and rows[7].metric_type == "gauge" and rows[7].help is None
     assert rows[8].family == "foo_count" and rows[8].metric_type is None
     assert rows[9].labels == {"x": '\\esc"'} and rows[9].value == float("inf")
+
+
+def test_loki_push_batches_and_parse(spark):
+    """One push body per label set; entries sorted (ts, line) inside the
+    stream; nanos serialized as strings; parse flattens losslessly."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.functions import loki_push_batches, parse_loki_push
+
+    df = spark.createDataFrame(
+        [("a", "prod", 3, "l3"), ("a", "prod", 1, "l1"), ("b", "prod", 2, "l2")],
+        "app string, env string, ts_ns long, line string",
+    )
+    b = loki_push_batches(df, ("app", "env"))
+    rows = {r.app: r for r in b.collect()}
+    assert rows["a"].n_entries == 2 and rows["b"].n_entries == 1
+    assert '"values":[["1","l1"],["3","l3"]]' in rows["a"].body
+    back = sorted(
+        (r.ts_ns, r.line, r.labels["app"], r.labels["env"])
+        for r in b.select(F.explode(parse_loki_push(F.col("body"))).alias("r"))
+        .select("r.*")
+        .collect()
+    )
+    assert back == [(1, "l1", "a", "prod"), (2, "l2", "b", "prod"), (3, "l3", "a", "prod")]

@@ -1318,6 +1318,81 @@ def parse_prometheus_text(
     return out
 
 
+# Grafana Loki push API JSON (the reference's loki SINK body,
+# src/sinks/loki/ — the public /loki/api/v1/push format: streams of
+# label sets with [ts_nanos_string, line] value pairs).
+LOKI_PUSH_SCHEMA = (
+    "STRUCT<streams: ARRAY<STRUCT<"
+    "stream: MAP<STRING, STRING>, "
+    "values: ARRAY<ARRAY<STRING>>>>>"
+)
+
+
+def parse_loki_push(col: Column) -> Column:
+    """Decode one Loki push body into an array of flattened entry structs
+    (labels map, ts_ns long, line) — streams × values collapsed with the
+    label set carried down; codegen-only."""
+    p = F.from_json(col, LOKI_PUSH_SCHEMA)
+    return F.flatten(
+        F.transform(
+            p["streams"],
+            lambda s: F.transform(
+                s["values"],
+                lambda v: F.struct(
+                    s["stream"].alias("labels"),
+                    F.element_at(v, 1).cast("long").alias("ts_ns"),
+                    F.element_at(v, 2).alias("line"),
+                ),
+            ),
+        )
+    )
+
+
+def loki_push_batches(
+    df,
+    label_cols: tuple[str, ...],
+    ts_col: str = "ts_ns",
+    line_col: str = "line",
+):
+    """Encode rows into Loki push bodies — ONE batch per label set, the
+    sink's partitioned-batching shape (lib/vector-stream
+    partitioned_batcher + the loki sink's label partitioner): groupBy the
+    label columns, entries sorted by (ts_ns, line) inside the batch (Loki
+    requires in-order streams; the line tie-break keeps the order
+    engine-deterministic), nanosecond timestamps serialized as strings
+    per the API. Returns (label_cols..., n_entries, body).
+
+    One shuffle (the label groupBy, map-side combining); at scale the
+    batch size is bounded by the sink's batch policy — split oversized
+    label sets upstream with a time bucket in the label key, exactly how
+    the reference's batcher timeout/size caps do it."""
+    entry = F.struct(F.col(ts_col).alias("ts_ns"), F.col(line_col).alias("line"))
+    g = df.groupBy(*[F.col(c) for c in label_cols]).agg(
+        F.sort_array(F.collect_list(entry)).alias("_entries")
+    )
+    stream = F.create_map(
+        *[x for c in label_cols for x in (F.lit(c), F.col(c))]
+    )
+    body = F.to_json(
+        F.struct(
+            F.array(
+                F.struct(
+                    stream.alias("stream"),
+                    F.transform(
+                        F.col("_entries"),
+                        lambda e: F.array(e["ts_ns"].cast("string"), e["line"]),
+                    ).alias("values"),
+                )
+            ).alias("streams")
+        )
+    )
+    return g.select(
+        *[F.col(c) for c in label_cols],
+        F.size("_entries").cast("long").alias("n_entries"),
+        body.alias("body"),
+    )
+
+
 # Splunk HTTP Event Collector event JSON (the reference's splunk_hec
 # source decode, src/sources/splunk_hec/ — transport out of scope per
 # SURVEY §2.4, the FORMAT is not; shape per Splunk's public
