@@ -158,6 +158,7 @@ HEADLINE = [
     "codec_statsd",
     "codec_prometheus",
     "codec_loki",
+    "codec_fluent",
 ]
 
 

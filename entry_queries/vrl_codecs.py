@@ -416,6 +416,69 @@ def q_codec_loki(spark, sf_dir):
     )
 
 
+def q_codec_fluent(spark, sf_dir):
+    """Fluent Forward decode across all three event modes, one per
+    event_id%3: Message [tag,time,record] / Forward with an EventTime
+    fixext8 first entry + plain-seconds second / PackedForward (bin8 of
+    the two-entry msgpack stream). The wire bytes are built with PURE HEX
+    EXPRESSIONS (the codec_netflow_v9 convention — no Python on the
+    build side), so the Arrow msgpack walker is the only decoder in the
+    loop and the oracle recomputes the expected entries straight from
+    the events table."""
+    from vector_spark.functions import parse_fluent_forward
+    from vector_spark.session import ensure_parallelism
+
+    e = ensure_parallelism(_t(spark, sf_dir, "events"))
+    eid = F.col("event_id")
+
+    def hx(col, nbytes):
+        return F.lpad(F.lower(F.hex(col)), nbytes * 2, "0")
+
+    def fixstr(col):
+        return F.concat(hx(F.length(col) + 160, 1), F.lower(F.hex(col)))
+
+    tag = F.concat(F.lit("app."), F.col("event_type"))
+    secs = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000).cast("long")
+    nsec = (eid % 1_000_000).cast("long")
+    v100 = F.round(F.col("value") * 100).cast("long")
+    sech = F.concat(F.lit("ce"), hx(secs, 4))
+    sech2 = F.concat(F.lit("ce"), hx(secs + 1, 4))
+    evtime = F.concat(F.lit("d700"), hx(secs, 4), hx(nsec, 4))
+    rechex = F.concat(
+        F.lit("83"),
+        F.lit("a26964"), F.lit("cf"), hx(eid, 8),
+        F.lit("a474797065"), fixstr(F.col("event_type")),
+        F.lit("a476313030"), F.lit("ce"), hx(v100, 4),
+    )
+    mode0 = F.concat(F.lit("93"), fixstr(tag), sech, rechex)
+    mode1 = F.concat(
+        F.lit("92"), fixstr(tag), F.lit("92"),
+        F.lit("92"), evtime, rechex,
+        F.lit("92"), sech2, rechex,
+    )
+    stream = F.concat(F.lit("92"), sech, rechex, F.lit("92"), sech2, rechex)
+    mode2 = F.concat(
+        F.lit("92"), fixstr(tag),
+        F.lit("c4"), hx((F.length(stream) / 2).cast("int"), 1), stream,
+    )
+    buf = F.unhex(
+        F.when(eid % 3 == 0, mode0).when(eid % 3 == 1, mode1).otherwise(mode2)
+    )
+    out = e.select(
+        "event_id", F.posexplode(parse_fluent_forward(buf)).alias("entry_idx", "r")
+    )
+    return out.select(
+        "event_id",
+        "entry_idx",
+        F.col("r.tag").alias("tag"),
+        F.col("r.ts_sec").alias("ts_sec"),
+        F.col("r.ts_nsec").alias("ts_nsec"),
+        F.element_at("r.record", F.lit("id")).try_cast("long").alias("id"),
+        F.element_at("r.record", F.lit("type")).alias("type"),
+        F.element_at("r.record", F.lit("v100")).try_cast("long").alias("v100"),
+    )
+
+
 def q_vrl_parse_syslog(spark, sf_dir):
     """Round-trip: build RFC3164 lines from event columns, parse them back.
     The oracle computes the expected fields directly from the columns, so a
@@ -1757,6 +1820,26 @@ SELECT event_id,
 FROM events
 """
 
+    # codec_fluent: expected entries straight from events arithmetic
+    sql["codec_fluent"] = """
+WITH s AS (
+  SELECT event_id, event_type, value,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS secs
+  FROM events
+)
+SELECT event_id, 0 AS entry_idx, 'app.' || event_type AS tag,
+       secs AS ts_sec,
+       CASE WHEN event_id % 3 = 1 THEN CAST(event_id % 1000000 AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS ts_nsec,
+       event_id AS id, event_type AS type,
+       CAST(round(value * 100) AS BIGINT) AS v100
+FROM s
+UNION ALL
+SELECT event_id, 1, 'app.' || event_type, secs + 1, CAST(0 AS BIGINT),
+       event_id, event_type, CAST(round(value * 100) AS BIGINT)
+FROM s WHERE event_id % 3 <> 0
+"""
+
     # codec_loki: per-event ground truth; the batch/parse trip must be lossless
     sql["codec_loki"] = """
 SELECT 'a' || CAST(user_id % 3 AS VARCHAR) AS app,
@@ -1924,6 +2007,7 @@ QUERIES = {
     "codec_statsd": q_codec_statsd,
     "codec_prometheus": q_codec_prometheus,
     "codec_loki": q_codec_loki,
+    "codec_fluent": q_codec_fluent,
     "demo_logs_roundtrip": q_demo_logs_roundtrip,
     "parse_aws_alb": q_parse_aws_alb,
     "parse_aws_vpc_flow": q_parse_aws_vpc_flow,
