@@ -1453,8 +1453,481 @@ def q_codec_protobuf(spark, sf_dir):
     )
 
 
+def q_codec_cri(spark, sf_dir):
+    """kubernetes CRI log-line decode over four planted shapes per
+    event_id%4: full stdout line / partial stderr line (trailing space
+    preserved — only a trailing newline trims) / invalid stream (null
+    struct, the reference drops it) / unparseable timestamp (event kept,
+    ts_us null). Oracle = ground-truth rows from the source columns."""
+    from vector_spark.functions import parse_cri
+
+    e = _t(spark, sf_dir, "events")
+    ts_str = F.date_format(
+        F.col("ts").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+    )
+    eid = F.col("event_id").cast("string")
+    m = F.col("event_id") % 4
+    line = (
+        F.when(m == 0, F.concat(ts_str, F.lit(" stdout F evt:"), F.col("props")))
+        .when(m == 1, F.concat(ts_str, F.lit(" stderr P chunk-"), eid, F.lit(" ")))
+        .when(m == 2, F.concat(ts_str, F.lit(" stdmix F x")))
+        .otherwise(F.concat(F.lit("oops stdout F late-"), eid))
+    )
+    r = e.select("event_id", parse_cri(line).alias("r"))
+    return r.select(
+        "event_id",
+        F.col("r.message").alias("message"),
+        F.col("r.stream").alias("stream"),
+        F.col("r.partial").alias("partial"),
+        F.col("r.ts_us").alias("ts_us"),
+    )
+
+
+def q_codec_docker(spark, sf_dir):
+    """Docker json-file line decode incl. the exact-16-KiB partial
+    heuristic (docker.rs:133-156): newline-trimmed full line / exactly
+    16384 bytes unterminated (partial) / 16384 bytes WITH the newline
+    (the exception: non-partial) / invalid JSON (null struct). Messages
+    reported as md5+length so 16 KiB strings don't ride the compare."""
+    from vector_spark.functions import parse_docker_log
+
+    e = _t(spark, sf_dir, "events")
+    ts_str = F.date_format(
+        F.col("ts").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+    )
+    m = F.col("event_id") % 4
+    msg = (
+        F.when(m == 0, F.concat(F.col("props"), F.lit("\n")))
+        .when(m == 1, F.rpad(F.lit("p"), 16384, "x"))
+        .otherwise(F.concat(F.rpad(F.lit("p"), 16383, "x"), F.lit("\n")))
+    )
+    stream = F.when(F.col("user_id") % 2 == 0, F.lit("stdout")).otherwise(
+        F.lit("stderr")
+    )
+    line = F.when(m == 3, F.lit("{nope")).otherwise(
+        F.to_json(F.struct(msg.alias("log"), stream.alias("stream"),
+                           ts_str.alias("time")))
+    )
+    r = e.select("event_id", parse_docker_log(line).alias("r"))
+    return r.select(
+        "event_id",
+        F.md5(F.col("r.message")).alias("message_md5"),
+        F.octet_length(F.col("r.message")).alias("message_len"),
+        F.col("r.stream").alias("stream"),
+        F.col("r.partial").alias("partial"),
+        F.col("r.ts_us").alias("ts_us"),
+    )
+
+
+def q_partial_merge(spark, sf_dir):
+    """Batch partial-event merger (partial_events_merger.rs): per-file
+    runs of partial lines concatenate in order onto the closing full
+    line; metadata (ts_us) from the FIRST line of the run; an
+    unterminated trailing run emits still-partial. Oracle = independent
+    reverse-running-count window + ordered string_agg in DuckDB."""
+    from vector_spark.functions import merge_partial_lines
+
+    e = _t(spark, sf_dir, "events")
+    df = e.select(
+        (F.col("user_id") % 50).alias("f"),
+        F.col("event_id").alias("pos"),
+        F.concat(F.lit("m"), F.col("event_id").cast("string"), F.lit(";")).alias("message"),
+        (F.col("event_id") % 3 != 0).alias("partial"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    out = merge_partial_lines(df, ("f",), "pos")
+    return out.select("f", "pos", "message", "partial", "ts_us")
+
+
+def q_codec_heroku(spark, sf_dir):
+    """Heroku Logplex drain-body decode: octet-count-prefixed syslog
+    line plus a malformed line per body — the reference's
+    parts.len()==8 guard must drop the latter; message keeps internal
+    spaces (splitn remainder). Oracle = ground truth from source cols."""
+    from vector_spark.functions import parse_heroku_logplex
+
+    e = _t(spark, sf_dir, "events")
+    ts_str = F.date_format(
+        F.col("ts").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+    )
+    uid = F.col("user_id").cast("string")
+    rest = F.concat(
+        F.lit("<40>1 "), ts_str,
+        F.lit(" host"), uid,
+        F.lit(" app"), (F.col("user_id") % 7).cast("string"),
+        F.lit(" web."), (F.col("event_id") % 5).cast("string"),
+        F.lit(" - evt "), F.col("event_type"), F.lit(" "), F.col("props"),
+    )
+    body = F.concat(
+        F.octet_length(rest).cast("string"), F.lit(" "), rest,
+        F.lit("\nshort line\n"),
+    )
+    r = e.select(
+        "event_id", F.explode(parse_heroku_logplex(body)).alias("r")
+    )
+    return r.select(
+        "event_id",
+        F.col("r.ts_us").alias("ts_us"),
+        F.col("r.host").alias("host"),
+        F.col("r.app_name").alias("app_name"),
+        F.col("r.proc_id").alias("proc_id"),
+        F.col("r.message").alias("message"),
+    )
+
+
+def q_codec_firehose(spark, sf_dir):
+    """AWS Kinesis Firehose http_endpoint envelope decode: requestId /
+    epoch-ms timestamp carried through, each base64 record decoded in
+    arrival order. Oracle = two ground-truth rows per event."""
+    from vector_spark.functions import parse_firehose_envelope
+
+    e = _t(spark, sf_dir, "events")
+    eid = F.col("event_id").cast("string")
+    env = F.to_json(F.struct(
+        F.concat(F.lit("req-"), eid).alias("requestId"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("timestamp"),
+        F.array(
+            F.struct(F.base64(F.col("props").cast("binary")).alias("data")),
+            F.struct(F.base64(F.concat(F.lit("rec-"), eid).cast("binary")).alias("data")),
+        ).alias("records"),
+    ))
+    r = e.select("event_id", parse_firehose_envelope(env).alias("r"))
+    return r.select(
+        "event_id",
+        F.col("r.request_id").alias("request_id"),
+        F.col("r.ts_ms").alias("ts_ms"),
+        F.posexplode(F.col("r.records")).alias("rec_idx", "rec"),
+    )
+
+
+def q_codec_apache_status(spark, sf_dir):
+    """apache mod_status ?auto decode at the reference's metric grain
+    (names/kinds/tags of parser.rs:150-408): counters + gauges emitted
+    only for present keys (CPUUser planted on event_id%4==0 only),
+    kBytes scaled *1024, and the scoreboard zero-filling all 11 known
+    states. Oracle = arithmetic union of the same rows."""
+    from vector_spark.functions import parse_apache_status
+
+    e = _t(spark, sf_dir, "events")
+    s = lambda c: c.cast("string")  # noqa: E731
+    body = F.concat(
+        F.lit("localhost\nServerUptimeSeconds: "), s(F.col("event_id") % 1000),
+        F.lit("\nTotal Accesses: "), s(F.col("user_id")),
+        F.lit("\nTotal kBytes: "), s(F.col("event_id") % 50),
+        F.when(F.col("event_id") % 4 == 0,
+               F.concat(F.lit("\nCPUUser: "), s(F.col("user_id") % 7), F.lit(".5"))
+               ).otherwise(F.lit("")),
+        F.lit("\nBusyWorkers: "), s(F.col("user_id") % 10),
+        F.lit("\nIdleWorkers: 74\nConnsTotal: "), s(F.col("event_id") % 9),
+        F.lit("\nScoreboard: "),
+        F.repeat(F.lit("_"), (F.col("user_id") % 5).cast("int")),
+        F.repeat(F.lit("K"), (F.col("event_id") % 3).cast("int")),
+        F.lit("."),
+        F.repeat(F.lit("W"), (F.col("user_id") % 2).cast("int")),
+        F.lit("\n"),
+    )
+    r = e.select("event_id", F.explode(parse_apache_status(body)).alias("r"))
+    return r.select(
+        "event_id",
+        F.col("r.name").alias("name"),
+        F.col("r.kind").alias("kind"),
+        F.col("r.value").alias("value"),
+        F.col("r.type").alias("type"),
+        F.col("r.state").alias("state"),
+    )
+
+
+def q_codec_nginx_status(spark, sf_dir):
+    """nginx stub_status decode: the three-line counter page per event,
+    plus a malformed page on event_id%4==3 (all-null columns). Oracle =
+    the same arithmetic."""
+    from vector_spark.functions import parse_nginx_stub_status
+
+    e = _t(spark, sf_dir, "events")
+    s = lambda c: c.cast("string")  # noqa: E731
+    accepts = F.col("event_id") % 10000 + 5
+    page = F.when(F.col("event_id") % 4 == 3, F.lit("oops")).otherwise(F.concat(
+        F.lit("Active connections: "), s(F.col("user_id")), F.lit(" \n"),
+        F.lit("server accepts handled requests\n "),
+        s(accepts), F.lit(" "), s(accepts - 1), F.lit(" "),
+        s(F.col("event_id") % 100000), F.lit(" \nReading: "),
+        s(F.col("user_id") % 7), F.lit(" Writing: "), s(F.col("user_id") % 11),
+        F.lit(" Waiting: "), s(F.col("user_id") % 13), F.lit(" \n"),
+    ))
+    r = e.select("event_id", parse_nginx_stub_status(page).alias("r"))
+    return r.select(
+        "event_id",
+        F.col("r.active").alias("active"),
+        F.col("r.accepts").alias("accepts"),
+        F.col("r.handled").alias("handled"),
+        F.col("r.requests").alias("requests"),
+        F.col("r.reading").alias("reading"),
+        F.col("r.writing").alias("writing"),
+        F.col("r.waiting").alias("waiting"),
+    )
+
+
+def q_codec_journald(spark, sf_dir):
+    """journalctl --output=json record decode: plain MESSAGE / int-ARRAY
+    MESSAGE (journalctl's non-UTF-8-safe rendering, decoded back to
+    text) / unit-fixup shapes / missing _SOURCE_REALTIME (falls back to
+    __REALTIME_TIMESTAMP); PRIORITY remapped to syslog keywords with the
+    out-of-range value passed through. Oracle = the same arithmetic."""
+    from vector_spark.functions import parse_journald
+
+    e = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 4
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    arr_msg = F.transform(
+        F.filter(F.split(F.concat(F.lit("jd:"), F.col("event_type")), ""),
+                 lambda c: c != ""),
+        F.ascii,
+    )
+    prio = (F.col("event_id") % 9).cast("string")
+    unit = F.when(m == 2, F.concat(F.lit("sysd"), (F.col("user_id") % 4).cast("string"))
+                  ).otherwise(
+        F.concat(F.lit("u"), (F.col("user_id") % 4).cast("string"), F.lit(".timer")))
+    host = F.concat(F.lit("h"), F.col("user_id").cast("string"))
+    base = dict(
+        PRIORITY=prio, _SYSTEMD_UNIT=unit, _HOSTNAME=host,
+        __REALTIME_TIMESTAMP=(us + 7).cast("string"),
+    )
+    with_src = F.to_json(F.struct(
+        F.when(m == 1, F.lit(None).cast("string")).otherwise(F.col("props")).alias("MESSAGE_S"),
+        F.when(m == 1, arr_msg).alias("MESSAGE_A"),
+        *[v.alias(k) for k, v in base.items()],
+        us.cast("string").alias("_SOURCE_REALTIME_TIMESTAMP"),
+    ))
+    no_src = F.to_json(F.struct(
+        F.col("props").alias("MESSAGE_S"),
+        *[v.alias(k) for k, v in base.items()],
+    ))
+    # MESSAGE must be a single key that is sometimes a string and
+    # sometimes an int array — patch the rendered JSON's key names
+    # (to_json can't emit a union type): MESSAGE_S/MESSAGE_A -> MESSAGE.
+    rec = F.regexp_replace(
+        F.when(m == 3, no_src).otherwise(with_src),
+        '"MESSAGE_[SA]":', '"MESSAGE":',
+    )
+    r = e.select("event_id", parse_journald(rec).alias("r"))
+    return r.select(
+        "event_id",
+        F.col("r.message").alias("message"),
+        F.col("r.host").alias("host"),
+        F.col("r.priority").alias("priority"),
+        F.col("r.unit").alias("unit"),
+        F.col("r.ts_us").alias("ts_us"),
+    )
+
+
+def q_codec_lumberjack(spark, sf_dir):
+    """Lumberjack (Beats) protocol decode across all three event-bearing
+    frame kinds, one per event_id%3: v2 'J' json frame / v1 'D'
+    key-value frame / a window frame followed by a 'C' compressed frame
+    (zlib, built with encode_zlib) wrapping the same json frame. The
+    wire bytes are built with pure hex expressions (the codec_netflow_v9
+    convention) so the Arrow walker is the only decoder in the loop;
+    oracle recomputes expected rows from the events table."""
+    from vector_spark.functions import parse_lumberjack
+    from vector_spark.functions.compress import encode_zlib
+    from vector_spark.session import ensure_parallelism
+
+    e = ensure_parallelism(_t(spark, sf_dir, "events"))
+
+    def hx8(c):
+        return F.lpad(F.lower(F.hex(c)), 8, "0")
+
+    def hxs(c):
+        return F.lower(F.hex(c))
+
+    seq = (F.col("event_id") % 1000).cast("int")
+    payload = F.to_json(F.struct(F.col("props").alias("m")))
+    jframe = F.concat(F.lit("324a"), hx8(seq), hx8(F.octet_length(payload)),
+                      hxs(payload))
+    key_line, key_t = hxs(F.lit("line")), hxs(F.lit("t"))
+    dframe = F.concat(
+        F.lit("3144"), hx8(seq), hx8(F.lit(2)),
+        hx8(F.lit(4)), key_line, hx8(F.octet_length("props")), hxs(F.col("props")),
+        hx8(F.lit(1)), key_t, hx8(F.octet_length("event_type")), hxs(F.col("event_type")),
+    )
+    z = encode_zlib(F.unhex(jframe))
+    cframe = F.concat(F.lit("3257"), hx8(F.lit(5)),
+                      F.lit("3243"), hx8(F.octet_length(z)), hxs(z))
+    m = F.col("event_id") % 3
+    blob = F.unhex(
+        F.when(m == 0, jframe).when(m == 1, dframe).otherwise(cframe)
+    )
+    r = e.select(
+        "event_id", F.posexplode(parse_lumberjack(blob)).alias("idx", "r")
+    )
+    return r.select(
+        "event_id",
+        "idx",
+        F.col("r.protocol").alias("protocol"),
+        F.col("r.seq").alias("seq"),
+        F.col("r.frame").alias("frame"),
+        F.element_at(F.col("r.fields"), F.lit("line")).alias("line"),
+        F.element_at(F.col("r.fields"), F.lit("t")).alias("t"),
+        F.get_json_object(F.col("r.json"), "$.m").alias("jm"),
+    )
+
+
 def oracles() -> dict[str, str]:
     sql: dict[str, str] = {}
+
+    sql["codec_cri"] = """
+SELECT event_id,
+       CASE event_id % 4
+         WHEN 0 THEN 'evt:' || props
+         WHEN 1 THEN 'chunk-' || CAST(event_id AS VARCHAR) || ' '
+         WHEN 3 THEN 'late-' || CAST(event_id AS VARCHAR)
+       END AS message,
+       CASE event_id % 4 WHEN 0 THEN 'stdout' WHEN 1 THEN 'stderr'
+         WHEN 3 THEN 'stdout' END AS stream,
+       CASE event_id % 4 WHEN 0 THEN FALSE WHEN 1 THEN TRUE
+         WHEN 3 THEN FALSE END AS partial,
+       CASE WHEN event_id % 4 IN (0, 1) THEN epoch_us(ts) END AS ts_us
+FROM events
+"""
+
+    sql["codec_docker"] = """
+SELECT event_id,
+       CASE event_id % 4
+         WHEN 0 THEN md5(props)
+         WHEN 1 THEN md5('p' || repeat('x', 16383))
+         WHEN 2 THEN md5('p' || repeat('x', 16382))
+       END AS message_md5,
+       CASE event_id % 4
+         WHEN 0 THEN strlen(props)
+         WHEN 1 THEN 16384
+         WHEN 2 THEN 16383
+       END AS message_len,
+       CASE WHEN event_id % 4 = 3 THEN NULL
+            WHEN user_id % 2 = 0 THEN 'stdout' ELSE 'stderr' END AS stream,
+       CASE event_id % 4 WHEN 0 THEN FALSE WHEN 1 THEN TRUE
+         WHEN 2 THEN FALSE END AS partial,
+       CASE WHEN event_id % 4 <> 3 THEN epoch_us(ts) END AS ts_us
+FROM events
+"""
+
+    sql["partial_merge"] = """
+WITH src AS (
+  SELECT user_id % 50 AS f, event_id AS pos,
+         'm' || CAST(event_id AS VARCHAR) || ';' AS message,
+         event_id % 3 <> 0 AS partial,
+         epoch_us(ts) AS ts_us
+  FROM events
+), runs AS (
+  SELECT *, SUM(CASE WHEN NOT partial THEN 1 ELSE 0 END)
+         OVER (PARTITION BY f ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS run
+  FROM src
+)
+SELECT f, MIN(pos) AS pos,
+       STRING_AGG(message, '' ORDER BY pos) AS message,
+       BOOL_AND(partial) AS partial,
+       ARG_MIN(ts_us, pos) AS ts_us
+FROM runs GROUP BY f, run
+"""
+
+    sql["codec_heroku"] = """
+SELECT event_id,
+       epoch_us(ts) AS ts_us,
+       'host' || CAST(user_id AS VARCHAR) AS host,
+       'app' || CAST(user_id % 7 AS VARCHAR) AS app_name,
+       'web.' || CAST(event_id % 5 AS VARCHAR) AS proc_id,
+       'evt ' || event_type || ' ' || props AS message
+FROM events
+"""
+
+    sql["codec_firehose"] = """
+SELECT event_id, 'req-' || CAST(event_id AS VARCHAR) AS request_id,
+       epoch_ms(ts) AS ts_ms, 0 AS rec_idx, props AS rec
+FROM events
+UNION ALL
+SELECT event_id, 'req-' || CAST(event_id AS VARCHAR),
+       epoch_ms(ts), 1, 'rec-' || CAST(event_id AS VARCHAR)
+FROM events
+"""
+
+    sql["codec_apache_status"] = """
+SELECT event_id, 'uptime_seconds_total' AS name, 'counter' AS kind,
+       CAST(event_id % 1000 AS DOUBLE) AS value,
+       CAST(NULL AS VARCHAR) AS type, CAST(NULL AS VARCHAR) AS state
+FROM events
+UNION ALL
+SELECT event_id, 'access_total', 'counter', CAST(user_id AS DOUBLE),
+       NULL, NULL FROM events
+UNION ALL
+SELECT event_id, 'sent_bytes_total', 'counter',
+       CAST((event_id % 50) * 1024 AS DOUBLE), NULL, NULL FROM events
+UNION ALL
+SELECT event_id, 'cpu_seconds_total', 'gauge',
+       CAST(user_id % 7 AS DOUBLE) + 0.5, 'user', NULL
+FROM events WHERE event_id % 4 = 0
+UNION ALL
+SELECT event_id, 'workers', 'gauge', CAST(user_id % 10 AS DOUBLE),
+       NULL, 'busy' FROM events
+UNION ALL
+SELECT event_id, 'workers', 'gauge', 74.0, NULL, 'idle' FROM events
+UNION ALL
+SELECT event_id, 'connections', 'gauge', CAST(event_id % 9 AS DOUBLE),
+       NULL, 'total' FROM events
+UNION ALL
+SELECT e.event_id, 'scoreboard', 'gauge',
+       CAST(CASE s.state WHEN 'waiting' THEN e.user_id % 5
+                         WHEN 'keepalive' THEN e.event_id % 3
+                         WHEN 'open' THEN 1
+                         WHEN 'sending' THEN e.user_id % 2
+                         ELSE 0 END AS DOUBLE),
+       NULL, s.state
+FROM events e CROSS JOIN (
+  VALUES ('waiting'), ('starting'), ('reading'), ('sending'), ('keepalive'),
+         ('dnslookup'), ('closing'), ('logging'), ('finishing'),
+         ('idle_cleanup'), ('open')
+) s(state)
+"""
+
+    sql["codec_nginx_status"] = """
+SELECT event_id,
+       CASE WHEN event_id % 4 <> 3 THEN user_id END AS active,
+       CASE WHEN event_id % 4 <> 3 THEN event_id % 10000 + 5 END AS accepts,
+       CASE WHEN event_id % 4 <> 3 THEN event_id % 10000 + 4 END AS handled,
+       CASE WHEN event_id % 4 <> 3 THEN event_id % 100000 END AS requests,
+       CASE WHEN event_id % 4 <> 3 THEN user_id % 7 END AS reading,
+       CASE WHEN event_id % 4 <> 3 THEN user_id % 11 END AS writing,
+       CASE WHEN event_id % 4 <> 3 THEN user_id % 13 END AS waiting
+FROM events
+"""
+
+    sql["codec_journald"] = """
+SELECT event_id,
+       CASE WHEN event_id % 4 = 1 THEN 'jd:' || event_type
+            ELSE props END AS message,
+       'h' || CAST(user_id AS VARCHAR) AS host,
+       CASE WHEN event_id % 9 <= 7 THEN
+         list_extract(['EMERG','ALERT','CRIT','ERR','WARNING','NOTICE',
+                       'INFO','DEBUG'], CAST(event_id % 9 AS INTEGER) + 1)
+       ELSE CAST(event_id % 9 AS VARCHAR) END AS priority,
+       CASE WHEN event_id % 4 = 2
+            THEN 'sysd' || CAST(user_id % 4 AS VARCHAR) || '.service'
+            ELSE 'u' || CAST(user_id % 4 AS VARCHAR) || '.timer'
+       END AS unit,
+       CASE WHEN event_id % 4 = 3 THEN epoch_us(ts) + 7
+            ELSE epoch_us(ts) END AS ts_us
+FROM events
+"""
+
+    sql["codec_lumberjack"] = """
+SELECT event_id, 0 AS idx,
+       CASE WHEN event_id % 3 = 1 THEN 1 ELSE 2 END AS protocol,
+       event_id % 1000 AS seq,
+       CASE WHEN event_id % 3 = 1 THEN 'D' ELSE 'J' END AS frame,
+       CASE WHEN event_id % 3 = 1 THEN props END AS line,
+       CASE WHEN event_id % 3 = 1 THEN event_type END AS t,
+       CASE WHEN event_id % 3 <> 1 THEN props END AS jm
+FROM events
+"""
 
     sql["codec_compress"] = """
 WITH p AS (
@@ -2008,6 +2481,15 @@ QUERIES = {
     "codec_prometheus": q_codec_prometheus,
     "codec_loki": q_codec_loki,
     "codec_fluent": q_codec_fluent,
+    "codec_cri": q_codec_cri,
+    "codec_docker": q_codec_docker,
+    "partial_merge": q_partial_merge,
+    "codec_heroku": q_codec_heroku,
+    "codec_firehose": q_codec_firehose,
+    "codec_apache_status": q_codec_apache_status,
+    "codec_nginx_status": q_codec_nginx_status,
+    "codec_journald": q_codec_journald,
+    "codec_lumberjack": q_codec_lumberjack,
     "demo_logs_roundtrip": q_demo_logs_roundtrip,
     "parse_aws_alb": q_parse_aws_alb,
     "parse_aws_vpc_flow": q_parse_aws_vpc_flow,
