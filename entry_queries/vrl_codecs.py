@@ -1772,8 +1772,250 @@ def q_codec_lumberjack(spark, sf_dir):
     )
 
 
+def q_codec_datadog_logs(spark, sf_dir):
+    """Datadog Agent logs-intake payload decode (LogMsg array): two
+    events per request body; ddtags exercises pair/bare/empty shapes
+    through the parse_ddtags split. Oracle = two ground-truth rows per
+    event."""
+    from vector_spark.functions import parse_datadog_logs
+
+    e = _t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    m = F.col("event_id") % 3
+    ddtags = (
+        F.when(m == 0, F.concat(F.lit("env:prod,u"), F.col("user_id").cast("string")))
+        .when(m == 1, F.lit(""))
+        .otherwise(F.lit("solo"))
+    )
+    payload = F.to_json(F.array(
+        F.struct(
+            F.col("props").alias("message"),
+            F.col("event_type").alias("status"),
+            ms.alias("timestamp"),
+            F.concat(F.lit("h"), F.col("user_id").cast("string")).alias("hostname"),
+            F.concat(F.lit("svc"), (F.col("user_id") % 3).cast("string")).alias("service"),
+            F.lit("nginx").alias("ddsource"),
+            ddtags.alias("ddtags"),
+        ),
+        F.struct(
+            F.concat(F.lit("m2:"), F.col("event_id").cast("string")).alias("message"),
+            F.lit("info").alias("status"),
+            (ms + 1).alias("timestamp"),
+            F.lit("h2").alias("hostname"),
+            F.lit("svc").alias("service"),
+            F.lit("agent").alias("ddsource"),
+            F.lit("a:b").alias("ddtags"),
+        ),
+    ))
+    r = e.select(
+        "event_id", F.posexplode(parse_datadog_logs(payload)).alias("idx", "r")
+    )
+    return r.select(
+        "event_id", "idx",
+        F.col("r.message").alias("message"),
+        F.col("r.status").alias("status"),
+        F.col("r.ts_ms").alias("ts_ms"),
+        F.col("r.hostname").alias("hostname"),
+        F.col("r.service").alias("service"),
+        F.col("r.ddsource").alias("ddsource"),
+        F.try_element_at(F.col("r.tags"), F.lit(1)).alias("tag1"),
+        F.size(F.col("r.tags")).alias("ntags"),
+    )
+
+
+def q_codec_s3_notification(spark, sf_dir):
+    """S3 event-notification decode: per body one ObjectCreated:Put
+    record with a url-encoded key ('+' as space plus percent escapes —
+    the reference's urlencoded_string) and one ObjectRemoved:Delete
+    (the kind the reference's gate skips; surfaced for filtering).
+    Oracle = ground truth incl. the decoded key."""
+    from vector_spark.functions import parse_s3_event_notification
+
+    e = _t(spark, sf_dir, "events")
+    eid = F.col("event_id").cast("string")
+    key_enc = F.concat(F.lit("dir/f+"), eid, F.lit("%28x%29.log"))
+    body = F.to_json(F.struct(F.array(
+        F.struct(
+            F.lit("2.1").alias("eventVersion"),
+            F.lit("aws:s3").alias("eventSource"),
+            F.lit("us-east-1").alias("awsRegion"),
+            F.lit("ObjectCreated:Put").alias("eventName"),
+            F.struct(
+                F.struct(F.concat(F.lit("b"), (F.col("user_id") % 4).cast("string")).alias("name")).alias("bucket"),
+                F.struct(key_enc.alias("key")).alias("object"),
+            ).alias("s3"),
+        ),
+        F.struct(
+            F.lit("2.1").alias("eventVersion"),
+            F.lit("aws:s3").alias("eventSource"),
+            F.lit("eu-west-1").alias("awsRegion"),
+            F.lit("ObjectRemoved:Delete").alias("eventName"),
+            F.struct(
+                F.struct(F.lit("bx").alias("name")).alias("bucket"),
+                F.struct(F.concat(F.lit("gone-"), eid).alias("key")).alias("object"),
+            ).alias("s3"),
+        ),
+    ).alias("Records")))
+    r = e.select(
+        "event_id",
+        F.posexplode(parse_s3_event_notification(body)).alias("idx", "r"),
+    )
+    return r.select(
+        "event_id", "idx",
+        F.col("r.event_kind").alias("event_kind"),
+        F.col("r.event_name").alias("event_name"),
+        F.col("r.aws_region").alias("aws_region"),
+        F.col("r.bucket").alias("bucket"),
+        F.col("r.key").alias("key"),
+    )
+
+
+def q_codec_pubsub(spark, sf_dir):
+    """GCP Pub/Sub envelope decode: base64 data, attributes map,
+    messageId, RFC-3339 publishTime to epoch-us, subscription. Oracle =
+    ground truth from the source columns."""
+    from vector_spark.functions import parse_pubsub_envelope
+
+    e = _t(spark, sf_dir, "events")
+    ts_str = F.date_format(
+        F.col("ts").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+    )
+    env = F.to_json(F.struct(
+        F.struct(
+            F.base64(F.col("props").cast("binary")).alias("data"),
+            F.create_map(F.lit("t"), F.col("event_type")).alias("attributes"),
+            F.concat(F.lit("m"), F.col("event_id").cast("string")).alias("messageId"),
+            ts_str.alias("publishTime"),
+        ).alias("message"),
+        F.lit("projects/p/subscriptions/s0").alias("subscription"),
+    ))
+    r = e.select("event_id", parse_pubsub_envelope(env).alias("r"))
+    return r.select(
+        "event_id",
+        F.col("r.data").alias("data"),
+        F.element_at(F.col("r.attributes"), F.lit("t")).alias("t_attr"),
+        F.col("r.message_id").alias("message_id"),
+        F.col("r.publish_ts_us").alias("publish_ts_us"),
+        F.col("r.subscription").alias("subscription"),
+    )
+
+
+def q_codec_es_bulk(spark, sf_dir):
+    """Elasticsearch bulk body roundtrip: every event encoded as its
+    action-line/document pair (the `_id` omitted on event_id%3==1, the
+    suppressed-type modern form) then parsed back — lossless by
+    construction, oracle recomputes the expected rows."""
+    from vector_spark.functions import (
+        encode_elasticsearch_bulk, parse_elasticsearch_bulk,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    eid = F.col("event_id").cast("string")
+    doc = F.to_json(F.struct(
+        F.col("event_type").alias("et"), F.col("event_id").alias("eid")))
+    doc_id = F.when(F.col("event_id") % 3 != 1, F.concat(F.lit("id-"), eid))
+    body = encode_elasticsearch_bulk(
+        doc, F.concat(F.lit("logs-"), (F.col("user_id") % 5).cast("string")),
+        doc_id,
+    )
+    r = e.select(
+        "event_id", F.explode(parse_elasticsearch_bulk(body)).alias("r")
+    )
+    return r.select(
+        "event_id",
+        F.col("r.action").alias("action"),
+        F.col("r.index").alias("index_name"),
+        F.col("r.doc_id").alias("doc_id"),
+        F.get_json_object(F.col("r.doc"), "$.et").alias("et"),
+        F.get_json_object(F.col("r.doc"), "$.eid").cast("bigint").alias("eid_doc"),
+    )
+
+
+def q_codec_hec_encode(spark, sf_dir):
+    """Splunk HEC event-endpoint ENCODE (the sink side, inverse of
+    codec_splunk_hec) roundtripped through our HEC decoder: fractional
+    epoch-second time (micro-exact through decimal(18,6)), optional
+    host omitted when null (serde skip-None), object event payload.
+    Oracle = ground truth from the source columns."""
+    from vector_spark.functions import encode_splunk_hec, parse_splunk_hec
+
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    t = (us.cast("decimal(25,6)") / 1000000).cast("decimal(18,6)")
+    host = F.when(F.col("event_id") % 3 != 1,
+                  F.concat(F.lit("h"), F.col("user_id").cast("string")))
+    line = encode_splunk_hec(
+        F.col("props"), t, host=host, sourcetype=F.lit("_json"),
+        index=F.concat(F.lit("ix"), (F.col("user_id") % 2).cast("string")),
+    )
+    r = e.select("event_id", parse_splunk_hec(line).alias("r"))
+    return r.select(
+        "event_id",
+        F.unix_micros(F.col("r.ts")).alias("time_us"),
+        F.col("r.host").alias("host"),
+        F.col("r.sourcetype").alias("sourcetype"),
+        F.col("r.index_name").alias("index_name"),
+        F.element_at(F.col("r.event_obj"), F.lit("k")).alias("k"),
+    )
+
+
 def oracles() -> dict[str, str]:
     sql: dict[str, str] = {}
+
+    sql["codec_datadog_logs"] = """
+SELECT event_id, 0 AS idx, props AS message, event_type AS status,
+       epoch_ms(ts) AS ts_ms,
+       'h' || CAST(user_id AS VARCHAR) AS hostname,
+       'svc' || CAST(user_id % 3 AS VARCHAR) AS service,
+       'nginx' AS ddsource,
+       CASE event_id % 3 WHEN 0 THEN 'env:prod'
+                         WHEN 2 THEN 'solo' END AS tag1,
+       CASE event_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 0 ELSE 1 END AS ntags
+FROM events
+UNION ALL
+SELECT event_id, 1, 'm2:' || CAST(event_id AS VARCHAR), 'info',
+       epoch_ms(ts) + 1, 'h2', 'svc', 'agent', 'a:b', 1
+FROM events
+"""
+
+    sql["codec_s3_notification"] = """
+SELECT event_id, 0 AS idx, 'ObjectCreated' AS event_kind,
+       'Put' AS event_name, 'us-east-1' AS aws_region,
+       'b' || CAST(user_id % 4 AS VARCHAR) AS bucket,
+       'dir/f ' || CAST(event_id AS VARCHAR) || '(x).log' AS key
+FROM events
+UNION ALL
+SELECT event_id, 1, 'ObjectRemoved', 'Delete', 'eu-west-1', 'bx',
+       'gone-' || CAST(event_id AS VARCHAR)
+FROM events
+"""
+
+    sql["codec_pubsub"] = """
+SELECT event_id, props AS data, event_type AS t_attr,
+       'm' || CAST(event_id AS VARCHAR) AS message_id,
+       epoch_us(ts) AS publish_ts_us,
+       'projects/p/subscriptions/s0' AS subscription
+FROM events
+"""
+
+    sql["codec_es_bulk"] = """
+SELECT event_id, 'index' AS action,
+       'logs-' || CAST(user_id % 5 AS VARCHAR) AS index_name,
+       CASE WHEN event_id % 3 <> 1
+            THEN 'id-' || CAST(event_id AS VARCHAR) END AS doc_id,
+       event_type AS et, event_id AS eid_doc
+FROM events
+"""
+
+    sql["codec_hec_encode"] = """
+SELECT event_id, epoch_us(ts) AS time_us,
+       CASE WHEN event_id % 3 <> 1
+            THEN 'h' || CAST(user_id AS VARCHAR) END AS host,
+       '_json' AS sourcetype,
+       'ix' || CAST(user_id % 2 AS VARCHAR) AS index_name,
+       json_extract_string(props, '$.k') AS k
+FROM events
+"""
 
     sql["codec_cri"] = """
 SELECT event_id,
@@ -2490,6 +2732,11 @@ QUERIES = {
     "codec_nginx_status": q_codec_nginx_status,
     "codec_journald": q_codec_journald,
     "codec_lumberjack": q_codec_lumberjack,
+    "codec_datadog_logs": q_codec_datadog_logs,
+    "codec_s3_notification": q_codec_s3_notification,
+    "codec_pubsub": q_codec_pubsub,
+    "codec_es_bulk": q_codec_es_bulk,
+    "codec_hec_encode": q_codec_hec_encode,
     "demo_logs_roundtrip": q_demo_logs_roundtrip,
     "parse_aws_alb": q_parse_aws_alb,
     "parse_aws_vpc_flow": q_parse_aws_vpc_flow,

@@ -1,0 +1,132 @@
+"""SaaS intake / sink wire formats: Datadog Agent logs, S3 event
+notifications, GCP Pub/Sub envelopes, Elasticsearch bulk bodies,
+Splunk HEC encode. Reference citations in
+vector_spark/functions/service_formats.py."""
+
+from __future__ import annotations
+
+import base64
+import json
+
+from pyspark.sql import functions as F
+
+from vector_spark.functions import (
+    parse_datadog_logs,
+    parse_s3_event_notification,
+    parse_pubsub_envelope,
+    encode_elasticsearch_bulk,
+    parse_elasticsearch_bulk,
+    encode_splunk_hec,
+    parse_splunk_hec,
+)
+
+
+def _one(spark, v, colfn):
+    return spark.createDataFrame([(v,)], "v string").select(
+        colfn(F.col("v")).alias("r")
+    ).collect()[0]["r"]
+
+
+def test_datadog_logs_payload(spark):
+    payload = json.dumps([
+        {"message": "hello", "status": "info", "timestamp": 1600000000123,
+         "hostname": "h1", "service": "svc", "ddsource": "nginx",
+         "ddtags": "env:prod,team,region:eu"},
+        {"message": "m2", "status": "error", "timestamp": 1600000001000,
+         "hostname": "h2", "service": "svc2", "ddsource": "agent",
+         "ddtags": ""},
+    ])
+    out = _one(spark, payload, parse_datadog_logs)
+    assert len(out) == 2
+    a = out[0]
+    assert (a["message"], a["status"], a["ts_ms"]) == ("hello", "info", 1600000000123)
+    # parse_ddtags: bare tags and pairs both survive the split
+    assert list(a["tags"]) == ["env:prod", "team", "region:eu"]
+    assert list(out[1]["tags"]) == []
+    assert _one(spark, "{not json", parse_datadog_logs) is None
+
+
+def test_s3_event_notification(spark):
+    body = json.dumps({"Records": [
+        {"eventVersion": "2.1", "eventSource": "aws:s3",
+         "awsRegion": "us-east-1", "eventName": "ObjectCreated:Put",
+         "s3": {"bucket": {"name": "b1"},
+                "object": {"key": "dir/my+file%281%29.log"}}},
+        {"eventVersion": "2.1", "eventSource": "aws:s3",
+         "awsRegion": "us-east-1", "eventName": "ObjectRemoved:Delete",
+         "s3": {"bucket": {"name": "b1"}, "object": {"key": "gone"}}},
+    ]})
+    out = _one(spark, body, parse_s3_event_notification)
+    a = out[0]
+    assert (a["event_kind"], a["event_name"]) == ("ObjectCreated", "Put")
+    # '+' as space then percent-decode (urlencoded_string, sqs.rs)
+    assert a["key"] == "dir/my file(1).log"
+    assert a["bucket"] == "b1"
+    # the reference gates on kind != ObjectCreated — exposed for filtering
+    assert out[1]["event_kind"] == "ObjectRemoved"
+
+
+def test_pubsub_envelope(spark):
+    env = json.dumps({
+        "message": {
+            "data": base64.b64encode(b'{"k": 1}').decode(),
+            "attributes": {"a": "1", "b": "2"},
+            "messageId": "m-17",
+            "publishTime": "2021-01-02T03:04:05.123456789Z",
+        },
+        "subscription": "projects/p/subscriptions/s",
+    })
+    r = _one(spark, env, parse_pubsub_envelope)
+    assert r["data"] == '{"k": 1}'
+    assert dict(r["attributes"]) == {"a": "1", "b": "2"}
+    assert r["message_id"] == "m-17"
+    assert r["publish_ts_us"] == 1609556645123456  # nanos truncated
+    assert r["subscription"].endswith("/s")
+
+
+def test_elasticsearch_bulk_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("idx-a", "d1", '{"m":"x"}'), ("idx-b", None, '{"m":"y"}')],
+        "i string, id string, doc string",
+    )
+    body = df.select(
+        encode_elasticsearch_bulk(F.col("doc"), F.col("i"), F.col("id"))
+        .alias("pair")
+    ).agg(F.concat_ws("", F.collect_list("pair")).alias("body"))
+    line = body.collect()[0]["body"]
+    assert '{"index":{"_index":"idx-a","_id":"d1"}}\n{"m":"x"}\n' in line
+    assert '{"index":{"_index":"idx-b"}}\n{"m":"y"}\n' in line
+    back = body.select(
+        F.explode(parse_elasticsearch_bulk(F.col("body"))).alias("r")
+    ).select("r.*").collect()
+    got = {(r["index"], r["doc_id"]): (r["action"], r["doc"]) for r in back}
+    assert got[("idx-a", "d1")] == ("index", '{"m":"x"}')
+    assert got[("idx-b", None)] == ("index", '{"m":"y"}')
+
+
+def test_splunk_hec_encode_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1600000000.5, "h1", '{"msg":"hi"}'), (1600000001.25, None, '"text"')],
+        "t double, h string, ev string",
+    )
+    enc = df.select(
+        encode_splunk_hec(
+            F.col("ev"), F.col("t"), host=F.col("h"),
+            sourcetype=F.lit("_json"),
+        ).alias("line")
+    )
+    lines = [r["line"] for r in enc.collect()]
+    o0 = json.loads(lines[0])
+    assert o0["event"] == {"msg": "hi"}
+    assert o0["host"] == "h1" and o0["sourcetype"] == "_json"
+    assert abs(float(o0["time"]) - 1600000000.5) < 1e-9
+    o1 = json.loads(lines[1])
+    assert "host" not in o1  # null field omitted, like serde's skip-None
+    assert o1["event"] == "text"
+    # roundtrip through our own HEC decoder
+    back = enc.select(
+        F.unix_micros(parse_splunk_hec(F.col("line"))["ts"]).alias("us"),
+        parse_splunk_hec(F.col("line"))["host"].alias("host"),
+    ).collect()
+    assert back[0]["us"] == 1600000000500000
+    assert back[0]["host"] == "h1"
