@@ -301,3 +301,115 @@ def test_lumberjack_truncated_and_invalid(spark):
     assert _decode(spark, b"3W\x00\x00\x00\x01" + good) == []
     # corrupt zlib payload
     assert _decode(spark, b"2C\x00\x00\x00\x04junk") == []
+
+
+# --- streaming partial merge ----------------------------------------------
+
+def _write_parts(spark, path, rows_, mode="overwrite"):
+    spark.createDataFrame(
+        rows_, "f string, pos long, message string, partial boolean, ts long"
+    ).coalesce(1).write.mode(mode).parquet(path)
+
+
+def test_stream_merge_partial_equals_batch(spark, tmp_path):
+    from vector_spark.functions import merge_partial_lines
+    from vector_spark.streaming import stream_merge_partial_lines
+
+    rows_ = [
+        ("a", 1, "he", True, 100), ("a", 2, "llo", True, 200),
+        ("a", 3, "!", False, 300), ("a", 4, "solo", False, 400),
+        ("b", 1, "x", True, 500), ("b", 2, "y", False, 600),
+    ]  # every run closed -> streaming availableNow == batch
+    src = str(tmp_path / "pm_src")
+    _write_parts(spark, src, rows_)
+    schema = spark.read.parquet(src).schema
+    sdf = stream_merge_partial_lines(
+        spark.readStream.schema(schema).parquet(src), ("f",), "pos"
+    )
+    sink = str(tmp_path / "pm_sink")
+    q = (
+        sdf.writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "pm_ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    batch = merge_partial_lines(spark.read.parquet(src), ("f",), "pos")
+    key = lambda r: (r["f"], r["pos"])  # noqa: E731
+    got = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    exp = sorted(map(tuple, batch.select(*spark.read.parquet(sink).columns).collect()))
+    assert got == exp
+    assert len(got) == 3
+
+
+def test_stream_merge_partial_state_survives_microbatches(spark, tmp_path):
+    """A run split across micro-batches merges when its closer arrives in
+    a LATER batch — the open buffer lives in the checkpoint, exactly the
+    reference's in-memory partial map surviving between reads."""
+    from vector_spark.streaming import stream_merge_partial_lines
+
+    src = str(tmp_path / "pm2_src")
+    ck = str(tmp_path / "pm2_ck")
+    sink = str(tmp_path / "pm2_sink")
+    _write_parts(spark, src, [("a", 1, "part1-", True, 100)])
+    schema = spark.read.parquet(src).schema
+
+    def run():
+        sdf = stream_merge_partial_lines(
+            spark.readStream.schema(schema).parquet(src), ("f",), "pos"
+        )
+        q = (
+            sdf.writeStream.format("parquet").option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert spark.read.parquet(sink).count() == 0  # buffer open, nothing out
+    _write_parts(spark, src, [("a", 2, "done", False, 200)], mode="append")
+    run()
+    out = spark.read.parquet(sink).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["message"] == "part1-done"
+    assert r["partial"] is False
+    assert r["ts"] == 100  # carried from the FIRST line of the run
+
+
+def test_topology_parse_cri_and_journald(spark, tmp_path):
+    """The new platform decoders ride the topology's `parse` transform
+    (the decoding.codec surface) like any named parser."""
+    from vector_spark.topology import compile_topology
+
+    spec = {
+        "sources": {
+            "logs": {
+                "type": "inline",
+                "rows": [
+                    (1, "2016-10-06T00:17:09.669794202Z stdout F hello"),
+                    (2, "2016-10-06T00:17:10Z stderr P chunk"),
+                ],
+                "schema": "event_id long, message string",
+            }
+        },
+        "transforms": {
+            "decoded": {
+                "type": "parse",
+                "inputs": ["logs"],
+                "parser": "cri",
+                "column": "message",
+            },
+            "full_only": {
+                "type": "filter",
+                "inputs": ["decoded"],
+                "condition": "NOT partial",
+            },
+        },
+        "sinks": {
+            "out": {"type": "memory", "inputs": ["full_only"]},
+        },
+    }
+    res = compile_topology(spec).build(spark).run()
+    rows_ = res["out"]
+    assert len(rows_) == 1
+    assert rows_[0]["message"] == "hello" and rows_[0]["stream"] == "stdout"

@@ -999,3 +999,93 @@ def stream_multiline(
     return flagged.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, state_schema, "append", timeout
     )
+
+
+def stream_merge_partial_lines(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    order_col: str,
+    message_col: str = "message",
+    partial_col: str = "partial",
+    expiration_secs: float | None = None,
+) -> DataFrame:
+    """Streaming twin of functions.platform_logs.merge_partial_lines — and
+    the shape the reference ACTUALLY runs: the kubernetes_logs partial
+    merger is a stream stage with a wall-clock expiration
+    (partial_events_merger.rs:83-160, EXPIRATION_TIME line 30).
+
+    Per key (= one log FILE) the open run's partial lines buffer in the
+    streaming state; a non-partial line closes the run and emits one
+    merged event (messages concatenated in order, no separator, all other
+    columns from the FIRST line of the run — the merger extends the
+    buffered first event). `expiration_secs` is the reference's
+    expiration: a run idle past it flushes on ProcessingTimeTimeout,
+    emitted still-`partial`. With None the buffer waits for its closer
+    (NoTimeout) — availableNow runs then equal the batch twin on closed
+    runs (the stream_multiline discipline).
+
+    Output schema == input schema. State = one open run per key: the
+    buffered text plus the first row's column values (typed state fields,
+    no serialization loss). Scale: state volume = open runs x buffered
+    text, keyed by file — the same bound as the reference's in-memory
+    HashMap of partial events."""
+    import json as _json
+
+    import pandas as pd
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    carried = [c for c in df.columns
+               if c not in (*keys, message_col, partial_col)]
+    out_cols = list(df.columns)
+    out_schema = ", ".join(f"{c} {by_name[c]}" for c in out_cols)
+    state_schema = "buf string, n long, " + ", ".join(
+        f"{c} {by_name[c]}" for c in carried
+    )
+
+    def fn(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        if state.exists:
+            buf_json, n, *first_vals = state.get
+            buf = _json.loads(buf_json)
+        else:
+            buf, n, first_vals = [], 0, None
+        rows = []
+
+        def emit(still_partial: bool):
+            nonlocal buf, n, first_vals
+            if n:
+                vals = dict(zip(carried, first_vals))
+                vals.update(dict(zip(keys, key)))
+                vals[message_col] = "".join(buf)
+                vals[partial_col] = still_partial
+                rows.append(tuple(vals[c] for c in out_cols))
+            buf, n, first_vals = [], 0, None
+
+        if getattr(state, "hasTimedOut", False):
+            emit(True)  # the merger's expiration flush, still-partial
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            pdf = pd.concat(frames).sort_values(order_col)
+            for row in pdf.to_dict("records"):
+                if n == 0:
+                    first_vals = [row[c] for c in carried]
+                buf.append(row[message_col])
+                n += 1
+                if not row[partial_col]:
+                    emit(False)
+        if n:
+            state.update((_json.dumps(buf), n, *first_vals))
+            if expiration_secs is not None:
+                state.setTimeoutDuration(int(expiration_secs * 1000))
+        else:
+            state.remove()
+        yield pd.DataFrame(rows, columns=out_cols)
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if expiration_secs is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout
+    )

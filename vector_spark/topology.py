@@ -657,8 +657,35 @@ def _build_transform(cfg, df, resolve, tables, spark):
             return {f.split(" ")[0]: d.getField(f.split(" ")[0])
                     for f in DNSTAP_SCHEMA.split(", ")}
 
+        def _struct_fields(fn, names):
+            # struct-returning decoders exposed at the same dict[str,
+            # Column] surface as the named parsers (the shared struct
+            # expression dedupes in codegen — one decode per row)
+            def go(c):
+                s = fn(c)
+                return {n: s[n] for n in names}
+            return go
+
+        from .functions import (
+            parse_cri,
+            parse_docker_log,
+            parse_journald,
+            parse_nginx_stub_status,
+        )
+
         parsers: dict[str, Callable] = {
             "syslog": lambda c: parse_syslog(c, rfc=cfg.get("rfc", "3164")),
+            # platform/agent source formats (platform_logs.py)
+            "cri": _struct_fields(
+                parse_cri, ["message", "stream", "partial", "ts_us"]),
+            "docker_json": _struct_fields(
+                parse_docker_log, ["message", "stream", "partial", "ts_us"]),
+            "journald": _struct_fields(
+                parse_journald, ["message", "host", "priority", "unit", "ts_us"]),
+            "nginx_stub_status": _struct_fields(
+                parse_nginx_stub_status,
+                ["active", "accepts", "handled", "requests",
+                 "reading", "writing", "waiting"]),
             "common_log": parse_common_log,
             "combined_log": parse_combined_log,
             "aws_vpc_flow_log": lambda c: parse_aws_vpc_flow_log(c, format=cfg.get("format")),
