@@ -159,6 +159,10 @@ HEADLINE = [
     "codec_prometheus",
     "codec_loki",
     "codec_fluent",
+    # round 4 continuation: platform/agent log formats + service intake
+    "codec_lumberjack",
+    "partial_merge",
+    "codec_journald",
 ]
 
 
