@@ -1071,3 +1071,103 @@ def test_hamming_pairs_64bit_match_brute_force(spark, fps, d):
         ).collect()
     }
     assert got == brute
+
+
+# --- lumberjack walker (functions/lumberjack.py) --------------------------
+
+lj_events = st.lists(
+    st.tuples(
+        st.sampled_from([1, 2]),                       # protocol version
+        st.integers(0, 2**32 - 1),                     # sequence number
+        st.sampled_from(["D", "J"]),
+        st.dictionaries(
+            st.text(st.characters(codec="utf-8", exclude_characters="\x00"),
+                    min_size=1, max_size=8),
+            st.text(st.characters(codec="utf-8"), max_size=16),
+            min_size=1, max_size=4,
+        ),
+    ),
+    min_size=0, max_size=6,
+)
+
+
+@given(evs=lj_events, compress=st.booleans())
+@settings(**{**SETTINGS, "max_examples": 60})
+def test_lumberjack_walk_roundtrips_and_never_raises(evs, compress):
+    """Driver-side walker property: encode(frames) decodes back exactly
+    (D frames as field maps, J frames as the same JSON object), and
+    TRUNCATION at any byte offset never raises — it yields a prefix of
+    the full event list (the reference's not-enough-data contract)."""
+    from vector_spark.functions.lumberjack import (
+        _walk, encode_lumberjack_frames,
+    )
+    import json as _json
+
+    blob = encode_lumberjack_frames(
+        [(p, s, k, d) for p, s, k, d in evs], compress=compress
+    )
+    full: list = []
+    _walk(blob, full)
+    assert len(full) == len(evs)
+    for (p, s, k, d), got in zip(evs, full):
+        # compressed container frames are always v2 but inner frames keep
+        # their own version byte
+        assert got[0] == p and got[1] == s and got[2] == k
+        if k == "D":
+            assert got[3] == d
+        else:
+            assert _json.loads(got[4]) == d
+    # truncation: sample a handful of cut points (full scan is O(n^2))
+    for cut in range(0, len(blob), max(1, len(blob) // 7)):
+        part: list = []
+        _walk(blob[:cut], part)          # must not raise
+        assert len(part) <= len(full)
+        for a, b in zip(part, full):     # and must be a strict prefix
+            assert a == b
+
+
+# --- CRI line parse vs a python reference model ---------------------------
+
+cri_lines = st.lists(
+    st.tuples(
+        st.sampled_from(["stdout", "stderr", "stdmix"]),
+        st.sampled_from(["F", "P", "X"]),
+        st.text(st.characters(codec="utf-8",
+                              exclude_characters="\r\n\x00"), max_size=20),
+    ),
+    min_size=1, max_size=8,
+)
+
+
+@given(rows=cri_lines)
+@settings(**SETTINGS)
+def test_parse_cri_equals_python_model(spark, rows):
+    """parse_cri vs an independent python re-implementation of
+    cri.rs:146-183 (split at first three single spaces, stream/tag
+    validation) over arbitrary message bytes incl. spaces and unicode."""
+    from vector_spark.functions import parse_cri
+
+    ts = "2024-05-06T07:08:09.123456Z"
+    lines = [(i, f"{ts} {s} {t} {m}") for i, (s, t, m) in enumerate(rows)]
+
+    def model(line):
+        parts = line.split(" ", 3)
+        if len(parts) != 4:
+            return None
+        _, stream, tag, msg = parts
+        if stream not in ("stdout", "stderr") or tag not in ("F", "P"):
+            return None
+        return (msg[:-1] if msg.endswith("\n") else msg, stream, tag == "P")
+
+    df = spark.createDataFrame(lines, "i long, line string")
+    got = {
+        r["i"]: r["r"]
+        for r in df.select("i", parse_cri(F.col("line")).alias("r")).collect()
+    }
+    for i, (_, line) in enumerate(lines):
+        exp = model(line)
+        g = got[i]
+        if exp is None:
+            assert g["message"] is None
+        else:
+            assert (g["message"], g["stream"], g["partial"]) == exp
