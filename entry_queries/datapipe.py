@@ -1613,6 +1613,40 @@ routed AS (
 )"""
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """INT8 scalar quantization of the embedding column — the ANN index
+    build map (similarity.py::quantize_embeddings). The whole quantized
+    vector is pinned via an md5 over its comma-joined values (both
+    engines render int32 identically); scale and the integer norm ride
+    alongside. floor(x*127/mx + 0.5) is IEEE-exact in both engines —
+    this oracle is hash-exact, not approximate."""
+    from vector_spark.datapipe import quantize_embeddings
+
+    qz = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return qz.select(
+        "vec_id",
+        F.col("scale").alias("scale"),
+        F.md5(F.array_join(
+            F.transform("qvec", lambda x: x.cast("string")), ",")).alias("q_md5"),
+        F.aggregate(
+            "qvec", F.lit(0).cast("long"),
+            lambda acc, x: acc + (x * x).cast("long"),
+        ).alias("qnorm"),
+    )
+
+
+def q_ann_quantized(spark, sf_dir):
+    """Brute-force cosine top-k over the int8-quantized index
+    (similarity.py::quantized_cosine_topk): per-vector scales cancel, so
+    scores derive from integer dot products only and the ranking is
+    engine-exact (rounded-6 + id tiebreak, the cosine_topk contract)."""
+    from vector_spark.datapipe import quantized_cosine_topk
+
+    return quantized_cosine_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
 def oracles() -> dict[str, str]:
     sql: dict[str, str] = {}
 
@@ -1932,6 +1966,64 @@ FROM t
 """
 
     sql["langid"] = _langid_sql()
+
+    # int8 quantization: identical IEEE double ops (mul/div/floor) in both
+    # engines -> hash-exact, no approximation involved
+    _QUANT_CTE = """
+base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+m AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS mx
+  FROM base
+),
+qz AS (
+  SELECT vec_id, mx / 127.0 AS scale,
+         CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
+              ELSE list_transform(v,
+                     x -> CAST(floor(x * 127.0 / mx + 0.5) AS INTEGER))
+         END AS qvec
+  FROM m
+)
+"""
+
+    sql["embedding_quantize"] = f"""
+WITH {_QUANT_CTE}
+SELECT vec_id, scale,
+       md5(array_to_string(
+             list_transform(qvec, x -> CAST(x AS VARCHAR)), ',')) AS q_md5,
+       CAST(list_sum(list_transform(qvec, x -> CAST(x AS BIGINT) * x))
+            AS BIGINT) AS qnorm
+FROM qz
+"""
+
+    sql["ann_quantized"] = f"""
+WITH {_QUANT_CTE},
+n AS (
+  SELECT vec_id AS id, qvec,
+         CAST(list_sum(list_transform(qvec, x -> CAST(x AS BIGINT) * x))
+              AS BIGINT) AS n2
+  FROM qz
+),
+q AS (
+  SELECT id AS qid, qvec AS qv, n2 AS qn2 FROM n WHERE id IN (0, 1, 2, 3, 4)
+),
+sims AS (
+  SELECT q.qid AS query_id, n.id AS neighbor_id,
+         CASE WHEN q.qn2 = 0 OR n.n2 = 0 THEN 0.0
+              ELSE round(list_dot_product(q.qv, n.qvec)
+                         / sqrt(CAST(q.qn2 AS DOUBLE) * CAST(n.n2 AS DOUBLE)), 6)
+         END AS cosine_q
+  FROM n CROSS JOIN q WHERE n.id <> q.qid
+)
+SELECT query_id, neighbor_id, rank, cosine_q FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_q DESC, neighbor_id) AS rank
+  FROM sims
+) WHERE rank <= 5
+"""
 
     sql["cosine_topk"] = """
 WITH base AS (
@@ -3262,6 +3354,8 @@ QUERIES = {
     "corpus_build": q_corpus_build,
     "corpus_stats": q_corpus_stats,
     "cosine_topk": q_cosine_topk,
+    "embedding_quantize": q_embedding_quantize,
+    "ann_quantized": q_ann_quantized,
     "crawl_pipeline": q_crawl_pipeline,
     "curation_pipeline": q_curation_pipeline,
     "decontaminate": q_decontaminate,

@@ -1761,3 +1761,45 @@ def test_ngram_jaccard_null_text_and_threshold_validation(spark):
     for bad in (0.0, -0.1, 1.5):
         with pytest.raises(ValueError, match="threshold"):
             ngram_jaccard_pairs(df, threshold=bad)
+
+
+def test_quantize_embeddings_error_bound_and_zero(spark):
+    from vector_spark.datapipe import quantize_embeddings
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),   # zero vector -> zeros, scale 0
+        (3, [127.0, -127.0, 1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert out[2]["scale"] == 0.0 and list(out[2]["qvec"]) == [0, 0, 0, 0]
+    # max-magnitude element always hits +/-127; dequantized error <= scale/2
+    for vid, emb in ((1, rows[0][1]), (3, rows[2][1])):
+        q, s = out[vid]["qvec"], out[vid]["scale"]
+        assert max(abs(x) for x in q) == 127
+        for orig, qi in zip(emb, q):
+            assert abs(orig - qi * s) <= s / 2 + 1e-12
+        assert all(-127 <= x <= 127 for x in q)
+
+
+def test_quantized_topk_close_to_float_topk(spark):
+    """Int8 quantization at dims=64 keeps the brute-force neighbor
+    ranking nearly intact: top-5 sets overlap >= 4/5 for every query and
+    scores agree within 1e-2."""
+    from vector_spark.datapipe import cosine_topk, quantized_cosine_topk
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    f = cosine_topk(df, query_ids=[0, 1, 2], k=5).collect()
+    qz = quantized_cosine_topk(df, query_ids=[0, 1, 2], k=5).collect()
+    fs = {}
+    qs = {}
+    for r in f:
+        fs.setdefault(r["query_id"], {})[r["neighbor_id"]] = r["cosine"]
+    for r in qz:
+        qs.setdefault(r["query_id"], {})[r["neighbor_id"]] = r["cosine_q"]
+    for qid in (0, 1, 2):
+        overlap = set(fs[qid]) & set(qs[qid])
+        assert len(overlap) >= 4
+        for nid in overlap:
+            assert abs(fs[qid][nid] - qs[qid][nid]) < 1e-2

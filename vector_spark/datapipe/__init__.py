@@ -10,6 +10,8 @@ from .dedup import (
 )
 from .similarity import (
     cosine_topk,
+    quantize_embeddings,
+    quantized_cosine_topk,
     decontaminate_semantic,
     embedding_near_dup_pairs,
     embedding_outliers,
@@ -47,7 +49,7 @@ __all__ = [
     "count_min_build", "count_min_estimate", "count_min_merge", "heavy_hitters",
     "hll_sketch", "hll_merge", "hll_estimate",
     "connected_components", "dedup_clusters",
-    "cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "embedding_near_dup_pairs", "embedding_outliers",
+    "cosine_topk", "quantize_embeddings", "quantized_cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "embedding_near_dup_pairs", "embedding_outliers",
     "decontaminate_semantic",
     "semantic_dedup", "bpe_pair_counts", "pagerank", "tfidf_keywords",
     "bpe_learn", "bpe_learn_py", "bpe_encode", "bpe_encode_word", "bpe_token_ids", "bpe_vocab",

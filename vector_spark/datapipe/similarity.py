@@ -536,3 +536,102 @@ def decontaminate_semantic(
         F.col("cos_centroid").alias("max_cos"),
         (F.col("cos_centroid") < F.lit(threshold)).alias("keep"),
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column:
+    scale = max|x| / 127, q_i = floor(x_i * 127 / max|x| + 0.5) — the
+    standard scalar-quantized ANN index layout (public FAISS SQ8 /
+    ScaNN recipe family). A zero vector quantizes to zeros with scale 0.
+
+    floor(r + 0.5) rather than round(): IEEE-754 double multiply/divide
+    then floor is bit-identical in any engine, so the quantization is
+    hash-exact replayable (ties at .5 have no engine-dependent branch),
+    where round()'s half-even/half-up tie rules differ across engines.
+
+    100 TB: this is the index-build map — narrow, zero shuffle, output
+    4x smaller than float32 (the win: a quantized ANN index's bucket
+    shuffles and broadcast centroids move 4x less data, and integer dot
+    products vectorize). Quantized cosine needs no dequantization: the
+    per-vector scales cancel, cos = dot(q1,q2)/sqrt(|q1|^2*|q2|^2) —
+    see quantized_cosine_topk."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, F.abs))
+    q = F.when(
+        mx == 0.0, F.transform(v, lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(v, lambda x: F.floor(x * 127.0 / mx + F.lit(0.5)).cast("int"))
+    )
+    keep = [c for c in df.columns if c != vec_col]
+    return df.select(
+        *keep, (mx / 127.0).alias("scale"), q.alias("qvec")
+    )
+
+
+def quantized_cosine_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k over the INT8-quantized index — the
+    baseline the quantized IVF/LSH tiers compare against, and the proof
+    that the scales cancel: cosine(q1*s1, q2*s2) =
+    dot(q1,q2)/sqrt(||q1||^2 ||q2||^2) uses integer dot products only
+    (exact in binary64 up to 2^53 — dims*127^2 is far below), so the
+    rounded scores are engine-exact, not approximately equal.
+
+    Same contract as cosine_topk (rank by rounded-6 cosine desc, id
+    tiebreak); scores differ from the float path only by quantization
+    error (~1e-3 at dims=64). 100 TB: the candidate side carries
+    (id, int8 vec) — 4x less shuffle/broadcast traffic than float."""
+    qz = quantize_embeddings(ensure_parallelism(df), vec_col, id_col)
+    base = qz.select(
+        F.col(id_col).alias("_id"),
+        "qvec",
+        F.aggregate(
+            "qvec", F.lit(0).cast("long"),
+            lambda acc, x: acc + (x * x).cast("long"),
+        ).alias("_n2"),
+    )
+    q = base.filter(F.col("_id").isin(query_ids)).select(
+        F.col("_id").alias("query_id"),
+        F.col("qvec").alias("_qv"),
+        F.col("_n2").alias("_qn2"),
+    )
+    c = base.select(
+        F.col("_id").alias("neighbor_id"),
+        F.col("qvec").alias("_cv"),
+        F.col("_n2").alias("_cn2"),
+    )
+    dot = F.aggregate(
+        F.zip_with("_qv", "_cv", lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sims = c.join(broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.when(
+            (F.col("_qn2") == 0) | (F.col("_cn2") == 0), F.lit(0.0)
+        ).otherwise(
+            F.round(
+                dot.cast("double")
+                / F.sqrt(F.col("_qn2").cast("double") * F.col("_cn2").cast("double")),
+                6,
+            )
+        ).alias("cosine_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_q").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_q")
+    )
