@@ -3,6 +3,7 @@
 from .common import *  # noqa: F401,F403
 from .common import _t, _dsum, DSUM_SQL, ROUTES
 from .common import _BP_NAV, _BP_LEAD, _BP_TAIL  # noqa: F401
+from vector_spark.session import ensure_parallelism
 from .oracle_helpers import (  # noqa: F401
     _boilerplate_sql,
     _hexval_sql,
@@ -1461,7 +1462,7 @@ def q_codec_cri(spark, sf_dir):
     ts_us null). Oracle = ground-truth rows from the source columns."""
     from vector_spark.functions import parse_cri
 
-    e = _t(spark, sf_dir, "events")
+    e = ensure_parallelism(_t(spark, sf_dir, "events"))
     ts_str = F.date_format(
         F.col("ts").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
     )
@@ -1491,7 +1492,7 @@ def q_codec_docker(spark, sf_dir):
     reported as md5+length so 16 KiB strings don't ride the compare."""
     from vector_spark.functions import parse_docker_log
 
-    e = _t(spark, sf_dir, "events")
+    e = ensure_parallelism(_t(spark, sf_dir, "events"))
     ts_str = F.date_format(
         F.col("ts").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
     )
@@ -1546,7 +1547,7 @@ def q_codec_heroku(spark, sf_dir):
     spaces (splitn remainder). Oracle = ground truth from source cols."""
     from vector_spark.functions import parse_heroku_logplex
 
-    e = _t(spark, sf_dir, "events")
+    e = ensure_parallelism(_t(spark, sf_dir, "events"))
     ts_str = F.date_format(
         F.col("ts").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
     )
@@ -1608,7 +1609,7 @@ def q_codec_apache_status(spark, sf_dir):
     states. Oracle = arithmetic union of the same rows."""
     from vector_spark.functions import parse_apache_status
 
-    e = _t(spark, sf_dir, "events")
+    e = ensure_parallelism(_t(spark, sf_dir, "events"))
     s = lambda c: c.cast("string")  # noqa: E731
     body = F.concat(
         F.lit("localhost\nServerUptimeSeconds: "), s(F.col("event_id") % 1000),
@@ -1675,7 +1676,7 @@ def q_codec_journald(spark, sf_dir):
     out-of-range value passed through. Oracle = the same arithmetic."""
     from vector_spark.functions import parse_journald
 
-    e = _t(spark, sf_dir, "events")
+    e = ensure_parallelism(_t(spark, sf_dir, "events"))
     m = F.col("event_id") % 4
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     arr_msg = F.transform(
@@ -1779,7 +1780,7 @@ def q_codec_datadog_logs(spark, sf_dir):
     event."""
     from vector_spark.functions import parse_datadog_logs
 
-    e = _t(spark, sf_dir, "events")
+    e = ensure_parallelism(_t(spark, sf_dir, "events"))
     ms = F.unix_millis(F.col("ts").cast("timestamp"))
     m = F.col("event_id") % 3
     ddtags = (
@@ -1831,7 +1832,7 @@ def q_codec_s3_notification(spark, sf_dir):
     Oracle = ground truth incl. the decoded key."""
     from vector_spark.functions import parse_s3_event_notification
 
-    e = _t(spark, sf_dir, "events")
+    e = ensure_parallelism(_t(spark, sf_dir, "events"))
     eid = F.col("event_id").cast("string")
     key_enc = F.concat(F.lit("dir/f+"), eid, F.lit("%28x%29.log"))
     body = F.to_json(F.struct(F.array(

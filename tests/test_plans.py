@@ -609,3 +609,39 @@ def test_wet_extract_no_shuffle(spark):
     )
     plan = plan_of(warc_to_wet(df, keep_cols=("doc_id",)))
     assert "Exchange" not in plan
+
+
+def test_merge_partial_lines_single_exchange(spark):
+    """The partial-event merger's run-id window and the (file, run)
+    groupBy share the file hash partitioning (HashPartitioning(f)
+    satisfies the (f, _run) clustered distribution) — exactly one
+    Exchange total, so at 100 TB the merger costs ONE shuffle keyed by
+    file, never a second one for the aggregate."""
+    from vector_spark.functions import merge_partial_lines
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(f"f{i % 3}", i, f"m{i}", i % 2 == 0, i * 10) for i in range(30)],
+        "f string, pos long, message string, partial boolean, ts long",
+    )
+    out = merge_partial_lines(df, ("f",), "pos")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_quantized_topk_broadcasts_queries_no_bnlj(spark):
+    """quantized_cosine_topk: the query side rides a broadcast
+    (non-equi self-join must be BroadcastNestedLoopJoin over the TINY
+    query set, never a cartesian over the corpus), and the int8 index
+    build is narrow — no Exchange before the join."""
+    from vector_spark.datapipe import quantized_cosine_topk
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = quantized_cosine_topk(df, query_ids=[0, 1], k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast(q), |q| = 2
+    # the only hash Exchange in the whole plan belongs to the final top-k
+    # window (partitionBy query_id), not the index build — quantization
+    # is a narrow map over the scan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

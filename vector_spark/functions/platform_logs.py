@@ -369,11 +369,20 @@ def parse_journald(col: Column) -> Column:
     reference's fixup_unit ('.service' appended when no extension),
     timestamp from _SOURCE_REALTIME_TIMESTAMP else __REALTIME_TIMESTAMP
     (microsecond strings). Pure expressions; the byte-array decode is a
-    hex fold -> unhex -> UTF-8."""
-    g = lambda p: F.get_json_object(col, "$." + p)  # noqa: E731
+    hex fold -> unhex -> UTF-8. Two from_json passes (MESSAGE as string /
+    as int array — the parse_splunk_hec union-type pattern) instead of
+    per-field get_json_object, so the record parses twice, not once per
+    field."""
+    common = (
+        "PRIORITY string, _SYSTEMD_UNIT string, _HOSTNAME string,"
+        " _SOURCE_REALTIME_TIMESTAMP string, __REALTIME_TIMESTAMP string"
+    )
+    a = F.from_json(col, f"struct<MESSAGE:string, {common}>")
+    b = F.from_json(col, f"struct<MESSAGE:array<int>, {common}>")
+    g = lambda p: a[p]  # noqa: E731
 
-    raw_msg = g("MESSAGE")
-    arr = F.from_json(raw_msg, "array<int>")
+    raw_msg = a["MESSAGE"]
+    arr = b["MESSAGE"]
     decoded = F.decode(
         F.unhex(F.array_join(
             F.transform(arr, lambda x: F.lpad(F.hex(x), 2, "0")), "")),
