@@ -1960,8 +1960,101 @@ def q_codec_hec_encode(spark, sf_dir):
     )
 
 
+def q_codec_prom_remote(spark, sf_dir):
+    """Prometheus remote-write roundtrip (snappy + prompb WriteRequest,
+    functions/prom_remote.py): per event one request body carrying two
+    series — a labeled counter sample and a bare-label gauge — encoded
+    with our own encoder (the codec_protobuf enc-UDF convention) and
+    decoded by the snappy+proto walker. Oracle = ground-truth rows."""
+    from pyspark.sql.functions import pandas_udf
+
+    from vector_spark.functions import (
+        encode_write_request, parse_prometheus_remote_write,
+    )
+
+    e = ensure_parallelism(_t(spark, sf_dir, "events"))
+
+    def enc(data):
+        from vector_spark.functions import encode_write_request as ewr
+
+        def one(r):
+            return ewr([
+                ("evt_total", {"t": r["event_type"], "u": str(r["user_id"] % 5)},
+                 [(float(r["event_id"] % 100) + 0.25, int(r["ms"]))]),
+                ("up", {}, [(1.0, int(r["ms"]) + 1)]),
+            ])
+        return data.apply(one, axis=1)
+
+    src = e.select(F.struct(
+        "event_id", "event_type", "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+    ).alias("s"), "event_id")
+    body = src.select("event_id", pandas_udf(enc, "binary")(F.col("s")).alias("b"))
+    r = body.select(
+        "event_id",
+        F.posexplode(parse_prometheus_remote_write(F.col("b"))).alias("idx", "r"),
+    )
+    return r.select(
+        "event_id", "idx",
+        F.col("r.name").alias("name"),
+        F.element_at(F.col("r.labels"), F.lit("t")).alias("t_label"),
+        F.element_at(F.col("r.labels"), F.lit("u")).alias("u_label"),
+        F.col("r.value").alias("value"),
+        F.col("r.ts_ms").alias("ts_ms"),
+    )
+
+
+def q_codec_docker_stream(spark, sf_dir):
+    """Docker Engine multiplexed-stream demux: per event a stdout frame
+    (props payload), a stderr frame, and a truncated tail the walker
+    must ignore — wire bytes built with pure hex expressions, so the
+    Arrow walker is the only decoder in the loop. Oracle = two
+    ground-truth rows per event."""
+    from vector_spark.functions import frame_docker_stream
+
+    e = ensure_parallelism(_t(spark, sf_dir, "events"))
+
+    def hx8(c):
+        return F.lpad(F.lower(F.hex(c)), 8, "0")
+
+    def hxs(c):
+        return F.lower(F.hex(c))
+
+    err = F.concat(F.lit("E:"), F.col("event_type"))
+    blob = F.unhex(F.concat(
+        F.lit("01000000"), hx8(F.octet_length("props")), hxs(F.col("props")),
+        F.lit("02000000"), hx8(F.octet_length(err)), hxs(err),
+        F.lit("01000000"), F.lit("0000"),  # truncated header tail
+    ))
+    r = e.select(
+        "event_id", F.posexplode(frame_docker_stream(blob)).alias("idx", "r")
+    )
+    return r.select(
+        "event_id", "idx",
+        F.col("r.stream").alias("stream"),
+        F.col("r.payload").alias("payload"),
+    )
+
+
 def oracles() -> dict[str, str]:
     sql: dict[str, str] = {}
+
+    sql["codec_prom_remote"] = """
+SELECT event_id, 0 AS idx, 'evt_total' AS name,
+       event_type AS t_label, CAST(user_id % 5 AS VARCHAR) AS u_label,
+       CAST(event_id % 100 AS DOUBLE) + 0.25 AS value,
+       epoch_ms(ts) AS ts_ms
+FROM events
+UNION ALL
+SELECT event_id, 1, 'up', NULL, NULL, 1.0, epoch_ms(ts) + 1
+FROM events
+"""
+
+    sql["codec_docker_stream"] = """
+SELECT event_id, 0 AS idx, 'stdout' AS stream, props AS payload FROM events
+UNION ALL
+SELECT event_id, 1, 'stderr', 'E:' || event_type FROM events
+"""
 
     sql["codec_datadog_logs"] = """
 SELECT event_id, 0 AS idx, props AS message, event_type AS status,
@@ -2738,6 +2831,8 @@ QUERIES = {
     "codec_pubsub": q_codec_pubsub,
     "codec_es_bulk": q_codec_es_bulk,
     "codec_hec_encode": q_codec_hec_encode,
+    "codec_prom_remote": q_codec_prom_remote,
+    "codec_docker_stream": q_codec_docker_stream,
     "demo_logs_roundtrip": q_demo_logs_roundtrip,
     "parse_aws_alb": q_parse_aws_alb,
     "parse_aws_vpc_flow": q_parse_aws_vpc_flow,

@@ -130,3 +130,72 @@ def test_splunk_hec_encode_roundtrip(spark):
     ).collect()
     assert back[0]["us"] == 1600000000500000
     assert back[0]["host"] == "h1"
+
+
+# --- prometheus remote-write ----------------------------------------------
+
+def test_prom_remote_write_roundtrip_driver():
+    """encode_write_request -> decode_write_request is lossless and the
+    __name__ label lifts out as the metric name (remote_write.rs source
+    semantics)."""
+    from vector_spark.functions import (
+        decode_write_request, encode_write_request,
+    )
+    series = [
+        ("http_requests_total", {"job": "api", "code": "200"},
+         [(1.0, 1600000000000), (2.5, 1600000001000)]),
+        ("up", {}, [(1.0, 1600000002000)]),
+    ]
+    body = encode_write_request(series)
+    got = decode_write_request(body)
+    assert got == [
+        ("http_requests_total", {"job": "api", "code": "200"}, 1.0, 1600000000000),
+        ("http_requests_total", {"job": "api", "code": "200"}, 2.5, 1600000001000),
+        ("up", {}, 1.0, 1600000002000),
+    ]
+
+
+def test_prom_remote_write_spark_path(spark):
+    from vector_spark.functions import (
+        encode_write_request, parse_prometheus_remote_write,
+    )
+    body = encode_write_request(
+        [("m1", {"a": "x"}, [(3.25, 42)]), ("m2", {}, [(1.0, 43)])]
+    )
+    df = spark.createDataFrame([(bytearray(body),), (bytearray(b"junk"),)],
+                               "b binary")
+    out = df.select(
+        F.posexplode_outer(parse_prometheus_remote_write(F.col("b")))
+        .alias("i", "r")
+    ).collect()
+    rows = [(r["r"]["name"], dict(r["r"]["labels"] or {}), r["r"]["value"],
+             r["r"]["ts_ms"]) for r in out if r["r"] is not None]
+    assert ("m1", {"a": "x"}, 3.25, 42) in rows
+    assert ("m2", {}, 1.0, 43) in rows
+    assert len(rows) == 2  # the junk body decodes to no events
+
+
+# --- docker multiplexed stream --------------------------------------------
+
+def test_docker_stream_demux(spark):
+    import struct
+    from vector_spark.functions import frame_docker_stream
+
+    def fr(st, payload):
+        return bytes([st, 0, 0, 0]) + struct.pack(">I", len(payload)) + payload
+
+    blob = fr(1, b"out line\n") + fr(2, b"err line\n") + fr(0, b"in")
+    trunc = blob + fr(1, b"xxxx")[:6]  # truncated tail frame
+    df = spark.createDataFrame([(bytearray(trunc),)], "b binary")
+    out = df.select(
+        F.explode(frame_docker_stream(F.col("b"))).alias("r")
+    ).select("r.*").collect()
+    assert [(r["stream"], r["payload"]) for r in out] == [
+        ("stdout", "out line\n"), ("stderr", "err line\n"), ("stdin", "in"),
+    ]
+    # corrupt header byte stops the walk
+    bad = bytes([7, 0, 0, 0, 0, 0, 0, 1]) + b"x"
+    df2 = spark.createDataFrame([(bytearray(bad),)], "b binary")
+    assert df2.select(
+        frame_docker_stream(F.col("b")).alias("r")
+    ).collect()[0]["r"] == []

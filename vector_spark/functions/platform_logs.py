@@ -416,3 +416,46 @@ def parse_journald(col: Column) -> Column:
         unit.alias("unit"),
         ts_us.alias("ts_us"),
     )
+
+
+DOCKER_STREAM_SCHEMA = "array<struct<stream:string, payload:string>>"
+
+
+def frame_docker_stream(col: Column) -> Column:
+    """Demultiplex a Docker Engine attach/logs byte stream (the transport
+    behind src/sources/docker_logs — bollard demuxes the same format; the
+    framing itself is the public Docker Engine API stream format): frames
+    of an 8-byte header [stream_type u8, 0,0,0, payload_len u32 BE]
+    followed by payload bytes. stream_type 0=stdin, 1=stdout, 2=stderr.
+    A truncated tail yields the frames parsed so far. TTY-mode streams
+    (no multiplexing) are raw bytes — don't frame those.
+
+    Arrow-batched per-stream walk (the frame_octet_counting family):
+    per-container streams are independent -> scan-parallel, no shuffle."""
+    import struct as _struct
+
+    from pyspark.sql.functions import pandas_udf
+
+    names = {0: "stdin", 1: "stdout", 2: "stderr"}
+
+    def one(b):
+        if b is None:
+            return None
+        b = bytes(b)
+        out, i, n = [], 0, len(b)
+        while i + 8 <= n:
+            st = b[i]
+            if st not in names or b[i + 1:i + 4] != b"\x00\x00\x00":
+                break
+            ln = _struct.unpack_from(">I", b, i + 4)[0]
+            if i + 8 + ln > n:
+                break
+            out.append((names[st],
+                        b[i + 8:i + 8 + ln].decode("utf-8", errors="replace")))
+            i += 8 + ln
+        return out
+
+    def go(data):
+        return data.map(one)
+
+    return pandas_udf(go, DOCKER_STREAM_SCHEMA)(col)
