@@ -2036,8 +2036,88 @@ def q_codec_docker_stream(spark, sf_dir):
     )
 
 
+def q_codec_native_proto(spark, sf_dir):
+    """Vector native-codec protobuf roundtrip (proto EventArray,
+    functions/native_proto.py): per event one frame carrying a LOG (a
+    string, an int, a bool, a nested map — rendering exercised) and one
+    frame carrying a counter METRIC with tags + timestamp. Decoded by
+    the event.proto registry walker; oracle recomputes ground truth."""
+    from pyspark.sql.functions import pandas_udf
+
+    e = ensure_parallelism(_t(spark, sf_dir, "events"))
+
+    def enc(data):
+        from vector_spark.functions import (
+            encode_native_logs, encode_native_metrics,
+        )
+
+        def one(r):
+            if r["event_id"] % 2 == 0:
+                return encode_native_logs([{
+                    "message": r["props"],
+                    "seq": int(r["event_id"]),
+                    "ok": bool(r["user_id"] % 2 == 0),
+                    "ctx": {"t": r["event_type"]},
+                }])
+            return encode_native_metrics([{
+                "name": "evt_" + r["event_type"], "namespace": "app",
+                "kind": int(r["event_id"] % 2),
+                "counter": float(r["user_id"]) + 0.5,
+                "tags": {"host": "h" + str(r["user_id"] % 7)},
+                "ts_us": int(r["us"]),
+            }])
+        return data.apply(one, axis=1)
+
+    src = e.select(F.struct(
+        "event_id", "props", "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    ).alias("s"), "event_id")
+    body = src.select("event_id", pandas_udf(enc, "binary")(F.col("s")).alias("b"))
+    r = body.select(
+        "event_id", F.explode(parse_native_proto_col(F.col("b"))).alias("r")
+    )
+    return r.select(
+        "event_id",
+        F.col("r.kind").alias("kind"),
+        F.element_at(F.col("r.log"), F.lit("message")).alias("message"),
+        F.element_at(F.col("r.log"), F.lit("seq")).alias("seq"),
+        F.element_at(F.col("r.log"), F.lit("ok")).alias("ok"),
+        F.element_at(F.col("r.log"), F.lit("ctx")).alias("ctx"),
+        F.col("r.metric_name").alias("metric_name"),
+        F.col("r.metric_kind").alias("metric_kind"),
+        F.col("r.counter_value").alias("counter_value"),
+        F.col("r.tag_host").alias("tag_host"),
+        F.col("r.ts_us").alias("ts_us"),
+    )
+
+
+def parse_native_proto_col(c):
+    from vector_spark.functions import parse_native_proto
+
+    return parse_native_proto(c)
+
+
 def oracles() -> dict[str, str]:
     sql: dict[str, str] = {}
+
+    sql["codec_native_proto"] = """
+SELECT event_id,
+       CASE WHEN event_id % 2 = 0 THEN 'log' ELSE 'metric' END AS kind,
+       CASE WHEN event_id % 2 = 0 THEN props END AS message,
+       CASE WHEN event_id % 2 = 0 THEN CAST(event_id AS VARCHAR) END AS seq,
+       CASE WHEN event_id % 2 = 0 THEN
+         CASE WHEN user_id % 2 = 0 THEN 'true' ELSE 'false' END END AS ok,
+       CASE WHEN event_id % 2 = 0
+            THEN '{"t":"' || event_type || '"}' END AS ctx,
+       CASE WHEN event_id % 2 = 1 THEN 'evt_' || event_type END AS metric_name,
+       CASE WHEN event_id % 2 = 1 THEN 'absolute' END AS metric_kind,
+       CASE WHEN event_id % 2 = 1
+            THEN CAST(user_id AS DOUBLE) + 0.5 END AS counter_value,
+       CASE WHEN event_id % 2 = 1
+            THEN 'h' || CAST(user_id % 7 AS VARCHAR) END AS tag_host,
+       CASE WHEN event_id % 2 = 1 THEN epoch_us(ts) END AS ts_us
+FROM events
+"""
 
     sql["codec_prom_remote"] = """
 SELECT event_id, 0 AS idx, 'evt_total' AS name,
@@ -2833,6 +2913,7 @@ QUERIES = {
     "codec_hec_encode": q_codec_hec_encode,
     "codec_prom_remote": q_codec_prom_remote,
     "codec_docker_stream": q_codec_docker_stream,
+    "codec_native_proto": q_codec_native_proto,
     "demo_logs_roundtrip": q_demo_logs_roundtrip,
     "parse_aws_alb": q_parse_aws_alb,
     "parse_aws_vpc_flow": q_parse_aws_vpc_flow,

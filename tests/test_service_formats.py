@@ -199,3 +199,50 @@ def test_docker_stream_demux(spark):
     assert df2.select(
         frame_docker_stream(F.col("b")).alias("r")
     ).collect()[0]["r"] == []
+
+
+# --- vector native protobuf -----------------------------------------------
+
+def test_native_proto_log_roundtrip_driver():
+    """Native-codec LogArray frames roundtrip through our event.proto
+    registry; nested maps/arrays render as compact JSON, timestamps as
+    epoch-us strings (the parse_native_json map<string,string> surface)."""
+    from vector_spark.functions import decode_event_array, encode_native_logs
+
+    frame = encode_native_logs([
+        {"message": "hello", "seq": 7, "ok": True,
+         "ctx": {"a": 1, "b": "x"}, "arr": ["p", 2]},
+        {"message": "second", "n": 0},
+    ])
+    out = decode_event_array(frame)
+    assert [o[0] for o in out] == ["log", "log"]
+    f0 = out[0][1]
+    assert f0["message"] == "hello" and f0["seq"] == "7" and f0["ok"] == "true"
+    assert json.loads(f0["ctx"]) == {"a": "1", "b": "x"}
+    assert json.loads(f0["arr"]) == ["p", "2"]
+    assert out[1][1]["n"] == "0"  # proto3 zero still present (oneof)
+
+
+def test_native_proto_metrics_and_spark_path(spark):
+    from vector_spark.functions import (
+        encode_native_metrics, parse_native_proto,
+    )
+
+    frame = encode_native_metrics([
+        {"name": "req_total", "namespace": "app", "kind": 0,
+         "counter": 3.5, "tags": {"host": "h1"}, "ts_us": 1600000000123456},
+        {"name": "temp", "kind": 1, "gauge": -2.25},
+    ])
+    df = spark.createDataFrame([(bytearray(frame),)], "b binary")
+    out = df.select(
+        F.explode(parse_native_proto(F.col("b"))).alias("r")
+    ).select("r.*").collect()
+    m0 = out[0]
+    assert (m0["kind"], m0["metric_name"], m0["metric_namespace"]) == (
+        "metric", "req_total", "app")
+    assert m0["metric_kind"] == "incremental"
+    assert m0["counter_value"] == 3.5 and m0["tag_host"] == "h1"
+    assert m0["ts_us"] == 1600000000123456
+    m1 = out[1]
+    assert m1["metric_kind"] == "absolute" and m1["gauge_value"] == -2.25
+    assert m1["tag_host"] is None
