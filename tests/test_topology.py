@@ -1032,3 +1032,65 @@ def test_component_types_listing():
     )
     assert r.returncode == 0, r.stderr
     assert _json.loads(r.stdout) == types
+
+
+def test_frames_transform_heroku_and_docker(spark):
+    """The `frames` transform kind: 1->N body decoders as topology
+    stages — struct decoders expand fields as event columns, string
+    framers emit a `frame` column."""
+    import struct as _s
+
+    from vector_spark.topology import compile_topology
+
+    body = ("83 <40>1 2012-11-30T06:45:29+00:00 hostX appY web.3 - up\n"
+            "short\n")
+    spec = {
+        "sources": {"drains": {
+            "type": "inline",
+            "rows": [(1, body)],
+            "schema": "req_id long, message string",
+        }},
+        "transforms": {
+            "events": {"type": "frames", "inputs": ["drains"],
+                       "decoder": "heroku_logplex"},
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["events"]}},
+    }
+    rows = compile_topology(spec).build(spark).run()["out"]
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["req_id"] == 1 and r["frame_idx"] == 0
+    assert (r["host"], r["app_name"], r["proc_id"], r["message"]) == (
+        "hostX", "appY", "web.3", "up")
+
+    blob = bytes([1, 0, 0, 0]) + _s.pack(">I", 3) + b"abc"
+    spec2 = {
+        "sources": {"conns": {
+            "type": "inline",
+            "rows": [(9, bytearray(blob))],
+            "schema": "cid long, buf binary",
+        }},
+        "transforms": {
+            "frames": {"type": "frames", "inputs": ["conns"],
+                       "decoder": "docker_stream", "column": "buf"},
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["frames"]}},
+    }
+    rows2 = compile_topology(spec2).build(spark).run()["out"]
+    assert [(r["cid"], r["stream"], r["payload"]) for r in rows2] == [
+        (9, "stdout", "abc")]
+
+
+def test_frames_transform_unknown_decoder(spark):
+    from vector_spark.topology import compile_topology, TopologyError
+    import pytest as _pt
+
+    spec = {
+        "sources": {"s": {"type": "inline", "rows": [(1, "x")],
+                          "schema": "a long, message string"}},
+        "transforms": {"f": {"type": "frames", "inputs": ["s"],
+                             "decoder": "nope"}},
+        "sinks": {"out": {"type": "memory", "inputs": ["f"]}},
+    }
+    with _pt.raises(TopologyError, match="unknown frames decoder"):
+        compile_topology(spec).build(spark).run()

@@ -378,6 +378,7 @@ _TRANSFORM_KINDS: dict[str, tuple[frozenset, object]] = {
     "exclusive_route": (_ALL_KINDS, "same"),
     "parse": (frozenset({"log"}), "log"),
     "netflow": (frozenset({"log"}), "log"),
+    "frames": (frozenset({"log"}), "log"),
     "enrich": (frozenset({"log"}), "log"),
     "dedupe": (frozenset({"log"}), "log"),
     "sample": (frozenset({"log", "trace"}), "same"),
@@ -735,6 +736,74 @@ def _build_transform(cfg, df, resolve, tables, spark):
                 return stream_parse_netflow(df, col)
             return parse_netflow(df, col)
         raise TopologyError(f"unknown netflow version {version!r}")
+    if kind == "frames":
+        # 1->N frame/batch decoders as a topology stage — the netflow
+        # kind generalized to every array-returning decoder in the
+        # library (lib/codecs framing + the batch-body source formats):
+        # one buffer/body row -> N event rows. String framers emit a
+        # `frame` column; struct decoders expand their fields as event
+        # columns (one atomic withColumns against the exploded row, the
+        # parse-transform convention; `prefix` avoids collisions).
+        from .functions import (
+            frame_character_delimited,
+            frame_docker_stream,
+            frame_length_delimited,
+            frame_newline_delimited,
+            frame_octet_counting,
+            frame_warc,
+            parse_datadog_logs,
+            parse_heroku_logplex,
+            parse_loki_push,
+            parse_lumberjack,
+            parse_native_proto,
+            parse_prometheus_remote_write,
+            parse_s3_event_notification,
+        )
+
+        col = cfg.get("column", "message")
+        name = cfg.get("decoder")
+        framers: dict[str, Callable] = {
+            "newline": frame_newline_delimited,
+            "character": lambda c: frame_character_delimited(
+                c, cfg.get("delimiter", ",")),
+            "octet": frame_octet_counting,
+            "length_delimited": lambda c: frame_length_delimited(
+                c, cfg.get("prefix_bytes", 4)),
+            "warc": frame_warc,
+        }
+        struct_decoders: dict[str, Callable] = {
+            "lumberjack": parse_lumberjack,
+            "loki_push": parse_loki_push,
+            "heroku_logplex": parse_heroku_logplex,
+            "docker_stream": frame_docker_stream,
+            "native_proto": parse_native_proto,
+            "prometheus_remote_write": parse_prometheus_remote_write,
+            "datadog_logs": parse_datadog_logs,
+            "s3_notification": parse_s3_event_notification,
+        }
+        keep = [c for c in df.columns
+                if c != col or not cfg.get("drop_column", True)]
+        if name in framers:
+            return df.select(
+                *keep,
+                F.posexplode(framers[name](F.col(col))).alias(
+                    "frame_idx", cfg.get("frame_column", "frame")),
+            )
+        if name in struct_decoders:
+            ex = df.select(
+                *keep,
+                F.posexplode(struct_decoders[name](F.col(col))).alias(
+                    "frame_idx", "_r"),
+            )
+            names = ex.schema["_r"].dataType.names
+            prefix = cfg.get("prefix", "")
+            return ex.withColumns(
+                {f"{prefix}{n}": F.col("_r")[n] for n in names}
+            ).drop("_r")
+        raise TopologyError(
+            f"unknown frames decoder {name!r}; one of "
+            f"{sorted([*framers, *struct_decoders])}"
+        )
     if kind == "filter":
         return filter_events(df, cfg["condition"])
     if kind == "route":
