@@ -41,8 +41,18 @@ def pagerank(
     id_col: str = "node_id",
     src_col: str = "src",
     dst_col: str = "dst",
+    materialize_edges: bool = True,
 ) -> DataFrame:
     """Fixed-point integer PageRank, `iterations` unrolled rounds.
+
+    `materialize_edges` (default True) lazily localCheckpoints the
+    degree-joined edge list before the iteration loop — the in-plan
+    analogue of "write the edge table bucketed by src once" (the 100 TB
+    plan below): without it, a DERIVED edge input (e.g. a regex-explode
+    over crawl pages) re-executes once per reference — measured 22
+    scan+Generate subtrees in the 3-round link_pagerank plan, because
+    broadcast-join replication defeats ReuseExchange. Pass False for
+    edge inputs that are already materialized tables.
 
     r0 = scale DIV n for every node; each round
       r'(v) = teleport + (damping_pct * SUM_{u->v} (r(u) DIV outdeg(u))) DIV 100
@@ -73,6 +83,8 @@ def pagerank(
     else:
         deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
         e = e.join(deg, "_src")
+    if materialize_edges:
+        e = e.localCheckpoint(eager=False)
 
     # teleport rides along as a column so the node-count scan is read ONCE;
     # every iteration's left join keeps the full node set (dangling nodes
@@ -109,6 +121,7 @@ def hits(
     id_col: str = "node_id",
     src_col: str = "src",
     dst_col: str = "dst",
+    materialize_edges: bool = True,
 ) -> DataFrame:
     """Fixed-point integer HITS (Kleinberg, "Authoritative Sources in a
     Hyperlinked Environment", JACM 1999): mutually-recursive hub and
@@ -155,6 +168,10 @@ def hits(
         .select("_id", F.expr(f"CAST({scale} AS BIGINT) DIV _n").alias("_v"))
     )
     e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    if materialize_edges:
+        # same rationale as pagerank(): each half-round references the
+        # edge list; a derived input would re-execute per reference
+        e = e.localCheckpoint(eager=False)
 
     def _norm(scores: DataFrame) -> DataFrame:
         return scores.select(
