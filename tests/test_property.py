@@ -1171,3 +1171,81 @@ def test_parse_cri_equals_python_model(spark, rows):
             assert g["message"] is None
         else:
             assert (g["message"], g["stream"], g["partial"]) == exp
+
+
+# --- prometheus remote-write + native proto roundtrips --------------------
+
+pm_series = st.lists(
+    st.tuples(
+        st.text(st.characters(codec="utf-8", exclude_characters="\x00"),
+                min_size=1, max_size=12),                       # metric name
+        st.dictionaries(
+            st.text(st.sampled_from("abcxyz_"), min_size=1, max_size=6),
+            st.text(st.characters(codec="utf-8"), max_size=8),
+            max_size=3,
+        ),
+        st.lists(st.tuples(
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            st.integers(0, 2**53),
+        ), min_size=1, max_size=4),
+    ),
+    min_size=0, max_size=5,
+)
+
+
+@given(series=pm_series)
+@settings(**{**SETTINGS, "max_examples": 50})
+def test_prom_remote_write_encode_decode_identity(series):
+    """snappy+prompb roundtrip: decode(encode(s)) flattens s exactly —
+    __name__ never collides (it is stripped from the label map) and
+    float64 values survive bit-exactly."""
+    from vector_spark.functions import (
+        decode_write_request, encode_write_request,
+    )
+
+    series = [(n, {k: v for k, v in lbl.items() if k != "__name__"}, ss)
+              for n, lbl, ss in series]
+    got = decode_write_request(encode_write_request(series))
+    exp = [(n, lbl, float(v), int(t))
+           for n, lbl, ss in series for v, t in ss]
+    assert got == exp
+
+
+np_logs = st.lists(
+    st.dictionaries(
+        st.text(st.sampled_from("abcdef_"), min_size=1, max_size=6),
+        st.one_of(
+            st.text(st.characters(codec="utf-8"), max_size=10).map(
+                lambda s: s.encode()),
+            st.integers(-2**63, 2**63 - 1),
+            st.booleans(),
+            st.none(),
+        ),
+        max_size=4,
+    ),
+    min_size=0, max_size=4,
+)
+
+
+@given(events=np_logs)
+@settings(**{**SETTINGS, "max_examples": 50})
+def test_native_proto_log_encode_decode_identity(events):
+    """Native EventArray roundtrip vs the documented rendering model:
+    bytes -> utf8 text, ints -> decimal text (explicit zeros preserved),
+    bools -> true/false, null kind -> None."""
+    from vector_spark.functions import decode_event_array, encode_native_logs
+
+    out = decode_event_array(encode_native_logs(events))
+    assert len(out) == len(events)
+    for ev, row in zip(events, out):
+        assert row[0] == "log"
+        got = row[1]
+        for k, v in ev.items():
+            if v is None:
+                assert got[k] is None
+            elif isinstance(v, bool):
+                assert got[k] == ("true" if v else "false")
+            elif isinstance(v, int):
+                assert got[k] == str(v)
+            else:
+                assert got[k] == v.decode("utf-8", errors="replace")
