@@ -1094,3 +1094,68 @@ def test_frames_transform_unknown_decoder(spark):
     }
     with _pt.raises(TopologyError, match="unknown frames decoder"):
         compile_topology(spec).build(spark).run()
+
+
+def test_merge_partial_transform_end_to_end(spark):
+    """parse: cri -> merge_partial -> filter as a topology — the
+    kubernetes_logs story end-to-end: split CRI lines reassemble into one
+    event before routing."""
+    from vector_spark.topology import compile_topology
+
+    ts = "2016-10-06T00:17:09Z"
+    spec = {
+        "sources": {"pods": {
+            "type": "inline",
+            "rows": [
+                ("pod-a", 1, f"{ts} stdout P json partial "),
+                ("pod-a", 2, f"{ts} stdout P line continues "),
+                ("pod-a", 3, f"{ts} stdout F here"),
+                ("pod-b", 1, f"{ts} stderr F whole"),
+            ],
+            "schema": "file string, line_no long, message string",
+        }},
+        "transforms": {
+            "decoded": {"type": "parse", "inputs": ["pods"],
+                        "parser": "cri", "column": "message"},
+            "merged": {"type": "merge_partial", "inputs": ["decoded"],
+                       "key_cols": ["file"], "order_col": "line_no"},
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["merged"]}},
+    }
+    rows = compile_topology(spec).build(spark).run()["out"]
+    got = {(r["file"], r["line_no"]): (r["message"], r["partial"])
+           for r in rows}
+    assert got[("pod-a", 1)] == ("json partial line continues here", False)
+    assert got[("pod-b", 1)] == ("whole", False)
+    assert len(got) == 2
+
+
+def test_merge_partial_transform_streaming_dispatch(spark, tmp_path):
+    """merge_partial in a STREAMING topology dispatches to
+    stream_merge_partial_lines (checkpointed state), draining under
+    availableNow to the same merged events as the batch path."""
+    from vector_spark.topology import compile_topology
+
+    src = str(tmp_path / "mp_src")
+    spark.createDataFrame(
+        [("fa", 1, "a-", True), ("fa", 2, "b", False), ("fb", 1, "c", False)],
+        "file string, line_no long, message string, partial boolean",
+    ).coalesce(1).write.parquet(src)
+    spec = {
+        "sources": {"lines": {"type": "parquet_stream", "path": src}},
+        "transforms": {
+            "merged": {"type": "merge_partial", "inputs": ["lines"],
+                       "key_cols": ["file"], "order_col": "line_no"},
+        },
+        "sinks": {"out": {
+            "type": "parquet", "inputs": ["merged"],
+            "path": str(tmp_path / "mp_out"),
+            "checkpoint": str(tmp_path / "mp_ck"),
+        }},
+    }
+    res = compile_topology(spec).build(spark).run()
+    got = sorted(
+        (r["file"], r["message"], r["partial"])
+        for r in spark.read.parquet(res["out"]).collect()
+    )
+    assert got == [("fa", "a-b", False), ("fb", "c", False)]

@@ -379,6 +379,7 @@ _TRANSFORM_KINDS: dict[str, tuple[frozenset, object]] = {
     "parse": (frozenset({"log"}), "log"),
     "netflow": (frozenset({"log"}), "log"),
     "frames": (frozenset({"log"}), "log"),
+    "merge_partial": (frozenset({"log"}), "log"),
     "enrich": (frozenset({"log"}), "log"),
     "dedupe": (frozenset({"log"}), "log"),
     "sample": (frozenset({"log", "trace"}), "same"),
@@ -804,6 +805,26 @@ def _build_transform(cfg, df, resolve, tables, spark):
             f"unknown frames decoder {name!r}; one of "
             f"{sorted([*framers, *struct_decoders])}"
         )
+    if kind == "merge_partial":
+        # the kubernetes_logs partial-event merger as a topology stage
+        # (partial_events_merger.rs) — batch window op, or the
+        # checkpointed streaming state machine with expiration flush when
+        # the input is a stream (the netflow-kind dispatch pattern)
+        keys = cfg.get("key_cols", ["file"])
+        keys = [keys] if isinstance(keys, str) else list(keys)
+        order = cfg.get("order_col", "event_id")
+        msg = cfg.get("message_col", "message")
+        part = cfg.get("partial_col", "partial")
+        if df.isStreaming:
+            from .streaming import stream_merge_partial_lines
+
+            return stream_merge_partial_lines(
+                df, tuple(keys), order, msg, part,
+                expiration_secs=cfg.get("expiration_secs"),
+            )
+        from .functions import merge_partial_lines
+
+        return merge_partial_lines(df, tuple(keys), order, msg, part)
     if kind == "filter":
         return filter_events(df, cfg["condition"])
     if kind == "route":
