@@ -463,14 +463,55 @@ def scaling(sf_dir: str) -> dict:
     return out
 
 
+def scaling_cores(lo: int = 8, hi: int = 32) -> dict:
+    """North-rule two-cluster-size evidence, CORE-SCALING form: the SAME
+    job over the SAME input at local[lo] vs local[hi] (the in-sandbox
+    stand-in the task brief names explicitly — no real cluster exists
+    here). Complements scaling()'s executor model: that one isolates
+    executors on disjoint shards; this one lets one JVM scheduler spread
+    the whole table over 4x the cores, which also exposes any
+    serialization in the plan itself. Levels alternate over 2 rounds,
+    min estimator per level (the shared-host discipline), efficiency =
+    throughput@hi / ((hi/lo) * throughput@lo)."""
+    from pyspark.sql import SparkSession
+
+    from vector_spark.session import get_spark
+
+    _pages_table(get_spark("bench"), SCALING_ROWS)
+    SparkSession.getActiveSession().stop()
+
+    best = {lo: float("inf"), hi: float("inf")}
+    for _ in range(2):
+        for cores in (lo, hi):
+            p = _spawn_probe(0, 1, cores)
+            r = json.loads(
+                [l for l in p.communicate()[0].splitlines()
+                 if l.startswith("{")][-1])
+            best[cores] = min(best[cores], r["best_s"])
+    tp_lo, tp_hi = SCALING_ROWS / best[lo], SCALING_ROWS / best[hi]
+    return {
+        "scaling_cores": {
+            "model": f"same job, same input, local[{lo}] vs local[{hi}], {SCALING_ROWS} rows",
+            f"events_per_sec_local{lo}": round(tp_lo, 1),
+            f"events_per_sec_local{hi}": round(tp_hi, 1),
+            "efficiency_N_to_4N": round(tp_hi / ((hi / lo) * tp_lo), 3),
+        }
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-cores", action="store_true")
     ap.add_argument("--exec-probe", default=None, metavar="SHARD:NSHARDS:ROWS:CORES")
     args = ap.parse_args()
 
     if args.exec_probe:
         exec_probe(*(int(x) for x in args.exec_probe.split(":")))
+        return
+
+    if args.scaling_cores:
+        print(json.dumps(scaling_cores()))
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
