@@ -246,3 +246,15 @@ def test_native_proto_metrics_and_spark_path(spark):
     m1 = out[1]
     assert m1["metric_kind"] == "absolute" and m1["gauge_value"] == -2.25
     assert m1["tag_host"] is None
+
+
+def test_datadog_ddtags_empty_members_and_trim(spark):
+    """parse_ddtags exactness (logs.rs:219-238): empty members dropped,
+    survivors trimmed."""
+    payload = json.dumps([{
+        "message": "m", "status": "info", "timestamp": 1,
+        "hostname": "h", "service": "s", "ddsource": "d",
+        "ddtags": " env:prod ,, team ,",
+    }])
+    out = _one(spark, payload, parse_datadog_logs)
+    assert list(out[0]["tags"]) == ["env:prod", "team"]

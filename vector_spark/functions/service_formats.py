@@ -49,10 +49,19 @@ def parse_datadog_logs(col: Column) -> Column:
         " hostname:string, service:string, ddsource:string, ddtags:string>>",
     )
     def one(r):
+        # parse_ddtags exactly (logs.rs:219-238): split ',', drop empty
+        # members, TRIM each survivor; empty/missing input -> []
         tags = F.when(
             r["ddtags"].isNull() | (r["ddtags"] == ""),
             F.array().cast("array<string>"),
-        ).otherwise(F.split(r["ddtags"], ","))
+        ).otherwise(
+            # lambda, not bare F.trim: trim(col, trim=None)'s optional
+            # second parameter makes it misbind as a HOF callback
+            F.transform(
+                F.filter(F.split(r["ddtags"], ","), lambda t: t != ""),
+                lambda t: F.trim(t),
+            )
+        )
         return F.struct(
             r["message"].alias("message"),
             r["status"].alias("status"),

@@ -1066,9 +1066,17 @@ def stream_merge_partial_lines(
         frames = [p for p in pdfs if len(p)]
         if frames:
             pdf = pd.concat(frames).sort_values(order_col)
+            import numpy as _np
+
+            def _native(v):
+                # numpy scalars -> python natives for the state serializer
+                # and the typed output columns (the stream_multiline
+                # .tolist() lesson); pd.Timestamp passes through
+                return v.item() if isinstance(v, _np.generic) else v
+
             for row in pdf.to_dict("records"):
                 if n == 0:
-                    first_vals = [row[c] for c in carried]
+                    first_vals = [_native(row[c]) for c in carried]
                 buf.append(row[message_col])
                 n += 1
                 if not row[partial_col]:
