@@ -2,7 +2,7 @@ from .filter import filter_events
 from .route import route, exclusive_route, UNMATCHED
 from .dedupe import dedupe
 from .sample import sample, sample_group_modulo
-from .enrich import enrich_equi, enrich_asof, enrich_between, enrich_constant, enrich_ip_range, enrich_ip6_range, find_table_row, find_enrichment_table_records
+from .enrich import enrich_equi, enrich_asof, enrich_between, enrich_constant, enrich_ip_range, enrich_ip6_range, find_table_row, find_enrichment_table_records, get_enrichment_table_record
 from .aggregate import (
     aggregate_metrics,
     aggregate_diff,
@@ -26,7 +26,7 @@ from .script import script_transform
 __all__ = [
     "filter_events", "route", "exclusive_route", "UNMATCHED", "dedupe",
     "sample", "sample_group_modulo", "enrich_equi", "enrich_asof", "enrich_between", "enrich_constant", "enrich_ip_range", "enrich_ip6_range",
-    "find_table_row", "find_enrichment_table_records", "script_transform", "multiline_agg", "aggregate_metrics", "aggregate_diff",
+    "find_table_row", "find_enrichment_table_records", "get_enrichment_table_record", "script_transform", "multiline_agg", "aggregate_metrics", "aggregate_diff",
     "aggregate_histogram", "aggregate_set", "aggregate_summary", "aggregate_sketch",
     "tumbling_window", "reduce_sessions", "MERGE_STRATEGIES", "throttle",
     "log_to_metric", "metric_to_log", "tag_cardinality_limit", "hash_replace",

@@ -294,3 +294,12 @@ def find_enrichment_table_records(
     match survive with null enrichment columns, matching the VRL
     default-on-miss arm."""
     return enrich_equi(df, dim, keys, case_insensitive=case_insensitive)
+
+
+def get_enrichment_table_record(*args, **kwargs):
+    """VRL `get_enrichment_table_record` (website/cue/reference/remap/
+    functions/get_enrichment_table_record.cue): the strict exactly-one-
+    match lookup — identical semantics to :func:`find_table_row`
+    (lib/enrichment/src/lib.rs:43-51), exposed under the VRL name;
+    `find_enrichment_table_records` is the 1->N sibling."""
+    return find_table_row(*args, **kwargs)
