@@ -2097,8 +2097,93 @@ def parse_native_proto_col(c):
     return parse_native_proto(c)
 
 
+def q_codec_ddsketch(spark, sf_dir):
+    """Datadog Agent SketchPayload decode (functions/datadog_wire.py —
+    proto/vector/dd_metric.proto:59-94, the /api/beta/sketches intake):
+    per event one sketch carrying two dogsketches with zigzag bucket
+    keys (negative keys exercised) and uint32 counts; the whole k/n
+    arrays are pinned via md5 of their comma-joins. Build = encode UDF
+    (the codec_protobuf convention), oracle = ground truth."""
+    from pyspark.sql.functions import pandas_udf
+
+    from vector_spark.functions import parse_sketch_payload
+
+    e = ensure_parallelism(_t(spark, sf_dir, "events"))
+
+    def enc(data):
+        from vector_spark.functions import encode_sketch_payload as esp
+
+        def one(r):
+            base = int(r["event_id"]) % 50
+            return esp([{
+                "metric": "lat_" + r["event_type"],
+                "host": "h" + str(r["user_id"] % 7),
+                "tags": ["env:prod", "u:" + str(r["user_id"] % 5)],
+                "dogsketches": [
+                    {"ts": int(r["us"]) // 1000000, "cnt": base + 3,
+                     "min": base + 0.5, "max": base + 8.5,
+                     "avg": 3.0, "sum": (base + 3) * 3.0,
+                     "k": [-base - 1, 0, base + 1400],
+                     "n": [1, 1, base + 1]},
+                    {"ts": int(r["us"]) // 1000000 + 10, "cnt": 1,
+                     "min": 2.0, "max": 2.0, "avg": 2.0, "sum": 2.0,
+                     "k": [int(r["user_id"]) % 9 + 1], "n": [1]},
+                ],
+            }])
+        return data.apply(one, axis=1)
+
+    src = e.select(F.struct(
+        "event_id", "event_type", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    ).alias("s"), "event_id")
+    body = src.select("event_id", pandas_udf(enc, "binary")(F.col("s")).alias("b"))
+    r = body.select(
+        "event_id",
+        F.posexplode(parse_sketch_payload(F.col("b"))).alias("idx", "r"),
+    )
+    arr_md5 = lambda c: F.md5(F.array_join(  # noqa: E731
+        F.transform(c, lambda x: x.cast("string")), ","))
+    return r.select(
+        "event_id", "idx",
+        F.col("r.metric").alias("metric"),
+        F.col("r.host").alias("host"),
+        F.try_element_at(F.col("r.tags"), F.lit(2)).alias("u_tag"),
+        F.col("r.ts").alias("ts_s"),
+        F.col("r.cnt").alias("cnt"),
+        F.col("r.min").alias("minv"),
+        F.col("r.max").alias("maxv"),
+        F.col("r.sum").alias("sumv"),
+        arr_md5(F.col("r.k")).alias("k_md5"),
+        arr_md5(F.col("r.n")).alias("n_md5"),
+    )
+
+
 def oracles() -> dict[str, str]:
     sql: dict[str, str] = {}
+
+    sql["codec_ddsketch"] = """
+WITH b AS (SELECT event_id, event_type, user_id, epoch_us(ts) AS us,
+                  event_id % 50 AS base FROM events)
+SELECT event_id, 0 AS idx,
+       'lat_' || event_type AS metric,
+       'h' || CAST(user_id % 7 AS VARCHAR) AS host,
+       'u:' || CAST(user_id % 5 AS VARCHAR) AS u_tag,
+       us // 1000000 AS ts_s,
+       base + 3 AS cnt,
+       CAST(base AS DOUBLE) + 0.5 AS minv,
+       CAST(base AS DOUBLE) + 8.5 AS maxv,
+       CAST(base + 3 AS DOUBLE) * 3.0 AS sumv,
+       md5(CAST(-base - 1 AS VARCHAR) || ',0,' || CAST(base + 1400 AS VARCHAR)) AS k_md5,
+       md5('1,1,' || CAST(base + 1 AS VARCHAR)) AS n_md5
+FROM b
+UNION ALL
+SELECT event_id, 1, 'lat_' || event_type,
+       'h' || CAST(user_id % 7 AS VARCHAR),
+       'u:' || CAST(user_id % 5 AS VARCHAR),
+       us // 1000000 + 10, 1, 2.0, 2.0, 2.0,
+       md5(CAST(user_id % 9 + 1 AS VARCHAR)), md5('1')
+FROM b
+"""
 
     sql["codec_native_proto"] = """
 SELECT event_id,
@@ -2914,6 +2999,7 @@ QUERIES = {
     "codec_prom_remote": q_codec_prom_remote,
     "codec_docker_stream": q_codec_docker_stream,
     "codec_native_proto": q_codec_native_proto,
+    "codec_ddsketch": q_codec_ddsketch,
     "demo_logs_roundtrip": q_demo_logs_roundtrip,
     "parse_aws_alb": q_parse_aws_alb,
     "parse_aws_vpc_flow": q_parse_aws_vpc_flow,

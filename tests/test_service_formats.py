@@ -258,3 +258,36 @@ def test_datadog_ddtags_empty_members_and_trim(spark):
     }])
     out = _one(spark, payload, parse_datadog_logs)
     assert list(out[0]["tags"]) == ["env:prod", "team"]
+
+
+# --- datadog agent sketch payload -----------------------------------------
+
+def test_ddsketch_payload_roundtrip(spark):
+    """SketchPayload decode incl. zigzag-negative bucket keys and the
+    agent's gamma constants exposed for downstream sketch math."""
+    from vector_spark.functions import (
+        DDSKETCH_GAMMA, encode_sketch_payload, parse_sketch_payload,
+    )
+
+    assert DDSKETCH_GAMMA == 1.015625  # 1 + 2/128, binary-exact
+    body = encode_sketch_payload([{
+        "metric": "req.latency", "host": "web-1",
+        "tags": ["env:prod", "svc:api"],
+        "dogsketches": [
+            {"ts": 1600000000, "cnt": 4, "min": 0.004, "max": 9.5,
+             "avg": 2.5, "sum": 10.0, "k": [-1338, 0, 1338, 1400],
+             "n": [1, 1, 1, 1]},
+        ],
+    }])
+    df = spark.createDataFrame([(bytearray(body),), (bytearray(b"zz"),)],
+                               "b binary")
+    rows = df.select(
+        F.explode(parse_sketch_payload(F.col("b"))).alias("r")
+    ).select("r.*").collect()
+    assert len(rows) == 1  # malformed body decodes to no events
+    r = rows[0]
+    assert r["metric"] == "req.latency" and r["host"] == "web-1"
+    assert list(r["tags"]) == ["env:prod", "svc:api"]
+    assert list(r["k"]) == [-1338, 0, 1338, 1400]  # zigzag survived
+    assert list(r["n"]) == [1, 1, 1, 1]
+    assert (r["cnt"], r["sum"]) == (4, 10.0)
