@@ -2158,8 +2158,70 @@ def q_codec_ddsketch(spark, sf_dir):
     )
 
 
+def q_sketch_merge(spark, sf_dir):
+    """Agent-sketch server-side MERGE (AgentDDSketch::merge,
+    ddsketch.rs:710-717): the codec_ddsketch payload fleet exploded to
+    bucket grain (datadog_wire.sketch_buckets — the exact level-1 state
+    of aggregate_sketch, same gamma/bias key mapping) then
+    groupBy(metric, k).sum — bucket counts add loss-free across hosts.
+    Oracle = independent arithmetic re-derivation of every bucket
+    contribution."""
+    from pyspark.sql.functions import pandas_udf
+
+    from vector_spark.functions import sketch_buckets
+
+    e = ensure_parallelism(_t(spark, sf_dir, "events"))
+
+    def enc(data):
+        from vector_spark.functions import encode_sketch_payload as esp
+
+        def one(r):
+            base = int(r["event_id"]) % 50
+            return esp([{
+                "metric": "lat_" + r["event_type"],
+                "host": "h" + str(r["user_id"] % 7),
+                "tags": [],
+                "dogsketches": [
+                    {"ts": 0, "cnt": base + 3, "min": 0.5, "max": 9.5,
+                     "avg": 3.0, "sum": 3.0,
+                     "k": [-base - 1, 0, base + 1400],
+                     "n": [1, 1, base + 1]},
+                    {"ts": 0, "cnt": 1, "min": 2.0, "max": 2.0,
+                     "avg": 2.0, "sum": 2.0,
+                     "k": [int(r["user_id"]) % 9 + 1], "n": [1]},
+                ],
+            }])
+        return data.apply(one, axis=1)
+
+    src = e.select(
+        F.struct("event_id", "event_type", "user_id").alias("s"))
+    body = src.select(pandas_udf(enc, "binary")(F.col("s")).alias("body"))
+    buckets = sketch_buckets(body)
+    return buckets.groupBy("metric", "k").agg(
+        F.sum("bucket_n").alias("total_n"),
+        F.count(F.lit(1)).alias("n_contribs"),
+    )
+
+
 def oracles() -> dict[str, str]:
     sql: dict[str, str] = {}
+
+    sql["sketch_merge"] = """
+WITH b AS (SELECT event_id % 50 AS base, user_id, event_type FROM events),
+contrib AS (
+  SELECT 'lat_' || event_type AS metric, -base - 1 AS k,
+         CAST(1 AS BIGINT) AS n FROM b
+  UNION ALL
+  SELECT 'lat_' || event_type, 0, 1 FROM b
+  UNION ALL
+  SELECT 'lat_' || event_type, base + 1400, base + 1 FROM b
+  UNION ALL
+  SELECT 'lat_' || event_type, CAST(user_id % 9 + 1 AS BIGINT), 1 FROM b
+)
+SELECT metric, CAST(k AS INTEGER) AS k, SUM(n) AS total_n,
+       COUNT(*) AS n_contribs
+FROM contrib GROUP BY metric, k
+"""
 
     sql["codec_ddsketch"] = """
 WITH b AS (SELECT event_id, event_type, user_id, epoch_us(ts) AS us,
@@ -3000,6 +3062,7 @@ QUERIES = {
     "codec_docker_stream": q_codec_docker_stream,
     "codec_native_proto": q_codec_native_proto,
     "codec_ddsketch": q_codec_ddsketch,
+    "sketch_merge": q_sketch_merge,
     "demo_logs_roundtrip": q_demo_logs_roundtrip,
     "parse_aws_alb": q_parse_aws_alb,
     "parse_aws_vpc_flow": q_parse_aws_vpc_flow,

@@ -116,3 +116,32 @@ def parse_sketch_payload(col: Column) -> Column:
         return data.map(one)
 
     return pandas_udf(go, DDSKETCH_SCHEMA)(col)
+
+
+def sketch_buckets(df, payload_col: str = "body", extra_cols: tuple = ()):
+    """Explode decoded SketchPayloads to MERGEABLE bucket grain:
+    one row per (metric, host, bucket key, count) — exactly the level-1
+    state of operators.aggregate.aggregate_sketch, because the agent's
+    key mapping (gamma = 1+2/128, norm bias) IS that operator's mapping.
+    groupBy(metric, k).sum(n) over this output is the server-side
+    AgentDDSketch::merge (ddsketch.rs:710-717): bucket counts add,
+    loss-free, and partial aggregation does the client-side merge
+    map-side. At 100 TB the shuffle carries (series x occupied-bucket)
+    rows only — never raw samples."""
+    from pyspark.sql import functions as F
+
+    ex = df.select(
+        *extra_cols,
+        F.explode(parse_sketch_payload(F.col(payload_col))).alias("r"),
+    )
+    return ex.select(
+        *extra_cols,
+        F.col("r.metric").alias("metric"),
+        F.col("r.host").alias("host"),
+        F.col("r.ts").alias("ts_s"),
+        F.explode(F.arrays_zip(F.col("r.k"), F.col("r.n"))).alias("b"),
+    ).select(
+        *extra_cols, "metric", "host", "ts_s",
+        F.col("b.k").alias("k"),
+        F.col("b.n").alias("bucket_n"),
+    )
