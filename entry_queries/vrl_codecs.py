@@ -1672,8 +1672,9 @@ def q_codec_journald(spark, sf_dir):
     """journalctl --output=json record decode: plain MESSAGE / int-ARRAY
     MESSAGE (journalctl's non-UTF-8-safe rendering, decoded back to
     text) / unit-fixup shapes / missing _SOURCE_REALTIME (falls back to
-    __REALTIME_TIMESTAMP); PRIORITY remapped to syslog keywords with the
-    out-of-range value passed through. Oracle = the same arithmetic."""
+    __REALTIME_TIMESTAMP); PRIORITY remapped to syslog keywords with
+    out-of-range numerics mapped to UNKNOWN (journald.rs:895-910).
+    Oracle = the same arithmetic."""
     from vector_spark.functions import parse_journald
 
     e = ensure_parallelism(_t(spark, sf_dir, "events"))
@@ -2471,7 +2472,7 @@ SELECT event_id,
        CASE WHEN event_id % 9 <= 7 THEN
          list_extract(['EMERG','ALERT','CRIT','ERR','WARNING','NOTICE',
                        'INFO','DEBUG'], CAST(event_id % 9 AS INTEGER) + 1)
-       ELSE CAST(event_id % 9 AS VARCHAR) END AS priority,
+       ELSE 'UNKNOWN' END AS priority,
        CASE WHEN event_id % 4 = 2
             THEN 'sysd' || CAST(user_id % 4 AS VARCHAR) || '.service'
             ELSE 'u' || CAST(user_id % 4 AS VARCHAR) || '.timer'

@@ -83,6 +83,26 @@ def test_ivf_recall_on_clustered_data(spark):
     assert rows(ivf, "query_id", "neighbor_id") == rows(bf, "query_id", "neighbor_id")
 
 
+def test_ivf_no_corpus_id_exchange(spark):
+    """VERDICT_r4 item 1: corpus-side cell assignment is the narrow
+    _argmax_centroid fold — the ONLY Exchange hashed on the vector id sits
+    above the query-rows filter (`_id IN (...)`), never over the full
+    corpus. The 16x-inflated (N x n_centroids) row_number shuffle is gone."""
+    import re
+
+    ivf = ivf_ann_topk(_vecs(spark), query_ids=[0, 1], k=1,
+                       n_centroids=2, n_probe=1)
+    plan = ivf._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    id_exchanges = [i for i, ln in enumerate(lines)
+                    if re.search(r"Exchange hashpartitioning\(_id#", ln)]
+    assert id_exchanges, "expected the query-side probe window exchange"
+    for i in id_exchanges:
+        # the subtree under this exchange must be the IN-filtered query rows
+        rest = "\n".join(lines[i:i + 30])
+        assert re.search(r"_id#\d+L? IN", rest), lines[i]
+
+
 def test_demo_logs_roundtrip_syslog(spark):
     logs = demo_logs(spark, 50, fmt="bsd_syslog", partitions=2)
     p = parse_syslog(F.col("line"))

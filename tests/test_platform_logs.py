@@ -255,6 +255,19 @@ def test_journald_byte_array_and_fallback_ts(spark):
     assert r["ts_us"] == 1578529839140989
 
 
+def test_journald_priority_out_of_range(spark):
+    # journald.rs:895-910: numeric outside 0-7 -> UNKNOWN; non-numeric
+    # strings pass through unchanged.
+    for raw, want in [("8", "UNKNOWN"), ("-1", "UNKNOWN"),
+                      ("42", "UNKNOWN"), ("oops", "oops")]:
+        rec = json.dumps({
+            "MESSAGE": "m", "PRIORITY": raw,
+            "__REALTIME_TIMESTAMP": "1578529839140989",
+        })
+        r = _one(spark, rec, parse_journald)
+        assert r["priority"] == want, raw
+
+
 # --- lumberjack -----------------------------------------------------------
 
 def _decode(spark, blob: bytes):
@@ -339,6 +352,43 @@ def test_stream_merge_partial_equals_batch(spark, tmp_path):
     exp = sorted(map(tuple, batch.select(*spark.read.parquet(sink).columns).collect()))
     assert got == exp
     assert len(got) == 3
+
+
+def test_merge_partial_null_flag_twins_agree(spark, tmp_path):
+    """A NULL partial flag (parse_cri unmatched rows) normalizes to
+    not-partial in BOTH twins: it closes the open run, and a lone
+    NULL-flag line emits as a complete event."""
+    from vector_spark.functions import merge_partial_lines
+    from vector_spark.streaming import stream_merge_partial_lines
+
+    rows_ = [
+        ("a", 1, "he", True, 100), ("a", 2, "llo", None, 200),
+        ("a", 3, "solo", None, 300),
+        ("b", 1, "x", True, 400), ("b", 2, "y", False, 500),
+    ]
+    src = str(tmp_path / "pmn_src")
+    _write_parts(spark, src, rows_)
+    batch = merge_partial_lines(spark.read.parquet(src), ("f",), "pos")
+    got_b = {(r["f"], r["pos"]): (r["message"], r["partial"])
+             for r in batch.collect()}
+    assert got_b == {
+        ("a", 1): ("hello", False), ("a", 3): ("solo", False),
+        ("b", 1): ("xy", False),
+    }
+    schema = spark.read.parquet(src).schema
+    sdf = stream_merge_partial_lines(
+        spark.readStream.schema(schema).parquet(src), ("f",), "pos"
+    )
+    sink = str(tmp_path / "pmn_sink")
+    q = (
+        sdf.writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "pmn_ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got_s = {(r["f"], r["pos"]): (r["message"], r["partial"])
+             for r in spark.read.parquet(sink).collect()}
+    assert got_s == got_b
 
 
 def test_stream_merge_partial_state_survives_microbatches(spark, tmp_path):

@@ -132,6 +132,16 @@ def test_splunk_hec_encode_roundtrip(spark):
     assert back[0]["host"] == "h1"
 
 
+def test_splunk_hec_encode_all_meta_null(spark):
+    # null time + no optional fields: meta renders '{}' — the splice must
+    # still produce valid JSON ('{"event":...}'), not '{,"event":...}'.
+    df = spark.createDataFrame([(None, '{"msg":"hi"}')], "t double, ev string")
+    line = df.select(
+        encode_splunk_hec(F.col("ev"), F.col("t")).alias("line")
+    ).collect()[0]["line"]
+    assert json.loads(line) == {"event": {"msg": "hi"}}
+
+
 # --- prometheus remote-write ----------------------------------------------
 
 def test_prom_remote_write_roundtrip_driver():
@@ -221,6 +231,38 @@ def test_native_proto_log_roundtrip_driver():
     assert json.loads(f0["ctx"]) == {"a": "1", "b": "x"}
     assert json.loads(f0["arr"]) == ["p", "2"]
     assert out[1][1]["n"] == "0"  # proto3 zero still present (oneof)
+
+
+def test_native_proto_log_value_form():
+    """Modern Log.value frames (proto.rs:107-118): a Map value decodes
+    identically to the deprecated fields form; a scalar value becomes
+    the event root under '.'."""
+    from vector_spark.functions import decode_event_array, encode_native_logs
+    from vector_spark.functions.native_proto import _event_registry
+    from vector_spark.functions import protobuf_py as pb
+
+    evs = [{"message": "hello", "seq": 7, "ctx": {"a": 1}}]
+    legacy = decode_event_array(encode_native_logs(evs))
+    modern = decode_event_array(encode_native_logs(evs, use_value=True))
+    assert legacy == modern
+
+    # scalar (non-map) Log.value -> rendered under "."
+    frame = pb.encode(
+        {"logs": {"logs": [{"value": {"raw_bytes": b"just a line"}}]}},
+        _event_registry(), "event.EventArray")
+    out = decode_event_array(frame)
+    assert out == [("log", {".": "just a line"},
+                    None, None, None, None, None, None, None)]
+
+    # value present AND legacy fields present -> value wins (proto.rs:107)
+    frame = pb.encode(
+        {"logs": {"logs": [{
+            "fields": [{"key": "old", "value": {"raw_bytes": b"x"}}],
+            "value": {"map": {"fields": [
+                {"key": "new", "value": {"integer": 3}}]}},
+        }]}},
+        _event_registry(), "event.EventArray")
+    assert decode_event_array(frame)[0][1] == {"new": "3"}
 
 
 def test_native_proto_metrics_and_spark_path(spark):

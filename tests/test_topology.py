@@ -685,6 +685,28 @@ def test_streaming_sink_config_error_starts_nothing(spark, tmp_path):
     assert len(spark.streams.active) == before  # nothing started
 
 
+def test_streaming_sink_timeout_raises(spark, tmp_path):
+    """awaitTermination(timeout)'s False return must surface as an error
+    (and stop the straggler) instead of silently collecting a partial
+    memory sink."""
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(i, "a") for i in range(100)],
+                          "x int, k string").write.parquet(src)
+    spec = {
+        "sources": {
+            "ev": {"type": "parquet_stream", "path": src,
+                   "schema": "x int, k string"},
+        },
+        "transforms": {},
+        "sinks": {"out": {"type": "memory", "inputs": ["ev"]}},
+    }
+    before = len(spark.streams.active)
+    topo = compile_topology(spec).build(spark)
+    with pytest.raises(TopologyError, match="still running"):
+        topo.run(timeout_secs=0.001)  # just-started query must time out
+    assert len(spark.streams.active) == before  # straggler stopped
+
+
 def test_load_toml_vector_style_config(spark):
     """TOML is the reference's native config format: the
     [sources.x]/[transforms.y]/[sinks.z] table layout loads into the same

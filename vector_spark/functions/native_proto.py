@@ -141,8 +141,20 @@ def decode_event_array(frame: bytes) -> list[tuple]:
     msg = pb.decode(frame, _event_registry(), "event.EventArray")
     out = []
     for log in ((msg.get("logs") or {}).get("logs") or []):
-        fields = {e["key"]: _render(e.get("value") or {})
-                  for e in (log.get("fields") or [])}
+        # proto.rs:107-118: Log.value (field 2) takes precedence when set —
+        # a Map value becomes the event's fields, any other kind becomes
+        # the event root (rendered under "."); the repeated `fields` map
+        # (field 1) is the deprecated backwards-compat path.
+        val = log.get("value")
+        if val is not None:
+            if val.get("map") is not None:
+                fields = {e["key"]: _render(e.get("value") or {})
+                          for e in (val["map"].get("fields") or [])}
+            else:
+                fields = {".": _render(val)}
+        else:
+            fields = {e["key"]: _render(e.get("value") or {})
+                      for e in (log.get("fields") or [])}
         out.append(("log", fields, None, None, None, None, None, None, None))
     for met in ((msg.get("metrics") or {}).get("metrics") or []):
         tags = {e["key"]: e.get("value") for e in (met.get("tags_v1") or [])}
@@ -160,9 +172,12 @@ def decode_event_array(frame: bytes) -> list[tuple]:
     return out
 
 
-def encode_native_logs(events: list[dict]) -> bytes:
+def encode_native_logs(events: list[dict], *, use_value: bool = False) -> bytes:
     """Fixture/test encoder: a list of {field: python value} dicts ->
-    one native LogArray frame (strings/ints/bools/nested dicts/lists)."""
+    one native LogArray frame (strings/ints/bools/nested dicts/lists).
+    use_value=True emits the modern Log.value Map form (proto.rs:303-310,
+    what current Vector serializes) instead of the deprecated repeated
+    `fields` map; decode_event_array treats both identically."""
     from . import protobuf_py as pb
 
     def val(v):
@@ -183,10 +198,13 @@ def encode_native_logs(events: list[dict]) -> bytes:
             return {"array": {"items": [val(x) for x in v]}}
         return {"raw_bytes": str(v).encode()}
 
-    arr = {"logs": {"logs": [
-        {"fields": [{"key": k, "value": val(v)} for k, v in ev.items()]}
-        for ev in events
-    ]}}
+    def one(ev):
+        entries = [{"key": k, "value": val(v)} for k, v in ev.items()]
+        if use_value:
+            return {"value": {"map": {"fields": entries}}}
+        return {"fields": entries}
+
+    arr = {"logs": {"logs": [one(ev) for ev in events]}}
     return pb.encode(arr, _event_registry(), "event.EventArray")
 
 

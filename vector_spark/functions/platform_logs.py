@@ -130,8 +130,12 @@ def merge_partial_lines(
     inherent to the format (the reference holds the same per-file state
     in memory). At 100 TB the shuffle carries one row per line but only
     within hot files; files are independent -> scales with file count."""
+    # NULL partial flags (e.g. parse_cri unmatched rows) normalize to
+    # not-partial: an absent marker is a complete line in the reference's
+    # merger, and the streaming twin applies the same coalesce.
+    part_n = F.coalesce(F.col(partial_col), F.lit(False))
     grp = F.sum(
-        F.when(~F.col(partial_col), F.lit(1)).otherwise(F.lit(0))
+        F.when(~part_n, F.lit(1)).otherwise(F.lit(0))
     ).over(
         Window.partitionBy(*key_cols)
         .orderBy(order_col)
@@ -156,7 +160,7 @@ def merge_partial_lines(
         F.min(order_col).alias(order_col),
         # a run is still-partial only when NO full line terminated it
         # (false < true, so min() is false whenever the closer is present)
-        F.min(F.col(partial_col)).alias(partial_col),
+        F.min(part_n).alias(partial_col),
         *[F.min_by(c, F.col(order_col)).alias(c) for c in other],
     ]
     out = tagged.groupBy(*key_cols, "_run").agg(*agg).drop("_run")
@@ -392,13 +396,15 @@ def parse_journald(col: Column) -> Column:
         raw_msg.rlike(r"^\[") & arr.isNotNull(), decoded
     ).otherwise(raw_msg)
 
-    prio_n = g("PRIORITY").cast("int")
+    prio_n = g("PRIORITY").try_cast("int")
+    # journald.rs:895-910 remap_priority: any numeric value outside 0-7
+    # becomes "UNKNOWN"; only non-numeric strings pass through unchanged.
     priority = F.when(
         prio_n.between(0, 7),
         F.element_at(
             F.array(*[F.lit(p) for p in _JOURNALD_PRIORITY]), prio_n + 1
         ),
-    ).otherwise(g("PRIORITY"))
+    ).when(prio_n.isNotNull(), F.lit("UNKNOWN")).otherwise(g("PRIORITY"))
 
     unit = g("_SYSTEMD_UNIT")
     unit = F.when(

@@ -219,8 +219,13 @@ def encode_splunk_hec(
             fields.append(c.alias(name))
     meta = F.to_json(F.struct(*fields))  # null fields omitted, like serde
     # splice the pre-encoded event payload into the rendered object:
-    # {"time":...,"host":...}  ->  {"time":...,"host":...,"event":<json>}
+    # {"time":...,"host":...} -> {"time":...,"host":...,"event":<json>}
+    # When every optional field is null, to_json renders "{}" and the
+    # naive splice would emit invalid '{,"event":...}' — drop the comma.
+    head = F.regexp_replace(meta, r"\}\z", "")
     return F.concat(
-        F.regexp_replace(meta, r"\}\z", ""),
-        F.lit(',"event":'), event_json, F.lit("}"),
+        head,
+        F.when(head == "{", F.lit('"event":'))
+         .otherwise(F.lit(',"event":')),
+        event_json, F.lit("}"),
     )

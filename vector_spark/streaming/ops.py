@@ -1079,7 +1079,12 @@ def stream_merge_partial_lines(
                     first_vals = [_native(row[c]) for c in carried]
                 buf.append(row[message_col])
                 n += 1
-                if not row[partial_col]:
+                # NULL partial (None or NaN) normalizes to not-partial —
+                # same coalesce as the batch twin, so availableNow
+                # equality holds for null flags
+                p = row[partial_col]
+                is_partial = p is not None and p == p and bool(p)
+                if not is_partial:
                     emit(False)
         if n:
             state.update((_json.dumps(buf), n, *first_vals))

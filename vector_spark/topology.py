@@ -230,9 +230,24 @@ class BuiltTopology:
         elif batch_sinks:
             n = batch_sinks[0]
             results[n] = self._run_batch_sink(n, frames[n])
-        # every streaming sink is already running; drain them all
+        # every streaming sink is already running; drain them all.
+        # awaitTermination(timeout) returns False when the query is STILL
+        # RUNNING at the deadline — treat that as an error rather than
+        # silently collecting a partial memory sink (stop the stragglers
+        # first so no query outlives run()).
+        timed_out = [
+            name for name, _df, _kind, q in started
+            if not q.awaitTermination(timeout_secs)
+        ]
+        if timed_out:
+            for name, _df, _kind, q in started:
+                if name in timed_out:
+                    q.stop()
+            raise TopologyError(
+                f"streaming sink(s) {timed_out!r} still running after "
+                f"{timeout_secs}s awaitTermination timeout"
+            )
         for name, df, kind, q in started:
-            q.awaitTermination(timeout_secs)
             if kind == "memory":
                 results[name] = df.sparkSession.sql(f"select * from {name}").collect()
         return results
