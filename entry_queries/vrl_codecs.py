@@ -1722,6 +1722,84 @@ def q_codec_journald(spark, sf_dir):
     )
 
 
+def q_codec_ecs_metrics(spark, sf_dir):
+    """aws_ecs_metrics task-metadata stats decode (parser.rs:1-560): one
+    synthetic docker ContainerStats document per event covering every
+    section — blkio per-entry counters (device major:minor + lowercased
+    op, ms->s scale on io_time), cpu gauges/counters with the
+    online_cpus-bounded percpu fan-out and ns->s throttled_time, precpu
+    prefix twin, memory gauges + fault counters with presence gating,
+    and per-interface network counters. Oracle = arithmetic UNION of the
+    same rows."""
+    from vector_spark.functions import parse_ecs_metrics
+
+    e = ensure_parallelism(_t(spark, sf_dir, "events"))
+    s = lambda c: c.cast("string")  # noqa: E731
+    ts_str = F.date_format(F.col("ts").cast("timestamp"),
+                           "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    online = F.col("event_id") % 3
+    doc = F.concat(
+        F.lit('{"c'), s(F.col("user_id") % 5), F.lit('": {"read": "'),
+        ts_str, F.lit('"'),
+        F.when(F.col("event_id") % 3 != 1,
+               F.concat(F.lit(', "name": "task'), s(F.col("user_id") % 3),
+                        F.lit('"'))).otherwise(F.lit("")),
+        F.lit(', "blkio_stats": {"io_service_bytes_recursive": ['
+              '{"major": 202, "minor": '), s(F.col("user_id") % 4),
+        F.lit(', "op": "Read", "value": '), s(F.col("event_id") % 1000),
+        F.lit('}, {"major": 202, "minor": '), s(F.col("user_id") % 4),
+        F.lit(', "op": "Write", "value": '), s(F.col("user_id") * 3),
+        F.lit('}], "io_time_recursive": [{"major": 8, "minor": 0, '
+              '"op": "", "value": '), s(F.col("event_id") % 500),
+        F.lit('}]}, "cpu_stats": {"online_cpus": '), s(online),
+        F.lit(', "system_cpu_usage": '), s(F.col("user_id") * 1000),
+        F.lit(', "cpu_usage": {"total_usage": '), s(F.col("event_id")),
+        F.lit(', "percpu_usage": ['), s(F.col("user_id") % 97),
+        F.lit(", "), s(F.col("event_id") % 89), F.lit("]"),
+        F.when(F.col("event_id") % 2 == 0,
+               F.concat(F.lit(', "usage_in_usermode": '),
+                        s(F.col("user_id") % 7))).otherwise(F.lit("")),
+        F.lit("}"),
+        F.when(F.col("event_id") % 4 == 0,
+               F.concat(F.lit(', "throttling_data": {"periods": '),
+                        s(F.col("user_id") % 5),
+                        F.lit(', "throttled_time": '),
+                        s((F.col("event_id") % 9) * 1000000000),
+                        F.lit("}"))).otherwise(F.lit("")),
+        F.lit('}, "precpu_stats": {"cpu_usage": {"total_usage": '),
+        s(F.col("event_id") % 13),
+        F.lit('}}, "memory_stats": {"usage": '), s(F.col("user_id") * 4096),
+        F.when(F.col("event_id") % 2 == 1,
+               F.lit(', "limit": 536870912')).otherwise(F.lit("")),
+        F.lit(', "stats": {"cache": '), s(F.col("event_id") % 10000),
+        F.when(F.col("event_id") % 3 == 0,
+               F.concat(F.lit(', "rss": '), s(F.col("user_id")))
+               ).otherwise(F.lit("")),
+        F.lit(', "pgfault": '), s(F.col("event_id") % 77),
+        F.lit('}}, "networks": {"eth0": {"rx_bytes": '), s(F.col("user_id")),
+        F.lit(', "tx_bytes": '), s(F.col("event_id")), F.lit("}"),
+        F.when(F.col("event_id") % 5 == 0,
+               F.concat(F.lit(', "eth1": {"rx_packets": '),
+                        s(F.col("event_id") % 50),
+                        F.lit("}"))).otherwise(F.lit("")),
+        F.lit("}}}"),
+    )
+    r = e.select("event_id",
+                 F.explode(parse_ecs_metrics(doc)).alias("r"))
+    return r.select(
+        "event_id",
+        F.col("r.container_id").alias("container_id"),
+        F.col("r.container_name").alias("container_name"),
+        F.col("r.name").alias("name"),
+        F.col("r.mtype").alias("mtype"),
+        F.col("r.value").alias("value"),
+        F.col("r.device").alias("device"),
+        F.col("r.op").alias("op"),
+        F.col("r.cpu").alias("cpu"),
+        F.col("r.ts_us").alias("ts_us"),
+    )
+
+
 def q_codec_lumberjack(spark, sf_dir):
     """Lumberjack (Beats) protocol decode across all three event-bearing
     frame kinds, one per event_id%3: v2 'J' json frame / v1 'D'
@@ -2482,6 +2560,102 @@ SELECT event_id,
 FROM events
 """
 
+    sql["codec_ecs_metrics"] = """
+WITH b AS (
+  SELECT event_id,
+         'c' || CAST(user_id % 5 AS VARCHAR) AS container_id,
+         CASE WHEN event_id % 3 <> 1
+              THEN 'task' || CAST(user_id % 3 AS VARCHAR) END AS container_name,
+         epoch_us(ts) AS ts_us,
+         event_id AS eid, user_id AS uid
+  FROM events
+)
+SELECT event_id, container_id, container_name,
+       'blkio_recursive_io_service_bytes_total' AS name, 'counter' AS mtype,
+       CAST(eid % 1000 AS DOUBLE) AS value,
+       '202:' || CAST(uid % 4 AS VARCHAR) AS device, 'read' AS op,
+       CAST(NULL AS VARCHAR) AS cpu, ts_us
+FROM b
+UNION ALL
+SELECT event_id, container_id, container_name,
+       'blkio_recursive_io_service_bytes_total', 'counter',
+       CAST(uid * 3 AS DOUBLE), '202:' || CAST(uid % 4 AS VARCHAR), 'write',
+       NULL, ts_us FROM b
+UNION ALL
+SELECT event_id, container_id, container_name,
+       'blkio_recursive_io_time_seconds_total', 'counter',
+       CAST(eid % 500 AS DOUBLE) / 1000.0, '8:0', '', NULL, ts_us FROM b
+UNION ALL
+SELECT event_id, container_id, container_name, 'cpu_online_cpus', 'gauge',
+       CAST(eid % 3 AS DOUBLE), NULL, NULL, NULL, ts_us FROM b
+UNION ALL
+SELECT event_id, container_id, container_name,
+       'cpu_usage_system_jiffies_total', 'counter',
+       CAST(uid * 1000 AS DOUBLE), NULL, NULL, NULL, ts_us FROM b
+UNION ALL
+SELECT event_id, container_id, container_name,
+       'cpu_usage_usermode_jiffies_total', 'counter',
+       CAST(uid % 7 AS DOUBLE), NULL, NULL, NULL, ts_us
+FROM b WHERE eid % 2 = 0
+UNION ALL
+SELECT event_id, container_id, container_name,
+       'cpu_usage_total_jiffies_total', 'counter',
+       CAST(eid AS DOUBLE), NULL, NULL, NULL, ts_us FROM b
+UNION ALL
+SELECT event_id, container_id, container_name,
+       'cpu_throttling_periods_total', 'counter',
+       CAST(uid % 5 AS DOUBLE), NULL, NULL, NULL, ts_us
+FROM b WHERE eid % 4 = 0
+UNION ALL
+SELECT event_id, container_id, container_name,
+       'cpu_throttled_time_seconds_total', 'counter',
+       CAST(eid % 9 AS DOUBLE), NULL, NULL, NULL, ts_us
+FROM b WHERE eid % 4 = 0
+UNION ALL
+SELECT event_id, container_id, container_name,
+       'cpu_usage_percpu_jiffies_total', 'counter',
+       CAST(uid % 97 AS DOUBLE), NULL, NULL, '0', ts_us
+FROM b WHERE eid % 3 >= 1
+UNION ALL
+SELECT event_id, container_id, container_name,
+       'cpu_usage_percpu_jiffies_total', 'counter',
+       CAST(eid % 89 AS DOUBLE), NULL, NULL, '1', ts_us
+FROM b WHERE eid % 3 >= 2
+UNION ALL
+SELECT event_id, container_id, container_name,
+       'precpu_usage_total_jiffies_total', 'counter',
+       CAST(eid % 13 AS DOUBLE), NULL, NULL, NULL, ts_us FROM b
+UNION ALL
+SELECT event_id, container_id, container_name, 'memory_used_bytes', 'gauge',
+       CAST(uid * 4096 AS DOUBLE), NULL, NULL, NULL, ts_us FROM b
+UNION ALL
+SELECT event_id, container_id, container_name, 'memory_limit_bytes', 'gauge',
+       536870912.0, NULL, NULL, NULL, ts_us FROM b WHERE eid % 2 = 1
+UNION ALL
+SELECT event_id, container_id, container_name, 'memory_cache_bytes', 'gauge',
+       CAST(eid % 10000 AS DOUBLE), NULL, NULL, NULL, ts_us FROM b
+UNION ALL
+SELECT event_id, container_id, container_name, 'memory_rss_bytes', 'gauge',
+       CAST(uid AS DOUBLE), NULL, NULL, NULL, ts_us FROM b WHERE eid % 3 = 0
+UNION ALL
+SELECT event_id, container_id, container_name,
+       'memory_page_faults_total', 'counter',
+       CAST(eid % 77 AS DOUBLE), NULL, NULL, NULL, ts_us FROM b
+UNION ALL
+SELECT event_id, container_id, container_name,
+       'network_receive_bytes_total', 'counter',
+       CAST(uid AS DOUBLE), 'eth0', NULL, NULL, ts_us FROM b
+UNION ALL
+SELECT event_id, container_id, container_name,
+       'network_transmit_bytes_total', 'counter',
+       CAST(eid AS DOUBLE), 'eth0', NULL, NULL, ts_us FROM b
+UNION ALL
+SELECT event_id, container_id, container_name,
+       'network_receive_packets_total', 'counter',
+       CAST(eid % 50 AS DOUBLE), 'eth1', NULL, NULL, ts_us
+FROM b WHERE eid % 5 = 0
+"""
+
     sql["codec_lumberjack"] = """
 SELECT event_id, 0 AS idx,
        CASE WHEN event_id % 3 = 1 THEN 1 ELSE 2 END AS protocol,
@@ -3053,6 +3227,7 @@ QUERIES = {
     "codec_apache_status": q_codec_apache_status,
     "codec_nginx_status": q_codec_nginx_status,
     "codec_journald": q_codec_journald,
+    "codec_ecs_metrics": q_codec_ecs_metrics,
     "codec_lumberjack": q_codec_lumberjack,
     "codec_datadog_logs": q_codec_datadog_logs,
     "codec_s3_notification": q_codec_s3_notification,

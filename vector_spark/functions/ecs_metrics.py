@@ -112,6 +112,10 @@ _MEM_EXT_METRICS = [
     ("pgmajfault", "major_faults_total", True),
     ("pgpgin", "page_charged_total", True),
     ("pgpgout", "page_uncharged_total", True),
+    ("total_pgfault", "total_page_faults_total", True),
+    ("total_pgmajfault", "total_major_faults_total", True),
+    ("total_pgpgin", "total_page_charged_total", True),
+    ("total_pgpgout", "total_page_uncharged_total", True),
 ]
 
 # network field -> metric name — parser.rs:478-500
@@ -152,17 +156,24 @@ def parse_ecs_metrics(col: Column) -> Column:
         parts = []
         # blkio: one counter per array entry, device="major:minor", op lower
         blk = c["blkio_stats"]
-        for field, mname, div in _BLKIO_METRICS:
-            v = lambda e: (e["value"] / div) if div else e["value"]  # noqa: E731
-            parts.append(F.transform(
-                F.coalesce(blk[field], F.array().cast(_BLKIO_ARR)),
-                lambda e, _v=v: mk(
-                    F.lit(f"blkio_{mname}"), "counter", _v(e),
+
+        def blk_part(field, mname, div):
+            # factory closure: a unary callback (a 2-arg lambda would make
+            # F.transform bind the INDEX to the second parameter)
+            def body(e):
+                val = (e["value"] / div) if div else e["value"]
+                return mk(
+                    F.lit(f"blkio_{mname}"), "counter", val,
                     device=F.concat(e["major"].cast("string"), F.lit(":"),
                                     e["minor"].cast("string")),
                     op=F.lower(e["op"]),
-                ),
-            ))
+                )
+            return F.transform(
+                F.coalesce(blk[field], F.array().cast(_BLKIO_ARR)), body
+            )
+
+        for field, mname, div in _BLKIO_METRICS:
+            parts.append(blk_part(field, mname, div))
         # cpu + precpu share the derivation, prefix differs (parser.rs:255)
         for prefix in ("cpu", "precpu"):
             s = c[f"{prefix}_stats"]
