@@ -627,20 +627,57 @@ def q_vrl_encode(spark, sf_dir):
 
 
 def q_demo_logs_roundtrip(spark, sf_dir):
-    """demo_logs generator -> parse_syslog round-trip (rows-only: generated
-    input, not an sf table). Nonzero parse rate is asserted structurally."""
+    """demo_logs generator round-trips over all 7 reference formats
+    (demo_logs.rs:47-170; rows-only: generated input, not an sf table):
+    bsd_syslog re-parsed by parse_syslog, shuffle(sequence=True) lines
+    matched against '<seq> <line>' with the line from the configured
+    list, sample_file lines matched against prefix+strftime+suffix from
+    the two-column CSV, apache_common/apache_error/syslog/json matched
+    against their grammars. A format regression drops its rows."""
+    import csv
+    import os
+    import tempfile
+
     from vector_spark.functions import parse_syslog
     from vector_spark.sources import demo_logs
 
-    logs = demo_logs(spark, 5000, fmt="bsd_syslog", partitions=8)
+    logs = demo_logs(spark, 2000, fmt="bsd_syslog", partitions=8)
     p = parse_syslog(F.col("line"))
-    return logs.select(
-        "id",
-        p["hostname"].alias("hostname"),
-        p["appname"].alias("appname"),
-        p["severity"].alias("severity"),
-        p["message"].alias("message"),
-    ).filter(F.col("hostname") != "")
+    syslog_ok = logs.select("id", F.lit("bsd_syslog").alias("fmt")).filter(
+        (p["hostname"] != "") & p["severity"].between(0, 7)
+    )
+    shuf = demo_logs(spark, 2000, fmt="shuffle", partitions=8,
+                     lines=["alpha beta", "gamma"], sequence=True)
+    shuffle_ok = shuf.select("id", F.lit("shuffle").alias("fmt")).filter(
+        F.col("line").rlike(r"^\d+ (alpha beta|gamma)$")
+    )
+    tmp = tempfile.mkdtemp(prefix="vs_demo_sample_")
+    path = os.path.join(tmp, "sample.csv")
+    with open(path, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["req start=", " status=ok"])
+        w.writerow(["ts:", "|done"])
+    samp = demo_logs(spark, 2000, fmt="sample_file", partitions=8,
+                     sample_path=path, time_format="%Y-%m-%d %H:%M:%S")
+    sample_ok = samp.select("id", F.lit("sample_file").alias("fmt")).filter(
+        F.col("line").rlike(
+            r"^(req start=|ts:)\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}"
+            r"( status=ok|\|done)$")
+    )
+    extra = []
+    for fmt, pat in [
+        ("apache_common", r'^\S+ - user\d+ \[[^]]+\] "\S+ \S+ HTTP/1\.1" \d+ \d+$'),
+        ("apache_error", r"^\[[^]]+\] \[error\] \[client \S+\] .+$"),
+        ("syslog", r"^<\d+>1 \S+ \S+ \S+ \d+ ID\d+ - .+$"),
+        ("json", r'^\{"timestamp":'),
+    ]:
+        d = demo_logs(spark, 2000, fmt=fmt, partitions=8)
+        extra.append(d.select("id", F.lit(fmt).alias("fmt"))
+                     .filter(F.col("line").rlike(pat)))
+    out = syslog_ok.unionByName(shuffle_ok).unionByName(sample_ok)
+    for x in extra:
+        out = out.unionByName(x)
+    return out
 
 
 def q_parse_aws_vpc_flow(spark, sf_dir):

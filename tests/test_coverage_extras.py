@@ -119,6 +119,52 @@ def test_demo_logs_roundtrip_apache(spark):
     assert parsed.filter(F.col("host") == "").count() == 0
 
 
+def test_demo_logs_shuffle(spark, tmp_path):
+    """Shuffle format (demo_logs.rs:145-152, 258-267): lines drawn from
+    the configured list, '<n> ' sequence prefix from the generation
+    index, empty list rejected."""
+    import pytest
+
+    out = demo_logs(spark, 30, fmt="shuffle", partitions=3,
+                    lines=["aa", "bb"], sequence=True)
+    got = [r["line"] for r in out.collect()]
+    assert len(got) == 30
+    seqs = sorted(int(l.split(" ", 1)[0]) for l in got)
+    assert seqs == list(range(30))  # every generation index exactly once
+    assert all(l.split(" ", 1)[1] in ("aa", "bb") for l in got)
+    # without sequence: bare lines
+    plain = demo_logs(spark, 10, fmt="shuffle", lines=["x"], sequence=False)
+    assert {r["line"] for r in plain.collect()} == {"x"}
+    with pytest.raises(ValueError, match="non-empty list"):
+        demo_logs(spark, 1, fmt="shuffle", lines=[])
+
+
+def test_demo_logs_sample_file(spark, tmp_path):
+    """SampleFile format (demo_logs.rs:134-144, 197-246): two-column CSV
+    rows chosen round-robin by generation index, strftime timestamp
+    spliced between prefix and suffix; empty file / time format raise."""
+    import pytest
+
+    p = tmp_path / "sample.csv"
+    p.write_text('"a=", "=z"\n"b:",":y"\n'.replace(", ", ","))
+    out = demo_logs(spark, 10, fmt="sample_file", partitions=2,
+                    sample_path=str(p), time_format="%Y-%m-%d")
+    rows_ = out.collect()
+    import re
+    for r in rows_:
+        assert re.fullmatch(r"(a=|b:)\d{4}-\d{2}-\d{2}(=z|:y)", r["line"]), r["line"]
+    # round-robin by generation index: both rows used equally
+    pre = sorted(r["line"][:2] for r in rows_)
+    assert pre == ["a="] * 5 + ["b:"] * 5
+    (tmp_path / "empty.csv").write_text("")
+    with pytest.raises(ValueError, match="non-empty sample"):
+        demo_logs(spark, 1, fmt="sample_file",
+                  sample_path=str(tmp_path / "empty.csv"))
+    with pytest.raises(ValueError, match="time format"):
+        demo_logs(spark, 1, fmt="sample_file", sample_path=str(p),
+                  time_format="")
+
+
 def test_demo_logs_json_and_determinism(spark):
     a = demo_logs(spark, 30, fmt="json", partitions=1)
     b = demo_logs(spark, 30, fmt="json", partitions=5)

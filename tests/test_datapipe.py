@@ -592,6 +592,28 @@ def test_hits_fixed_point_hand_computed(spark):
     assert 0 < sum(r.authority for r in rows) <= 10**6
 
 
+def test_hits_tree_norm_hash_exact_and_no_window(spark):
+    """norm_via_window=False (VERDICT_r4 item 4): identical integer
+    output via the broadcast tree-aggregate L1 total, and the executed
+    plan carries NO single-partition Window operator."""
+    from vector_spark.datapipe import hits
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "node_id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 0), (4, 5), (5, 4), (3, 4)],
+        "src long, dst long",
+    )
+    win = hits(nodes, edges, iterations=2, scale=10**6)
+    tree = hits(nodes, edges, iterations=2, scale=10**6,
+                norm_via_window=False)
+    key = lambda r: r.node_id  # noqa: E731
+    assert sorted(map(tuple, win.collect()), key=lambda t: t[0]) == \
+        sorted(map(tuple, tree.collect()), key=lambda t: t[0])
+    plan = tree._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Window" in win._jdf.queryExecution().executedPlan().toString()
+
+
 def test_bpe_pair_counts_merge_round(spark):
     """Exact BPE merge-round statistics: pair counts weight by word
     frequency (not doc frequency), case folds, single-char words
