@@ -1837,6 +1837,50 @@ def q_codec_ecs_metrics(spark, sf_dir):
     )
 
 
+def q_codec_eventstore_stats(spark, sf_dir):
+    """EventStoreDB /stats decode (eventstoredb_metrics/types.rs:19-147):
+    the 6 required proc/sys metrics per document plus 3 per-drive gauges
+    when the one-key drive map is present (event_id%3!=2; its KEY is the
+    path tag); event_id%7==3 drops a required diskIo field, which must
+    yield ZERO rows for that document (serde all-or-nothing). Oracle =
+    arithmetic UNION of the same rows."""
+    from vector_spark.functions import parse_eventstoredb_stats
+
+    e = ensure_parallelism(_t(spark, sf_dir, "events"))
+    s = lambda c: c.cast("string")  # noqa: E731
+    doc = F.concat(
+        F.lit('{"proc": {"id": '), s(F.col("user_id") % 9000),
+        F.lit(', "mem": '), s(F.col("user_id") * 1024),
+        F.lit(', "cpu": 1.5, "threadsCount": 8, "thrownExceptionsRate": 0,'
+              ' "diskIo": {"readBytes": '), s(F.col("event_id") % 100000),
+        F.lit(', "writtenBytes": '), s(F.col("event_id") * 2),
+        F.lit(', "readOps": '), s(F.col("user_id") % 500),
+        F.when(F.col("event_id") % 7 != 3,
+               F.concat(F.lit(', "writeOps": '), s(F.col("event_id") % 77))
+               ).otherwise(F.lit("")),
+        F.lit('}}, "sys": {"freeMem": '), s(F.col("user_id") * 4096),
+        F.lit(', "loadavg": {"1m": 0.1, "5m": 0.2, "15m": 0.3}'),
+        F.when(F.col("event_id") % 3 != 2,
+               F.concat(F.lit(', "drive": {"/data'), s(F.col("user_id") % 4),
+                        F.lit('": {"availableBytes": '), s(F.col("event_id") % 9999),
+                        F.lit(', "totalBytes": '), s(F.col("user_id") * 8),
+                        F.lit(', "usage": "61%", "usedBytes": '),
+                        s(F.col("event_id") % 333),
+                        F.lit("}}"))).otherwise(F.lit("")),
+        F.lit("}}"),
+    )
+    r = e.select("event_id",
+                 F.explode(parse_eventstoredb_stats(doc)).alias("r"))
+    return r.select(
+        "event_id",
+        F.col("r.id").alias("id"),
+        F.col("r.name").alias("name"),
+        F.col("r.mtype").alias("mtype"),
+        F.col("r.value").alias("value"),
+        F.col("r.path").alias("path"),
+    )
+
+
 def q_codec_lumberjack(spark, sf_dir):
     """Lumberjack (Beats) protocol decode across all three event-bearing
     frame kinds, one per event_id%3: v2 'J' json frame / v1 'D'
@@ -2597,6 +2641,44 @@ SELECT event_id,
 FROM events
 """
 
+    sql["codec_eventstore_stats"] = """
+WITH b AS (
+  SELECT event_id, CAST(user_id % 9000 AS VARCHAR) AS id,
+         event_id AS eid, user_id AS uid
+  FROM events WHERE event_id % 7 <> 3
+)
+SELECT event_id, id, 'process_memory_used_bytes' AS name, 'gauge' AS mtype,
+       CAST(uid * 1024 AS DOUBLE) AS value, CAST(NULL AS VARCHAR) AS path
+FROM b
+UNION ALL
+SELECT event_id, id, 'disk_read_bytes_total', 'counter',
+       CAST(eid % 100000 AS DOUBLE), NULL FROM b
+UNION ALL
+SELECT event_id, id, 'disk_written_bytes_total', 'counter',
+       CAST(eid * 2 AS DOUBLE), NULL FROM b
+UNION ALL
+SELECT event_id, id, 'disk_read_ops_total', 'counter',
+       CAST(uid % 500 AS DOUBLE), NULL FROM b
+UNION ALL
+SELECT event_id, id, 'disk_write_ops_total', 'counter',
+       CAST(eid % 77 AS DOUBLE), NULL FROM b
+UNION ALL
+SELECT event_id, id, 'memory_free_bytes', 'gauge',
+       CAST(uid * 4096 AS DOUBLE), NULL FROM b
+UNION ALL
+SELECT event_id, id, 'disk_total_bytes', 'gauge',
+       CAST(uid * 8 AS DOUBLE), '/data' || CAST(uid % 4 AS VARCHAR)
+FROM b WHERE eid % 3 <> 2
+UNION ALL
+SELECT event_id, id, 'disk_free_bytes', 'gauge',
+       CAST(eid % 9999 AS DOUBLE), '/data' || CAST(uid % 4 AS VARCHAR)
+FROM b WHERE eid % 3 <> 2
+UNION ALL
+SELECT event_id, id, 'disk_used_bytes', 'gauge',
+       CAST(eid % 333 AS DOUBLE), '/data' || CAST(uid % 4 AS VARCHAR)
+FROM b WHERE eid % 3 <> 2
+"""
+
     sql["codec_ecs_metrics"] = """
 WITH b AS (
   SELECT event_id,
@@ -3265,6 +3347,7 @@ QUERIES = {
     "codec_nginx_status": q_codec_nginx_status,
     "codec_journald": q_codec_journald,
     "codec_ecs_metrics": q_codec_ecs_metrics,
+    "codec_eventstore_stats": q_codec_eventstore_stats,
     "codec_lumberjack": q_codec_lumberjack,
     "codec_datadog_logs": q_codec_datadog_logs,
     "codec_s3_notification": q_codec_s3_notification,

@@ -333,3 +333,58 @@ def test_ddsketch_payload_roundtrip(spark):
     assert list(r["k"]) == [-1338, 0, 1338, 1400]  # zigzag survived
     assert list(r["n"]) == [1, 1, 1, 1]
     assert (r["cnt"], r["sum"]) == (4, 10.0)
+
+
+# --- eventstoredb stats ---------------------------------------------------
+
+def test_eventstoredb_stats_full(spark):
+    """types.rs:19-147: 6 proc/sys metrics tagged id, 3 per-drive gauges
+    tagged path (the one-key drive map); missing required fields -> no
+    metrics at all (serde's all-or-nothing deserialize)."""
+    from vector_spark.functions import parse_eventstoredb_stats
+
+    doc = json.dumps({
+        "proc": {
+            "id": 4100, "mem": 842424320, "cpu": 12.5, "threadsCount": 33,
+            "thrownExceptionsRate": 0.0,
+            "diskIo": {"readBytes": 53248, "writtenBytes": 1073741824,
+                       "readOps": 13, "writeOps": 91110},
+        },
+        "sys": {
+            "freeMem": 2147483648, "loadavg": {"1m": 0.5, "5m": 0.7, "15m": 0.9},
+            "drive": {"/var/lib/esdb": {
+                "availableBytes": 48934416384, "totalBytes": 126353313792,
+                "usage": "61%", "usedBytes": 77418897408}},
+        },
+    })
+    df = spark.createDataFrame([(doc,)], "body string")
+    out = df.select(F.explode(parse_eventstoredb_stats(F.col("body"))).alias("m")) \
+        .select("m.*").collect()
+    got = {(r["name"], r["path"]): (r["id"], r["mtype"], r["value"]) for r in out}
+    assert len(got) == 9
+    assert got[("process_memory_used_bytes", None)] == ("4100", "gauge", 842424320.0)
+    assert got[("disk_read_bytes_total", None)] == ("4100", "counter", 53248.0)
+    assert got[("disk_written_bytes_total", None)][2] == 1073741824.0
+    assert got[("disk_read_ops_total", None)][2] == 13.0
+    assert got[("disk_write_ops_total", None)][2] == 91110.0
+    assert got[("memory_free_bytes", None)] == ("4100", "gauge", 2147483648.0)
+    assert got[("disk_total_bytes", "/var/lib/esdb")][2] == 126353313792.0
+    assert got[("disk_free_bytes", "/var/lib/esdb")][2] == 48934416384.0
+    assert got[("disk_used_bytes", "/var/lib/esdb")][2] == 77418897408.0
+
+
+def test_eventstoredb_stats_no_drive_and_invalid(spark):
+    from vector_spark.functions import parse_eventstoredb_stats
+
+    ok = json.dumps({
+        "proc": {"id": 1, "mem": 5,
+                 "diskIo": {"readBytes": 1, "writtenBytes": 2,
+                            "readOps": 3, "writeOps": 4}},
+        "sys": {"freeMem": 9},
+    })
+    missing = json.dumps({"proc": {"id": 1, "mem": 5}, "sys": {"freeMem": 9}})
+    df = spark.createDataFrame(
+        [(ok,), (missing,), ("not json",), (None,)], "body string")
+    ns = [r["n"] for r in df.select(
+        F.size(parse_eventstoredb_stats(F.col("body"))).alias("n")).collect()]
+    assert ns == [6, 0, 0, 0]

@@ -229,3 +229,75 @@ def encode_splunk_hec(
          .otherwise(F.lit(',"event":')),
         event_json, F.lit("}"),
     )
+
+
+EVENTSTORE_METRIC_SCHEMA = (
+    "array<struct<id:string, name:string, mtype:string, value:double,"
+    " path:string>>"
+)
+
+_EVENTSTORE_STATS_SCHEMA = (
+    "struct<proc:struct<id:bigint, mem:double,"
+    " diskIo:struct<readBytes:double, writtenBytes:double,"
+    " readOps:double, writeOps:double>>,"
+    " sys:struct<freeMem:double,"
+    " drive:map<string,struct<availableBytes:double, totalBytes:double,"
+    " usedBytes:double>>>>"
+)
+
+
+def parse_eventstoredb_stats(col: Column) -> Column:
+    """EventStoreDB /stats document -> metric rows (eventstoredb_metrics/
+    types.rs:19-147): the 6 always-present proc/sys metrics
+    (process_memory_used_bytes gauge, disk read/written bytes + ops
+    counters, memory_free_bytes gauge) tagged id=proc.id, plus 3
+    disk_total/free/used_bytes gauges per mounted drive (the one-key
+    `drive` map whose KEY is the path tag). Like serde's all-or-required
+    deserialize, a document missing any required proc/sys field yields
+    NO metrics. Pure from_json + expression fold, zero Python."""
+    s = F.from_json(col, _EVENTSTORE_STATS_SCHEMA)
+    proc, sys_ = s["proc"], s["sys"]
+    io = proc["diskIo"]
+    empty = F.array().cast(EVENTSTORE_METRIC_SCHEMA)
+    cid = proc["id"].cast("string")
+    null_s = F.lit(None).cast("string")
+
+    def mk(name, mtype, value, path=null_s):
+        return F.struct(
+            cid.alias("id"), F.lit(name).alias("name"),
+            F.lit(mtype).alias("mtype"), value.alias("value"),
+            path.alias("path"),
+        )
+
+    base = F.array(
+        mk("process_memory_used_bytes", "gauge", proc["mem"]),
+        mk("disk_read_bytes_total", "counter", io["readBytes"]),
+        mk("disk_written_bytes_total", "counter", io["writtenBytes"]),
+        mk("disk_read_ops_total", "counter", io["readOps"]),
+        mk("disk_write_ops_total", "counter", io["writeOps"]),
+        mk("memory_free_bytes", "gauge", sys_["freeMem"]),
+    )
+    drives = F.flatten(F.transform(
+        F.map_entries(F.coalesce(
+            sys_["drive"],
+            F.create_map().cast(
+                "map<string,struct<availableBytes:double, totalBytes:double,"
+                " usedBytes:double>>"),
+        )),
+        lambda kv: F.array(
+            mk("disk_total_bytes", "gauge", kv["value"]["totalBytes"],
+               path=kv["key"]),
+            mk("disk_free_bytes", "gauge", kv["value"]["availableBytes"],
+               path=kv["key"]),
+            mk("disk_used_bytes", "gauge", kv["value"]["usedBytes"],
+               path=kv["key"]),
+        ),
+    ))
+    required_ok = (
+        proc.isNotNull() & sys_.isNotNull() & io.isNotNull()
+        & proc["id"].isNotNull() & proc["mem"].isNotNull()
+        & io["readBytes"].isNotNull() & io["writtenBytes"].isNotNull()
+        & io["readOps"].isNotNull() & io["writeOps"].isNotNull()
+        & sys_["freeMem"].isNotNull()
+    )
+    return F.when(required_ok, F.concat(base, drives)).otherwise(empty)
