@@ -1837,6 +1837,36 @@ def q_codec_ecs_metrics(spark, sf_dir):
     )
 
 
+def q_codec_mongodb_status(spark, sf_dir):
+    """MongoDB serverStatus decode (mongodb_metrics/mod.rs:274-970): one
+    synthetic document per event from the shared emission table
+    (mongo_fixture.py) — distinct constants per leaf, i64-truncating
+    millis->seconds divides with nonzero dropped remainders, presence
+    gating for heap/mapped/record/collectionScans/wiredTiger/extra lock
+    + latency map entries, the reference's as-written opcounters swap,
+    and event-varying uptime/localTime. Oracle = the same table rendered
+    as a VALUES join with identical gating WHEREs."""
+    from vector_spark.functions import parse_mongodb_server_status
+
+    from .mongo_fixture import build_doc
+
+    e = ensure_parallelism(_t(spark, sf_dir, "events"))
+    doc = build_doc(F.col("ts").cast("timestamp"), F.col("event_id"))
+    r = e.select("event_id",
+                 F.explode(parse_mongodb_server_status(doc)).alias("r"))
+    return r.select(
+        "event_id",
+        F.col("r.name").alias("name"),
+        F.col("r.mtype").alias("mtype"),
+        F.col("r.value").alias("value"),
+        F.col("r.type").alias("type"),
+        F.col("r.state").alias("state"),
+        F.col("r.mode").alias("mode"),
+        F.col("r.micros").alias("micros"),
+        F.col("r.engine").alias("engine"),
+    )
+
+
 def q_codec_eventstore_stats(spark, sf_dir):
     """EventStoreDB /stats decode (eventstoredb_metrics/types.rs:19-147):
     the 6 required proc/sys metrics per document plus 3 per-drive gauges
@@ -2641,6 +2671,9 @@ SELECT event_id,
 FROM events
 """
 
+    from .mongo_fixture import oracle_sql as _mongo_oracle
+    sql["codec_mongodb_status"] = _mongo_oracle()
+
     sql["codec_eventstore_stats"] = """
 WITH b AS (
   SELECT event_id, CAST(user_id % 9000 AS VARCHAR) AS id,
@@ -3348,6 +3381,7 @@ QUERIES = {
     "codec_journald": q_codec_journald,
     "codec_ecs_metrics": q_codec_ecs_metrics,
     "codec_eventstore_stats": q_codec_eventstore_stats,
+    "codec_mongodb_status": q_codec_mongodb_status,
     "codec_lumberjack": q_codec_lumberjack,
     "codec_datadog_logs": q_codec_datadog_logs,
     "codec_s3_notification": q_codec_s3_notification,
