@@ -1249,3 +1249,155 @@ def test_native_proto_log_encode_decode_identity(events):
                 assert got[k] == str(v)
             else:
                 assert got[k] == v.decode("utf-8", errors="replace")
+
+
+# --- r5 stats-format parsers vs python models ------------------------------
+
+ecs_doc = st.fixed_dictionaries({
+    "mem": st.one_of(st.none(), st.fixed_dictionaries({
+        "usage": st.one_of(st.none(), st.integers(0, 2**40)),
+        "limit": st.one_of(st.none(), st.integers(0, 2**40)),
+        "cache": st.one_of(st.none(), st.integers(0, 2**30)),
+        "pgfault": st.one_of(st.none(), st.integers(0, 2**30)),
+    })),
+    "online": st.integers(0, 4),
+    "percpu": st.one_of(st.none(), st.lists(st.integers(0, 10**6),
+                                            max_size=3)),
+    "net": st.dictionaries(st.sampled_from(["eth0", "eth1", "lo"]),
+                           st.fixed_dictionaries({
+                               "rx_bytes": st.one_of(st.none(),
+                                                     st.integers(0, 2**40)),
+                               "tx_errors": st.one_of(st.none(),
+                                                      st.integers(0, 100)),
+                           }), max_size=2),
+    "blkio": st.lists(st.tuples(st.integers(0, 259), st.integers(0, 64),
+                                st.sampled_from(["Read", "Write", "Sync"]),
+                                st.integers(0, 2**40)), max_size=3),
+})
+
+
+@given(d=ecs_doc)
+@settings(**SETTINGS)
+def test_parse_ecs_metrics_equals_python_model(spark, d):
+    """parse_ecs_metrics vs an independent python re-derivation of
+    parser.rs over arbitrary presence patterns: blkio per-entry rows,
+    percpu bounded by online_cpus AND the array length, memory/network
+    per-field presence gating."""
+    import json as _json
+
+    from vector_spark.functions import parse_ecs_metrics
+
+    doc = {"c1": {"read": "2026-01-01T00:00:00.000000Z"}}
+    c = doc["c1"]
+    if d["mem"] is not None:
+        m = {k: v for k, v in d["mem"].items()
+             if v is not None and k in ("usage", "limit")}
+        stats = {k: v for k, v in d["mem"].items()
+                 if v is not None and k in ("cache", "pgfault")}
+        if stats:
+            m["stats"] = stats
+        c["memory_stats"] = m
+    c["cpu_stats"] = {"online_cpus": d["online"]}
+    if d["percpu"] is not None:
+        c["cpu_stats"]["cpu_usage"] = {"percpu_usage": d["percpu"]}
+    if d["net"]:
+        c["networks"] = {
+            k: {f: v for f, v in ns.items() if v is not None}
+            for k, ns in d["net"].items()
+        }
+    if d["blkio"]:
+        c["blkio_stats"] = {"io_serviced_recursive": [
+            {"major": ma, "minor": mi, "op": op, "value": v}
+            for ma, mi, op, v in d["blkio"]
+        ]}
+
+    # independent model of the expected (name, device, op, cpu) -> value
+    expect = {}
+    for ma, mi, op, v in d["blkio"]:
+        expect[("blkio_recursive_io_serviced_total", f"{ma}:{mi}",
+                op.lower(), None)] = float(v)
+    expect[("cpu_online_cpus", None, None, None)] = float(d["online"])
+    if d["percpu"] is not None:
+        for i in range(min(d["online"], len(d["percpu"]))):
+            expect[("cpu_usage_percpu_jiffies_total", None, None,
+                    str(i))] = float(d["percpu"][i])
+    if d["mem"] is not None:
+        names = {"usage": "memory_used_bytes", "limit": "memory_limit_bytes",
+                 "cache": "memory_cache_bytes",
+                 "pgfault": "memory_page_faults_total"}
+        for k, v in d["mem"].items():
+            if v is not None:
+                expect[(names[k], None, None, None)] = float(v)
+    net_names = {"rx_bytes": "network_receive_bytes_total",
+                 "tx_errors": "network_transmit_errs_total"}
+    for iface, ns in d["net"].items():
+        for f, v in ns.items():
+            if v is not None:
+                expect[(net_names[f], iface, None, None)] = float(v)
+
+    df = spark.createDataFrame([(_json.dumps(doc),)], "body string")
+    out = df.select(
+        F.explode(parse_ecs_metrics(F.col("body"))).alias("m")
+    ).select("m.*").collect()
+    # blkio emits one row PER ENTRY (duplicate (major,minor,op) keys
+    # included) — compare as multisets of full rows
+    from collections import Counter
+    exp_counter = Counter()
+    for ma, mi, op, v in d["blkio"]:
+        exp_counter[("blkio_recursive_io_serviced_total", f"{ma}:{mi}",
+                     op.lower(), None, float(v))] += 1
+    for k, v in expect.items():
+        if not k[0].startswith("blkio"):
+            exp_counter[(*k, v)] += 1
+    got_counter = Counter(
+        (r["name"], r["device"], r["op"], r["cpu"], r["value"]) for r in out)
+    assert got_counter == exp_counter
+
+
+@given(
+    drives=st.dictionaries(st.sampled_from(["/a", "/b"]),
+                           st.tuples(st.integers(0, 2**40),
+                                     st.integers(0, 2**40),
+                                     st.integers(0, 2**40)), max_size=2),
+    drop=st.sampled_from([None, "freeMem", "readOps", "id"]),
+)
+@settings(**SETTINGS)
+def test_parse_eventstoredb_stats_model(spark, drives, drop):
+    """All-or-nothing on required proc/sys fields; per-drive gauges keyed
+    by the map path for any drive set."""
+    import json as _json
+
+    from vector_spark.functions import parse_eventstoredb_stats
+
+    doc = {
+        "proc": {"id": 3, "mem": 10,
+                 "diskIo": {"readBytes": 1, "writtenBytes": 2,
+                            "readOps": 4, "writeOps": 5}},
+        "sys": {"freeMem": 6},
+    }
+    if drives:
+        doc["sys"]["drive"] = {
+            p: {"availableBytes": a, "totalBytes": t, "usedBytes": u}
+            for p, (a, t, u) in drives.items()
+        }
+    if drop == "freeMem":
+        del doc["sys"]["freeMem"]
+    elif drop == "readOps":
+        del doc["proc"]["diskIo"]["readOps"]
+    elif drop == "id":
+        del doc["proc"]["id"]
+
+    df = spark.createDataFrame([(_json.dumps(doc),)], "body string")
+    out = df.select(
+        F.explode(parse_eventstoredb_stats(F.col("body"))).alias("m")
+    ).select("m.*").collect()
+    if drop is not None:
+        assert out == []
+        return
+    assert len(out) == 6 + 3 * len(drives)
+    got = {(r["name"], r["path"]): r["value"] for r in out}
+    for p, (a, t, u) in drives.items():
+        assert got[("disk_free_bytes", p)] == float(a)
+        assert got[("disk_total_bytes", p)] == float(t)
+        assert got[("disk_used_bytes", p)] == float(u)
+    assert all(r["id"] == "3" for r in out)
