@@ -1103,6 +1103,51 @@ def test_frames_transform_heroku_and_docker(spark):
         (9, "stdout", "abc")]
 
 
+def test_frames_transform_stats_formats(spark):
+    """The r5 stats-document decoders ride the same `frames` kind: one
+    scraped body row -> N metric-event rows with expanded columns."""
+    import json as _json
+
+    from vector_spark.topology import compile_topology
+
+    ecs = _json.dumps({"cid1": {
+        "read": "2026-01-01T00:00:00.000000Z",
+        "memory_stats": {"usage": 41},
+        "networks": {"eth0": {"rx_bytes": 7}},
+    }})
+    esdb = _json.dumps({
+        "proc": {"id": 2, "mem": 11,
+                 "diskIo": {"readBytes": 1, "writtenBytes": 2,
+                            "readOps": 3, "writeOps": 4}},
+        "sys": {"freeMem": 12},
+    })
+    spec = {
+        "sources": {
+            "ecs": {"type": "inline", "rows": [(1, ecs)],
+                    "schema": "scrape_id long, message string"},
+            "esdb": {"type": "inline", "rows": [(2, esdb)],
+                     "schema": "scrape_id long, message string"},
+        },
+        "transforms": {
+            "ecs_m": {"type": "frames", "inputs": ["ecs"],
+                      "decoder": "ecs_metrics"},
+            "esdb_m": {"type": "frames", "inputs": ["esdb"],
+                       "decoder": "eventstoredb_stats"},
+        },
+        "sinks": {
+            "a": {"type": "memory", "inputs": ["ecs_m"]},
+            "b": {"type": "memory", "inputs": ["esdb_m"]},
+        },
+    }
+    res = compile_topology(spec).build(spark).run()
+    got_a = {(r["name"], r["device"]): r["value"] for r in res["a"]}
+    assert got_a[("memory_used_bytes", None)] == 41.0
+    assert got_a[("network_receive_bytes_total", "eth0")] == 7.0
+    assert all(r["container_id"] == "cid1" for r in res["a"])
+    got_b = {r["name"]: r["value"] for r in res["b"]}
+    assert len(got_b) == 6 and got_b["memory_free_bytes"] == 12.0
+
+
 def test_frames_transform_unknown_decoder(spark):
     from vector_spark.topology import compile_topology, TopologyError
     import pytest as _pt

@@ -768,9 +768,12 @@ def _build_transform(cfg, df, resolve, tables, spark):
             frame_octet_counting,
             frame_warc,
             parse_datadog_logs,
+            parse_ecs_metrics,
+            parse_eventstoredb_stats,
             parse_heroku_logplex,
             parse_loki_push,
             parse_lumberjack,
+            parse_mongodb_server_status,
             parse_native_proto,
             parse_prometheus_remote_write,
             parse_s3_event_notification,
@@ -796,6 +799,9 @@ def _build_transform(cfg, df, resolve, tables, spark):
             "prometheus_remote_write": parse_prometheus_remote_write,
             "datadog_logs": parse_datadog_logs,
             "s3_notification": parse_s3_event_notification,
+            "ecs_metrics": parse_ecs_metrics,
+            "eventstoredb_stats": parse_eventstoredb_stats,
+            "mongodb_server_status": parse_mongodb_server_status,
         }
         keep = [c for c in df.columns
                 if c != col or not cfg.get("drop_column", True)]
