@@ -54,6 +54,10 @@ def test_render_template_fields_and_strftime(spark):
     )
     col = render_template("logs/{{ service }}/year=%Y/month=%m/day=%d", ts_col="ts")
     assert df.select(col.alias("k")).collect()[0]["k"] == "logs/svc-a/year=2024/month=01/day=09"
+    # the extended chrono token set (r5): %y %b %B %a %A %T
+    col2 = render_template("%a %A %d %b %B %y %T", ts_col="ts")
+    assert df.select(col2.alias("k")).collect()[0]["k"] == \
+        "Tue Tuesday 09 Jan January 24 05:00:00"
 
 
 def test_ipv6_family(spark):

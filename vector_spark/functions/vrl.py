@@ -85,7 +85,8 @@ def render_template(template: str, ts_col: str | None = None) -> Column:
 
 _STRFTIME_MAP = {
     "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH", "%M": "mm", "%S": "ss",
-    "%j": "DDD", "%F": "yyyy-MM-dd",
+    "%j": "DDD", "%F": "yyyy-MM-dd", "%y": "yy", "%b": "MMM", "%B": "MMMM",
+    "%a": "EEE", "%A": "EEEE", "%T": "HH:mm:ss",
 }
 
 _STRFTIME_TOKEN = re.compile("|".join(re.escape(k) for k in _STRFTIME_MAP))
