@@ -1235,11 +1235,19 @@ def q_ann_ivf(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Media feature-extraction plumbing (stubbed codec, real Arrow path) ->
-    embedding column consumable by the ANN operators; rows-only."""
+    """Media feature-extraction plumbing (stubbed codec, real Arrow path)
+    -> embedding column consumable by the ANN operators. Hash-exact
+    since r5: the payload is sanitized to printable ASCII (chars ==
+    bytes, so DuckDB's VARCHAR-only md5 sees the identical byte stream)
+    and at dims=16 the md5-seeded stub is one digest whose bytes map to
+    values b/127.5-1.0 — the oracle re-derives the digest and the fold
+    sum with hex-nibble arithmetic."""
     from vector_spark.datapipe import extract_features
 
-    d = _t(spark, sf_dir, "documents").withColumn("payload", F.encode("text", "UTF-8"))
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "payload",
+        F.encode(F.regexp_replace("text", r"[^ -~]", ""), "UTF-8"),
+    )
     feats = extract_features(d, dims=16)
     return feats.select(
         "doc_id",
@@ -1249,7 +1257,9 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def q_frame_sample(spark, sf_dir):
-    """Video frame-sampling plumbing (1->N Arrow expansion); rows-only."""
+    """Video frame-sampling plumbing (1->N Arrow expansion); hash-exact
+    since r5 — the stub fingerprint is md5-over-hex, oracle re-derives
+    offsets via DuckDB range() and the same md5."""
     from vector_spark.datapipe import frame_sample
 
     d = _t(spark, sf_dir, "documents").withColumn("payload", F.encode("text", "UTF-8"))
@@ -2273,9 +2283,44 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 
     sql["ann_lsh"] = _ann_lsh_sql()
 
-    # pages_pipeline, demo_logs_roundtrip, multimodal_features, frame_sample:
-    # intentionally no oracle (generated input / md5-float + sha1 stubs) ->
-    # driver records rows-only checks
+    # pages_pipeline, demo_logs_roundtrip: intentionally no oracle
+    # (generated input) -> driver records rows-only checks.
+    # frame_sample + multimodal_features flipped to full oracles in r5:
+    # the stub fingerprints are md5-based (the repo hash convention);
+    # python range(0, max(dur,1), 1000) == DuckDB range() (both
+    # end-exclusive), byte length via octet_length, and the ASCII-
+    # sanitized feature payload makes DuckDB's VARCHAR md5 byte-
+    # identical to python's md5 over the utf-8 payload.
+    sql["multimodal_features"] = """
+WITH d AS (
+  SELECT doc_id,
+         md5(substring(regexp_replace(text, '[^ -~]', '', 'g'), 1, 64)) AS h
+  FROM documents
+)
+SELECT doc_id, 16 AS dims,
+       round(list_sum(list_transform(range(0, 16), i ->
+         CAST((strpos('0123456789abcdef', substring(h, 2*i+1, 1)) - 1) * 16
+              + strpos('0123456789abcdef', substring(h, 2*i+2, 1)) - 1
+              AS DOUBLE) / 127.5 - 1.0)), 4) AS feat_sum
+FROM d
+"""
+    sql["frame_sample"] = """
+WITH d AS (
+  SELECT doc_id, encode(text) AS b,
+         octet_length(encode(text)) % 90000 AS dur
+  FROM documents
+), f AS (
+  SELECT doc_id, b,
+         unnest(range(0, greatest(dur, 1), 1000)) AS off
+  FROM d
+)
+SELECT doc_id,
+       CAST(off // 1000 AS INTEGER) AS frame_idx,
+       CAST(off AS INTEGER) AS offset_ms,
+       md5(substring(lower(hex(b)), 1, 64) || '|' || CAST(off AS VARCHAR))
+         AS frame_sha
+FROM f
+"""
 
     # PII patterns duplicated literally (Java-regex ∩ RE2 subset; see
     # datapipe/text.py::PII_PATTERNS) — counts on the planted original,

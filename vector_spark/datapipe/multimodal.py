@@ -141,7 +141,10 @@ def frame_sample(
     """Video -> sampled frames (1->N): one row per pseudo-frame with
     (frame_idx, offset_ms, frame_sha) — the decode is the stub; the 1->N
     Arrow-batched row expansion, schema, and downstream partitioning are
-    the real plumbing."""
+    the real plumbing. The per-frame fingerprint is md5 over the
+    lower-hex of the first 32 payload bytes + '|' + offset (the repo's
+    engine-portable hash convention), so the contract query is
+    oracle-checkable hash-exact instead of rows-only."""
     import hashlib
 
     out_schema = f"{id_col} long, frame_idx int, offset_ms int, frame_sha string"
@@ -153,7 +156,9 @@ def frame_sample(
                 b = bytes(payload)
                 duration_ms = len(b) % 90_000  # matches _decode_stub
                 for i, off in enumerate(range(0, max(duration_ms, 1), every_ms)):
-                    sha = hashlib.sha1(b[:32] + off.to_bytes(4, "big")).hexdigest()
+                    sha = hashlib.md5(
+                        (b[:32].hex() + "|" + str(off)).encode()
+                    ).hexdigest()
                     rows.append((doc_id, i, off, sha))
             yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "offset_ms", "frame_sha"])
 
