@@ -140,6 +140,9 @@ def q_throttle(spark, sf_dir):
 
 
 def q_log_to_metric(spark, sf_dir):
+    """Spec-mode log_to_metric over all five metric-type configs —
+    histogram/summary specs emit a one-sample Distribution
+    (log_to_metric.rs:431-470: Incremental, statistic tag)."""
     e = _t(spark, sf_dir, "events")
     return log_to_metric(
         e,
@@ -148,8 +151,95 @@ def q_log_to_metric(spark, sf_dir):
             MetricSpec("counter", "purchase_value", value=F.col("value"),
                        when=F.col("event_type") == "purchase"),
             MetricSpec("gauge", "user_gauge", value=F.col("user_id").cast("double")),
+            MetricSpec("histogram", "latency_hist", value=F.col("value")),
+            MetricSpec("summary", "latency_sum", value=F.col("value") * 2,
+                       when=F.col("event_type") == "view"),
         ],
         carry=["event_id"],
+    )
+
+
+def q_log_to_metric_all(spark, sf_dir):
+    """all_metrics mode (log_to_metric.rs:489-856): metric-shaped log
+    events (metric_to_log's serialization) converted straight back to
+    metrics — one value-object family per event_id%7 incl. both
+    Distribution statistics, aggregated histogram/summary, set, and an
+    invalid class (bad kind / missing name) that must be DROPPED.
+    Arrays flattened to scalars for the hash compare."""
+    from vector_spark.operators import log_to_metric_all
+
+    e = _t(spark, sf_dir, "events")
+    s = lambda c: c.cast("string")  # noqa: E731
+    m = F.col("event_id") % 7
+    v = F.round(F.col("value"), 2)
+    name = F.concat(F.lit("m"), s(F.col("event_id") % 50))
+    stat = F.when(F.col("user_id") % 2 == 0, F.lit("histogram")).otherwise(
+        F.lit("summary"))
+    kind = F.when(F.col("event_id") % 2 == 0, F.lit("incremental")).otherwise(
+        F.lit("absolute"))
+    head = F.concat(
+        F.lit('{"name": "'), name, F.lit('", "kind": "'), kind,
+        F.lit('", "namespace": "ns'), s(F.col("user_id") % 3),
+        F.lit('", "tags": {"env": "e'), s(F.col("user_id") % 4),
+        F.lit('"}, '),
+    )
+    body = (
+        F.when(m == 0, F.concat(F.lit('"counter": {"value": '), s(v), F.lit("}")))
+        .when(m == 1, F.concat(F.lit('"gauge": {"value": '), s(v), F.lit("}")))
+        .when(m == 2, F.concat(
+            F.lit('"set": {"values": ["s'), s(F.col("user_id") % 5),
+            F.lit('", "t'), s(F.col("event_id") % 9), F.lit('"]}')))
+        .when(m == 3, F.concat(
+            F.lit('"distribution": {"samples": [{"value": '), s(v),
+            F.lit(', "rate": 1}, {"value": '), s(v * 2),
+            F.lit(', "rate": '), s(F.col("user_id") % 7 + 1),
+            F.lit('}], "statistic": "'), stat, F.lit('"}')))
+        .when(m == 4, F.concat(
+            F.lit('"histogram": {"buckets": [{"upper_limit": 1.5, "count": '),
+            s(F.col("user_id") % 10),
+            F.lit('}, {"upper_limit": 5.0, "count": '),
+            s(F.col("event_id") % 11),
+            F.lit('}], "count": '), s(F.col("event_id") % 100),
+            F.lit(', "sum": '), s(v), F.lit("}")))
+        .when(m == 5, F.concat(
+            F.lit('"summary": {"quantiles": [{"quantile": 0.5, "value": '),
+            s(v), F.lit('}, {"quantile": 0.9, "value": '), s(v * 3),
+            F.lit('}], "count": '), s(F.col("event_id") % 100),
+            F.lit(', "sum": '), s(v), F.lit("}")))
+        .otherwise(F.lit('"counter": {"value": 1.0}'))
+    )
+    doc = F.concat(head, body, F.lit("}"))
+    # invalid class: event_id%7==6 gets a bad kind (user even) or the
+    # name clobbered to null (user odd) — both must drop
+    doc = F.when(
+        (m == 6) & (F.col("user_id") % 2 == 0),
+        F.regexp_replace(doc, '"kind": "(incremental|absolute)"',
+                         '"kind": "weird"'),
+    ).when(
+        (m == 6),
+        F.regexp_replace(doc, '"name": "m[0-9]+"', '"name": null'),
+    ).otherwise(doc)
+    out = log_to_metric_all(e.withColumn("message", doc),
+                            carry=["event_id"])
+    return out.select(
+        "event_id", "name", "namespace", "kind", "metric_type",
+        F.element_at("tags", "env").alias("tag_env"),
+        "value",
+        F.array_join("set_values", ",").alias("set_csv"),
+        F.size(F.coalesce("samples", F.array().cast(
+            "array<struct<value:double,rate:bigint>>"))).alias("n_samples"),
+        F.round(F.aggregate(
+            F.coalesce("samples", F.array().cast(
+                "array<struct<value:double,rate:bigint>>")),
+            F.lit(0.0), lambda a, x: a + x["value"] * x["rate"],
+        ), 4).alias("sample_mass"),
+        "statistic",
+        F.size(F.coalesce("buckets", F.array().cast(
+            "array<struct<upper_limit:double,count:bigint>>"))).alias("n_buckets"),
+        F.size(F.coalesce("quantiles", F.array().cast(
+            "array<struct<quantile:double,value:double>>"))).alias("n_quantiles"),
+        "agg_count",
+        F.round("agg_sum", 4).alias("agg_sum"),
     )
 
 
@@ -905,14 +995,66 @@ SELECT event_id FROM (
 
     sql["log_to_metric"] = """
 SELECT event_id, 'events_total' AS name, '' AS namespace, 'incremental' AS kind,
-       'counter' AS metric_type, CAST(1.0 AS DOUBLE) AS value
+       'counter' AS metric_type, CAST(1.0 AS DOUBLE) AS value,
+       CAST(NULL AS VARCHAR) AS statistic
 FROM events
 UNION ALL
-SELECT event_id, 'purchase_value', '', 'incremental', 'counter', value
+SELECT event_id, 'purchase_value', '', 'incremental', 'counter', value, NULL
 FROM events WHERE event_type = 'purchase'
 UNION ALL
-SELECT event_id, 'user_gauge', '', 'absolute', 'gauge', CAST(user_id AS DOUBLE)
+SELECT event_id, 'user_gauge', '', 'absolute', 'gauge', CAST(user_id AS DOUBLE),
+       NULL
 FROM events
+UNION ALL
+SELECT event_id, 'latency_hist', '', 'incremental', 'distribution', value,
+       'histogram'
+FROM events
+UNION ALL
+SELECT event_id, 'latency_sum', '', 'incremental', 'distribution', value * 2,
+       'summary'
+FROM events WHERE event_type = 'view'
+"""
+
+    sql["log_to_metric_all"] = """
+WITH b AS (
+  SELECT event_id, round(value, 2) AS v, event_id % 7 AS m,
+         'm' || CAST(event_id % 50 AS VARCHAR) AS name,
+         CASE WHEN event_id % 2 = 0 THEN 'incremental'
+              ELSE 'absolute' END AS kind,
+         'ns' || CAST(user_id % 3 AS VARCHAR) AS namespace,
+         'e' || CAST(user_id % 4 AS VARCHAR) AS tag_env,
+         CASE WHEN user_id % 2 = 0 THEN 'histogram'
+              ELSE 'summary' END AS stat,
+         user_id AS uid, event_id AS eid
+  FROM events
+)
+SELECT event_id, name, namespace, kind, 'counter' AS metric_type, tag_env,
+       v AS value, CAST(NULL AS VARCHAR) AS set_csv, 0 AS n_samples,
+       CAST(0.0 AS DOUBLE) AS sample_mass, CAST(NULL AS VARCHAR) AS statistic,
+       0 AS n_buckets, 0 AS n_quantiles,
+       CAST(NULL AS BIGINT) AS agg_count, CAST(NULL AS DOUBLE) AS agg_sum
+FROM b WHERE m = 0
+UNION ALL
+SELECT event_id, name, namespace, kind, 'gauge', tag_env, v, NULL, 0, 0.0,
+       NULL, 0, 0, NULL, NULL
+FROM b WHERE m = 1
+UNION ALL
+SELECT event_id, name, namespace, kind, 'set', tag_env, NULL,
+       's' || CAST(uid % 5 AS VARCHAR) || ',t' || CAST(eid % 9 AS VARCHAR),
+       0, 0.0, NULL, 0, 0, NULL, NULL
+FROM b WHERE m = 2
+UNION ALL
+SELECT event_id, name, namespace, kind, 'distribution', tag_env, NULL, NULL,
+       2, round(v + v * 2 * (uid % 7 + 1), 4), stat, 0, 0, NULL, NULL
+FROM b WHERE m = 3
+UNION ALL
+SELECT event_id, name, namespace, kind, 'histogram', tag_env, NULL, NULL,
+       0, 0.0, NULL, 2, 0, eid % 100, round(v, 4)
+FROM b WHERE m = 4
+UNION ALL
+SELECT event_id, name, namespace, kind, 'summary', tag_env, NULL, NULL,
+       0, 0.0, NULL, 0, 2, eid % 100, round(v, 4)
+FROM b WHERE m = 5
 """
 
     sql["metric_to_log"] = """
@@ -1348,6 +1490,7 @@ QUERIES = {
     "find_table_records": q_find_table_records,
     "hash_replace": q_hash_replace,
     "log_to_metric": q_log_to_metric,
+    "log_to_metric_all": q_log_to_metric_all,
     "metric_to_log": q_metric_to_log,
     "pipeline_events_e2e": q_pipeline_events_e2e,
     "reduce_ends_when": q_reduce_ends_when,

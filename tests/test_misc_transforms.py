@@ -168,3 +168,80 @@ def test_hash_replace_multi_column_projection_path(spark):
     assert list(out[1].asDict()) == [
         "event_id", "body", "tag", "body_hash", "tag_hash"
     ]
+
+
+def test_log_to_metric_histogram_summary_specs(spark):
+    """Histogram/Summary specs emit one-sample Distributions
+    (log_to_metric.rs:431-470): Incremental kind, statistic tag, the
+    field value as the single sample."""
+    from vector_spark.operators import log_to_metric
+    from vector_spark.operators.log_to_metric import MetricSpec
+
+    df = spark.createDataFrame([(1, 12.5)], "event_id long, rt double")
+    out = log_to_metric(
+        df,
+        [MetricSpec("histogram", "rt_hist", value=F.col("rt")),
+         MetricSpec("summary", "rt_sum", value=F.col("rt"))],
+        carry=["event_id"],
+    ).collect()
+    got = {r["name"]: (r["kind"], r["metric_type"], r["statistic"], r["value"])
+           for r in out}
+    assert got["rt_hist"] == ("incremental", "distribution", "histogram", 12.5)
+    assert got["rt_sum"] == ("incremental", "distribution", "summary", 12.5)
+
+
+def test_log_to_metric_all_mode(spark):
+    """all_metrics mode (log_to_metric.rs:489-856): metric-shaped logs
+    convert back to metrics; alphabetical first-present-key choice;
+    invalid kind / missing name / malformed value object -> dropped."""
+    import json as _json
+
+    from vector_spark.operators import log_to_metric_all
+
+    rows_ = [
+        (0, _json.dumps({"name": "c", "kind": "incremental",
+                         "counter": {"value": 2.5},
+                         "tags": {"env": "p"}})),
+        (1, _json.dumps({"name": "g", "kind": "absolute",
+                         "gauge": {"value": -1.0},
+                         "namespace": "nsX"})),
+        (2, _json.dumps({"name": "s", "kind": "incremental",
+                         "set": {"values": ["a", "b"]}})),
+        (3, _json.dumps({"name": "d", "kind": "incremental",
+                         "distribution": {
+                             "samples": [{"value": 1.0, "rate": 3}],
+                             "statistic": "summary"}})),
+        (4, _json.dumps({"name": "h", "kind": "absolute",
+                         "histogram": {
+                             "buckets": [{"upper_limit": 2.0, "count": 5}],
+                             "count": 5, "sum": 7.5}})),
+        (5, _json.dumps({"name": "q", "kind": "absolute",
+                         "summary": {
+                             "quantiles": [{"quantile": 0.5, "value": 2.0}],
+                             "count": 9, "sum": 18.0}})),
+        # counter wins over gauge (alphabetical first-present key)
+        (6, _json.dumps({"name": "both", "kind": "incremental",
+                         "gauge": {"value": 9.0},
+                         "counter": {"value": 4.0}})),
+        (7, _json.dumps({"name": "badkind", "kind": "weird",
+                         "counter": {"value": 1.0}})),
+        (8, _json.dumps({"kind": "absolute", "gauge": {"value": 1.0}})),
+        (9, _json.dumps({"name": "badstat", "kind": "incremental",
+                         "distribution": {
+                             "samples": [{"value": 1.0, "rate": 1}],
+                             "statistic": "nope"}})),
+        (10, _json.dumps({"name": "novalue", "kind": "incremental"})),
+    ]
+    df = spark.createDataFrame(rows_, "i long, message string")
+    out = {r["i"]: r for r in
+           log_to_metric_all(df, carry=["i"]).collect()}
+    assert sorted(out) == [0, 1, 2, 3, 4, 5, 6]
+    assert (out[0]["metric_type"], out[0]["value"],
+            dict(out[0]["tags"])) == ("counter", 2.5, {"env": "p"})
+    assert (out[1]["metric_type"], out[1]["namespace"]) == ("gauge", "nsX")
+    assert list(out[2]["set_values"]) == ["a", "b"]
+    assert (out[3]["statistic"], out[3]["samples"][0]["rate"]) == ("summary", 3)
+    assert (out[4]["agg_count"], out[4]["agg_sum"],
+            out[4]["buckets"][0]["upper_limit"]) == (5, 7.5, 2.0)
+    assert (out[5]["quantiles"][0]["quantile"], out[5]["agg_count"]) == (0.5, 9)
+    assert (out[6]["metric_type"], out[6]["value"]) == ("counter", 4.0)

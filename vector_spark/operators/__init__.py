@@ -14,7 +14,7 @@ from .aggregate import (
 )
 from .reduce import reduce_sessions, MERGE_STRATEGIES
 from .throttle import throttle
-from .log_to_metric import log_to_metric
+from .log_to_metric import log_to_metric, log_to_metric_all
 from .metric_to_log import metric_to_log
 from .tag_cardinality_limit import tag_cardinality_limit
 from .hash_replace import hash_replace
@@ -29,6 +29,7 @@ __all__ = [
     "find_table_row", "find_enrichment_table_records", "get_enrichment_table_record", "script_transform", "multiline_agg", "aggregate_metrics", "aggregate_diff",
     "aggregate_histogram", "aggregate_set", "aggregate_summary", "aggregate_sketch",
     "tumbling_window", "reduce_sessions", "MERGE_STRATEGIES", "throttle",
-    "log_to_metric", "metric_to_log", "tag_cardinality_limit", "hash_replace",
+    "log_to_metric", "log_to_metric_all", "metric_to_log",
+    "tag_cardinality_limit", "hash_replace",
     "salted_agg", "remap_with_errors",
 ]

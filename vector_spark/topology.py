@@ -940,6 +940,15 @@ def _build_transform(cfg, df, resolve, tables, spark):
             exclude=F.expr(cfg["exclude"]) if cfg.get("exclude") else None,
         )
     if kind == "log_to_metric":
+        if cfg.get("all_metrics"):
+            # the reference's all_metrics flag: `metrics` is ignored and
+            # metric-shaped logs convert straight back (rs:489-856)
+            from .operators import log_to_metric_all
+
+            return log_to_metric_all(
+                df, json_col=cfg.get("column", "message"),
+                carry=cfg.get("carry"),
+            )
         return log_to_metric(df, _as_specs(cfg["metrics"]), carry=cfg.get("carry"))
     if kind == "metric_to_log":
         return metric_to_log(df)
