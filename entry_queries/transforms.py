@@ -159,16 +159,11 @@ def q_log_to_metric(spark, sf_dir):
     )
 
 
-def q_log_to_metric_all(spark, sf_dir):
-    """all_metrics mode (log_to_metric.rs:489-856): metric-shaped log
-    events (metric_to_log's serialization) converted straight back to
-    metrics — one value-object family per event_id%7 incl. both
-    Distribution statistics, aggregated histogram/summary, set, and an
-    invalid class (bad kind / missing name) that must be DROPPED.
-    Arrays flattened to scalars for the hash compare."""
-    from vector_spark.operators import log_to_metric_all
-
-    e = _t(spark, sf_dir, "events")
+def _all_metrics_doc(e):
+    """Metric-shaped JSON per event: one value-object family per
+    event_id%7 incl. both Distribution statistics, aggregated
+    histogram/summary, set, and an invalid class (bad kind / missing
+    name) that must be dropped."""
     s = lambda c: c.cast("string")  # noqa: E731
     m = F.col("event_id") % 7
     v = F.round(F.col("value"), 2)
@@ -211,7 +206,7 @@ def q_log_to_metric_all(spark, sf_dir):
     doc = F.concat(head, body, F.lit("}"))
     # invalid class: event_id%7==6 gets a bad kind (user even) or the
     # name clobbered to null (user odd) — both must drop
-    doc = F.when(
+    return F.when(
         (m == 6) & (F.col("user_id") % 2 == 0),
         F.regexp_replace(doc, '"kind": "(incremental|absolute)"',
                          '"kind": "weird"'),
@@ -219,8 +214,10 @@ def q_log_to_metric_all(spark, sf_dir):
         (m == 6),
         F.regexp_replace(doc, '"name": "m[0-9]+"', '"name": null'),
     ).otherwise(doc)
-    out = log_to_metric_all(e.withColumn("message", doc),
-                            carry=["event_id"])
+
+
+def _flatten_all_metrics(out):
+    """Typed metric rows -> scalar columns for the hash compare."""
     return out.select(
         "event_id", "name", "namespace", "kind", "metric_type",
         F.element_at("tags", "env").alias("tag_env"),
@@ -241,6 +238,44 @@ def q_log_to_metric_all(spark, sf_dir):
         "agg_count",
         F.round("agg_sum", 4).alias("agg_sum"),
     )
+
+
+def q_log_to_metric_all(spark, sf_dir):
+    """all_metrics mode (log_to_metric.rs:489-856): metric-shaped log
+    events (metric_to_log's serialization) converted straight back to
+    metrics — one value-object family per event_id%7 incl. both
+    Distribution statistics, aggregated histogram/summary, set, and an
+    invalid class (bad kind / missing name) that must be DROPPED.
+    Arrays flattened to scalars for the hash compare."""
+    from vector_spark.operators import log_to_metric_all
+
+    e = _t(spark, sf_dir, "events")
+    out = log_to_metric_all(
+        e.withColumn("message", _all_metrics_doc(e)), carry=["event_id"])
+    return _flatten_all_metrics(out)
+
+
+def q_metric_to_log_roundtrip(spark, sf_dir):
+    """metric_to_log_json is the reference's REAL serialization
+    (metric_to_log.rs:283-335, serde of the Metric): verified by exact
+    inversion — parse the metric-shaped fixture docs, serialize them
+    back to JSON, parse AGAIN, and flatten identically to
+    q_log_to_metric_all. The oracle is the SAME expected-rows SQL, so a
+    serializer that drops/renames/retypes anything hash-mismatches."""
+    from vector_spark.operators import log_to_metric_all, metric_to_log_json
+
+    e = _t(spark, sf_dir, "events")
+    metrics = log_to_metric_all(
+        e.withColumn("message", _all_metrics_doc(e)), carry=["event_id"])
+    # materialize the serialized strings between the two parse passes —
+    # inlining parse->serialize->parse as ONE expression tree makes every
+    # output column reference the whole (to_json . from_json) subtree and
+    # codegen explodes (4.7s -> 91s measured); the checkpoint is
+    # metric-rows-sized (the graph.py lazy-localCheckpoint precedent)
+    logs = metric_to_log_json(metrics, carry=["event_id"]) \
+        .localCheckpoint(eager=False)
+    again = log_to_metric_all(logs, carry=["event_id"])
+    return _flatten_all_metrics(again)
 
 
 def q_metric_to_log(spark, sf_dir):
@@ -1057,6 +1092,9 @@ SELECT event_id, name, namespace, kind, 'summary', tag_env, NULL, NULL,
 FROM b WHERE m = 5
 """
 
+    # the serializer is verified by exact inversion: same expected rows
+    sql["metric_to_log_roundtrip"] = sql["log_to_metric_all"]
+
     sql["metric_to_log"] = """
 SELECT event_id,
        'metric name=purchase_value kind=incremental value=' || printf('%.2f', value) AS message
@@ -1491,6 +1529,7 @@ QUERIES = {
     "hash_replace": q_hash_replace,
     "log_to_metric": q_log_to_metric,
     "log_to_metric_all": q_log_to_metric_all,
+    "metric_to_log_roundtrip": q_metric_to_log_roundtrip,
     "metric_to_log": q_metric_to_log,
     "pipeline_events_e2e": q_pipeline_events_e2e,
     "reduce_ends_when": q_reduce_ends_when,

@@ -245,3 +245,26 @@ def test_log_to_metric_all_mode(spark):
             out[4]["buckets"][0]["upper_limit"]) == (5, 7.5, 2.0)
     assert (out[5]["quantiles"][0]["quantile"], out[5]["agg_count"]) == (0.5, 9)
     assert (out[6]["metric_type"], out[6]["value"]) == ("counter", 4.0)
+
+
+def test_metric_to_log_json_roundtrip_and_host_move(spark):
+    """metric_to_log_json serializes the serde-metric shape and moves
+    tags.host to the host column (metric_to_log.rs:283-335);
+    log_to_metric_all inverts it exactly."""
+    import json as _json
+
+    from vector_spark.operators import log_to_metric_all, metric_to_log_json
+
+    doc = _json.dumps({"name": "c", "kind": "incremental",
+                       "counter": {"value": 2.5},
+                       "tags": {"env": "p", "host": "web-1"}})
+    df = spark.createDataFrame([(doc,)], "message string")
+    m = log_to_metric_all(df)
+    log = metric_to_log_json(m).collect()[0]
+    assert log["host"] == "web-1"
+    o = _json.loads(log["message"])
+    assert o["counter"] == {"value": 2.5}
+    assert o["tags"] == {"env": "p"}  # host removed from serialized tags
+    assert "gauge" not in o  # absent objects omitted like serde
+    back = log_to_metric_all(metric_to_log_json(m)).collect()[0]
+    assert (back["name"], back["kind"], back["value"]) == ("c", "incremental", 2.5)

@@ -15,7 +15,7 @@ from .aggregate import (
 from .reduce import reduce_sessions, MERGE_STRATEGIES
 from .throttle import throttle
 from .log_to_metric import log_to_metric, log_to_metric_all
-from .metric_to_log import metric_to_log
+from .metric_to_log import metric_to_log, metric_to_log_json
 from .tag_cardinality_limit import tag_cardinality_limit
 from .hash_replace import hash_replace
 from .skew import salted_agg
@@ -30,6 +30,6 @@ __all__ = [
     "aggregate_histogram", "aggregate_set", "aggregate_summary", "aggregate_sketch",
     "tumbling_window", "reduce_sessions", "MERGE_STRATEGIES", "throttle",
     "log_to_metric", "log_to_metric_all", "metric_to_log",
-    "tag_cardinality_limit", "hash_replace",
+    "metric_to_log_json", "tag_cardinality_limit", "hash_replace",
     "salted_agg", "remap_with_errors",
 ]
