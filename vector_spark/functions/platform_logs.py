@@ -59,7 +59,11 @@ def parse_cri(col: Column) -> Column:
     (cri.rs:168-174 / vectordotdev#8606). An unparseable timestamp
     yields ts_us null but keeps the event, mirroring the reference's
     conversion-error branch (event kept, timestamp skipped)."""
-    pat = r"^(\S+) (stdout|stderr) ([FP]) (.*)$"
+    # \z + [\s\S]: Java's `$` matches BEFORE a final line terminator
+    # (\n, \r, U+0085 NEL, U+2028, U+2029) and `.` excludes them, so a
+    # message ending in NEL would silently lose it vs the reference's
+    # byte walk (hypothesis-found); \z anchors at true end-of-input.
+    pat = r"^(\S+) (stdout|stderr) ([FP]) ([\s\S]*)\z"
     ok = col.rlike(pat)
     ts_s = F.regexp_extract(col, pat, 1)
     stream = F.regexp_extract(col, pat, 2)
