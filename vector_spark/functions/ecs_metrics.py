@@ -197,13 +197,18 @@ def parse_ecs_metrics(col: Column) -> Column:
                     s["throttling_data"]["throttled_time"] / 1_000_000_000.0),
             ]
             # percpu: index 0..online_cpus-1, skipping indexes past the
-            # array's end (parser.rs:343-361 `percpu_usage.get(index)`)
+            # array's end (parser.rs:343-361 `percpu_usage.get(index)`).
+            # The loop bound is clamped to the array size — identical
+            # emissions (.get past the end yields nothing anyway), and a
+            # corrupt document with online_cpus=10^9 can't explode the
+            # generated sequence.
+            n_cpu = F.least(s["online_cpus"],
+                            F.size(u["percpu_usage"]).cast("bigint"))
             percpu = F.when(
-                u["percpu_usage"].isNotNull() & (s["online_cpus"] >= 1),
+                u["percpu_usage"].isNotNull() & (n_cpu >= 1),
                 F.filter(
                     F.transform(
-                        F.sequence(F.lit(0),
-                                   (s["online_cpus"] - 1).cast("int")),
+                        F.sequence(F.lit(0), (n_cpu - 1).cast("int")),
                         lambda i: mk(
                             F.lit(f"{prefix}_usage_percpu_jiffies_total"),
                             "counter", F.get(u["percpu_usage"], i),

@@ -106,6 +106,10 @@ def demo_logs(
             raise ValueError(
                 "a non-empty time format is required for sample file format"
             )
+        if not sample_path:
+            raise ValueError(
+                "a sample_path is required for sample file format"
+            )
         with open(sample_path, newline="") as fh:
             data = [(row[0] if row else "", row[1] if len(row) > 1 else "")
                     for row in csv.reader(fh)]
