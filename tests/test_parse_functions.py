@@ -895,3 +895,27 @@ def test_loki_push_batches_and_parse(spark):
         .collect()
     )
     assert back == [(1, "l1", "a", "prod"), (2, "l2", "b", "prod"), (3, "l3", "a", "prod")]
+
+
+def test_message_captures_keep_trailing_unicode_terminators(spark):
+    """The \\Z/\\z anchor class fix (r5): Java's $ and \\Z match BEFORE a
+    final NEL/U+2028/U+2029, silently dropping it from trailing message
+    captures; Python's \\Z (translated to Java \\z by java_regex) keeps
+    the byte-walk parity. Pin syslog + apache_error + the translation."""
+    from vector_spark.functions import parse_syslog
+    from vector_spark.functions.parse import parse_apache_error
+    from vector_spark.functions.vrl import java_regex
+
+    assert java_regex(r"(?P<m>.*)\Z") == r"(.*)\z"
+
+    nel = "\x85"
+    line = f"<34>1 2024-01-01T00:00:00Z h app 1 ID1 - boom{nel}"
+    r = spark.createDataFrame([(line,)], "l string").select(
+        parse_syslog(F.col("l"), rfc="5424")["message"].alias("m")
+    ).collect()[0]
+    assert r["m"] == f"boom{nel}"
+
+    ae = "[Mon Jan 01 00:00:00 2024] [error] [client 1.2.3.4] oops "
+    r2 = spark.createDataFrame([(ae,)], "l string").select(
+        parse_apache_error(F.col("l"))["message"].alias("m")).collect()[0]
+    assert r2["m"] == "oops "

@@ -169,12 +169,12 @@ APACHE_COMMON = (
 SYSLOG_3164 = (
     r"^<(?P<priority>\d+)>(?P<timestamp>\w{3} +\d{1,2} \d{2}:\d{2}:\d{2}) "
     r"(?P<hostname>\S+) (?P<appname>[^\s:\[]+)(?:\[(?P<procid>\d+)\])?: "
-    r"(?P<message>.*)$"
+    r"(?P<message>[^\n]*)\Z"
 )
 
 SYSLOG_5424 = (
     r"^<(?P<priority>\d+)>(?P<version>\d+) (?P<timestamp>\S+) (?P<hostname>\S+) "
-    r"(?P<appname>\S+) (?P<procid>\S+) (?P<msgid>\S+) (?P<sd>-|\[.*\]) ?(?P<message>.*)$"
+    r"(?P<appname>\S+) (?P<procid>\S+) (?P<msgid>\S+) (?P<sd>-|\[.*\]) ?(?P<message>[^\n]*)\Z"
 )
 
 
@@ -340,7 +340,7 @@ NGINX_ERROR = (
 
 APACHE_ERROR = (
     r"^\[(?P<timestamp>[^\]]+)\] \[(?P<severity>\w+)\] "
-    r"(?:\[client (?P<client>[\d.]+)\] )?(?P<message>.*)$"
+    r"(?:\[client (?P<client>[\d.]+)\] )?(?P<message>[^\n]*)\Z"
 )
 
 
@@ -358,7 +358,7 @@ def parse_apache_error(col: Column) -> dict[str, Column]:
 CEF = (
     r"^CEF:(?P<version>\d+)\|(?P<vendor>[^|]*)\|(?P<product>[^|]*)\|"
     r"(?P<device_version>[^|]*)\|(?P<event_class>[^|]*)\|(?P<name>[^|]*)\|"
-    r"(?P<severity>[^|]*)\|(?P<extensions>.*)$"
+    r"(?P<severity>[^|]*)\|(?P<extensions>[^\n]*)\Z"
 )
 
 
@@ -446,7 +446,7 @@ def encode_cef(
 GLOG = (
     r"^(?P<level>[IWEF])(?P<month>\d{2})(?P<day>\d{2}) "
     r"(?P<time>\d{2}:\d{2}:\d{2}\.\d+)\s+(?P<tid>\d+) "
-    r"(?P<file>[^:]+):(?P<line>\d+)\] (?P<message>.*)$"
+    r"(?P<file>[^:]+):(?P<line>\d+)\] (?P<message>[^\n]*)\Z"
 )
 
 KLOG_LEVELS = {"I": "info", "W": "warning", "E": "error", "F": "fatal"}
@@ -898,7 +898,7 @@ def parse_warc_record(col: Column) -> Column:
         )
 
     payload = F.nullif(
-        F.regexp_extract(col, r"(?s)\r\n\r\n(.*)$", 1), F.lit("")
+        F.regexp_extract(col, r"(?s)\r\n\r\n(.*)\z", 1), F.lit("")
     )
     return F.struct(
         hdr("WARC-Type").alias("warc_type"),
@@ -1154,13 +1154,13 @@ def parse_statsd(col: Column) -> Column:
     `#k:v,...`; bare tags get a null value). Unmatched lines parse to a
     null-name struct (the house null-on-unmatched parser rule). Pure
     regexp_extract expressions, Java ∩ RE2 subset."""
-    line = F.regexp_extract(col, r"^([^:|]+):([+-]?\d+(?:\.\d+)?)\|(c|g|ms|s|h|d)(\|@(?:\d+(?:\.\d+)?))?(\|#(?:.*))?$", 0)
+    line = F.regexp_extract(col, r"^([^:|]+):([+-]?\d+(?:\.\d+)?)\|(c|g|ms|s|h|d)(\|@(?:\d+(?:\.\d+)?))?(\|#(?:.*))?\z", 0)
     ok = line != ""
     name = F.regexp_extract(col, r"^([^:|]+):", 1)
     raw_val = F.regexp_extract(col, r"^[^:|]+:([+-]?\d+(?:\.\d+)?)\|", 1)
     mtype = F.regexp_extract(col, r"^[^:|]+:[+-]?\d+(?:\.\d+)?\|(c|g|ms|s|h|d)", 1)
     rate = F.nullif(F.regexp_extract(col, r"\|@(\d+(?:\.\d+)?)", 1), F.lit(""))
-    tags_s = F.nullif(F.regexp_extract(col, r"\|#(.*)$", 1), F.lit(""))
+    tags_s = F.nullif(F.regexp_extract(col, r"\|#(.*)\z", 1), F.lit(""))
     tags = F.when(
         tags_s.isNotNull(),
         F.map_from_entries(
@@ -1169,7 +1169,7 @@ def parse_statsd(col: Column) -> Column:
                 lambda t: F.struct(
                     F.regexp_extract(t, r"^([^:]*)", 1).alias("key"),
                     F.nullif(
-                        F.regexp_extract(t, r"^[^:]*:(.*)$", 1), F.lit("")
+                        F.regexp_extract(t, r"^[^:]*:(.*)\z", 1), F.lit("")
                     ).alias("value"),
                 ),
             )
@@ -1219,8 +1219,8 @@ def parse_prometheus_text(
     types = lines.filter(t_name != "").select(
         *keys, t_name.alias("_tn"), t_kind.alias("metric_type")
     )
-    h_name = FF.regexp_extract("_l", r"^# HELP (\S+) (.*)$", 1)
-    h_text = FF.regexp_extract("_l", r"^# HELP (\S+) (.*)$", 2)
+    h_name = FF.regexp_extract("_l", r"^# HELP (\S+) (.*)\z", 1)
+    h_text = FF.regexp_extract("_l", r"^# HELP (\S+) (.*)\z", 2)
     helps = lines.filter(h_name != "").select(
         *keys, h_name.alias("_hn"), h_text.alias("help")
     )
@@ -1594,7 +1594,7 @@ def encode_gelf(
 # linux auth log: 'Jun 14 15:16:01 host sshd[123]: Accepted password for u from 1.2.3.4 port 22 ssh2'
 LINUX_AUTH = (
     r"^(?P<timestamp>\w{3}\s+\d+\s[\d:]+)\s(?P<hostname>\S+)\s"
-    r"(?P<appname>[\w\-/\.]+)(?:\[(?P<procid>\d+)\])?:\s(?P<message>.*)$"
+    r"(?P<appname>[\w\-/\.]+)(?:\[(?P<procid>\d+)\])?:\s(?P<message>[^\n]*)\Z"
 )
 
 

@@ -265,7 +265,7 @@ def parse_apache_status(col: Column) -> Column:
             ),
             lambda l: F.struct(
                 F.regexp_extract(l, "^([^:]+): ", 1).alias("key"),
-                F.regexp_extract(l, "^[^:]+: (.*)$", 1).alias("value"),
+                F.regexp_extract(l, "^[^:]+: (.*)\z", 1).alias("value"),
             ),
         )
     )

@@ -29,8 +29,13 @@ def java_regex(pattern: str) -> str:
     """Python named-group syntax -> JVM-safe: named groups become plain
     capturing groups (java.util.regex rejects `(?P<` outright and forbids
     underscores in group names; we address groups by index anyway, and
-    indexes are unchanged by dropping the names)."""
-    return _NAMED_GROUP.sub("(", pattern)
+    indexes are unchanged by dropping the names). Python's `\\Z`
+    (absolute end of input) becomes Java's `\\z` — Java's own `\\Z`
+    matches BEFORE a final line terminator (like its `$`), which is NOT
+    the Python semantic and would silently drop a trailing NEL/U+2028
+    from a message capture (the parse_cri hypothesis find)."""
+    out = _NAMED_GROUP.sub("(", pattern)
+    return out.replace(r"\Z", r"\z")
 
 
 def parse_regex(col: Column, pattern: str) -> dict[str, Column]:
